@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Relational query library over the TESTDATA tables.
   *
@@ -12,19 +13,22 @@ import org.apache.spark.sql.functions._
   * Catalyst operators only. Design rules for 100 TB (SURVEY.md §6):
   *   - declarative DataFrame plans only — pushdown/pruning/join-reorder free;
   *   - exact DECIMAL aggregates (order-independent, cluster-reproducible);
-  *   - broadcast() the small dimension side of every star join;
-  *   - deterministic total ordering on every output (oracle hash parity).
+  *   - broadcast() the bounded-size dimension side of every star join
+  *     (region/nation stay tiny at any SF; fact tables are never broadcast);
+  *   - deterministic total ordering on every output (oracle hash parity),
+  *     with unique tie-break keys so LIMIT/window results are stable.
   */
 object Relational {
 
-  private val one = lit(1.00).cast(Tables.Rate) // exact 1.00 for (1-disc)
+  private val one = lit(1.00).cast(Tables.Rate) // exact 1.00 for (1±rate)
+  private def ts(s: String): Column = lit(s).cast("timestamp")
 
   /** q1: pricing summary — full-scan groupBy aggregate (TPC-H Q1 shape).
-    * Scale: map-side partial aggregation on 4-ish groups → tiny shuffle.
+    * Scale: partial (map-side) aggregation over ~6 groups → tiny shuffle.
     */
   def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitemDec(s, d)
-    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    Tables.lineitemDec(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
@@ -36,21 +40,499 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q3: shipping priority — 3-way fact/dim join + agg + top-k.
+    * Scale: filters pushed below the joins by Catalyst; orders⋈lineitem is a
+    * shuffle join on the natural key; top-k plans as TakeOrderedAndProject
+    * (no global sort of the full result).
+    */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-06-15"))
+    val li = Tables.lineitemDec(s, d).filter(col("l_shipdate") > ts("1998-06-15"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (one - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q5: revenue by nation within a region — 6-way star join.
+    * Scale: region/nation/supplier dims are broadcast (no shuffle for them);
+    * only orders⋈lineitem shuffles. c/s nationkey equality applied post-join.
+    */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val li = Tables.lineitemDec(s, d)
+    val supp = Tables.supplier(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      // supplier scales with SF — no broadcast hint; AQE decides by size
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (one - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q6: forecast revenue — selective scan-side filters + single aggregate.
+    * Scale: all three predicates push to the parquet scan (PushedFilters);
+    * zero joins, one partial+final agg.
+    */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+      .filter(col("l_discount") >= 0.02 && col("l_discount") <= 0.06)
+      .filter(col("l_quantity") < 24)
+      .select(
+        (col("l_extendedprice").cast(Tables.Money) * col("l_discount").cast(Tables.Rate)).as("d"))
+      .agg(sum(col("d")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** q10: returned-item losses — join + agg + top-k with dim lookup. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitemDec(s, d).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val nation = Tables.nation(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (one - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q14: promo revenue share — fact⋈dim join with conditional aggregation.
+    * Emits the two exact sums instead of their ratio (double division is
+    * engine-dependent; decimal sums are not).
+    */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitemDec(s, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-07-01"))
+    val part = Tables.part(s, d)
+    val disc = col("l_extendedprice") * (one - col("l_discount"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(Tables.Money))).as("promo_revenue"),
+        sum(disc).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q18: large-volume orders — group-HAVING over the fact table then join.
+    * Scale: the HAVING aggregation reduces lineitem to few keys *before* the
+    * join back to orders/customer — aggregate-then-join, not join-then-filter.
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitemDec(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    val ord = Tables.ordersDec(s, d)
+    val cust = Tables.customer(s, d)
+    bigOrders
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** q4: order priority with EXISTS — left-semi join (no row duplication). */
+  def q4PrioritySemi(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** anti join: customers with no 1995 orders, counted per nation. */
+  def qAntiCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1995-01-01") && col("o_orderdate") < ts("1996-01-01"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_no_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** top-k customers by lifetime spend — TakeOrderedAndProject. */
+  def qTopCustomers(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.ordersDec(s, d)
+    val cust = Tables.customer(s, d)
+    ord.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(15)
+  }
+
+  /** window ranking: top-3 orders per customer by price (row_number with a
+    * unique tie-break so ranks are deterministic).
+    */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.ordersDec(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** running window aggregate: cumulative revenue per supplier in ship order
+    * (decimal running sum over a deterministic frame ordering).
+    */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitemDec(s, d)
+      .filter(col("l_suppkey") <= 5)
+      .withColumn("running_revenue",
+        sum(col("l_extendedprice") * (one - col("l_discount"))).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("running_revenue"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** rollup: account balance by region/nation with subtotals + grand total.
+    * Grouping-null keys are coalesced to a sentinel so the sort order is
+    * well-defined and null-ordering differences between engines are moot.
+    */
+  def qRollupBalance(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customerDec(s, d)
+    val nation = Tables.nation(s, d)
+    val region = Tables.region(s, d)
+    cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+      .select(
+        coalesce(col("r_name"), lit("__ALL__")).as("region_name"),
+        coalesce(col("n_name"), lit("__ALL__")).as("nation_name"),
+        col("total_bal"), col("n_cust"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  /** cube: order counts/value across status × priority with all subtotals. */
+  def qCubeOrders(s: SparkSession, d: String): DataFrame = {
+    Tables.ordersDec(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("__ALL__")).as("status"),
+        coalesce(col("o_orderpriority"), lit("__ALL__")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** set operations: customers active in 1995 vs 1996 — INTERSECT and EXCEPT
+    * branches tagged and unioned into one deterministic result.
+    */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    def active(y0: String, y1: String) = ord
+      .filter(col("o_orderdate") >= ts(y0) && col("o_orderdate") < ts(y1))
+      .select(col("o_custkey"))
+    val a = active("1995-01-01", "1996-01-01")
+    val b = active("1996-01-01", "1997-01-01")
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1995")))
+      .unionByName(b.except(a).withColumn("tag", lit("only_1996")))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** distinct aggregates: exact distinct counts per group. */
+  def qDistinctCounts(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** correlated-subquery shape: cheapest part(s) per type via window min —
+    * aggregate-free decorrelation (one pass, no self-join).
+    */
+  def qMinCostPart(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_type"))
+    Tables.part(s, d)
+      .withColumn("min_price", min(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") === col("min_price"))
+      .select(col("p_type"), col("p_partkey"),
+        col("p_retailprice").cast(Tables.Money).as("p_retailprice"))
+      .orderBy(col("p_type"), col("p_partkey"))
+  }
+
+  /** scalar string-function family over customer (per-row, codegen'd). */
+  def qStringFuncs(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        (col("c_custkey") % 7).as("bucket"),
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bal_band"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** date/time function family over orders: extract, truncate, diff. */
+  def qDateFuncs(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB dialect = ANSI; must match column names + ordering)
+  // ---------------------------------------------------------------------
+
+  private val mQty = "CAST(l_quantity AS DECIMAL(12,2))"
+  private val mEp = "CAST(l_extendedprice AS DECIMAL(12,2))"
+  private val mDisc = "CAST(l_discount AS DECIMAL(4,2))"
+  private val mTax = "CAST(l_tax AS DECIMAL(4,2))"
+  private val oneR = "CAST(1.00 AS DECIMAL(4,2))"
+  private val revenue = s"$mEp * ($oneR - $mDisc)"
+
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
-        |  count(*) AS count_order
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum($mQty) AS sum_qty,
+         |  sum($mEp) AS sum_base_price,
+         |  sum($revenue) AS sum_disc_price,
+         |  sum($revenue * ($oneR + $mTax)) AS sum_charge,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, sum($revenue) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-15'
+         |  AND l_shipdate > TIMESTAMP '1998-06-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name, sum($revenue) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT sum($mEp * $mDisc) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.02 AND l_discount <= 0.06
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, sum($revenue) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT
+         |  sum(CASE WHEN p_type = 'PROMO' THEN $revenue ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_revenue,
+         |  sum($revenue) AS total_revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, sum($mQty) AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum($mQty) > 150)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, sum_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_anti_customers" ->
+      """SELECT c_nationkey, count(*) AS n_no_orders
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spent,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spent DESC, c_custkey
+        |LIMIT 15""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+         |  sum($revenue) OVER (PARTITION BY l_suppkey
+         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+         |FROM lineitem
+         |WHERE l_suppkey <= 5
+         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rollup_balance" ->
+      """SELECT coalesce(r_name, '__ALL__') AS region_name,
+        |  coalesce(n_name, '__ALL__') AS nation_name,
+        |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS total_bal,
+        |  count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, '__ALL__') AS status,
+        |  coalesce(o_orderpriority, '__ALL__') AS priority,
+        |  count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |             AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' AS tag FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_supps,
+        |  count(*) AS n_items
         |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_min_cost_part" ->
+      """SELECT p_type, p_partkey,
+        |  CAST(p_retailprice AS DECIMAL(12,2)) AS p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+        |                       WHERE p2.p_type = p.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        |  c_custkey % 7 AS bucket,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt'
+        |       WHEN c_acctbal < 5000 THEN 'low'
+        |       ELSE 'high' END AS bal_band
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS o_month,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary _)
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q4_priority_semi" -> (q4PrioritySemi _),
+    "q_anti_customers" -> (qAntiCustomers _),
+    "q_top_customers" -> (qTopCustomers _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_rollup_balance" -> (qRollupBalance _),
+    "q_cube_orders" -> (qCubeOrders _),
+    "q_set_ops" -> (qSetOps _),
+    "q_distinct_counts" -> (qDistinctCounts _),
+    "q_min_cost_part" -> (qMinCostPart _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _)
   )
 }
