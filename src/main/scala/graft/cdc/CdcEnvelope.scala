@@ -1,0 +1,75 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium change-event envelope: the reference engine's "row type".
+  *
+  * Shape per reference `docs/architecture.md:262-283` and the real capture in
+  * `docs/setup-guide.md:66-90`: `before`/`after` images, `source` provenance
+  * block (with monotone `lsn` ordering key), `op` ∈ c/u/d/r, `ts_ms`.
+  *
+  * Representation choice (SURVEY.md §1.2, §7.3#4): the typed payload view is
+  * per-table (here: the reference's only table, `customers`,
+  * `scripts/install.sh:330`), while the ops that must see the *dynamic* key
+  * set (`field_count`, `customer_insights` gating — reference
+  * `cdc_enrichment_function.py:76,81`) read the raw `after` JSON text. So
+  * [[parse]] produces both: a typed `envelope` struct and raw
+  * `before_json`/`after_json` strings.
+  */
+object CdcEnvelope {
+
+  /** Typed payload for the reference's `customers` table.
+    * `created_at` stays int64 epoch-µs on the wire
+    * (`time.precision.mode: adaptive_time_microseconds`,
+    * reference `kubernetes/manifests/debezium-postgres-connector.yaml:42-43`).
+    */
+  val customersPayload: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("name", StringType),
+    StructField("email", StringType),
+    StructField("created_at", LongType)
+  ))
+
+  val sourceSchema: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("connector", StringType),
+    StructField("name", StringType),
+    StructField("ts_ms", LongType),
+    StructField("snapshot", StringType), // stringly bool, per reference py:66
+    StructField("db", StringType),
+    StructField("schema", StringType),
+    StructField("table", StringType),
+    StructField("txId", LongType),
+    StructField("lsn", LongType)
+  ))
+
+  /** Full envelope schema for a given per-table payload. */
+  def schema(payload: StructType = customersPayload): StructType = StructType(Seq(
+    StructField("before", payload),
+    StructField("after", payload),
+    StructField("source", sourceSchema),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)
+  ))
+
+  /** Parse a raw-bytes/string stream (`value` column) into the envelope.
+    *
+    * PERMISSIVE semantics (reference P1/P18, py:23-26,104-107): a payload
+    * that is not a JSON object yields a null `envelope` struct — exactly the
+    * records the reference's try/except passes through unmodified. This is a
+    * narrow per-row transform: no shuffle, whole-stage-codegen friendly.
+    */
+  def parse(df: DataFrame, payload: StructType = customersPayload): DataFrame =
+    // `json_object_keys` is null for invalid JSON AND for valid non-object
+    // JSON ("123", arrays) — exactly the input set where the reference's
+    // `json.loads` + dict access raises and falls back to passthrough
+    // (py:23-26,104-107). `from_json` alone can't distinguish: it yields an
+    // all-null struct, not null, for malformed input.
+    df.withColumn("envelope",
+        when(json_object_keys(col("value")).isNotNull,
+          from_json(col("value"), schema(payload))))
+      .withColumn("before_json", get_json_object(col("value"), "$.before"))
+      .withColumn("after_json", get_json_object(col("value"), "$.after"))
+}

@@ -1,0 +1,48 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** End-to-end CDC pipeline wiring (SURVEY.md §3.1 stages 3–7 as ONE Spark
+  * query): source → parse → enrich → sink.
+  *
+  * The reference statically wires PostgreSQL→Debezium→topic→function→topic
+  * (`docs/architecture.md:9-73`); here the same dataflow is a declarative
+  * streaming plan, so Catalyst analyzes/optimizes/codegens it per micro-batch
+  * and checkpointing upgrades the reference's at-least-once delivery
+  * (`functions/README.md:23`) to exactly-once into idempotent sinks.
+  *
+  * Scale: the whole plan is narrow (per-record parse/enrich, no shuffle), so
+  * it parallelizes linearly with input partitions on a real cluster —
+  * 1000 executors each run the identical stateless stage, no coordination.
+  */
+object CdcPipeline {
+
+  private def enrichedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
+    Enrich(in, cfg).select(col("value_out").as("value"))
+
+  /** Streaming pipeline: JSON-lines dir → enrich → JSON-lines dir.
+    * `Trigger.AvailableNow` drains what exists then stops (deterministic for
+    * tests); pass `trigger = None` for a continuous micro-batch run.
+    */
+  def start(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, cfg: EnrichConfig = EnrichConfig(),
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = enrichedValues(CdcSource.streamJsonLines(spark, inDir), cfg)
+      .writeStream
+      .format("text")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Batch twin (snapshot mode, SURVEY.md §2.1 S2): same transform, bounded
+    * input — how Debezium replays pre-existing rows through the same path.
+    */
+  def runBatch(spark: SparkSession, inDir: String, outDir: String,
+      cfg: EnrichConfig = EnrichConfig()): Unit =
+    enrichedValues(CdcSource.readJsonLines(spark, inDir), cfg)
+      .write.mode("overwrite").text(outDir)
+}

@@ -1,0 +1,91 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source adapters for the CDC pipeline (SURVEY.md §2.1 S1–S3).
+  *
+  * The reference's source is config-declared Debezium-over-Pulsar; in Spark
+  * the same capability is a `readStream` over any transport that carries the
+  * envelope JSON. Production path = Kafka (`format("kafka")` over Debezium
+  * topics); test/local path = JSON-lines file streams. Both produce the same
+  * one-string-column contract that [[Enrich]] consumes, so the transform is
+  * transport-agnostic.
+  */
+object CdcSource {
+
+  /** S1 (file variant): continuous change stream from JSON-lines files.
+    * One `value` string column per message. `maxFilesPerTrigger` paces
+    * micro-batches (the Spark analogue of connector backpressure).
+    */
+  def streamJsonLines(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
+  /** S1 (Kafka variant, production): Debezium topics carry the envelope in
+    * the record value. Subscribe pattern = per-table topics
+    * `<server>.<schema>.<table>` (reference naming, `docs/setup-guide.md:33-35`).
+    * Kafka metadata columns double as P16 context (topic/partition/offset).
+    */
+  def streamKafka(spark: SparkSession, bootstrap: String, topicPattern: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribePattern", topicPattern)
+      .load()
+      .select(
+        col("value").cast("string").as("value"),
+        col("topic"),
+        col("partition"),
+        concat_ws(":", col("topic"), col("partition"), col("offset")).as("message_id"))
+
+  /** Batch twin of [[streamJsonLines]] for replay/snapshot processing. */
+  def readJsonLines(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir)
+
+  /** S2: initial snapshot — wrap a batch table scan as `op='r'` envelopes,
+    * exactly how Debezium replays existing rows through the same topic
+    * (`snapshot.mode: initial`, reference connector yaml:33-34). The rows
+    * then flow through the SAME enrichment as live changes (§7.3#6).
+    *
+    * @param rows      batch DataFrame of the source table
+    * @param db/schema/table provenance for the envelope `source` block
+    * @param serverName logical server name (topic prefix)
+    */
+  def snapshot(rows: DataFrame, db: String, schema: String, table: String,
+      serverName: String = "dbserver1",
+      fixedTsMs: Option[Long] = None): DataFrame = {
+    val tsMs = fixedTsMs.map(lit(_).cast("long"))
+      .getOrElse((unix_timestamp(current_timestamp()) * 1000).cast("long"))
+    rows.select(to_json(struct(
+      lit(null).cast(StructType(rows.schema.fields)).as("before"),
+      struct(rows.columns.map(col): _*).as("after"),
+      struct(
+        lit("spark-graft").as("version"),
+        lit("postgresql").as("connector"),
+        lit(serverName).as("name"),
+        tsMs.as("ts_ms"),
+        lit("true").as("snapshot"),
+        lit(db).as("db"),
+        lit(schema).as("schema"),
+        lit(table).as("table"),
+        lit(null).cast("long").as("txId"),
+        lit(null).cast("long").as("lsn")).as("source"),
+      lit("r").as("op"),
+      tsMs.as("ts_ms")
+    )).as("value"))
+  }
+
+  /** S3: table include filter — restrict a multi-table envelope stream to one
+    * schema/table, the Spark form of Debezium's `table.include.list`
+    * (reference connector yaml:23-24). Applied on parsed envelopes so it
+    * pushes into the scan as an ordinary predicate.
+    */
+  def includeTable(parsed: DataFrame, schema: String, table: String): DataFrame =
+    parsed.filter(
+      col("envelope.source.schema") === schema &&
+        col("envelope.source.table") === table)
+}

@@ -1,0 +1,145 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Configuration for the enrichment transform.
+  *
+  * @param functionName/functionVersion reference py:91-92 context metadata
+  * @param processingTimeIso fixed clock for deterministic tests/oracles
+  *        (SURVEY.md §7.3#2); None → `current_timestamp()` per micro-batch
+  */
+case class EnrichConfig(
+    functionName: String = "cdc-enrichment",
+    functionVersion: String = "1.0.0",
+    processingTimeIso: Option[String] = None)
+
+/** The reference engine's entire operator library, re-expressed as ONE pure
+  * `DataFrame => DataFrame` of native Catalyst expressions — no UDFs, so the
+  * whole transform stays inside whole-stage codegen and the plan is narrow
+  * (zero shuffles) end-to-end, at any scale.
+  *
+  * Implements SURVEY.md §2.2 P1–P18, byte-semantics-faithful to reference
+  * `functions/cdc-enrichment/cdc_enrichment_function.py` (108 LoC), including
+  * its quirks:
+  *   - missing `op` → code "unknown", label "UNKNOWN" (py:35,41)
+  *   - `timestamps` struct only when `ts_ms` truthy (py:50)
+  *   - `customer_insights` gated on the *key* `email` existing in the dynamic
+  *     `after` dict, not on its value (py:81)
+  *   - `email_domain` is split-index-1, so "a@b@c" → "b" (py:85)
+  *   - ISO timestamps in Python `datetime.isoformat()` form: fraction omitted
+  *     when the sub-second part is zero, else 6 digits (bug-compat, §7.3#1:
+  *     output defined as UTC)
+  *   - non-JSON-object input passes through unchanged (py:104-107)
+  */
+object Enrich {
+
+  /** Python `datetime.isoformat()` of an epoch-millis column, UTC. */
+  def isoFromMillis(tsMs: Column): Column = {
+    val t = timestamp_millis(tsMs)
+    when(tsMs % 1000 === 0, date_format(t, "yyyy-MM-dd'T'HH:mm:ss"))
+      .otherwise(date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+  }
+
+  /** P3/P4: op code → (code, label, is_mutation). */
+  def operationStruct(op: Column): Column = struct(
+    coalesce(op, lit("unknown")).as("code"),
+    coalesce(
+      element_at(
+        map(lit("c"), lit("CREATE"), lit("u"), lit("UPDATE"),
+          lit("d"), lit("DELETE"), lit("r"), lit("READ")), op),
+      lit("UNKNOWN")).as("label"),
+    coalesce(op.isin("c", "u", "d"), lit(false)).as("is_mutation")
+  )
+
+  /** P5–P7: event/processing timestamps, present only when ts_ms truthy. */
+  def timestampsStruct(tsMs: Column, cfg: EnrichConfig): Column = {
+    val processing = cfg.processingTimeIso
+      .map(lit)
+      .getOrElse(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    when(tsMs.isNotNull && tsMs =!= 0, struct(
+      tsMs.as("event_time_ms"),
+      isoFromMillis(tsMs).as("event_time_iso"),
+      processing.as("processing_time_iso")))
+  }
+
+  /** P7–P9: provenance projection, present only when source present. */
+  def sourceMetadataStruct(source: Column): Column =
+    when(source.isNotNull, struct(
+      source.getField("db").as("database"),
+      source.getField("schema").as("schema"),
+      source.getField("table").as("table"),
+      source.getField("connector").as("connector"),
+      source.getField("version").as("version"),
+      coalesce(source.getField("snapshot") === "true", lit(false)).as("is_snapshot")))
+
+  /** P10–P12: null-presence predicates + dynamic field count.
+    * `field_count` counts the keys actually present in the `after` JSON
+    * object (dynamic schema — py:76), which a fixed struct can't express;
+    * hence the raw-JSON operand.
+    */
+  def dataQualityStruct(beforeJson: Column, afterJson: Column): Column = {
+    val hasBefore = beforeJson.isNotNull
+    val hasAfter = afterJson.isNotNull
+    val fieldCount = when(hasAfter, size(json_object_keys(afterJson))).otherwise(0)
+    struct(
+      hasBefore.as("has_before"),
+      hasAfter.as("has_after"),
+      fieldCount.as("field_count"),
+      (hasAfter && fieldCount > 0).as("is_complete"))
+  }
+
+  /** P13–P15: email insights, gated on the `email` KEY being present. */
+  def customerInsightsStruct(afterJson: Column): Column = {
+    val email = get_json_object(afterJson, "$.email")
+    val hasKey = afterJson.isNotNull &&
+      array_contains(json_object_keys(afterJson), "email")
+    when(hasKey, struct(
+      when(email.contains("@"), split(email, "@").getItem(1)).as("email_domain"),
+      (email.isNotNull && length(email) > 0).as("has_email"),
+      coalesce(length(email), lit(0)).as("email_length")))
+  }
+
+  /** P16: runtime/context metadata. `topic`/`partition` columns are used when
+    * the source provides them (Kafka metadata columns), else null literals.
+    */
+  def processingMetadataStruct(df: DataFrame, cfg: EnrichConfig): Column = {
+    def opt(name: String): Column =
+      if (df.columns.contains(name)) col(name).cast("string") else lit(null).cast("string")
+    struct(
+      lit(cfg.functionName).as("function_name"),
+      lit(cfg.functionVersion).as("function_version"),
+      opt("message_id").as("message_id"),
+      opt("topic").as("topic"),
+      opt("partition").as("partition_id"))
+  }
+
+  /** Full enrichment over a parsed stream (output of [[CdcEnvelope.parse]]):
+    * adds an `enrichment` struct column (P2–P16).
+    */
+  def withEnrichment(df: DataFrame, cfg: EnrichConfig = EnrichConfig()): DataFrame = {
+    val env = col("envelope")
+    df.withColumn("enrichment", struct(
+      operationStruct(env.getField("op")).as("operation"),
+      timestampsStruct(env.getField("ts_ms"), cfg).as("timestamps"),
+      sourceMetadataStruct(env.getField("source")).as("source_metadata"),
+      dataQualityStruct(col("before_json"), col("after_json")).as("data_quality"),
+      customerInsightsStruct(col("after_json")).as("customer_insights"),
+      processingMetadataStruct(df, cfg).as("processing_metadata")))
+  }
+
+  /** End-to-end record transform (P1–P18): raw `value` string in, one output
+    * string column out — enriched JSON `{original, enrichment}` for parseable
+    * envelopes, the ORIGINAL BYTES UNCHANGED for anything else (the
+    * reference's error-fallback contract, py:104-107). Narrow plan; the
+    * output column type never forbids the fallback (SURVEY.md §7.3#5).
+    */
+  def apply(df: DataFrame, cfg: EnrichConfig = EnrichConfig()): DataFrame = {
+    val parsed = withEnrichment(CdcEnvelope.parse(df), cfg)
+    parsed.withColumn("value_out",
+      when(col("envelope").isNull, col("value"))
+        .otherwise(to_json(struct(
+          col("envelope").as("original"),
+          col("enrichment")))))
+  }
+}

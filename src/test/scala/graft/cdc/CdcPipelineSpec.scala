@@ -1,0 +1,66 @@
+package graft.cdc
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Streaming E2E: file-source JSON-lines → enrich → file sink with
+  * checkpointing, including the restart/no-reprocess property that upgrades
+  * the reference's at-least-once bar (SURVEY.md §2.9, §5.2-3).
+  */
+class CdcPipelineSpec extends SparkSpec {
+
+  private val event =
+    """{"before":null,"after":{"id":%d,"name":"U%d","email":"u%d@example.com","created_at":1763741883901236},"source":{"version":"1.9.7.Final","connector":"postgresql","name":"dbserver1","ts_ms":1763741883902,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":746,"lsn":%d},"op":"c","ts_ms":1763741884346}"""
+
+  private def writeBatch(dir: String, name: String, ids: Range): Unit =
+    Files.write(Paths.get(dir, s"$name.jsonl"),
+      ids.map(i => event.format(i, i, i, 27565000 + i)).mkString("\n").getBytes)
+
+  test("streaming enrich end-to-end with checkpoint restart") {
+    val in = tmpDir("cdc-in")
+    val out = tmpDir("cdc-out")
+    val ckpt = tmpDir("cdc-ckpt")
+    val cfg = EnrichConfig(processingTimeIso = Some("2026-01-01T00:00:00"))
+
+    writeBatch(in, "batch1", 1 to 20)
+    CdcPipeline.start(spark, in, out, ckpt, cfg).awaitTermination()
+    val first = spark.read.text(out).collect().map(_.getString(0))
+    assert(first.length == 20)
+    assert(first.forall(_.contains("\"enrichment\"")))
+
+    // restart with new data only → checkpoint skips batch1
+    writeBatch(in, "batch2", 21 to 30)
+    CdcPipeline.start(spark, in, out, ckpt, cfg).awaitTermination()
+    val all = spark.read.text(out).collect().map(_.getString(0))
+    assert(all.length == 30, "restart must process exactly the new files")
+    assert(all.count(_.contains("u25@example.com")) == 1)
+  }
+
+  test("batch twin (snapshot replay path) shares the transform") {
+    val in = tmpDir("cdc-bin")
+    val out = tmpDir("cdc-bout")
+    writeBatch(in, "snap", 1 to 5)
+    CdcPipeline.runBatch(spark, in, out,
+      EnrichConfig(processingTimeIso = Some("2026-01-01T00:00:00")))
+    val rows = spark.read.text(out).collect().map(_.getString(0))
+    assert(rows.length == 5 && rows.forall(_.contains("\"op\":\"c\"")))
+  }
+
+  test("snapshot() wraps batch rows as op=r envelopes through enrichment") {
+    import spark.implicits._
+    val table = Seq((1, "Ann", "ann@x.org"), (2, "Bob", "bob@y.io"))
+      .toDF("id", "name", "email")
+    val env = CdcSource.snapshot(table, "inventory", "public", "customers",
+      fixedTsMs = Some(1700000000123L))
+    val enriched = Enrich(env, EnrichConfig(processingTimeIso = Some("t")))
+    val rows = enriched
+      .selectExpr("envelope.op", "enrichment.operation.label",
+        "enrichment.source_metadata.is_snapshot",
+        "enrichment.data_quality.field_count",
+        "enrichment.customer_insights.email_domain")
+      .collect()
+    assert(rows.forall(r => r.getString(0) == "r" && r.getString(1) == "READ"
+      && r.getBoolean(2) && r.getInt(3) == 3))
+    assert(rows.map(_.getString(4)).toSet == Set("x.org", "y.io"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Golden tests for the enrichment transform — FIXTURES.md §2 canonical
+  * envelopes (c/u/d/r) plus every edge-case row, asserting the reference
+  * semantics of `cdc_enrichment_function.py` (SURVEY.md §2.2 P1–P18).
+  */
+class EnrichSpec extends SparkSpec {
+
+  private val cfg = EnrichConfig(processingTimeIso = Some("2026-01-01T00:00:00"))
+
+  private def enrich(lines: String*): DataFrame = {
+    import spark.implicits._
+    Enrich(lines.toDF("value"), cfg)
+  }
+
+  private def one(lines: String*) = enrich(lines: _*).collect()(0)
+
+  private val cEvent =
+    """{"before":null,"after":{"id":1,"name":"Alice Smith","email":"alice@example.com","created_at":1763741883901236},"source":{"version":"1.9.7.Final","connector":"postgresql","name":"dbserver1","ts_ms":1763741883902,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":746,"lsn":27565472},"op":"c","ts_ms":1763741884346}"""
+  private val dEvent =
+    """{"before":{"id":1,"name":"Alice Jones","email":"alice@newmail.org","created_at":1763741883901236},"after":null,"source":{"version":"1.9.7.Final","connector":"postgresql","name":"dbserver1","ts_ms":1763741910000,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":748,"lsn":27565700},"op":"d","ts_ms":1763741910200}"""
+  private val rEvent =
+    """{"before":null,"after":{"id":1,"name":"Alice Smith","email":"alice@example.com","created_at":1763741883901236},"source":{"version":"1.9.7.Final","connector":"postgresql","name":"dbserver1","ts_ms":1763741880000,"snapshot":"true","db":"inventory","schema":"public","table":"customers","txId":745,"lsn":27565000},"op":"r","ts_ms":1763741880100}"""
+
+  test("c event: operation struct, mutation flag, insights") {
+    val row = one(cEvent)
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val op = e.getStruct(e.fieldIndex("operation"))
+    assert(op.getString(0) == "c" && op.getString(1) == "CREATE" && op.getBoolean(2))
+    val dq = e.getStruct(e.fieldIndex("data_quality"))
+    assert(!dq.getBoolean(0) && dq.getBoolean(1)) // has_before=false, has_after=true
+    assert(dq.getInt(2) == 4 && dq.getBoolean(3)) // field_count=4, is_complete
+    val ci = e.getStruct(e.fieldIndex("customer_insights"))
+    assert(ci.getString(0) == "example.com" && ci.getBoolean(1) && ci.getInt(2) == 17)
+  }
+
+  test("d event: after null → no insights, has_before, field_count 0") {
+    val row = one(dEvent)
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val dq = e.getStruct(e.fieldIndex("data_quality"))
+    assert(dq.getBoolean(0) && !dq.getBoolean(1) && dq.getInt(2) == 0 && !dq.getBoolean(3))
+    assert(e.isNullAt(e.fieldIndex("customer_insights")))
+    val op = e.getStruct(e.fieldIndex("operation"))
+    assert(op.getString(1) == "DELETE" && op.getBoolean(2))
+  }
+
+  test("r event: snapshot flag true, not a mutation") {
+    val row = one(rEvent)
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val sm = e.getStruct(e.fieldIndex("source_metadata"))
+    assert(sm.getBoolean(sm.fieldIndex("is_snapshot")))
+    val op = e.getStruct(e.fieldIndex("operation"))
+    assert(op.getString(1) == "READ" && !op.getBoolean(2))
+  }
+
+  test("event_time_iso matches Python isoformat semantics") {
+    // 1763741884346 ms → fraction nonzero → 6-digit micros
+    val row = one(cEvent)
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val ts = e.getStruct(e.fieldIndex("timestamps"))
+    assert(ts.getLong(0) == 1763741884346L)
+    assert(ts.getString(1) == "2025-11-21T16:18:04.346000")
+    // whole-second ts → fraction omitted (python isoformat quirk)
+    val row2 = one(cEvent.replace("\"ts_ms\":1763741884346", "\"ts_ms\":1763741884000"))
+    val e2 = row2.getStruct(row2.fieldIndex("enrichment"))
+    val ts2 = e2.getStruct(e2.fieldIndex("timestamps"))
+    assert(ts2.getString(1) == "2025-11-21T16:18:04")
+  }
+
+  test("missing op → code unknown / label UNKNOWN / not mutation") {
+    val row = one("""{"after":{"id":2},"ts_ms":5}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val op = e.getStruct(e.fieldIndex("operation"))
+    assert(op.getString(0) == "unknown" && op.getString(1) == "UNKNOWN" && !op.getBoolean(2))
+  }
+
+  test("unknown op x → label UNKNOWN, keeps code") {
+    val row = one("""{"op":"x","after":{"id":2},"ts_ms":5}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val op = e.getStruct(e.fieldIndex("operation"))
+    assert(op.getString(0) == "x" && op.getString(1) == "UNKNOWN" && !op.getBoolean(2))
+  }
+
+  test("zero/missing ts_ms → no timestamps struct") {
+    for (payload <- Seq("""{"op":"c","ts_ms":0}""", """{"op":"c"}""")) {
+      val row = one(payload)
+      val e = row.getStruct(row.fieldIndex("enrichment"))
+      assert(e.isNullAt(e.fieldIndex("timestamps")), payload)
+    }
+  }
+
+  test("missing source → no source_metadata struct") {
+    val row = one("""{"op":"c","ts_ms":5}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    assert(e.isNullAt(e.fieldIndex("source_metadata")))
+  }
+
+  test("empty email: insights present, has_email false, length 0") {
+    val row = one("""{"op":"c","ts_ms":5,"after":{"id":1,"email":""}}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val ci = e.getStruct(e.fieldIndex("customer_insights"))
+    assert(ci.isNullAt(0) && !ci.getBoolean(1) && ci.getInt(2) == 0)
+  }
+
+  test("multi-@ email: domain is split-index-1, not last") {
+    val row = one("""{"op":"c","ts_ms":5,"after":{"id":1,"email":"a@b@c"}}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val ci = e.getStruct(e.fieldIndex("customer_insights"))
+    assert(ci.getString(0) == "b")
+  }
+
+  test("after without email key → no customer_insights struct") {
+    val row = one("""{"op":"c","ts_ms":5,"after":{"id":1,"name":"x"}}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    assert(e.isNullAt(e.fieldIndex("customer_insights")))
+  }
+
+  test("empty after object → field_count 0, not complete") {
+    val row = one("""{"op":"c","ts_ms":5,"after":{}}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val dq = e.getStruct(e.fieldIndex("data_quality"))
+    assert(dq.getBoolean(1) && dq.getInt(2) == 0 && !dq.getBoolean(3))
+  }
+
+  test("extra unexpected keys in after counted by field_count") {
+    val row = one("""{"op":"c","ts_ms":5,"after":{"id":1,"weird":true,"extra":[1,2]}}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val dq = e.getStruct(e.fieldIndex("data_quality"))
+    assert(dq.getInt(2) == 3)
+  }
+
+  test("non-JSON input passes through unchanged (P18 error fallback)") {
+    val garbage = "not-json{{{"
+    val out = enrich(garbage, cEvent).select("value_out").collect().map(_.getString(0))
+    assert(out.contains(garbage))
+    assert(out.exists(s => s != garbage && s.contains("\"enrichment\"")))
+  }
+
+  test("enriched output is {original, enrichment} JSON") {
+    val out = one(cEvent).getString(one(cEvent).fieldIndex("value_out"))
+    assert(out.startsWith("{\"original\":"))
+    assert(out.contains("\"operation\":{\"code\":\"c\",\"label\":\"CREATE\",\"is_mutation\":true}"))
+    assert(out.contains("\"processing_time_iso\":\"2026-01-01T00:00:00\""))
+  }
+}
