@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextOps
+import graft.text.TextOps.P
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, stopword-profile language ID, and rolling-hash document
+  * fingerprinting. All per-row narrow transforms (zero shuffles before the
+  * final deterministic order-by), codegen'd native functions only — at
+  * 100 TB these run at scan speed, embarrassingly parallel.
+  *
+  * Every computed number is integer/decimal so the DuckDB oracle matches
+  * bit-exactly (double ratios are emitted as exact DECIMAL divisions).
+  */
+object TextAnalysis {
+
+  /** Integer division matching DuckDB `//` for non-negative operands.
+    * Spark's `/` is always double; for int operands ≤ 2^53 the double
+    * division is correctly rounded, so floor() reproduces exact int division
+    * (operands here are bounded by ~1e7).
+    */
+  private def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+
+  /** Token counting + quality metrics, per document. Ratios are emitted as
+    * ×10000 scaled integers — identical in any engine, no decimal-division
+    * scale/rounding divergence.
+    */
+  def qTextStats(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks.as("toks"), col("text"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        length(col("text")).as("n_chars_computed"),
+        TextOps.markerCount(col("toks"), TextOps.LangMarkers("en")).as("n_stopwords"),
+        idiv(sum_chars(col("toks")) * 10000L, size(col("toks"))).as("avg_token_len_x10000"),
+        idiv(size(array_distinct(col("toks"))) * lit(10000L), size(col("toks"))).as("ttr_x10000"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sum of token lengths (chars excluding separators). */
+  private def sum_chars(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Quality scoring: integer 0–100 from length / stopword / diversity
+    * bands, then per-(lang, band) distribution. Demonstrates the
+    * scan→narrow-score→tiny-shuffle aggregate shape a corpus filter runs at
+    * scale: the groupBy output is O(bands × langs), so partial aggregation
+    * collapses nearly everything map-side.
+    */
+  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks)
+    val ttrPct = idiv(size(array_distinct(toks)) * lit(100L), nTok)
+    val stopPct = idiv(TextOps.markerCount(toks, TextOps.LangMarkers("en")) * lit(100L), nTok)
+    val lenScore = when(col("n_chars") >= 200 && col("n_chars") <= 450, lit(40))
+      .when(col("n_chars") >= 100, lit(25)).otherwise(lit(10))
+    val divScore = when(ttrPct >= 60, lit(30)).when(ttrPct >= 40, lit(20)).otherwise(lit(5))
+    val stopScore = when(stopPct >= 2 && stopPct <= 20, lit(30)).otherwise(lit(10))
+    val score = lenScore + divScore + stopScore
+    Tables.documents(s, d)
+      .select(col("lang"),
+        when(score >= 80, "high").when(score >= 50, "medium").otherwise("low").as("band"))
+      .groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("band"))
+  }
+
+  /** Stopword-profile language identification: count marker hits per
+    * language profile, classify by max count (deterministic tie-break on
+    * language name), "und" when nothing matches. The marker lists live in
+    * the plan as literals — the classic broadcast-free approach.
+    */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scoreCols = Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+      TextOps.LangMarkers.toSeq.sortBy(_._1).map { case (l, m) =>
+        TextOps.markerCount(toks, m).as(s"s_$l")
+      }
+    val scored = Tables.documents(s, d).select(scoreCols: _*)
+    val langs = TextOps.LangMarkers.keys.toSeq.sorted
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    // first language (alphabetical) achieving the max, else und
+    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored
+      .select(col("doc_id"), col("labeled_lang"), pred.as("pred_lang"),
+        best.cast("int").as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: md5 of the normal form plus an order-sensitive
+    * polynomial rolling hash over token hashes (mod 2^31-1) — two documents
+    * with the same token multiset in different order fingerprint differently.
+    */
+  def qDocFingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val rolling = aggregate(
+      toks, lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + TextOps.hashP(t), lit(P)))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(TextOps.normText(col("text"))).as("md5_fp"),
+        rolling.as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. NOTE: DuckDB lists are 1-indexed; Spark arrays 0-indexed.
+  // hash56 twin: CAST('0x'||substr(md5(x),1,14) AS BIGINT).
+  // ---------------------------------------------------------------------
+
+  private val enMarkers = TextOps.LangMarkers("en").map(w => s"'$w'").mkString(", ")
+
+  private def markerSql(toksExpr: String, lang: String): String = {
+    val list = TextOps.LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toksExpr, t -> t IN ($list)))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+         |           FROM documents)
+         |SELECT doc_id, lang,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+         |  CAST(length(text) AS INT) AS n_chars_computed,
+         |  CAST(len(list_filter(toks, t -> t IN ($enMarkers))) AS INT) AS n_stopwords,
+         |  CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum')
+         |       * 10000 // len(toks) AS BIGINT) AS avg_token_len_x10000,
+         |  CAST(len(list_distinct(toks)) * 10000 // len(toks) AS BIGINT) AS ttr_x10000
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |s AS (SELECT lang,
+         |  (CASE WHEN n_chars >= 200 AND n_chars <= 450 THEN 40
+         |        WHEN n_chars >= 100 THEN 25 ELSE 10 END)
+         |  + (CASE WHEN len(list_distinct(toks))*100//len(toks) >= 60 THEN 30
+         |          WHEN len(list_distinct(toks))*100//len(toks) >= 40 THEN 20
+         |          ELSE 5 END)
+         |  + (CASE WHEN len(list_filter(toks, t -> t IN ($enMarkers)))*100//len(toks)
+         |            BETWEEN 2 AND 20 THEN 30 ELSE 10 END) AS score
+         |  FROM t)
+         |SELECT lang,
+         |  CASE WHEN score >= 80 THEN 'high' WHEN score >= 50 THEN 'medium'
+         |       ELSE 'low' END AS band,
+         |  count(*) AS n_docs
+         |FROM s GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
+
+    "q_lang_id" -> {
+      val langs = TextOps.LangMarkers.keys.toSeq.sorted
+      val scores = langs.map(l => s"${markerSql("toks", l)} AS s_$l").mkString(",\n  ")
+      val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+      val pred = langs.reverse.foldLeft("'und'") { (acc, l) =>
+        s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang,
+         |  string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, labeled_lang,
+         |  $scores
+         |  FROM t),
+         |b AS (SELECT *, $best AS best FROM s)
+         |SELECT doc_id, labeled_lang, $pred AS pred_lang,
+         |  CAST(best AS INT) AS marker_hits
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(norm) AS md5_fp,
+        |  list_transform(string_split(norm, ' '),
+        |    tok -> CAST('0x'||substr(md5(tok),1,14) AS BIGINT) % 2147483647) AS hs
+        |  FROM t)
+        |SELECT doc_id, md5_fp,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+        |    (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+        |FROM h ORDER BY doc_id""".stripMargin
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_lang_id" -> (qLangId _),
+    "q_doc_fingerprint" -> (qDocFingerprint _)
+  )
+}
