@@ -12,7 +12,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Cdc.queries ++
-      graft.queries.TextAnalysis.queries
+      graft.queries.TextAnalysis.queries ++
+      graft.queries.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -20,5 +21,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Cdc.oracle ++
-      graft.queries.TextAnalysis.oracle
+      graft.queries.TextAnalysis.oracle ++
+      graft.queries.Dedup.oracle
 }

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextOps
+import graft.text.TextOps.P
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators over `documents` / `embeddings`: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the point of each shape):
+  *  - exact: one hash-shuffle on the fingerprint — the only correct exact
+  *    algorithm at any scale.
+  *  - n-gram Jaccard: inverted-index join on shingles (shuffle keyed by
+  *    shingle), NOT an O(n²) cross join — pairs sharing zero shingles are
+  *    never materialized. At 100 TB add a stop-shingle cap (drop shingles
+  *    with doc-frequency above a bound) to kill join skew; the synthetic
+  *    corpus needs no cap so none is applied (applying one would change
+  *    results — determinism first).
+  *  - MinHash+LSH: fixed 12-permutation signature, 4 bands × 3 rows;
+  *    candidates come from equality-joins on band keys (shuffle is O(docs),
+  *    not O(docs²)). Signature verify then filters false positives.
+  *  - SimHash: per-doc 56-bit fingerprint computed as a narrow higher-order
+  *    fold (no explode, no shuffle) — scan-speed at any scale.
+  *  - embedding cosine: brute-force all-pairs here (correctness baseline);
+  *    the LSH-bucketed scale path lives in [[Similarity]].
+  *
+  * All hashes are md5-derived ([[TextOps.hash56]]) so DuckDB recomputes
+  * signatures bit-exactly.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 fingerprint of the whitespace/case normal form;
+    * canonical = min doc_id per group.
+    */
+  def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(TextOps.normText(col("text"))).as("fp"))
+      .select(
+        col("doc_id"), col("fp"),
+        min(col("doc_id")).over(w).as("canonical_doc_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Documents with 3-shingle sets and their mod-P hashes. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text"))).as("shingles"))
+
+  /** n-gram (3-shingle) Jaccard near-dup pairs via inverted-index join.
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact, emitted ×10000 as integer.
+    */
+  def qDedupNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = shingled(s, d)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard_x10000",
+        floor(col("common") * 10000L / (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("jaccard_x10000") >= 5000)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard_x10000"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-doc minhash signatures (array of 12). */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    shingled(s, d).select(
+      col("doc_id"),
+      TextOps.minhashSignature(
+        transform(col("shingles"), sh => TextOps.hashP(sh))).as("sig"))
+
+  /** MinHash + LSH banding: candidates from 4-band × 3-row equality joins,
+    * then signature-similarity verify (≥ 6/12 matching slots).
+    */
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    // band key j = "j:sig[3j]:sig[3j+1]:sig[3j+2]" — one row per (doc, band)
+    val bandKeys = array((0 until TextOps.LshBands).map { j =>
+      concat_ws(":", lit(j) +:
+        (0 until TextOps.LshRows).map(r => element_at(col("sig"), j * TextOps.LshRows + r + 1)): _*)
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_key")), Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val matched = (1 to TextOps.MinhashParams.size)
+      .map(i => when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("matched", matched)
+      .filter(col("matched") >= TextOps.MinhashParams.size / 2)
+      .withColumn("est_jaccard_x10000",
+        floor(col("matched") * 10000L / TextOps.MinhashParams.size).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("matched"), col("est_jaccard_x10000"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 56-bit frequency-weighted fingerprint as a pure narrow
+    * expression — 56 per-bit majority votes over token hashes, folded into
+    * one BIGINT. Bit j set ⟺ Σ_tokens (bit j of hash56(token) ? +1 : -1) > 0.
+    */
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val hs = transform(TextOps.tokens(col("text")), t => TextOps.hash56(t))
+    val simhash = (0 until TextOps.SimhashBits).map { j =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), simhash.as("simhash56"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
+    * baseline. Double arithmetic mirrors the oracle term-for-term (same
+    * cast, same left-to-right summation).
+    */
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withNorm = emb.withColumn("norm",
+      sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("norm_b"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles (1-indexed lists; hash56 = CAST('0x'||substr(md5,1,14))).
+  // ---------------------------------------------------------------------
+
+  private val shingleSql =
+    """SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(toks)-2, 0)+1),
+      |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS shingles
+      |FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)""".stripMargin
+
+  private def h56(x: String) = s"CAST('0x'||substr(md5($x),1,14) AS BIGINT)"
+
+  private val minhashExprs = TextOps.MinhashParams.map { case (a, b) =>
+    s"coalesce(list_min(list_transform(hs, h -> (h*$a + $b) % $P)), $P)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH t AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id,
+        |  count(*) OVER (PARTITION BY fp) AS group_size,
+        |  doc_id != min(doc_id) OVER (PARTITION BY fp) AS is_dup
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH sh AS ($shingleSql),
+         |inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+         |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.n_sh na, b.n_sh nb,
+         |        count(*) AS common
+         |      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1,2,3,4)
+         |SELECT doc_a, doc_b, common,
+         |  CAST(common*10000 // (na+nb-common) AS BIGINT) AS jaccard_x10000
+         |FROM p WHERE common*10000 // (na+nb-common) >= 5000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      val sigList = minhashExprs.mkString("[\n    ", ",\n    ", "]")
+      val bandSelects = (0 until TextOps.LshBands).map { j =>
+        val parts = (0 until TextOps.LshRows)
+          .map(r => s"sig[${j * TextOps.LshRows + r + 1}]").mkString("||':'||")
+        s"SELECT doc_id, '$j:'||$parts AS band_key FROM mh"
+      }.mkString("\n  UNION ALL\n  ")
+      val matchedExpr = (1 to TextOps.MinhashParams.size)
+        .map(i => s"CASE WHEN x.sig[$i] = y.sig[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS ($shingleSql),
+         |hsh AS (SELECT doc_id,
+         |  list_transform(shingles, sh -> ${h56("sh")} % $P) AS hs FROM sh),
+         |mh AS (SELECT doc_id, $sigList AS sig FROM hsh),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |m AS (SELECT doc_a, doc_b, ($matchedExpr) AS matched
+         |      FROM cand JOIN mh x ON cand.doc_a = x.doc_id
+         |                JOIN mh y ON cand.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, CAST(matched AS BIGINT) AS matched,
+         |  CAST(matched*10000 // ${TextOps.MinhashParams.size} AS BIGINT) AS est_jaccard_x10000
+         |FROM m WHERE matched >= ${TextOps.MinhashParams.size / 2}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_simhash" -> {
+      val bits = (0 until TextOps.SimhashBits).map { j =>
+        s"""CASE WHEN list_aggregate(list_transform(hs,
+           |    h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+           |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+      }.mkString(" +\n  ")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(string_split(text,' '), tok -> ${h56("tok")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  $bits AS simhash56
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm FROM e),
+        |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+        |  list_aggregate(list_transform(range(1, len(a.v)+1),
+        |    i -> a.v[i]*b.v[i]), 'sum') / (a.norm*b.norm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, CAST(round(cos*10000) AS BIGINT) AS cos_x10000
+        |FROM p WHERE cos >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _)
+  )
+}
