@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Cdc.queries ++
       graft.queries.TextAnalysis.queries ++
-      graft.queries.Dedup.queries
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -22,5 +23,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Cdc.oracle ++
       graft.queries.TextAnalysis.oracle ++
-      graft.queries.Dedup.oracle
+      graft.queries.Dedup.oracle ++
+      graft.queries.Similarity.oracle
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths, as a real corpus pipeline would ship them:
+  *  - [[qAnnBruteforce]]: exact top-k. The query set is tiny and the corpus
+  *    is huge, so the scale shape is broadcast(queries) ⋈ corpus — one scan
+  *    of the corpus, no shuffle of it, TakeOrderedAndProject per query.
+  *  - [[qAnnLsh]]: random-hyperplane LSH. Each vector gets a 16-bit sign
+  *    sketch (4 bands × 4 bits); candidates share a band key, so the corpus
+  *    is shuffled by band key — O(corpus) shuffle instead of O(corpus ×
+  *    queries) distance evaluations. The hyperplanes are deterministic
+  *    integer literals baked into the plan (and the DuckDB oracle), seeded
+  *    once — no runtime RNG, reproducible across engines and cluster runs.
+  *
+  * All distance arithmetic is double, mirrored term-for-term in the oracle
+  * (same casts, same left-to-right summation) so ranks hash-match.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 16
+  val BandBits = 4 // 4 bands × 4 bits
+  val TopK = 5
+
+  /** Deterministic hyperplane components in [-1000, 1000], seed 42. */
+  val Planes: Seq[Seq[Int]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rng.nextInt(2001) - 1000))
+  }
+
+  /** Queries = every 50th vector (10 at sf0.01) — the "needles" side. */
+  private def isQuery(c: Column): Column = c % 50 === 0
+
+  private def vecsWithNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0d), _ + _)))
+
+  private val dotQC: Column = aggregate(
+    zip_with(col("qv"), col("cv"), (x, y) => x * y), lit(0.0d), _ + _)
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def qAnnBruteforce(s: SparkSession, d: String): DataFrame = {
+    val vecs = vecsWithNorm(s, d)
+    val queries = vecs.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val corpus = vecs
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queries).crossJoin(corpus)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotQC / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sign-sketch band keys for a double vector column: array of
+    * "band:bits" strings.
+    */
+  private def bandKeys(v: Column): Column = {
+    val bits = Planes.map { plane =>
+      val dot = aggregate(
+        zip_with(v, typedLit(plane.map(_.toDouble)), (x, w) => x * w),
+        lit(0.0d), _ + _)
+      when(dot > 0, 1L).otherwise(0L)
+    }
+    val bandVals = (0 until NumPlanes / BandBits).map { b =>
+      val packed = (0 until BandBits)
+        .map(i => bits(b * BandBits + i) * lit(1L << i))
+        .reduce(_ + _)
+      concat_ws(":", lit(b), packed)
+    }
+    array(bandVals: _*)
+  }
+
+  /** LSH-bucketed ANN: candidates share a sign-sketch band; exact cosine +
+    * top-k only within candidates.
+    */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val vecs = vecsWithNorm(s, d).withColumn("bands", bandKeys(col("v")))
+    val exploded = vecs.select(col("vec_id"), col("v"), col("norm"),
+      explode(col("bands")).as("band_key"))
+    val queries = exploded.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("band_key"))
+    val corpus = exploded
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cnorm"), col("band_key"))
+    val cands = queries.join(corpus, Seq("band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        col("qnorm"), col("cnorm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .withColumn("cos", dotQC / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles — hyperplanes inlined as the SAME literals.
+  // ---------------------------------------------------------------------
+
+  private val normCte =
+    """n AS (SELECT vec_id, v,
+      |  sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm
+      |  FROM (SELECT vec_id,
+      |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings))""".stripMargin
+
+  private val dotSql =
+    "list_aggregate(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), 'sum')"
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      s"""WITH $normCte,
+         |p AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+         |        $dotSql / (q.norm*c.norm) AS cos
+         |      FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(round(cos*10000) AS BIGINT) AS cos_x10000
+         |FROM r WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_lsh" -> {
+      val planeDots = Planes.zipWithIndex.map { case (plane, p) =>
+        val weights = plane.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
+        s"CASE WHEN list_aggregate(list_transform(range(1, 65), i -> v[i] * ($weights)[i]), 'sum') > 0 THEN 1 ELSE 0 END AS bit_$p"
+      }.mkString(",\n  ")
+      val bandSelects = (0 until NumPlanes / BandBits).map { b =>
+        val packed = (0 until BandBits)
+          .map(i => s"bit_${b * BandBits + i} * ${1L << i}").mkString(" + ")
+        s"SELECT vec_id, '$b:' || CAST($packed AS VARCHAR) AS band_key FROM bits"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $normCte,
+         |bits AS (SELECT vec_id,
+         |  $planeDots
+         |  FROM n),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT q.vec_id query_id, c.vec_id neighbor_id
+         |         FROM bands q JOIN bands c ON q.band_key = c.band_key
+         |         WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id),
+         |p AS (SELECT query_id, neighbor_id,
+         |        $dotSql / (q.norm*c.norm) AS cos
+         |      FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |                JOIN n c ON cand.neighbor_id = c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(round(cos*10000) AS BIGINT) AS cos_x10000
+         |FROM r WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin
+    }
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_lsh" -> (qAnnLsh _)
+  )
+}
