@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.Cdc.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.queries.Dedup.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++
+      graft.queries.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.Cdc.oracle ++
       graft.queries.TextAnalysis.oracle ++
       graft.queries.Dedup.oracle ++
-      graft.queries.Similarity.oracle
+      graft.queries.Similarity.oracle ++
+      graft.queries.Events.oracle
 }

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over the `events` table — the batch twins of the
+  * Structured Streaming operators (same expressions stream unchanged with
+  * `readStream` + watermark; see `graft.streaming` specs).
+  *
+  * Scale notes: time-window aggregates shuffle once on (window, keys) with
+  * map-side partials; sessionization shuffles once on user_id (Spark's
+  * `session_window` does exactly this merge-on-overlap within partition);
+  * the as-of join is the carry-forward window formulation — one shuffle by
+  * user, no range-join explosion.
+  */
+object Events {
+
+  private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private val MoneyVal: Column = col("value").cast(Tables.Money)
+
+  /** Tumbling 1-day windows per event type. */
+  def qEventsTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(MoneyVal).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding windows: 1-day length, 6-hour slide (each event in 4 windows). */
+  def qEventsSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(MoneyVal).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"))
+
+  /** Sessionization: 30-minute-gap sessions per user via `session_window`
+    * (identical semantics in streaming mode; end = last event + gap).
+    */
+  def qEventsSession(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(MoneyVal).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** As-of join: each purchase matched to the user's most recent strictly
+    * earlier click. Carry-forward window formulation — the scalable shape
+    * (one shuffle by user) vs. a per-row range probe.
+    */
+  def qEventsAsof(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isClick = col("event_type") === "click"
+    events(s, d)
+      .withColumn("prev_click_id",
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prev_click_ts",
+        last(when(isClick, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("prev_click_id"),
+        floor((unix_micros(col("ts")) - unix_micros(col("prev_click_ts"))) / 1000000L)
+          .cast("long").as("gap_seconds"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** JSON property extraction + aggregation over the stream-shaped table. */
+  def qEventsProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val oracle: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_events_sliding" ->
+      """SELECT make_timestamp(((epoch_us(ts)//1000000//21600)*21600 - i*21600) * 1000000)
+        |    AS window_start,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM events, range(4) t(i)
+        |GROUP BY 1 ORDER BY window_start""".stripMargin,
+
+    "q_events_session" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_events_asof" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  c.event_id AS prev_click_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts < p.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+        |  count(DISTINCT CAST(props->>'k' AS INT)) AS distinct_k,
+        |  max(CAST(props->>'k' AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_tumbling" -> (qEventsTumbling _),
+    "q_events_sliding" -> (qEventsSliding _),
+    "q_events_session" -> (qEventsSession _),
+    "q_events_asof" -> (qEventsAsof _),
+    "q_events_props" -> (qEventsProps _)
+  )
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+/** Structured Streaming semantics: windowed aggregation parity with batch,
+  * watermark-gated append emission across checkpointed restarts, stateful
+  * dedup within watermark, and custom state via flatMapGroupsWithState —
+  * the streaming surface of SURVEY.md §2.9 beyond the CDC pipeline specs.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def writeEvents(dir: String, evs: Seq[Ev]): Unit = {
+    import spark.implicits._
+    evs.toDF().coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  private def streamFrom(dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.schema(Seq.empty[Ev].toDF().schema).parquet(dir)
+  }
+
+  test("complete-mode tumbling window aggregation matches batch") {
+    val in = tmpDir("st-in")
+    val evs = (0 until 48).map(h =>
+      Ev(h, ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:30:00"), h % 5, 1.5))
+    writeEvents(in, evs)
+
+    streamFrom(in)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("tumbling_complete")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    val streamed = spark.table("tumbling_complete")
+      .select(col("window.start").cast("string"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == Map("2024-01-01 00:00:00" -> 24L, "2024-01-02 00:00:00" -> 24L))
+  }
+
+  test("append mode emits windows only once watermark passes (across restarts)") {
+    val in = tmpDir("wm-in")
+    val out = tmpDir("wm-out")
+    val ckpt = tmpDir("wm-ckpt")
+
+    def run(): Unit =
+      streamFrom(in)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string").as("wstart"), col("n"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    writeEvents(in, (0 until 10).map(i => Ev(i, ts(s"2024-01-01 10:0$i:00"), 1, 1.0)))
+    run()
+    assert(spark.read.parquet(out).count() == 0, "day-1 window must stay open")
+
+    writeEvents(in, Seq(Ev(100, ts("2024-01-03 00:00:00"), 1, 1.0)))
+    run() // batch runs with watermark from run 1 — still nothing emitted
+    writeEvents(in, Seq(Ev(101, ts("2024-01-03 01:00:00"), 1, 1.0)))
+    run() // watermark now 2024-01-02 23:00 > day-1 window end → emit
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("2024-01-01 00:00:00" -> 10L))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within and across batches") {
+    val in = tmpDir("dd-in")
+    val out = tmpDir("dd-out")
+    val ckpt = tmpDir("dd-ckpt")
+
+    def run(): Unit =
+      streamFrom(in)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    // batch 1: ids 1..5 plus in-batch duplicates of 1 and 2
+    writeEvents(in, (1 to 5).map(i => Ev(i, ts(s"2024-01-01 10:0$i:00"), 1, 1.0))
+      ++ Seq(Ev(1, ts("2024-01-01 10:07:00"), 1, 9.9), Ev(2, ts("2024-01-01 10:08:00"), 1, 9.9)))
+    run()
+    assert(spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+      .toSeq == (1L to 5L))
+
+    // batch 2: cross-batch duplicates of 3,4 (within watermark) + new 6
+    writeEvents(in, Seq(Ev(3, ts("2024-01-01 10:09:00"), 1, 9.9),
+      Ev(4, ts("2024-01-01 10:10:00"), 1, 9.9), Ev(6, ts("2024-01-01 10:11:00"), 1, 1.0)))
+    run()
+    assert(spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+      .toSeq == (1L to 6L))
+  }
+
+  test("flatMapGroupsWithState maintains running per-user counts") {
+    import spark.implicits._
+    val in = tmpDir("st-fm-in")
+    writeEvents(in, (0 until 30).map(i =>
+      Ev(i, ts(f"2024-01-01 ${i % 24}%02d:00:00"), i % 3, 1.0)))
+
+    streamFrom(in).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          Iterator((uid, n))
+      }
+      .toDF("user_id", "running_n")
+      .writeStream.format("memory").queryName("fmgws")
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    val finalCounts = spark.table("fmgws")
+      .groupBy("user_id").agg(max("running_n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == Map(0L -> 10L, 1L -> 10L, 2L -> 10L))
+  }
+}
