@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.VectorFunctions
 import graft.text.TextOps
 import graft.text.TextOps.P
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -59,9 +60,27 @@ object Dedup {
   def qDedupNgram(s: SparkSession, d: String): DataFrame = {
     val docs = shingled(s, d)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
-    val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh"))
+    // Join on the 56-bit shingle hash, not the shingle string: an 8-byte
+    // shuffle key instead of a ~20-char string. The oracle hashes shingles
+    // identically, so even a (cosmically unlikely) collision yields the
+    // same result in both engines.
+    // localCheckpoint: the inverted index feeds both join sides and the
+    // doc-frequency filter — without it the scan+shingle+md5 pipeline runs
+    // three times.
+    val inv = docs
+      .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), col("n_sh"), TextOps.hash56(col("sh_str")).as("sh"))
+      .localCheckpoint()
+    // Shingles appearing in a single document cannot produce a pair —
+    // dropping them is semantics-preserving and removes the (dominant)
+    // unique-shingle mass from the pair join. At 100 TB this same filter is
+    // where a stop-shingle df-cap would slot in.
+    val shared = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    val a = inv.join(shared, "sh")
+      .select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
+    val b = inv.join(shared, "sh")
+      .select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh"))
     a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -79,6 +98,9 @@ object Dedup {
       col("doc_id"),
       TextOps.minhashSignature(
         transform(col("shingles"), sh => TextOps.hashP(sh))).as("sig"))
+      // reused by band explode + both sides of the verify join; checkpoint
+      // so the md5 signature computation runs once, not four times
+      .localCheckpoint()
 
   /** MinHash + LSH banding: candidates from 4-band × 3-row equality joins,
     * then signature-similarity verify (≥ 6/12 matching slots).
@@ -116,14 +138,9 @@ object Dedup {
     */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     val hs = transform(TextOps.tokens(col("text")), t => TextOps.hash56(t))
-    val simhash = (0 until TextOps.SimhashBits).map { j =>
-      val vote = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
     Tables.documents(s, d)
       .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), simhash.as("simhash56"))
+      .select(col("doc_id"), VectorFunctions.simhash56(col("hs")).as("simhash56"))
       .orderBy(col("doc_id"))
   }
 
@@ -135,14 +152,15 @@ object Dedup {
     val emb = Tables.embeddings(s, d).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val withNorm = emb.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+    val withNorm = emb
+      .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .localCheckpoint() // feeds both sides of the pair join
     val a = withNorm.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("norm_a"))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("norm_b"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot / (col("norm_a") * col("norm_b")))
+      .withColumn("cos",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("cos") * 10000).cast("long").as("cos_x10000"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -177,7 +195,8 @@ object Dedup {
 
     "q_dedup_ngram" ->
       s"""WITH sh AS ($shingleSql),
-         |inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+         |inv AS (SELECT doc_id, len(shingles) AS n_sh,
+         |        unnest(list_transform(shingles, sh -> ${h56("sh")})) AS s FROM sh),
          |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.n_sh na, b.n_sh nb,
          |        count(*) AS common
          |      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -42,10 +43,10 @@ object Similarity {
     Tables.embeddings(s, d).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0d), _ + _)))
+      .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .localCheckpoint() // queries + corpus sides reuse one materialization
 
-  private val dotQC: Column = aggregate(
-    zip_with(col("qv"), col("cv"), (x, y) => x * y), lit(0.0d), _ + _)
+  private val dotQC: Column = VectorFunctions.dot(col("qv"), col("cv"))
 
   /** Exact top-k cosine neighbors for each query vector. */
   def qAnnBruteforce(s: SparkSession, d: String): DataFrame = {
