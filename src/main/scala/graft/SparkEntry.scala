@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.TextAnalysis.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.queries.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracle ++
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
-      graft.queries.Events.oracle
+      graft.queries.Events.oracle ++
+      graft.queries.Media.oracle
 }

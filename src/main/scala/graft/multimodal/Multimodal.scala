@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media as opaque `binary` columns with typed metadata, processed
+  * by batched per-partition transforms.
+  *
+  * The Spark-side architecture here is real and tested — schema, typed
+  * Dataset encoders, batch shape, partition balance — while the codec call
+  * itself is STUBBED (this environment ships no image/audio libraries):
+  * [[MediaCodec.decodeFeatures]] is a deterministic fake standing in for
+  * e.g. JPEG decode + CNN features. Swap that one function for a real codec
+  * and nothing else changes.
+  *
+  * Scale design: decode is the expensive step at 100 TB, so the transform
+  *  - is per-partition batched (amortizes codec/model init across a batch,
+  *    the same reason PySpark uses `mapInPandas` batches),
+  *  - follows an optional `repartition(n)` so a few giant files can't skew
+  *    executor load,
+  *  - never collects binaries to the driver.
+  */
+object Multimodal {
+
+  /** One media object: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      content: Array[Byte],
+      width: Int, // image/video pixels; 0 for audio
+      height: Int,
+      sample_rate: Int, // audio Hz; 0 otherwise
+      n_frames: Int) // video frames; 1 for image, 0 for audio
+
+  /** Fixed-shape feature row produced by the decode step. */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      features: Array[Long]) // 16-bin byte histogram (stub codec output)
+
+  /** The codec boundary. Everything inside this object is the STUB. */
+  object MediaCodec {
+    val FeatureBins = 16
+
+    /** STUB — deterministic fake decode: a real implementation would
+      * decode the codec format and run feature extraction; this computes a
+      * 16-bin byte histogram so tests and oracles are exact. Deliberately
+      * the ONLY place that interprets `content`.
+      */
+    def decodeFeatures(content: Array[Byte]): Array[Long] = {
+      val bins = new Array[Long](FeatureBins)
+      var i = 0
+      while (i < content.length) {
+        bins((content(i) & 0xff) % FeatureBins) += 1
+        i += 1
+      }
+      bins
+    }
+
+    /** STUB resize: a real one re-encodes pixels; the fake scales metadata
+      * and truncates payload proportionally (deterministic).
+      */
+    def resize(rec: MediaRecord, w: Int, h: Int): MediaRecord = {
+      val scale = if (rec.width * rec.height == 0) 1.0
+        else (w.toLong * h).toDouble / (rec.width.toLong * rec.height)
+      val n = math.max(1, math.min(rec.content.length,
+        math.round(rec.content.length * scale).toInt))
+      rec.copy(content = rec.content.take(n), width = w, height = h)
+    }
+
+    /** STUB frame sampling: every k-th "frame" of a video payload, where a
+      * frame is a fixed-size byte slice.
+      */
+    def sampleFrames(rec: MediaRecord, everyK: Int, frameBytes: Int = 64): Seq[MediaRecord] = {
+      if (rec.kind != "video" || rec.n_frames == 0) Seq(rec)
+      else rec.content.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % everyK == 0)
+        .map { case (frame, idx) =>
+          rec.copy(media_id = rec.media_id * 10000 + idx, content = frame,
+            n_frames = 1)
+        }.toSeq
+    }
+  }
+
+  /** Deterministic synthetic media over the `documents` table: payload =
+    * UTF-8 bytes of the text, kind round-robins image/audio/video, metadata
+    * derived from doc stats. Stands in for `spark.read.format("binaryFile")`.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      when(col("doc_id") % 3 === 0, (col("n_chars") % 64 + 1).cast("int"))
+        .otherwise(0).cast("int").as("width"),
+      when(col("doc_id") % 3 === 0, (col("n_chars") % 48 + 1).cast("int"))
+        .otherwise(0).cast("int").as("height"),
+      when(col("doc_id") % 3 === 1, lit(16000)).otherwise(0).cast("int").as("sample_rate"),
+      when(col("doc_id") % 3 === 2, (col("n_chars") / 64 + 1).cast("int"))
+        .when(col("doc_id") % 3 === 0, lit(1)).otherwise(0).cast("int").as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  /** Batched decode: one codec "session" per batch (the expensive-init
+    * pattern), streaming through each partition without materializing it.
+    */
+  def extractFeatures(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real codecs would init once here, decode the batch, release
+        batch.iterator.map { rec =>
+          MediaFeatures(rec.media_id, rec.kind, rec.content.length,
+            MediaCodec.decodeFeatures(rec.content))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate coverage for the multimodal path: synthetic media blobs from
+  * `documents`, batched mapPartitions decode (stub codec = exact byte
+  * histogram), features exploded to (media_id, bin, cnt) rows that DuckDB
+  * recomputes from the source text (ASCII corpus ⇒ char ordinal == byte).
+  */
+object Media {
+
+  def qMediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    Multimodal.extractFeatures(media)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("bin", "cnt")))
+      .orderBy(col("media_id"), col("bin"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_media_features" ->
+      """WITH bins AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text)+1),
+        |      i -> ord(substr(text, i, 1)) % 16)) AS bin
+        |  FROM documents),
+        |counts AS (SELECT doc_id, bin, count(*) AS cnt FROM bins GROUP BY 1, 2)
+        |SELECT d.doc_id AS media_id,
+        |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(d.text) AS INT) AS n_bytes,
+        |  CAST(b.range AS INT) AS bin,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM documents d
+        |CROSS JOIN range(0, 16) b
+        |LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.range
+        |ORDER BY media_id, bin""".stripMargin
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> (qMediaFeatures _)
+  )
+}
