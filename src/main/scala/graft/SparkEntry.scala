@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Media.queries
+      graft.queries.Media.queries ++
+      graft.queries.Approx.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
       graft.queries.Events.oracle ++
-      graft.queries.Media.oracle
+      graft.queries.Media.oracle ++
+      graft.queries.Approx.oracle
 }

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates — the sketch family a 100 TB pipeline uses when
+  * exact distinct/percentile would shuffle the world: HyperLogLog++
+  * (`approx_count_distinct`), GK quantile sketch (`percentile_approx`),
+  * and frequent-items. Mergeable sketches ⇒ map-side partials, one tiny
+  * shuffle, no global sort.
+  *
+  * No DuckDB oracle is declared: sketch outputs are algorithm-specific
+  * (DuckDB's approx_count_distinct uses different HLL parameters), so the
+  * driver records these under its weaker rows-only check. Exactness bounds
+  * are asserted in `ApproxSpec` instead (vs exact counts at test scale).
+  */
+object Approx {
+
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_pcts"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_linestatus"))
+
+  val oracle: Map[String, String] = Map.empty // rows-only: sketch params are engine-specific
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_percentiles" -> (qApproxPercentiles _)
+  )
+}

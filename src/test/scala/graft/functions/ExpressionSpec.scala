@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Codegen/interpreted consistency for the custom Catalyst expressions:
+  * the codegen'd result must be bit-identical to the composable
+  * higher-order-function formulation it replaced.
+  */
+class ExpressionSpec extends SparkSpec {
+
+  test("DotProduct matches zip_with+aggregate bit-exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rng.nextDouble() * 2 - 1),
+      Seq.fill(64)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), _ + _).as("slow")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct edge cases: empty, mismatched length, null") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])),
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(10.0))),
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+    val out = df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(out(1).getDouble(0) == 10.0) // min-length semantics
+    assert(out(2).isNullAt(0))
+  }
+
+  test("SimHash56 matches the 56-fold majority-vote formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = Seq.fill(30)(Seq.fill(rng.nextInt(40) + 1)(
+      rng.nextLong().abs % (1L << 56))).toDF("hs")
+    val folds = (0 until 56).map { j =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val out = df.select(
+      VectorFunctions.simhash56(col("hs")).as("fast"), folds.as("slow")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("SimHash56: similar inputs give near fingerprints, empty gives 0") {
+    import spark.implicits._
+    val rng3 = new scala.util.Random(3)
+    val base = Seq.fill(100)(rng3.nextLong().abs % (1L << 56))
+    val perturbed = base.updated(0, 12345L).updated(50, 99999L)
+    val df = Seq(base, perturbed, Seq.empty[Long]).toDF("hs")
+    val out = df.select(VectorFunctions.simhash56(col("hs"))).collect().map(_.getLong(0))
+    assert(java.lang.Long.bitCount(out(0) ^ out(1)) <= 8,
+      "2% token change must flip few bits")
+    assert(out(2) == 0L)
+  }
+}

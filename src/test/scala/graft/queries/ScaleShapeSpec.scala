@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape assertions: the physical plans the engine relies on at
+  * 100 TB actually materialize — bucketed co-located joins run without a
+  * shuffle, broadcast hints take effect, filters reach the parquet scan.
+  */
+class ScaleShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity").cast(Tables.Money)).as("qty"))
+      val plan = finalPlan(joined)
+      // the post-join aggregate exchanges on o_orderstatus (expected);
+      // the JOIN keys must not be exchanged — bucketing co-locates them
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+        && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle the join keys:\n$plan")
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("broadcast hint produces a broadcast join for dimension tables") {
+    val plan = finalPlan(Relational.q5RegionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") < 24 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("LessThan(l_quantity,24.0)"), s"pushdown missing:\n$scan")
+    // column pruning: only the 3 referenced columns are read
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string>"),
+      s"pruning missing:\n$scan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.q3ShippingPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
