@@ -207,6 +207,39 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Analytic window-function family: lag/lead, percent_rank, ntile,
+    * first_value — one pass, one shuffle on the partition key, unique
+    * tie-break ordering so every value is deterministic.
+    */
+  def qWindowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.ordersDec(s, d)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        percent_rank().over(w).as("pct_rank"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Pivot: per-user event counts spread across event-type columns —
+    * groupBy + pivot with explicit values (no extra distinct pass), missing
+    * cells zero-filled.
+    */
+  def qPivotEvents(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy(col("user_id"))
+  }
+
   /** rollup: account balance by region/nation with subtotals + grand total.
     * Grouping-null keys are coalesced to a sentinel so the sort order is
     * well-defined and null-ordering differences between engines are moot.
@@ -395,6 +428,27 @@ object Relational {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
 
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price,
+        |  lead(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_price,
+        |  percent_rank() OVER w AS pct_rank,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_order
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q4_priority_semi" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
@@ -526,6 +580,8 @@ object Relational {
     "q_anti_customers" -> (qAntiCustomers _),
     "q_top_customers" -> (qTopCustomers _),
     "q_window_rank" -> (qWindowRank _),
+    "q_window_analytics" -> (qWindowAnalytics _),
+    "q_pivot_events" -> (qPivotEvents _),
     "q_window_running" -> (qWindowRunning _),
     "q_rollup_balance" -> (qRollupBalance _),
     "q_cube_orders" -> (qCubeOrders _),
