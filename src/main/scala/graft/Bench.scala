@@ -25,7 +25,11 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free localCheckpoint blocks so earlier queries' cached RDDs don't
+      // build GC pressure for later ones
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

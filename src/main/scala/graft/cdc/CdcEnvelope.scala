@@ -72,4 +72,10 @@ object CdcEnvelope {
           from_json(col("value"), schema(payload))))
       .withColumn("before_json", get_json_object(col("value"), "$.before"))
       .withColumn("after_json", get_json_object(col("value"), "$.after"))
+      // shared JSON extractions materialized ONCE here: the enrichment
+      // references each several times, and interpreted projections do no
+      // common-subexpression elimination — without these columns every
+      // reference re-parses the JSON per row
+      .withColumn("after_keys", json_object_keys(col("after_json")))
+      .withColumn("after_email", get_json_object(col("after_json"), "$.email"))
 }

@@ -76,12 +76,14 @@ object Enrich {
   /** P10–P12: null-presence predicates + dynamic field count.
     * `field_count` counts the keys actually present in the `after` JSON
     * object (dynamic schema — py:76), which a fixed struct can't express;
-    * hence the raw-JSON operand.
+    * hence the raw-JSON operands. `afterKeys` is the pre-materialized
+    * `json_object_keys(after_json)` column (see [[CdcEnvelope.parse]]).
     */
-  def dataQualityStruct(beforeJson: Column, afterJson: Column): Column = {
+  def dataQualityStruct(beforeJson: Column, afterJson: Column,
+      afterKeys: Column): Column = {
     val hasBefore = beforeJson.isNotNull
     val hasAfter = afterJson.isNotNull
-    val fieldCount = when(hasAfter, size(json_object_keys(afterJson))).otherwise(0)
+    val fieldCount = when(hasAfter, size(afterKeys)).otherwise(0)
     struct(
       hasBefore.as("has_before"),
       hasAfter.as("has_after"),
@@ -90,10 +92,8 @@ object Enrich {
   }
 
   /** P13–P15: email insights, gated on the `email` KEY being present. */
-  def customerInsightsStruct(afterJson: Column): Column = {
-    val email = get_json_object(afterJson, "$.email")
-    val hasKey = afterJson.isNotNull &&
-      array_contains(json_object_keys(afterJson), "email")
+  def customerInsightsStruct(afterKeys: Column, email: Column): Column = {
+    val hasKey = array_contains(afterKeys, "email")
     when(hasKey, struct(
       when(email.contains("@"), split(email, "@").getItem(1)).as("email_domain"),
       (email.isNotNull && length(email) > 0).as("has_email"),
@@ -123,8 +123,9 @@ object Enrich {
       operationStruct(env.getField("op")).as("operation"),
       timestampsStruct(env.getField("ts_ms"), cfg).as("timestamps"),
       sourceMetadataStruct(env.getField("source")).as("source_metadata"),
-      dataQualityStruct(col("before_json"), col("after_json")).as("data_quality"),
-      customerInsightsStruct(col("after_json")).as("customer_insights"),
+      dataQualityStruct(col("before_json"), col("after_json"),
+        col("after_keys")).as("data_quality"),
+      customerInsightsStruct(col("after_keys"), col("after_email")).as("customer_insights"),
       processingMetadataStruct(df, cfg).as("processing_metadata")))
   }
 

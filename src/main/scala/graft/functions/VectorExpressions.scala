@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -121,6 +121,162 @@ case class SimHash56(child: Expression, bits: Int = 56)
     copy(child = newChild)
 }
 
+/** Distinct word-k-shingle hashes straight from a token array: one codegen
+  * pass building each k-shingle string, hashing it (md5 56-bit prefix), and
+  * set-deduplicating on the hash value. Replaces the interpreted
+  * `array_distinct(transform(sequence(...), concat_ws))` +
+  * `transform(_, md5 ∘ conv)` stack (per-element lambda dispatch plus ~5
+  * intermediate arrays per row).
+  *
+  * md5_56 = first 14 hex digits of md5 as a big-endian 56-bit int, matching
+  * `conv(substr(md5(s),1,14),16,10)` and the DuckDB oracle's
+  * `CAST('0x'||substr(md5(s),1,14) AS BIGINT)`. Distinctness is on the hash
+  * (the oracle mirrors with `list_distinct` over hashes).
+  */
+case class ShingleHash56(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash"
+
+  override def nullSafeEval(in: Any): Any = {
+    val toks = in.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val n = toks.numElements()
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.add(ShingleHash56.fold56(d))
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdRef = ctx.addMutableState("java.security.MessageDigest", "graftShMd",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a => {
+      val set = ctx.freshName("set")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val sb = ctx.freshName("sb")
+      val d = ctx.freshName("d")
+      val arr = ctx.freshName("arr")
+      val it = ctx.freshName("it")
+      val x = ctx.freshName("x")
+      s"""
+         |java.util.LinkedHashSet<Long> $set = new java.util.LinkedHashSet<Long>();
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i + $k <= $n; $i++) {
+         |  StringBuilder $sb = new StringBuilder();
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if ($j > 0) $sb.append(' ');
+         |    $sb.append($a.getUTF8String($i + $j).toString());
+         |  }
+         |  $mdRef.reset();
+         |  byte[] $d = $mdRef.digest($sb.toString().getBytes(java.nio.charset.StandardCharsets.UTF_8));
+         |  $set.add(graft.functions.ShingleHash56.fold56($d));
+         |}
+         |long[] $arr = new long[$set.size()];
+         |java.util.Iterator<Long> $it = $set.iterator();
+         |int $x = 0;
+         |while ($it.hasNext()) { $arr[$x++] = $it.next().longValue(); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHash56 {
+  /** First 7 md5 bytes as a big-endian 56-bit long (public: called from
+    * generated code).
+    */
+  def fold56(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) | ((d(2) & 0xffL) << 32) |
+      ((d(3) & 0xffL) << 24) | ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) |
+      (d(6) & 0xffL)
+}
+
+/** MinHash signature over an `array<long>` of raw 56-bit shingle hashes:
+  * slot i = min over hashes of `((h % P) * a_i + b_i) % P`, sentinel P for
+  * the empty set. One codegen loop; semantically identical to the
+  * composable `array(i -> coalesce(array_min(transform(hs, ...)), P))`.
+  */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+
+  require(as.length == bs.length)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val k = as.length
+    val sig = Array.fill(k)(p)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i) % p
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % p
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as.toArray, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val k = as.length
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, ${p}L);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i) % ${p}L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
@@ -130,4 +286,13 @@ object VectorFunctions {
   /** Column API for [[SimHash56]]. */
   def simhash56(hashes: Column): Column =
     GraftSqlBridge.column(SimHash56(GraftSqlBridge.expression(hashes)))
+
+  /** Column API for [[ShingleHash56]]. */
+  def shingleHash56(tokens: Column, k: Int = 3): Column =
+    GraftSqlBridge.column(ShingleHash56(GraftSqlBridge.expression(tokens), k))
+
+  /** Column API for [[MinHashSig]] (input: array of raw 56-bit hashes). */
+  def minhashSig(hashes: Column, params: Seq[(Long, Long)], p: Long): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(hashes),
+      params.map(_._1), params.map(_._2), p))
 }

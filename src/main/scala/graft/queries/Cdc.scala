@@ -44,6 +44,9 @@ object Cdc {
         col("enrichment.customer_insights.email_domain").as("email_domain"),
         col("enrichment.customer_insights.has_email").as("has_email"),
         col("enrichment.customer_insights.email_length").as("email_length"))
+      // checkpoint before the presentation sort: range partitioning samples
+      // its input, which would evaluate the whole JSON pipeline twice
+      .localCheckpoint()
       .orderBy(col("id"))
   }
 

@@ -48,18 +48,20 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Documents with 3-shingle sets and their mod-P hashes. */
+  /** Documents with distinct 3-shingle 56-bit hashes (codegen one-pass —
+    * see [[graft.functions.ShingleHash56]]).
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text"))).as("shingles"))
+      VectorFunctions.shingleHash56(TextOps.tokens(col("text"))).as("sh_hashes"))
 
   /** n-gram (3-shingle) Jaccard near-dup pairs via inverted-index join.
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact, emitted ×10000 as integer.
     */
   def qDedupNgram(s: SparkSession, d: String): DataFrame = {
     val docs = shingled(s, d)
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
     // Join on the 56-bit shingle hash, not the shingle string: an 8-byte
     // shuffle key instead of a ~20-char string. The oracle hashes shingles
     // identically, so even a (cosmically unlikely) collision yields the
@@ -68,8 +70,7 @@ object Dedup {
     // doc-frequency filter — without it the scan+shingle+md5 pipeline runs
     // three times.
     val inv = docs
-      .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh_str"))
-      .select(col("doc_id"), col("n_sh"), TextOps.hash56(col("sh_str")).as("sh"))
+      .select(col("doc_id"), col("n_sh"), explode(col("sh_hashes")).as("sh"))
       .localCheckpoint()
     // Shingles appearing in a single document cannot produce a pair —
     // dropping them is semantics-preserving and removes the (dominant)
@@ -96,10 +97,12 @@ object Dedup {
   private def signatures(s: SparkSession, d: String): DataFrame =
     shingled(s, d).select(
       col("doc_id"),
-      TextOps.minhashSignature(
-        transform(col("shingles"), sh => TextOps.hashP(sh))).as("sig"))
+      // codegen one-pass permutations; bit-identical to the composable
+      // TextOps.minhashSignature(transform(shingles, hashP))
+      VectorFunctions.minhashSig(col("sh_hashes"),
+        TextOps.MinhashParams, P).as("sig"))
       // reused by band explode + both sides of the verify join; checkpoint
-      // so the md5 signature computation runs once, not four times
+      // so the signature computation runs once, not four times
       .localCheckpoint()
 
   /** MinHash + LSH banding: candidates from 4-band × 3-row equality joins,
@@ -170,13 +173,14 @@ object Dedup {
   // DuckDB oracles (1-indexed lists; hash56 = CAST('0x'||substr(md5,1,14))).
   // ---------------------------------------------------------------------
 
-  private val shingleSql =
-    """SELECT doc_id, list_distinct(list_transform(
-      |    range(1, greatest(len(toks)-2, 0)+1),
-      |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS shingles
-      |FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)""".stripMargin
-
   private def h56(x: String) = s"CAST('0x'||substr(md5($x),1,14) AS BIGINT)"
+
+  /** Distinct 56-bit hashes of word 3-shingles (twin of ShingleHash56). */
+  private val shingleSql =
+    s"""SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(toks)-2, 0)+1),
+       |    i -> ${h56("toks[i]||' '||toks[i+1]||' '||toks[i+2]")})) AS hs
+       |FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)""".stripMargin
 
   private val minhashExprs = TextOps.MinhashParams.map { case (a, b) =>
     s"coalesce(list_min(list_transform(hs, h -> (h*$a + $b) % $P)), $P)"
@@ -195,8 +199,7 @@ object Dedup {
 
     "q_dedup_ngram" ->
       s"""WITH sh AS ($shingleSql),
-         |inv AS (SELECT doc_id, len(shingles) AS n_sh,
-         |        unnest(list_transform(shingles, sh -> ${h56("sh")})) AS s FROM sh),
+         |inv AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS s FROM sh),
          |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.n_sh na, b.n_sh nb,
          |        count(*) AS common
          |      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -218,7 +221,7 @@ object Dedup {
         .mkString(" + ")
       s"""WITH sh AS ($shingleSql),
          |hsh AS (SELECT doc_id,
-         |  list_transform(shingles, sh -> ${h56("sh")} % $P) AS hs FROM sh),
+         |  list_transform(hs, h -> h % $P) AS hs FROM sh),
          |mh AS (SELECT doc_id, $sigList AS sig FROM hsh),
          |bands AS (
          |  $bandSelects),

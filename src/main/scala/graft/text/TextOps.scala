@@ -36,13 +36,17 @@ object TextOps {
   def hashP(s: Column): Column = pmod(hash56(s), lit(P))
 
   /** Word k-shingles as strings ("w1 w2 w3"), distinct, from a token array.
-    * Docs shorter than k shingle to the empty array.
+    * Docs shorter than k shingle to the empty array — guarded explicitly:
+    * `sequence(1, 0)` is a DESCENDING [1,0] in Spark, not empty, which
+    * would index out of bounds under ANSI mode.
     */
   def shingles(toks: Column, k: Int = 3): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+    when(size(toks) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(typedLit(Seq.empty[String]))
 
   /** Minhash permutation parameters (a, b): fixed small primes, identical in
     * the DuckDB oracle. 12 hashes = 4 LSH bands × 3 rows.

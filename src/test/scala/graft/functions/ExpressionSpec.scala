@@ -53,6 +53,40 @@ class ExpressionSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("MinHashSig matches the composable hashP+permutation formulation") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val rng = new scala.util.Random(13)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val df = (Seq.fill(25)(Seq.fill(rng.nextInt(30) + 1)(
+      words(rng.nextInt(words.size)) + " " + words(rng.nextInt(words.size))))
+      :+ Seq.empty[String]).toDF("shingles")
+    val out = df.select(
+      VectorFunctions.minhashSig(
+        transform(col("shingles"), sh => TextOps.hash56(sh)),
+        TextOps.MinhashParams, TextOps.P).as("fast"),
+      TextOps.minhashSignature(
+        transform(col("shingles"), sh => TextOps.hashP(sh))).as("slow")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("ShingleHash56 matches shingles+hash56 composable formulation") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val rng = new scala.util.Random(17)
+    val words = Seq("a", "bb", "ccc", "dd", "e")
+    val df = (Seq.fill(25)(
+      (1 to rng.nextInt(30) + 1).map(_ => words(rng.nextInt(words.size)))
+        .mkString(" ")) :+ "one two").toDF("text")
+    val out = df.select(
+      VectorFunctions.shingleHash56(TextOps.tokens(col("text"))).as("fast"),
+      transform(TextOps.shingles(TextOps.tokens(col("text"))),
+        sh => TextOps.hash56(sh)).as("slow")).collect()
+    out.foreach(r =>
+      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet
+        && r.getSeq[Long](0).size == r.getSeq[Long](1).size))
+  }
+
   test("SimHash56: similar inputs give near fingerprints, empty gives 0") {
     import spark.implicits._
     val rng3 = new scala.util.Random(3)
