@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generalized as-of join: for each left row, the single right row with the
+  * greatest `rightTime` strictly below `leftTime` within the same key —
+  * e.g. "the quote in effect at trade time", "the last click before this
+  * purchase".
+  *
+  * Formulation: union both sides tagged, one window pass per key ordered by
+  * (time, side, tiebreak) carrying the last right row forward, then keep
+  * left rows. ONE shuffle on the key — no per-row range probe, no interval
+  * explosion; at 1000 executors this is a single repartition of each input,
+  * which is the floor for any keyed join.
+  */
+object AsOfJoin {
+
+  /** @param left/right     inputs
+    * @param key            equality key column (same name both sides)
+    * @param leftTime/rightTime  event-time columns
+    * @param rightCols      right columns to carry (emitted as `asof_<name>`,
+    *                       null when no earlier right row exists)
+    * @param rightTiebreak  unique right column ordering simultaneous right
+    *                       rows (latest wins deterministically)
+    */
+  def lastBefore(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String],
+      rightTiebreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tb = rightTiebreak.map(c => col(c).cast("long"))
+      .getOrElse(lit(0L))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(0L))
+      .select(Seq(col("__t"), col("__side"), col("__tb")) ++ leftCols.map(col)
+        ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", tb)
+      .select(Seq(col("__t"), col("__side"), col("__tb")) ++ leftCols.map {
+        case c if c == key => col(key)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    // "strictly before" ⇒ a right row at exactly leftTime must NOT match,
+    // so at equal __t the LEFT row (side 1, desc) sorts first and the
+    // frame [unbounded, -1] excludes the simultaneous right row.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side").desc, col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c")): _*)
+  }
+}

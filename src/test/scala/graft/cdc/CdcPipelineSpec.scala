@@ -46,6 +46,26 @@ class CdcPipelineSpec extends SparkSpec {
     assert(rows.length == 5 && rows.forall(_.contains("\"op\":\"c\"")))
   }
 
+  test("pipeline at volume: 1000 events-table rows as envelopes") {
+    val in = tmpDir("cdc-vol-in")
+    val out = tmpDir("cdc-vol-out")
+    val ckpt = tmpDir("cdc-vol-ckpt")
+    // non-customers payload (no email key): exercises the dynamic-schema
+    // path (field_count over arbitrary keys, insights struct absent)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "props")
+    CdcSource.snapshot(ev, "appdb", "public", "events")
+      .coalesce(2).write.mode("overwrite").text(in)
+    CdcPipeline.start(spark, in, out, ckpt,
+      EnrichConfig(processingTimeIso = Some("t"))).awaitTermination()
+    val res = spark.read.text(out)
+    assert(res.count() == 1000)
+    import org.apache.spark.sql.functions.col
+    assert(res.filter(col("value").contains("\"field_count\":5")).count() == 1000)
+    assert(res.filter(col("value").contains("customer_insights")).count() == 0)
+    assert(res.filter(col("value").contains("\"table\":\"events\"")).count() == 1000)
+  }
+
   test("snapshot() wraps batch rows as op=r envelopes through enrichment") {
     import spark.implicits._
     val table = Seq((1, "Ann", "ann@x.org"), (2, "Bob", "bob@y.io"))

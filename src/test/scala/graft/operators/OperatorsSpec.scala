@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("SkewJoin.salted is result-identical to the plain join") {
+    import spark.implicits._
+    // skewed left: key 1 carries 80% of rows
+    val left = ((1 to 800).map(i => (1L, s"l$i")) ++
+      (1 to 200).map(i => (i.toLong % 50 + 2, s"x$i"))).toDF("k", "lv")
+    val right = (1L to 60L).map(k => (k, s"r$k")).toDF("k2", "rv")
+    val plain = left.join(right, col("k") === col("k2"))
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    val salted = SkewJoin.salted(left, right, "k", "k2", factor = 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("AsOfJoin.lastBefore matches strictly-before semantics incl. ties") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 200L, "t2"), (1L, 50L, "t0"), (2L, 100L, "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 90L, 10, 1L), (1L, 100L, 11, 2L), (1L, 150L, 12, 3L), (3L, 1L, 99, 4L))
+      .toDF("k", "ts", "px", "qid")
+    val out = AsOfJoin.lastBefore(
+      trades, quotes, "k", "ts", "ts", Seq("px"), Some("qid"))
+      .collect().map(r => r.getString(2) -> (if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(out == Map(
+      "t0" -> -1, // no quote before 50
+      "t1" -> 10, // quote@90 (quote@100 is simultaneous → excluded)
+      "t2" -> 12, // quote@150
+      "t3" -> -1)) // key 2 has no quotes
+  }
+
+  test("AsOfJoin matches the Events query formulation on real data") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val viaOperator = AsOfJoin.lastBefore(
+      purchases, clicks, "user_id", "ts", "ts", Seq("click_id"), Some("click_id"))
+      .select(col("event_id"), col("asof_click_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val viaQuery = graft.queries.Events.qEventsAsof(spark, "/root/testdata/sf0.001")
+      .select(col("purchase_id"), col("prev_click_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(viaOperator == viaQuery && viaQuery.nonEmpty)
+  }
+}
