@@ -106,6 +106,48 @@ class StreamingSpec extends SparkSpec {
       .toSeq == (1L to 6L))
   }
 
+  test("stream-static join enriches a stream against a dimension table") {
+    import spark.implicits._
+    val in = tmpDir("ss-in")
+    writeEvents(in, (1 to 10).map(i => Ev(i, ts(s"2024-01-01 10:0${i % 10}:00"), i % 3, 1.0)))
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold")).toDF("user_id", "tier")
+    streamFrom(in)
+      .join(dim, "user_id") // static side broadcast per micro-batch
+      .groupBy("tier").count()
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val out = spark.table("ss_join").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("bronze" -> 3L, "silver" -> 4L, "gold" -> 3L))
+  }
+
+  test("stream-stream interval join with watermarks") {
+    import spark.implicits._
+    val inA = tmpDir("ssj-a")
+    val inB = tmpDir("ssj-b")
+    // clicks at :00/:10/:20..., purchases 5 min after some of them
+    writeEvents(inA, Seq(1L, 2L, 3L).map(i =>
+      Ev(i, ts(s"2024-01-01 10:${i}0:00"), i, 1.0)))
+    writeEvents(inB, Seq(1L, 3L).map(i =>
+      Ev(100 + i, ts(s"2024-01-01 10:${i}5:00"), i, 2.0)))
+    val clicks = streamFrom(inA).withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_uid"), col("ts").as("click_ts"))
+    val purchases = streamFrom(inB).withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_uid"), col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        expr("c_uid = p_uid AND purchase_ts >= click_ts " +
+          "AND purchase_ts <= click_ts + interval 10 minutes"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val pairs = spark.table("ssj").select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L), (3L, 103L)))
+  }
+
   test("flatMapGroupsWithState maintains running per-user counts") {
     import spark.implicits._
     val in = tmpDir("st-fm-in")
