@@ -47,6 +47,28 @@ object TextAnalysis {
   private def sum_chars(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t))
 
+  /** BPE-ish subword pattern: letter runs capped at 4 chars (crude merge
+    * budget), digit runs, or single non-space symbols — a stand-in with
+    * the same shape as a real BPE pre-tokenizer, expressible identically
+    * in both engines.
+    */
+  val BpePattern = "[a-z]{1,4}|[A-Z][a-z]{0,3}|[0-9]{1,3}|[^a-zA-Z0-9\\s]"
+
+  /** Token counting, whitespace vs BPE-ish regex, per document: the
+    * token-budget accounting pass of a corpus pipeline.
+    */
+  def qTokenCounts(s: SparkSession, d: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val bpe = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(ws).as("n_ws_tokens"),
+        size(bpe).as("n_bpe_tokens"),
+        size(array_distinct(bpe)).as("n_bpe_distinct"),
+        idiv(size(bpe) * 10000L, greatest(size(ws), lit(1))).as("bpe_per_word_x10000"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality scoring: integer 0–100 from length / stopword / diversity
     * bands, then per-(lang, band) distribution. Demonstrates the
     * scan→narrow-score→tiny-shuffle aggregate shape a corpus filter runs at
@@ -174,6 +196,20 @@ object TextAnalysis {
          |FROM b ORDER BY doc_id""".stripMargin
     },
 
+    // BpePattern interpolates verbatim: runtime string has single
+    // backslashes, and DuckDB ' ' literals don't process escapes
+    "q_token_counts" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |  regexp_extract_all(text, '$BpePattern') AS bpe
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS INT) AS n_ws_tokens,
+         |  CAST(len(bpe) AS INT) AS n_bpe_tokens,
+         |  CAST(len(list_distinct(bpe)) AS INT) AS n_bpe_distinct,
+         |  CAST(len(bpe) * 10000 // greatest(len(ws), 1) AS BIGINT)
+         |    AS bpe_per_word_x10000
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -192,6 +228,7 @@ object TextAnalysis {
     "q_text_stats" -> (qTextStats _),
     "q_quality_score" -> (qQualityScore _),
     "q_lang_id" -> (qLangId _),
+    "q_token_counts" -> (qTokenCounts _),
     "q_doc_fingerprint" -> (qDocFingerprint _)
   )
 }
