@@ -59,23 +59,21 @@ object Dedup {
   /** n-gram (3-shingle) Jaccard near-dup pairs via inverted-index join.
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact, emitted ×10000 as integer.
     */
+  /** Jaccard threshold for near-dup pairs (×10000 in the output). */
+  val JaccardT = 0.5
+
+  /** n-gram Jaccard near-dups, inverted-index formulation: explode shingle
+    * hashes, drop shingles appearing in a single doc (pair-less, so
+    * semantics-preserving), pair-join on the rest, aggregate common counts.
+    * Fastest at moderate scale; its failure mode is a quadratic blowup on
+    * hot shingles, which [[qDedupNgramPrefix]] exists to kill.
+    */
   def qDedupNgram(s: SparkSession, d: String): DataFrame = {
     val docs = shingled(s, d)
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
-    // Join on the 56-bit shingle hash, not the shingle string: an 8-byte
-    // shuffle key instead of a ~20-char string. The oracle hashes shingles
-    // identically, so even a (cosmically unlikely) collision yields the
-    // same result in both engines.
-    // localCheckpoint: the inverted index feeds both join sides and the
-    // doc-frequency filter — without it the scan+shingle+md5 pipeline runs
-    // three times.
     val inv = docs
       .select(col("doc_id"), col("n_sh"), explode(col("sh_hashes")).as("sh"))
       .localCheckpoint()
-    // Shingles appearing in a single document cannot produce a pair —
-    // dropping them is semantics-preserving and removes the (dominant)
-    // unique-shingle mass from the pair join. At 100 TB this same filter is
-    // where a stop-shingle df-cap would slot in.
     val shared = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("sh"))
     val a = inv.join(shared, "sh")
@@ -88,7 +86,54 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard_x10000",
         floor(col("common") * 10000L / (col("na") + col("nb") - col("common"))).cast("long"))
-      .filter(col("jaccard_x10000") >= 5000)
+      .filter(col("jaccard_x10000") >= (JaccardT * 10000).toLong)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard_x10000"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** PPJoin-style prefix-filtered exact jaccard join — the 100 TB path.
+    * Result-identical to [[qDedupNgram]] (prefix-filter lemma: two sets
+    * with J ≥ t must share an element within their first |x|-⌈t·|x|⌉+1
+    * elements under any global canonical order), but the pair join indexes
+    * ONLY those prefixes — ordered rarest-shingle-first (df asc), so hot
+    * shingles land outside prefixes and the candidate join stays
+    * near-linear instead of quadratic per hot shingle. Length-ratio
+    * pruning (t·|x| ≤ |y| ≤ |x|/t) cuts the rest; candidates verified
+    * exactly against full hash sets. Crossover: the 3 extra shuffles cost
+    * ~2s at sf0.1 (no hot shingles there) and save unbounded work on
+    * power-law corpora.
+    */
+  def qDedupNgramPrefix(s: SparkSession, d: String): DataFrame = {
+    // Hashes not strings as join keys: 8-byte shuffle keys; the oracle
+    // hashes identically so results agree even under (cosmically unlikely)
+    // collisions. localCheckpoint: arrays feed the inverted index AND the
+    // verify join.
+    val docs = shingled(s, d)
+      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
+      .localCheckpoint()
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh_hashes")).as("sh"))
+    val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = inv.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * JaccardT) + 1)
+      .select(col("doc_id"), col("n_sh"), col("sh"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("nb") >= ceil(col("na") * JaccardT) &&
+        col("na") >= ceil(col("nb") * JaccardT))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val ha = docs.select(col("doc_id").as("doc_a"), col("sh_hashes").as("ha"),
+      col("n_sh").as("na"))
+    val hb = docs.select(col("doc_id").as("doc_b"), col("sh_hashes").as("hb"),
+      col("n_sh").as("nb"))
+    cands.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jaccard_x10000",
+        floor(col("common") * 10000L / (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("jaccard_x10000") >= (JaccardT * 10000).toLong)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard_x10000"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -209,6 +254,19 @@ object Dedup {
          |FROM p WHERE common*10000 // (na+nb-common) >= 5000
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // prefix-filtered variant is result-identical: same oracle
+    "q_dedup_ngram_prefix" ->
+      s"""WITH sh AS ($shingleSql),
+         |inv AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS s FROM sh),
+         |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.n_sh na, b.n_sh nb,
+         |        count(*) AS common
+         |      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1,2,3,4)
+         |SELECT doc_a, doc_b, common,
+         |  CAST(common*10000 // (na+nb-common) AS BIGINT) AS jaccard_x10000
+         |FROM p WHERE common*10000 // (na+nb-common) >= 5000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_dedup_minhash" -> {
       val sigList = minhashExprs.mkString("[\n    ", ",\n    ", "]")
       val bandSelects = (0 until TextOps.LshBands).map { j =>
@@ -268,6 +326,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _)
