@@ -36,6 +36,24 @@ class CdcPipelineSpec extends SparkSpec {
     assert(all.count(_.contains("u25@example.com")) == 1)
   }
 
+  test("observable metrics report enriched vs passthrough counts (P19)") {
+    val in = tmpDir("cdc-met-in")
+    val out = tmpDir("cdc-met-out")
+    val ckpt = tmpDir("cdc-met-ckpt")
+    writeBatch(in, "good", 1 to 7)
+    Files.write(Paths.get(in, "bad.jsonl"), "not-json{{{\nnope[[[".getBytes)
+    val q = CdcPipeline.start(spark, in, out, ckpt,
+      EnrichConfig(processingTimeIso = Some("t")))
+    q.awaitTermination()
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("cdc_enrich")))
+    val total = metrics.map(_.getLong(0)).sum
+    val enriched = metrics.map(_.getLong(1)).sum
+    val passthrough = metrics.map(_.getLong(2)).sum
+    assert(total == 9 && enriched == 7 && passthrough == 2,
+      s"got total=$total enriched=$enriched passthrough=$passthrough")
+  }
+
   test("batch twin (snapshot replay path) shares the transform") {
     val in = tmpDir("cdc-bin")
     val out = tmpDir("cdc-bout")
