@@ -23,12 +23,15 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val showPlan = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "1") == "1"
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n===== $name =====")
-      if (showPlan) df.explain("formatted")
+      if (showPlan) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // time from plan construction: queries with eager localCheckpoint do
+      // real work at build time, which timing only the write would hide
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }
