@@ -207,6 +207,75 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q13 shape: customer order-count distribution — LEFT OUTER join keeping
+    * zero-order customers, double aggregation.
+    */
+  def q13CustomerDist(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q17 shape: revenue from small-quantity lineitems (below 20% of the
+    * part's average quantity). The correlated `avg` is decorrelated into a
+    * per-part aggregate, and the comparison is rewritten EXACTLY in
+    * integers/decimals: q < 0.2·(sum/cnt) ⟺ 5·q·cnt < sum — no float
+    * average whose last-ulp could flip boundary rows between engines.
+    */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitemDec(s, d)
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("sumq"), count(lit(1)).as("cntq"))
+    val part = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") * col("cntq") * 5 < col("sumq"))
+      .agg(sum(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q19 shape: OR-of-ANDs predicate (brand × size × quantity bands) —
+    * exercises disjunctive filter pushdown and constant folding.
+    */
+  def q19DisjunctivePredicate(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitemDec(s, d)
+    val part = Tables.part(s, d)
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(col("l_extendedprice") * (one - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q22 shape: wealthy inactive customers — above-average balance (exact
+    * integer-rewritten comparison, see q17) with no orders, per nation.
+    */
+  def q22WealthyInactive(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customerDec(s, d)
+    val positive = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal")).as("sumbal"), count(lit(1)).as("cntbal"))
+    // "inactive" = no orders since 2000-07 (an all-time anti-join yields
+    // zero rows in this data — every wealthy customer has some order)
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") >= ts("2000-07-01"))
+    cust.crossJoin(positive)
+      .filter(col("c_acctbal") * col("cntbal") > col("sumbal"))
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Analytic window-function family: lag/lead, percent_rank, ntile,
     * first_value — one pass, one shuffle on the partition key, unique
     * tie-break ordering so every value is deterministic.
@@ -428,6 +497,49 @@ object Relational {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
 
+    "q13_customer_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_quantity" ->
+      s"""WITH pa AS (SELECT l_partkey AS pk, sum($mQty) AS sumq,
+         |              count(*) AS cntq
+         |            FROM lineitem GROUP BY 1)
+         |SELECT sum($mEp) AS small_qty_revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN pa ON l_partkey = pk
+         |WHERE p_brand = 'Brand#1'
+         |  AND $mQty * cntq * 5 < sumq""".stripMargin,
+
+    "q19_disjunctive_predicate" ->
+      s"""SELECT sum($revenue) AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |         AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         |         AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_wealthy_inactive" ->
+      """WITH pos AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sumbal,
+        |               count(*) AS cntbal
+        |             FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cntbal > sumbal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-07-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     "q_window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price,
@@ -576,6 +688,10 @@ object Relational {
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q13_customer_dist" -> (q13CustomerDist _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q19_disjunctive_predicate" -> (q19DisjunctivePredicate _),
+    "q22_wealthy_inactive" -> (q22WealthyInactive _),
     "q4_priority_semi" -> (q4PrioritySemi _),
     "q_anti_customers" -> (qAntiCustomers _),
     "q_top_customers" -> (qTopCustomers _),
