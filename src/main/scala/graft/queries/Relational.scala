@@ -207,6 +207,81 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q7 shape: bilateral trade volume — two broadcast nation lookups with a
+    * cross-pair predicate, yearly decimal volume.
+    */
+  def q7TradeVolume(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitemDec(s, d)
+    val supp = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+      (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(pair)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("l_extendedprice") * (one - col("l_discount"))).as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** q9 shape: profit by supplier nation × year × product type.
+    * profit = extprice·(1−disc) − retailprice·qty (this schema has no
+    * partsupp cost, so part retail price stands in), all exact decimal.
+    */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitemDec(s, d)
+    val part = Tables.part(s, d)
+    val supp = Tables.supplier(s, d)
+    val nation = Tables.nation(s, d)
+    val profit = col("l_extendedprice") * (one - col("l_discount")) -
+      col("p_retailprice").cast(Tables.Money) * col("l_quantity")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"), col("p_type"))
+      .agg(sum(profit).as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year"), col("p_type"))
+  }
+
+  /** q12 shape: late-shipment counts by priority band — CASE aggregation
+    * over a date-window filter.
+    */
+  def q12ShipPriority(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+    val ord = Tables.orders(s, d)
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Salted skew join in the gate: result-identical to the plain join (see
+    * graft.operators.SkewJoin), verified against a plain-join oracle.
+    */
+  def qSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("nk", (col("user_id") % 25).cast("int"))
+    val nation = Tables.nation(s, d)
+    graft.operators.SkewJoin.salted(ev, nation, "nk", "n_nationkey", factor = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Tables.Money)).as("sum_value"))
+      .orderBy(col("n_name"))
+  }
+
   /** q13 shape: customer order-count distribution — LEFT OUTER join keeping
     * zero-order customers, double aggregation.
     */
@@ -497,6 +572,50 @@ object Relational {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
 
+    "q7_trade_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         |  sum($revenue) AS volume
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS o_year,
+         |  p_type,
+         |  sum($revenue - CAST(p_retailprice AS DECIMAL(12,2)) * $mQty) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY n_name, o_year, p_type""".stripMargin,
+
+    "q12_ship_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_skew_salted" ->
+      """SELECT n_name, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
     "q13_customer_dist" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -689,6 +808,10 @@ object Relational {
     "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q13_customer_dist" -> (q13CustomerDist _),
+    "q7_trade_volume" -> (q7TradeVolume _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q12_ship_priority" -> (q12ShipPriority _),
+    "q_skew_salted" -> (qSkewSalted _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q19_disjunctive_predicate" -> (q19DisjunctivePredicate _),
     "q22_wealthy_inactive" -> (q22WealthyInactive _),
