@@ -3,10 +3,26 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import java.sql.Timestamp
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+/** Spark 4 arbitrary-state API (transformWithState): running per-user
+  * count in RocksDB-backed ValueState.
+  */
+class RunningCountProcessor extends StatefulProcessor[Long, Ev, (Long, Long)] {
+  @transient private var count: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator((key, n))
+  }
+}
 
 /** Structured Streaming semantics: windowed aggregation parity with batch,
   * watermark-gated append emission across checkpointed restarts, stateful
@@ -146,6 +162,35 @@ class StreamingSpec extends SparkSpec {
     val pairs = spark.table("ssj").select("click_id", "purchase_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 101L), (3L, 103L)))
+  }
+
+  test("transformWithState: RocksDB-backed per-user running counts") {
+    import spark.implicits._
+    val in = tmpDir("tws-in")
+    writeEvents(in, (0 until 24).map(i =>
+      Ev(i, ts(f"2024-01-01 ${i % 24}%02d:00:00"), i % 4, 1.0)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      streamFrom(in).as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningCountProcessor(),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "running_n")
+        .writeStream.format("memory").queryName("tws")
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      val finalCounts = spark.table("tws")
+        .groupBy("user_id").agg(max("running_n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalCounts == Map(0L -> 6L, 1L -> 6L, 2L -> 6L, 3L -> 6L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("flatMapGroupsWithState maintains running per-user counts") {
