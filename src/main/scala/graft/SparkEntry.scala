@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
       graft.queries.Media.queries ++
-      graft.queries.Approx.queries
+      graft.queries.Approx.queries ++
+      graft.queries.Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Similarity.oracle ++
       graft.queries.Events.oracle ++
       graft.queries.Media.oracle ++
-      graft.queries.Approx.oracle
+      graft.queries.Approx.oracle ++
+      graft.queries.Profiling.oracle
 }

@@ -192,6 +192,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the minhash candidate
+    * pairs via iterative min-label propagation — the step that turns pair
+    * lists into canonical keep/drop decisions in a real corpus dedup.
+    *
+    * Scale shape: each iteration is one join + one aggregate (shuffle on
+    * doc_id); iterations = graph diameter (near-dup clusters are tiny, so
+    * a handful). The driver loop only checks a converged flag — no data is
+    * collected. Deterministic: labels monotonically decrease to the
+    * component minimum.
+    */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    // undirected edges from the LSH candidate pairs (verified >= 6/12)
+    val pairs = qDedupMinhash(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("node"))
+        .groupBy(col("doc_a").as("node2"))
+        .agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("node2"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("node"))).as("members"))
+      .select(col("cluster_id"), col("cluster_size"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
     * baseline. Double arithmetic mirrors the oracle term-for-term (same
     * cast, same left-to-right summation).
@@ -231,6 +277,33 @@ object Dedup {
     s"coalesce(list_min(list_transform(hs, h -> (h*$a + $b) % $P)), $P)"
   }
 
+  /** Shared CTE chain shingles→signatures→bands→verified candidates (`m`),
+    * used by the minhash-pairs and cluster oracles.
+    */
+  private lazy val minhashCtes: String = {
+    val sigList = minhashExprs.mkString("[\n    ", ",\n    ", "]")
+    val bandSelects = (0 until TextOps.LshBands).map { j =>
+      val parts = (0 until TextOps.LshRows)
+        .map(r => s"sig[${j * TextOps.LshRows + r + 1}]").mkString("||':'||")
+      s"SELECT doc_id, '$j:'||$parts AS band_key FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    val matchedExpr = (1 to TextOps.MinhashParams.size)
+      .map(i => s"CASE WHEN x.sig[$i] = y.sig[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""sh AS ($shingleSql),
+       |hsh AS (SELECT doc_id,
+       |  list_transform(hs, h -> h % $P) AS hs FROM sh),
+       |mh AS (SELECT doc_id, $sigList AS sig FROM hsh),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |m AS (SELECT doc_a, doc_b, ($matchedExpr) AS matched
+       |      FROM cand JOIN mh x ON cand.doc_a = x.doc_id
+       |                JOIN mh y ON cand.doc_b = y.doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH t AS (SELECT doc_id,
@@ -267,33 +340,28 @@ object Dedup {
          |FROM p WHERE common*10000 // (na+nb-common) >= 5000
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_minhash" -> {
-      val sigList = minhashExprs.mkString("[\n    ", ",\n    ", "]")
-      val bandSelects = (0 until TextOps.LshBands).map { j =>
-        val parts = (0 until TextOps.LshRows)
-          .map(r => s"sig[${j * TextOps.LshRows + r + 1}]").mkString("||':'||")
-        s"SELECT doc_id, '$j:'||$parts AS band_key FROM mh"
-      }.mkString("\n  UNION ALL\n  ")
-      val matchedExpr = (1 to TextOps.MinhashParams.size)
-        .map(i => s"CASE WHEN x.sig[$i] = y.sig[$i] THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH sh AS ($shingleSql),
-         |hsh AS (SELECT doc_id,
-         |  list_transform(hs, h -> h % $P) AS hs FROM sh),
-         |mh AS (SELECT doc_id, $sigList AS sig FROM hsh),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |m AS (SELECT doc_a, doc_b, ($matchedExpr) AS matched
-         |      FROM cand JOIN mh x ON cand.doc_a = x.doc_id
-         |                JOIN mh y ON cand.doc_b = y.doc_id)
+    "q_dedup_minhash" ->
+      s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, CAST(matched AS BIGINT) AS matched,
          |  CAST(matched*10000 // ${TextOps.MinhashParams.size} AS BIGINT) AS est_jaccard_x10000
          |FROM m WHERE matched >= ${TextOps.MinhashParams.size / 2}
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM m
+         |      WHERE matched >= ${TextOps.MinhashParams.size / 2}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS label
+         |         FROM reach GROUP BY a)
+         |SELECT label AS cluster_id, count(*) AS cluster_size,
+         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+         |FROM comp GROUP BY label ORDER BY cluster_id""".stripMargin,
 
     "q_dedup_simhash" -> {
       val bits = (0 until TextOps.SimhashBits).map { j =>
@@ -328,6 +396,7 @@ object Dedup {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _)
   )

@@ -62,6 +62,20 @@ class ScaleShapeSpec extends SparkSpec {
       s"pruning missing:\n$scan")
   }
 
+  test("partitioned writes prune partitions at read") {
+    val dir = tmpDir("part-pruning")
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year") ||
+      plan.contains("PartitionFilters: [(o_year"), s"no partition filter:\n$plan")
+    assert(pruned.count() > 0)
+    // pruning actually works: partition column filter, not a data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_year"), plan)
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = Relational.q3ShippingPriority(spark, sf)
       .queryExecution.executedPlan.toString
