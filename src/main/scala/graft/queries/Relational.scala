@@ -268,6 +268,67 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  /** q15 shape: top supplier by period revenue — aggregate CTE reused for
+    * both the ranking and the scalar max (exact decimal equality, no float
+    * max boundary).
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitemDec(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (one - col("l_discount"))).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q16 shape: supplier diversity per part group — distinct counts with
+    * exclusion predicates (<> and NOT IN), using lineitem as the
+    * part-supplier relation (this schema has no partsupp).
+    */
+  def q16SupplierDiversity(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        !col("p_type").isin("PROMO", "ECONOMY") &&
+        col("p_size").isin(1, 5, 10, 15, 20))
+    Tables.lineitem(s, d)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** q21 shape: suppliers who alone shipped late on multi-supplier orders —
+    * the double-correlated EXISTS / NOT EXISTS, decorrelated into one
+    * semi-join (another supplier participated) and one anti-join (no OTHER
+    * supplier was late) over a shared late-flag dataframe computed once.
+    */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val ordF = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY")).as("late"))
+    val l1 = li.filter(col("late"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val othersLate = li.filter(col("late"))
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    val candidates = l1
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(othersLate, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+    candidates
+      .join(Tables.supplier(s, d), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** Salted skew join in the gate: result-identical to the plain join (see
     * graft.operators.SkewJoin), verified against a plain-join oracle.
     */
@@ -610,6 +671,44 @@ object Relational {
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
 
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey, sum($revenue) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type NOT IN ('PROMO', 'ECONOMY')
+        |  AND p_size IN (1, 5, 10, 15, 20)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
     "q_skew_salted" ->
       """SELECT n_name, count(*) AS n_events,
         |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
@@ -812,6 +911,9 @@ object Relational {
     "q9_product_profit" -> (q9ProductProfit _),
     "q12_ship_priority" -> (q12ShipPriority _),
     "q_skew_salted" -> (qSkewSalted _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_diversity" -> (q16SupplierDiversity _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q19_disjunctive_predicate" -> (q19DisjunctivePredicate _),
     "q22_wealthy_inactive" -> (q22WealthyInactive _),
