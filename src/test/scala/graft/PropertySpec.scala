@@ -1,0 +1,120 @@
+package graft
+
+import graft.cdc.{CdcEnvelope, Enrich, EnrichConfig}
+import graft.functions.VectorFunctions
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (ScalaCheck generators, explicit seeds — the
+  * scalatest-plus bridge isn't in the offline cache) for the core
+  * operators — SURVEY.md §5.2-1/-5.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val cfg = EnrichConfig(processingTimeIso = Some("t"))
+
+  /** Run `f` over `n` deterministic samples of `gen`. */
+  private def forSamples[T](gen: Gen[T], n: Int = 8)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private def forSamples2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 8)(
+      f: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(1000L + i))
+        b <- gb.apply(Gen.Parameters.default, Seed(2000L + i))
+      } f(a, b)
+    }
+
+  test("property: any non-JSON-object input passes through byte-identical") {
+    import spark.implicits._
+    val garbage = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(s => !s.trim.startsWith("{")),
+      Gen.const("[1,2,3]"), Gen.const("42"), Gen.const("\"str\""),
+      Gen.const("{broken"), Gen.const(""))
+    forSamples(Gen.listOfN(20, garbage)) { inputs =>
+      val out = Enrich(inputs.toDF("value"), cfg)
+        .select("value_out").collect().map(r => Option(r.getString(0)))
+      assert(out.toSeq == inputs.map(Option(_)))
+    }
+  }
+
+  test("property: enriched output embeds the input envelope unchanged") {
+    import spark.implicits._
+    val opGen = Gen.oneOf("c", "u", "d", "r", "x")
+    val emailGen = Gen.oneOf("a@b.co", "", "no-at", "a@b@c")
+    val envGen = for {
+      op <- opGen; id <- Gen.choose(1, 99); email <- emailGen
+      tsMs <- Gen.choose(1L, 2000000000000L)
+    } yield s"""{"before":null,"after":{"id":$id,"email":"$email"},"op":"$op","ts_ms":$tsMs}"""
+    forSamples(Gen.listOfN(10, envGen), n = 4) { inputs =>
+      {
+        val out = Enrich(inputs.toDF("value"), cfg).select("value", "value_out").collect()
+        out.foreach { r =>
+          val reparsed = spark.range(1).select(
+            from_json(lit(r.getString(1)), org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("original",
+                CdcEnvelope.schema())))).as("p"))
+            .select(to_json(col("p.original"))).collect()(0).getString(0)
+          val orig = spark.range(1).select(
+            to_json(from_json(lit(r.getString(0)), CdcEnvelope.schema())))
+            .collect()(0).getString(0)
+          assert(reparsed == orig, s"original not preserved for ${r.getString(0)}")
+        }
+      }
+    }
+  }
+
+  test("property: minhash signature is mergeable (sig(A∪B) = slotwise min)") {
+    import spark.implicits._
+    val hashGen = Gen.listOf(Gen.choose(0L, (1L << 56) - 1)).suchThat(_.nonEmpty)
+    forSamples2(hashGen, hashGen) { (a, b) =>
+      val df = Seq((a, b, a ++ b)).toDF("a", "b", "ab")
+      val r = df.select(
+        VectorFunctions.minhashSig(col("a"), TextOps.MinhashParams, TextOps.P),
+        VectorFunctions.minhashSig(col("b"), TextOps.MinhashParams, TextOps.P),
+        VectorFunctions.minhashSig(col("ab"), TextOps.MinhashParams, TextOps.P))
+        .collect()(0)
+      val (sa, sb, sab) = (r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[Long](2))
+      assert(sab.toList == sa.zip(sb).map { case (x, y) => math.min(x, y) }.toList)
+    }
+  }
+
+  test("property: DotProduct is symmetric and Cauchy-Schwarz holds") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.choose(-100.0, 100.0))
+    forSamples2(vecGen, vecGen) { (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b").select(
+        VectorFunctions.dot(col("a"), col("b")),
+        VectorFunctions.dot(col("b"), col("a")),
+        VectorFunctions.dot(col("a"), col("a")),
+        VectorFunctions.dot(col("b"), col("b"))).collect()(0)
+      assert(row.getDouble(0) == row.getDouble(1), "symmetry")
+      assert(row.getDouble(0) * row.getDouble(0) <=
+        row.getDouble(2) * row.getDouble(3) * (1 + 1e-9), "cauchy-schwarz")
+    }
+  }
+
+  test("property: snapshot replay is idempotent after lsn dedup (§5.2-5)") {
+    import spark.implicits._
+    // at-least-once duplication: every envelope delivered 1-3 times;
+    // dedup on the (source.lsn) ordering key restores exactly-once results
+    val base = (1 to 30).map(i =>
+      s"""{"after":{"id":$i},"source":{"lsn":$i,"db":"d","schema":"s","table":"t"},"op":"c","ts_ms":$i}""")
+    forSamples(Gen.listOfN(30, Gen.choose(1, 3)), n = 4) { reps =>
+      val duplicated = base.zip(reps).flatMap { case (e, n) => Seq.fill(n)(e) }
+      val once = Enrich(base.toDF("value"), cfg)
+        .dropDuplicates(Seq("value_out")).select("value_out")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val replayed = Enrich(duplicated.toDF("value"), cfg)
+        .withColumn("lsn", col("envelope.source.lsn"))
+        .dropDuplicates(Seq("lsn")).select("value_out")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(replayed == once)
+    }
+  }
+}
