@@ -18,19 +18,20 @@ object Profiling {
 
   def qProfileOrders(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
-    val aggs: Seq[Column] = OrdersCols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = ord.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = OrdersCols.map(c =>
-      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
-    wide.selectExpr(
-      s"stack(${OrdersCols.size}, $stackArgs) AS " +
-        "(column_name, n_nulls, n_distinct, min_value, max_value)")
+    // One single-column aggregate per column, unioned: N distinct-counts in
+    // ONE agg would plan as an Expand that multiplies every row (N+1)×
+    // before the shuffle; per-column scans stay column-pruned and each
+    // countDistinct gets a clean two-phase plan.
+    OrdersCols.map { c =>
+      ord.select(col(c))
+        .agg(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+          col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
       .orderBy(col("column_name"))
   }
 
