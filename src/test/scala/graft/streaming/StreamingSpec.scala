@@ -122,6 +122,40 @@ class StreamingSpec extends SparkSpec {
       .toSeq == (1L to 6L))
   }
 
+  test("session_window streams with watermark, matches batch sessionization") {
+    import spark.implicits._
+    val in = tmpDir("sw-in")
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, 1.0),
+      Ev(3, ts("2024-01-01 11:30:00"), 1, 1.0),
+      Ev(4, ts("2024-01-01 10:05:00"), 2, 1.0),
+      // watermark pusher so all sessions close
+      Ev(9, ts("2024-01-02 00:00:00"), 9, 0.0))
+    writeEvents(in, evs)
+    streamFrom(in)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").cast("string").as("start"), col("n"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.table("sess_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch twin over the same rows; the watermark-pusher's own session
+    // (user 9) stays OPEN in append mode — only closed sessions compare
+    val batch = evs.toDF().filter(col("user_id") =!= 9)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").cast("string").as("start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed((1L, "2024-01-01 10:00:00")) == 2L) // merged session
+    assert(streamed.contains((1L, "2024-01-01 11:30:00"))) // second session
+  }
+
   test("stream-static join enriches a stream against a dimension table") {
     import spark.implicits._
     val in = tmpDir("ss-in")
