@@ -78,4 +78,10 @@ object CdcEnvelope {
       // reference re-parses the JSON per row
       .withColumn("after_keys", json_object_keys(col("after_json")))
       .withColumn("after_email", get_json_object(col("after_json"), "$.email"))
+      // key set of the raw source object: Python dict truthiness
+      // (`if source:`) is "has at least one key", regardless of values —
+      // a typed struct can't express that ("source":{} parses to a non-null
+      // all-null-fields struct)
+      .withColumn("source_keys",
+        json_object_keys(get_json_object(col("value"), "$.source")))
 }

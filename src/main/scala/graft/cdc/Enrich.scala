@@ -63,9 +63,12 @@ object Enrich {
       processing.as("processing_time_iso")))
   }
 
-  /** P7–P9: provenance projection, present only when source present. */
-  def sourceMetadataStruct(source: Column): Column =
-    when(source.isNotNull, struct(
+  /** P7–P9: provenance projection, present only when `source` is a
+    * non-empty object — Python dict truthiness (py:59 `if source:`), so
+    * `"source":{}` emits nothing while `{"db":null}` does.
+    */
+  def sourceMetadataStruct(source: Column, sourceKeys: Column): Column =
+    when(source.isNotNull && size(sourceKeys) > 0, struct(
       source.getField("db").as("database"),
       source.getField("schema").as("schema"),
       source.getField("table").as("table"),
@@ -122,7 +125,7 @@ object Enrich {
     df.withColumn("enrichment", struct(
       operationStruct(env.getField("op")).as("operation"),
       timestampsStruct(env.getField("ts_ms"), cfg).as("timestamps"),
-      sourceMetadataStruct(env.getField("source")).as("source_metadata"),
+      sourceMetadataStruct(env.getField("source"), col("source_keys")).as("source_metadata"),
       dataQualityStruct(col("before_json"), col("after_json"),
         col("after_keys")).as("data_quality"),
       customerInsightsStruct(col("after_keys"), col("after_email")).as("customer_insights"),
@@ -137,8 +140,15 @@ object Enrich {
     */
   def apply(df: DataFrame, cfg: EnrichConfig = EnrichConfig()): DataFrame = {
     val parsed = withEnrichment(CdcEnvelope.parse(df), cfg)
+    // Reference bug-compat: an `email` KEY present with a null value makes
+    // the Python `"@" in email` raise TypeError, which the outer except
+    // turns into raw passthrough (py:85,104-107) — not an enriched record
+    // with null insights.
+    val emailKeyWithNullValue =
+      array_contains(col("after_keys"), "email") && col("after_email").isNull
     parsed.withColumn("value_out",
-      when(col("envelope").isNull, col("value"))
+      when(col("envelope").isNull || coalesce(emailKeyWithNullValue, lit(false)),
+        col("value"))
         .otherwise(to_json(struct(
           col("envelope").as("original"),
           col("enrichment")))))

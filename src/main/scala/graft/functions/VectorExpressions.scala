@@ -139,9 +139,16 @@ case class ShingleHash56(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hash"
 
+  // interpreted-path digest reused per thread (matching the codegen
+  // branch's mutable-state instance; getInstance per row is provider
+  // lookup + allocation in the hot path)
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   override def nullSafeEval(in: Any): Any = {
     val toks = in.asInstanceOf[ArrayData]
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     val n = toks.numElements()
     var i = 0

@@ -29,15 +29,22 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String],
       rightTiebreak: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
     val tb = rightTiebreak.map(c => col(c).cast("long"))
       .getOrElse(lit(0L))
+    // Carry the matched right row as ONE struct: per-column carries with
+    // ignoreNulls would skip a genuinely-null value in the matched row
+    // (falling back to an older row) and could mix columns from different
+    // right rows. The struct is non-null exactly for right rows, so
+    // last(ignoreNulls) picks the whole matched row atomically.
+    val rStructType = StructType(rightCols.map(c => right.schema(c)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__tb", lit(0L))
       .select(Seq(col("__t"), col("__side"), col("__tb")) ++ leftCols.map(col)
-        ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        :+ lit(null).cast(rStructType).as("__r"): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
@@ -45,18 +52,17 @@ object AsOfJoin {
       .select(Seq(col("__t"), col("__side"), col("__tb")) ++ leftCols.map {
         case c if c == key => col(key)
         case c => lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      } :+ struct(rightCols.map(col): _*).as("__r"): _*)
     // "strictly before" ⇒ a right row at exactly leftTime must NOT match,
     // so at equal __t the LEFT row (side 1, desc) sorts first and the
     // frame [unbounded, -1] excludes the simultaneous right row.
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side").desc, col("__tb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c")): _*)
+    l.unionByName(r)
+      .withColumn("__rc", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col)
+        ++ rightCols.map(c => col("__rc").getField(c).as(s"asof_$c")): _*)
   }
 }

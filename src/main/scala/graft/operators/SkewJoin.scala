@@ -18,16 +18,19 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `left` and `right` on `leftKey === rightKey`,
-    * salted `factor` ways. Salt is derived from stable row content
-    * (xxhash64 of the key plus a per-row disambiguator column if given),
-    * never from RNG — plans stay deterministic and retry-safe.
+    * salted `factor` ways. The salt is xxhash64 of stable row CONTENT —
+    * the key plus either `saltSource` or every other left column — never
+    * RNG or partition-layout-dependent ids, so the plan stays deterministic
+    * and retry-safe. (Rows that are full duplicates share a salt; salting
+    * cannot spread literally identical rows.)
     */
   def salted(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, factor: Int,
       saltSource: Option[String] = None): DataFrame = {
     require(factor > 0)
-    val saltBasis = saltSource.map(c => xxhash64(col(leftKey), col(c)))
-      .getOrElse(xxhash64(col(leftKey), monotonically_increasing_id()))
+    val basisCols = saltSource.map(c => Seq(col(leftKey), col(c)))
+      .getOrElse(left.columns.toSeq.map(col))
+    val saltBasis = xxhash64(basisCols: _*)
     val l = left.withColumn("__salt", pmod(saltBasis, lit(factor)).cast("int"))
     // sequence(0, f-1) is already array<int>; explode must be top-level
     // in its projection (no nesting inside cast)

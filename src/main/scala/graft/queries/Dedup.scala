@@ -215,7 +215,9 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIter = 100 // iterations = component diameter; near-dup
+    // clusters are tiny, but never return silently-wrong labels
+    while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("node"))
         .groupBy(col("doc_a").as("node2"))
@@ -230,6 +232,8 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIter iterations")
     labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         sort_array(collect_list(col("node"))).as("members"))

@@ -48,25 +48,26 @@ object Events {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
-  /** As-of join: each purchase matched to the user's most recent strictly
-    * earlier click. Carry-forward window formulation — the scalable shape
-    * (one shuffle by user) vs. a per-row range probe.
+  /** As-of join: each purchase matched to the user's most recent STRICTLY
+    * earlier click, via [[graft.operators.AsOfJoin]] (carry-forward window
+    * — one shuffle by user, no per-row range probe). The operator's
+    * equal-timestamp exclusion matches the oracle's `c.ts < p.ts` exactly;
+    * an in-line lag formulation ordered by (ts, event_id) would wrongly
+    * match a click at the identical timestamp.
     */
   def qEventsAsof(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val isClick = col("event_type") === "click"
-    events(s, d)
-      .withColumn("prev_click_id",
-        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("prev_click_ts",
-        last(when(isClick, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.operators.AsOfJoin.lastBefore(
+        purchases, clicks, "user_id", "ts", "ts",
+        rightCols = Seq("event_id", "ts"), rightTiebreak = Some("event_id"))
       .select(
         col("event_id").as("purchase_id"), col("user_id"),
-        col("prev_click_id"),
-        floor((unix_micros(col("ts")) - unix_micros(col("prev_click_ts"))) / 1000000L)
+        col("asof_event_id").as("prev_click_id"),
+        floor((unix_micros(col("ts")) - unix_micros(col("asof_ts"))) / 1000000L)
           .cast("long").as("gap_seconds"))
       .orderBy(col("purchase_id"))
   }

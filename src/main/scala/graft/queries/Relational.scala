@@ -264,7 +264,10 @@ object Relational {
       .groupBy(col("l_linestatus"))
       .agg(
         sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+        // NULL priority must land in `low` (the oracle's CASE ELSE 1);
+        // `when(!urgent, 1)` would drop it from both buckets (NOT NULL is
+        // NULL → otherwise)
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
       .orderBy(col("l_linestatus"))
   }
 

@@ -132,6 +132,27 @@ class EnrichSpec extends SparkSpec {
     assert(dq.getInt(2) == 3)
   }
 
+  test("email key with null value → raw passthrough (reference TypeError path)") {
+    // py: '"@" in None' raises → outer except returns original bytes
+    val in = """{"op":"c","ts_ms":5,"after":{"id":1,"email":null}}"""
+    val out = enrich(in).select("value_out").collect()(0).getString(0)
+    assert(out == in)
+    // email ABSENT (no key) still enriches normally
+    val in2 = """{"op":"c","ts_ms":5,"after":{"id":1}}"""
+    val out2 = enrich(in2).select("value_out").collect()(0).getString(0)
+    assert(out2.contains("\"enrichment\""))
+  }
+
+  test("empty source object → no source_metadata (dict truthiness)") {
+    val row = one("""{"op":"c","ts_ms":5,"source":{}}""")
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    assert(e.isNullAt(e.fieldIndex("source_metadata")))
+    // source with a key (even null-valued) is truthy → struct present
+    val row2 = one("""{"op":"c","ts_ms":5,"source":{"db":null}}""")
+    val e2 = row2.getStruct(row2.fieldIndex("enrichment"))
+    assert(!e2.isNullAt(e2.fieldIndex("source_metadata")))
+  }
+
   test("non-JSON input passes through unchanged (P18 error fallback)") {
     val garbage = "not-json{{{"
     val out = enrich(garbage, cEvent).select("value_out").collect().map(_.getString(0))
