@@ -94,7 +94,12 @@ object Multimodal {
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("content"),
+      // ASCII-sanitize before encoding so one payload byte == one source
+      // character BY CONSTRUCTION — the DuckDB oracle recomputes the
+      // histogram from character ordinals, which would silently diverge
+      // from UTF-8 bytes on any multi-byte character
+      encode(regexp_replace(col("text"), "[^\\x00-\\x7F]", "?"), "UTF-8")
+        .as("content"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 64 + 1).cast("int"))
         .otherwise(0).cast("int").as("width"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 48 + 1).cast("int"))

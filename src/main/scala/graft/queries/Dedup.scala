@@ -56,9 +56,6 @@ object Dedup {
       col("doc_id"),
       VectorFunctions.shingleHash56(TextOps.tokens(col("text"))).as("sh_hashes"))
 
-  /** n-gram (3-shingle) Jaccard near-dup pairs via inverted-index join.
-    * jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact, emitted ×10000 as integer.
-    */
   /** Jaccard threshold for near-dup pairs (×10000 in the output). */
   val JaccardT = 0.5
 

@@ -22,10 +22,13 @@ object Media {
 
   val oracle: Map[String, String] = Map(
     "q_media_features" ->
-      """WITH bins AS (SELECT doc_id,
+      """WITH d0 AS (SELECT doc_id,
+        |    regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text
+        |  FROM documents),
+        |bins AS (SELECT doc_id,
         |    unnest(list_transform(range(1, length(text)+1),
         |      i -> ord(substr(text, i, 1)) % 16)) AS bin
-        |  FROM documents),
+        |  FROM d0),
         |counts AS (SELECT doc_id, bin, count(*) AS cnt FROM bins GROUP BY 1, 2)
         |SELECT d.doc_id AS media_id,
         |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'

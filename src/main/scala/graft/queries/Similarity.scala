@@ -44,13 +44,13 @@ object Similarity {
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
-      .localCheckpoint() // queries + corpus sides reuse one materialization
 
   private val dotQC: Column = VectorFunctions.dot(col("qv"), col("cv"))
 
   /** Exact top-k cosine neighbors for each query vector. */
   def qAnnBruteforce(s: SparkSession, d: String): DataFrame = {
     val vecs = vecsWithNorm(s, d)
+      .localCheckpoint() // queries + corpus sides reuse one materialization
     val queries = vecs.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val corpus = vecs
@@ -72,9 +72,9 @@ object Similarity {
     */
   private def bandKeys(v: Column): Column = {
     val bits = Planes.map { plane =>
-      val dot = aggregate(
-        zip_with(v, typedLit(plane.map(_.toDouble)), (x, w) => x * w),
-        lit(0.0d), _ + _)
+      // codegen dot against the constant plane — bit-identical to the
+      // interpreted zip_with fold but no per-row array allocation
+      val dot = VectorFunctions.dot(v, typedLit(plane.map(_.toDouble)))
       when(dot > 0, 1L).otherwise(0L)
     }
     val bandVals = (0 until NumPlanes / BandBits).map { b =>
@@ -90,7 +90,11 @@ object Similarity {
     * top-k only within candidates.
     */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val vecs = vecsWithNorm(s, d).withColumn("bands", bandKeys(col("v")))
+    // checkpoint ABOVE the sketch so the 16 hyperplane dots run once, not
+    // once per side of the band-key self-join
+    val vecs = vecsWithNorm(s, d)
+      .withColumn("bands", bandKeys(col("v")))
+      .localCheckpoint()
     val exploded = vecs.select(col("vec_id"), col("v"), col("norm"),
       explode(col("bands")).as("band_key"))
     val queries = exploded.filter(isQuery(col("vec_id")))
