@@ -284,6 +284,65 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
     copy(child = newChild)
 }
 
+/** Sign sketch against a fixed set of hyperplanes: bit p of the result is
+  * set iff dot(v, planes(p)) > 0. One codegen loop over all planes —
+  * replaces NumPlanes separate DotProduct expressions whose generated code
+  * (one 64-literal array each) dominates janino compile time. Dot order is
+  * left-to-right per plane, bit-identical to the per-plane form.
+  */
+case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bits"
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    var bits = 0L
+    var p = 0
+    while (p < planeArr.length) {
+      val w = planeArr(p)
+      val n = math.min(v.numElements(), w.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * w(i); i += 1 }
+      if (s > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes",
+      planes.map(_.toArray).toArray, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val bits = ctx.freshName("bits")
+      val p = ctx.freshName("p")
+      val w = ctx.freshName("w")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |long $bits = 0L;
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  double[] $w = $planesRef[$p];
+         |  int $n = java.lang.Math.min($a.numElements(), $w.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $w[$i]; }
+         |  if ($s > 0) $bits |= (1L << $p);
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
@@ -297,6 +356,11 @@ object VectorFunctions {
   /** Column API for [[ShingleHash56]]. */
   def shingleHash56(tokens: Column, k: Int = 3): Column =
     GraftSqlBridge.column(ShingleHash56(GraftSqlBridge.expression(tokens), k))
+
+  /** Column API for [[HyperplaneBits]]. */
+  def hyperplaneBits(v: Column, planes: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(
+      HyperplaneBits(GraftSqlBridge.expression(v), planes))
 
   /** Column API for [[MinHashSig]] (input: array of raw 56-bit hashes). */
   def minhashSig(hashes: Column, params: Seq[(Long, Long)], p: Long): Column =

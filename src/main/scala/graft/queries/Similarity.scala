@@ -68,20 +68,16 @@ object Similarity {
   }
 
   /** Sign-sketch band keys for a double vector column: array of
-    * "band:bits" strings.
+    * "band:bits" strings. All plane dots run in ONE codegen expression
+    * ([[graft.functions.HyperplaneBits]]); bands are 4-bit nibbles of the
+    * packed sketch — identical values to summing per-bit columns.
     */
   private def bandKeys(v: Column): Column = {
-    val bits = Planes.map { plane =>
-      // codegen dot against the constant plane — bit-identical to the
-      // interpreted zip_with fold but no per-row array allocation
-      val dot = VectorFunctions.dot(v, typedLit(plane.map(_.toDouble)))
-      when(dot > 0, 1L).otherwise(0L)
-    }
+    val sketch = VectorFunctions.hyperplaneBits(
+      v, Planes.map(_.map(_.toDouble)))
     val bandVals = (0 until NumPlanes / BandBits).map { b =>
-      val packed = (0 until BandBits)
-        .map(i => bits(b * BandBits + i) * lit(1L << i))
-        .reduce(_ + _)
-      concat_ws(":", lit(b), packed)
+      concat_ws(":", lit(b),
+        shiftright(sketch, b * BandBits).bitwiseAND((1L << BandBits) - 1))
     }
     array(bandVals: _*)
   }
