@@ -54,7 +54,9 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        spark_dir = f"{out_dir}/{name}"
+        spark_dir = f"{out_dir}/{name}.parquet"
+        if not os.path.isdir(spark_dir):
+            spark_dir = f"{out_dir}/{name}"  # legacy layout
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output at {spark_dir}")
