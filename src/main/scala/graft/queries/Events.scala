@@ -72,6 +72,28 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  /** Three-stage funnel, first-touch semantics: per user the earliest
+    * click, the earliest view strictly after it, the earliest purchase
+    * strictly after that. Each stage is one aggregate + one equi-join on
+    * user_id — no range-join explosion; stages shrink monotonically.
+    */
+  def qEventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def stage(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(outTs))
+        .join(prev, "user_id")
+    val t1 = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val t2 = stage("view", t1, "t_click", "t_view")
+    val t3 = stage("purchase", t2, "t_view", "t_purchase")
+    t3.select(col("user_id"), col("t_click"), col("t_view"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   /** JSON property extraction + aggregation over the stream-shaped table. */
   def qEventsProps(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -124,6 +146,18 @@ object Events {
         |  ON p.user_id = c.user_id AND c.ts < p.ts
         |ORDER BY purchase_id""".stripMargin,
 
+    "q_events_funnel" ->
+      """WITH c AS (SELECT user_id, min(ts) AS t_click FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT e.user_id, t_click, min(ts) AS t_view
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE event_type = 'view' AND ts > t_click GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, t_click, t_view, min(ts) AS t_purchase
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts > t_view GROUP BY 1, 2, 3)
+        |SELECT user_id, t_click, t_view, t_purchase
+        |FROM p ORDER BY user_id""".stripMargin,
+
     "q_events_props" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
@@ -137,6 +171,7 @@ object Events {
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
-    "q_events_props" -> (qEventsProps _)
+    "q_events_props" -> (qEventsProps _),
+    "q_events_funnel" -> (qEventsFunnel _)
   )
 }
