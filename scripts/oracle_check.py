@@ -51,7 +51,12 @@ def main(out_dir, sf_dir):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    raw = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify emits each oracle under both '<name>' and '<name>.parquet'
+    # (driver keys by output-dir name); collapse to one logical entry.
+    oracle = {}
+    for k, v in raw.items():
+        oracle[k[:-len(".parquet")] if k.endswith(".parquet") else k] = v
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{out_dir}/{name}.parquet"
@@ -62,12 +67,8 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: no spark output at {spark_dir}")
             n_fail += 1
             continue
-        try:
-            got = norm(con.execute(
-                f"SELECT * FROM read_parquet({files!r})").df_convert_na())
-        except AttributeError:
-            got = norm(con.execute(
-                f"SELECT * FROM read_parquet({files!r})").df())
+        got = norm(con.execute(
+            f"SELECT * FROM read_parquet({files!r})").df())
         try:
             exp = norm(con.execute(sql).df())
         except Exception as e:
@@ -103,6 +104,29 @@ def main(out_dir, sf_dir):
             extra = f" ({len(warns)} repr warns, e.g.{warns[0]})" if warns else ""
             print(f"PASS {name}: {len(got)} rows{extra}")
             n_pass += 1
+    # Rows-only sweep (driver behavior for queries lacking oracle SQL):
+    # pandas-load + sort every result dir NOT covered above — catches
+    # outputs the driver's checker can't even normalize (e.g. array cols).
+    for d in sorted(os.listdir(out_dir)):
+        base = d[:-len(".parquet")] if d.endswith(".parquet") else d
+        if base in oracle or not os.path.isdir(f"{out_dir}/{d}"):
+            continue
+        files = glob.glob(f"{out_dir}/{d}/*.parquet")
+        if not files:
+            print(f"FAIL {base}: rows-only: no parquet files")
+            n_fail += 1
+            continue
+        try:
+            df = pd.concat([pd.read_parquet(f) for f in files])
+            df = df.reindex(sorted(df.columns), axis=1)
+            if len(df):
+                df = df.sort_values(by=list(df.columns), kind="mergesort",
+                                    na_position="first")
+            print(f"PASS {base}: rows-only, {len(df)} rows")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {base}: rows-only load/sort: {type(e).__name__}: {e}")
+            n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 

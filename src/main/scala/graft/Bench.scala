@@ -23,18 +23,31 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e"); Some(e.toString)
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // free localCheckpoint blocks so earlier queries' cached RDDs don't
-      // build GC pressure for later ones
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
+      // build GC pressure for later ones; blocking so the release can't
+      // race the next query's eager localCheckpoint
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a failed query must be visible in the JSON contract, not just stderr
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: the driver parses stdout, but sbt may prefix it with
+    // its logger; a file copy survives any wrapping.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
     spark.stop()
   }
 }

@@ -26,6 +26,9 @@ object Approx {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  // One scalar row per (linestatus, percentile): the driver's rows-only
+  // check loads results with pandas, which cannot sort an array<double>
+  // column — so the percentile array is exploded to (pct, value) rows.
   def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_linestatus"))
@@ -34,7 +37,15 @@ object Approx {
           array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_pcts"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
-      .orderBy(col("l_linestatus"))
+      .select(col("l_linestatus"),
+        posexplode(col("price_pcts")).as(Seq("pct_idx", "price_pct")),
+        col("min_price"), col("max_price"))
+      .withColumn("pct", element_at(
+        array(lit(0.5), lit(0.95), lit(0.99)), col("pct_idx") + 1))
+      .drop("pct_idx")
+      .select(col("l_linestatus"), col("pct"), col("price_pct"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("l_linestatus"), col("pct"))
 
   val oracle: Map[String, String] = Map.empty // rows-only: sketch params are engine-specific
 

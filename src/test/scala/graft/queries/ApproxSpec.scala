@@ -26,14 +26,19 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("percentile_approx brackets exact percentiles") {
+    // schema: (l_linestatus, pct, price_pct, min_price, max_price), one
+    // scalar row per percentile (exploded for the driver's pandas check)
     val rows = Approx.qApproxPercentiles(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val pcts = r.getSeq[Double](1)
-      val (mn, mx) = (r.getDouble(2), r.getDouble(3))
-      assert(pcts.length == 3)
-      assert(pcts.forall(p => p >= mn && p <= mx))
-      assert(pcts(0) <= pcts(1) && pcts(1) <= pcts(2), "monotone percentiles")
+    val byStatus = rows.groupBy(_.getString(0))
+    byStatus.foreach { case (status, rs) =>
+      assert(rs.length == 3, s"$status: expected 3 percentile rows")
+      val sorted = rs.sortBy(_.getDouble(1))
+      assert(sorted.map(_.getDouble(1)).toSeq == Seq(0.5, 0.95, 0.99))
+      val vals = sorted.map(_.getDouble(2))
+      val (mn, mx) = (rs.head.getDouble(3), rs.head.getDouble(4))
+      assert(vals.forall(p => p >= mn && p <= mx))
+      assert(vals(0) <= vals(1) && vals(1) <= vals(2), "monotone percentiles")
     }
   }
 }
