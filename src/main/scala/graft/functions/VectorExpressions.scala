@@ -186,8 +186,10 @@ case class ShingleHash56(child: Expression, k: Int)
       val arr = ctx.freshName("arr")
       val it = ctx.freshName("it")
       val x = ctx.freshName("x")
+      // Janino (Spark's codegen compiler) has no generics and unreliable
+      // autoboxing: raw collection types + explicit Long.valueOf / cast.
       s"""
-         |java.util.LinkedHashSet<Long> $set = new java.util.LinkedHashSet<Long>();
+         |java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
          |int $n = $a.numElements();
          |for (int $i = 0; $i + $k <= $n; $i++) {
          |  StringBuilder $sb = new StringBuilder();
@@ -197,12 +199,12 @@ case class ShingleHash56(child: Expression, k: Int)
          |  }
          |  $mdRef.reset();
          |  byte[] $d = $mdRef.digest($sb.toString().getBytes(java.nio.charset.StandardCharsets.UTF_8));
-         |  $set.add(graft.functions.ShingleHash56.fold56($d));
+         |  $set.add(Long.valueOf(graft.functions.ShingleHash56.fold56($d)));
          |}
          |long[] $arr = new long[$set.size()];
-         |java.util.Iterator<Long> $it = $set.iterator();
+         |java.util.Iterator $it = $set.iterator();
          |int $x = 0;
-         |while ($it.hasNext()) { $arr[$x++] = $it.next().longValue(); }
+         |while ($it.hasNext()) { $arr[$x++] = ((Long) $it.next()).longValue(); }
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
        """.stripMargin
     })
