@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   * per-table (here: the reference's only table, `customers`,
   * `scripts/install.sh:330`), while the ops that must see the *dynamic* key
   * set (`field_count`, `customer_insights` gating — reference
-  * `cdc_enrichment_function.py:76,81`) read the raw `after` JSON text. So
-  * [[parse]] produces both: a typed `envelope` struct and raw
-  * `before_json`/`after_json` strings.
+  * `cdc_enrichment_function.py:76,81`) need a structural view of the raw
+  * JSON. So [[parse]] produces both: a typed `envelope` struct and a
+  * one-pass `stats` struct ([[graft.functions.EnvelopeStats]]).
   */
 object CdcEnvelope {
 
@@ -60,28 +60,15 @@ object CdcEnvelope {
     * that is not a JSON object yields a null `envelope` struct — exactly the
     * records the reference's try/except passes through unmodified. This is a
     * narrow per-row transform: no shuffle, whole-stage-codegen friendly.
+    *
+    * Exactly two JSON walks per row: [[graft.functions.EnvelopeStats]]
+    * extracts every *dynamic* fact the enrichment needs (root-is-object,
+    * before/after null-ness, `after` key count, email key/value/JSON-type,
+    * `source` dict truthiness) in one Jackson streaming pass, and `from_json`
+    * builds the typed envelope — gated on validity so invalid rows skip it.
     */
   def parse(df: DataFrame, payload: StructType = customersPayload): DataFrame =
-    // `json_object_keys` is null for invalid JSON AND for valid non-object
-    // JSON ("123", arrays) — exactly the input set where the reference's
-    // `json.loads` + dict access raises and falls back to passthrough
-    // (py:23-26,104-107). `from_json` alone can't distinguish: it yields an
-    // all-null struct, not null, for malformed input.
-    df.withColumn("envelope",
-        when(json_object_keys(col("value")).isNotNull,
-          from_json(col("value"), schema(payload))))
-      .withColumn("before_json", get_json_object(col("value"), "$.before"))
-      .withColumn("after_json", get_json_object(col("value"), "$.after"))
-      // shared JSON extractions materialized ONCE here: the enrichment
-      // references each several times, and interpreted projections do no
-      // common-subexpression elimination — without these columns every
-      // reference re-parses the JSON per row
-      .withColumn("after_keys", json_object_keys(col("after_json")))
-      .withColumn("after_email", get_json_object(col("after_json"), "$.email"))
-      // key set of the raw source object: Python dict truthiness
-      // (`if source:`) is "has at least one key", regardless of values —
-      // a typed struct can't express that ("source":{} parses to a non-null
-      // all-null-fields struct)
-      .withColumn("source_keys",
-        json_object_keys(get_json_object(col("value"), "$.source")))
+    df.withColumn("stats", graft.functions.EnvelopeStats(col("value")))
+      .withColumn("envelope",
+        when(col("stats.is_object"), from_json(col("value"), schema(payload))))
 }

@@ -31,6 +31,8 @@ case class EnrichConfig(
   *     when the sub-second part is zero, else 6 digits (bug-compat, §7.3#1:
   *     output defined as UTC)
   *   - non-JSON-object input passes through unchanged (py:104-107)
+  *   - an `email` key with any non-string value passes through unchanged
+  *     (py:85 `"@" in email` TypeError → outer except, py:104-107)
   */
 object Enrich {
 
@@ -66,9 +68,10 @@ object Enrich {
   /** P7–P9: provenance projection, present only when `source` is a
     * non-empty object — Python dict truthiness (py:59 `if source:`), so
     * `"source":{}` emits nothing while `{"db":null}` does.
+    * `sourceNonempty` is the one-pass `stats.source_nonempty` fact.
     */
-  def sourceMetadataStruct(source: Column, sourceKeys: Column): Column =
-    when(source.isNotNull && size(sourceKeys) > 0, struct(
+  def sourceMetadataStruct(source: Column, sourceNonempty: Column): Column =
+    when(source.isNotNull && sourceNonempty, struct(
       source.getField("db").as("database"),
       source.getField("schema").as("schema"),
       source.getField("table").as("table"),
@@ -79,14 +82,12 @@ object Enrich {
   /** P10–P12: null-presence predicates + dynamic field count.
     * `field_count` counts the keys actually present in the `after` JSON
     * object (dynamic schema — py:76), which a fixed struct can't express;
-    * hence the raw-JSON operands. `afterKeys` is the pre-materialized
-    * `json_object_keys(after_json)` column (see [[CdcEnvelope.parse]]).
+    * operands come from the one-pass `stats` struct
+    * (see [[graft.functions.EnvelopeStats]]).
     */
-  def dataQualityStruct(beforeJson: Column, afterJson: Column,
-      afterKeys: Column): Column = {
-    val hasBefore = beforeJson.isNotNull
-    val hasAfter = afterJson.isNotNull
-    val fieldCount = when(hasAfter, size(afterKeys)).otherwise(0)
+  def dataQualityStruct(hasBefore: Column, hasAfter: Column,
+      afterKeyCount: Column): Column = {
+    val fieldCount = when(hasAfter, afterKeyCount).otherwise(0)
     struct(
       hasBefore.as("has_before"),
       hasAfter.as("has_after"),
@@ -95,9 +96,8 @@ object Enrich {
   }
 
   /** P13–P15: email insights, gated on the `email` KEY being present. */
-  def customerInsightsStruct(afterKeys: Column, email: Column): Column = {
-    val hasKey = array_contains(afterKeys, "email")
-    when(hasKey, struct(
+  def customerInsightsStruct(hasEmailKey: Column, email: Column): Column = {
+    when(hasEmailKey, struct(
       when(email.contains("@"), split(email, "@").getItem(1)).as("email_domain"),
       (email.isNotNull && length(email) > 0).as("has_email"),
       coalesce(length(email), lit(0)).as("email_length")))
@@ -125,10 +125,12 @@ object Enrich {
     df.withColumn("enrichment", struct(
       operationStruct(env.getField("op")).as("operation"),
       timestampsStruct(env.getField("ts_ms"), cfg).as("timestamps"),
-      sourceMetadataStruct(env.getField("source"), col("source_keys")).as("source_metadata"),
-      dataQualityStruct(col("before_json"), col("after_json"),
-        col("after_keys")).as("data_quality"),
-      customerInsightsStruct(col("after_keys"), col("after_email")).as("customer_insights"),
+      sourceMetadataStruct(env.getField("source"),
+        col("stats.source_nonempty")).as("source_metadata"),
+      dataQualityStruct(col("stats.has_before"), col("stats.has_after"),
+        col("stats.after_key_count")).as("data_quality"),
+      customerInsightsStruct(col("stats.has_email_key"),
+        col("stats.email")).as("customer_insights"),
       processingMetadataStruct(df, cfg).as("processing_metadata")))
   }
 
@@ -140,14 +142,14 @@ object Enrich {
     */
   def apply(df: DataFrame, cfg: EnrichConfig = EnrichConfig()): DataFrame = {
     val parsed = withEnrichment(CdcEnvelope.parse(df), cfg)
-    // Reference bug-compat: an `email` KEY present with a null value makes
-    // the Python `"@" in email` raise TypeError, which the outer except
-    // turns into raw passthrough (py:85,104-107) — not an enriched record
-    // with null insights.
-    val emailKeyWithNullValue =
-      array_contains(col("after_keys"), "email") && col("after_email").isNull
+    // Reference bug-compat: an `email` KEY present with ANY non-string value
+    // (JSON null, number, bool, object, array) makes the Python
+    // `"@" in email` raise TypeError, which the outer except turns into raw
+    // passthrough (py:85,104-107) — not an enriched record with null
+    // insights. `stats.email_nonstring` records exactly that JSON-type fact.
+    val emailTypeError = coalesce(col("stats.email_nonstring"), lit(false))
     parsed.withColumn("value_out",
-      when(col("envelope").isNull || coalesce(emailKeyWithNullValue, lit(false)),
+      when(col("envelope").isNull || emailTypeError,
         col("value"))
         .otherwise(to_json(struct(
           col("envelope").as("original"),

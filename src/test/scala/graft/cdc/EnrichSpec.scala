@@ -143,6 +143,15 @@ class EnrichSpec extends SparkSpec {
     assert(out2.contains("\"enrichment\""))
   }
 
+  test("email key with non-string value → raw passthrough (TypeError parity)") {
+    // py: '"@" in 123' / '"@" in {...}' / '"@" in true' all raise TypeError
+    for (v <- Seq("123", "true", "[1,2]", """{"x":1}""")) {
+      val in = s"""{"op":"c","ts_ms":5,"after":{"id":1,"email":$v}}"""
+      val out = enrich(in).select("value_out").collect()(0).getString(0)
+      assert(out == in, s"email=$v should pass through")
+    }
+  }
+
   test("empty source object → no source_metadata (dict truthiness)") {
     val row = one("""{"op":"c","ts_ms":5,"source":{}}""")
     val e = row.getStruct(row.fieldIndex("enrichment"))
