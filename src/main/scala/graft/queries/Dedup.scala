@@ -205,11 +205,21 @@ object Dedup {
       .localCheckpoint()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = pairs.select(col("doc_a").as("node"))
-      .unionByName(pairs.select(col("doc_b").as("node")))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val sc = s.sparkContext
+    var labelIds = Set.empty[Int] // checkpoint blocks of the live `labels`
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint() // eager: materializes here
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    var labels = {
+      val (ck, ids) = checkpointTracked(
+        pairs.select(col("doc_a").as("node"))
+          .unionByName(pairs.select(col("doc_b").as("node")))
+          .distinct()
+          .withColumn("label", col("node")))
+      labelIds = ids; ck
+    }
     var converged = false
     var iter = 0
     val maxIter = 100 // iterations = component diameter; near-dup
@@ -219,14 +229,21 @@ object Dedup {
         .join(labels, edges("doc_b") === labels("node"))
         .groupBy(col("doc_a").as("node2"))
         .agg(min(col("label")).as("nbr_min"))
-      val updated = labels
+      // One real pass per iteration: the new label AND a `changed` flag are
+      // materialized together by the eager localCheckpoint; the convergence
+      // probe below only scans the just-cached blocks (no recompute, no
+      // second join). Superseded checkpoint blocks are freed immediately —
+      // at scale an unbounded checkpoint chain multiplies resident memory
+      // by the iteration count.
+      val (updated, newIds) = checkpointTracked(labels
         .join(neighborMin, col("node") === col("node2"), "left_outer")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = updated
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("changed")))
+      converged = updated.filter(col("changed")).isEmpty
+      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      labelIds = newIds
+      labels = updated.select(col("node"), col("label"))
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -258,6 +275,49 @@ object Dedup {
         VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embedding near-dup via random-hyperplane LSH bucketing — the 100 TB
+    * path beside the exact all-pairs baseline [[qDedupEmbedding]].
+    *
+    * Scale shape: one sketch pass (16 hyperplane dots in one codegen
+    * expression), an O(n·bands) shuffle on the band key, and exact cosine
+    * only within same-band candidates — no cartesian product anywhere in
+    * the plan. Recall vs the exact baseline is probabilistic (see
+    * `DedupSpec`); the DuckDB oracle replicates the same banding, so the
+    * gate is an exact hash-match on this plan's own semantics.
+    */
+  def qDedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    // checkpoint above the sketch: both sides of the band self-join reuse
+    // one materialization of the 16-plane signature
+    val vecs = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .withColumn("bands", Similarity.bandKeys(col("v")))
+      .localCheckpoint()
+    // Candidate generation on SLIM (id, band_key) rows: the same-band
+    // self-join and the pair-distinct shuffle move 16-byte pairs, not
+    // 512-byte vectors. Vectors are fetched back by two id joins only for
+    // the surviving distinct pairs, streaming straight into the cosine —
+    // at corpus scale the distinct is the big shuffle, so its width matters.
+    val bands = vecs.select(col("vec_id"), explode(col("bands")).as("band_key"))
+    val cands = bands.select(col("vec_id").as("vec_a"), col("band_key"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band_key")), Seq("band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val va = vecs.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("norm").as("norm_a"))
+    val vb = vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("norm").as("norm_b"))
+    cands.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -389,7 +449,22 @@ object Dedup {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, CAST(round(cos*10000) AS BIGINT) AS cos_x10000
         |FROM p WHERE cos >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_dedup_embedding_lsh" ->
+      s"""WITH ${Similarity.normCte},
+         |${Similarity.bandsCteSql},
+         |cand AS (SELECT DISTINCT x.vec_id vec_a, y.vec_id vec_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band_key = y.band_key AND x.vec_id < y.vec_id),
+         |p AS (SELECT vec_a, vec_b,
+         |        list_aggregate(list_transform(range(1, 65),
+         |          i -> a.v[i]*b.v[i]), 'sum') / (a.norm*b.norm) AS cos
+         |      FROM cand JOIN n a ON cand.vec_a = a.vec_id
+         |                JOIN n b ON cand.vec_b = b.vec_id)
+         |SELECT vec_a, vec_b, CAST(round(cos*10000) AS BIGINT) AS cos_x10000
+         |FROM p WHERE cos >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -399,6 +474,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _),
-    "q_dedup_embedding" -> (qDedupEmbedding _)
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _)
   )
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational query library over the TESTDATA tables.
   *
@@ -456,10 +457,20 @@ object Relational {
     val cust = Tables.customerDec(s, d)
     val nation = Tables.nation(s, d)
     val region = Tables.region(s, d)
-    cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+    // Two-phase: aggregate on the FULL grouping key first (≤ |region×nation|
+    // rows), then rollup over that tiny intermediate. A direct rollup Expands
+    // every base row 3× before the shuffle — a 3× row blowup that is pure
+    // waste at scale since the fine-grained aggregate subsumes the coarser
+    // grouping sets. Decimal sums re-summed exactly; cast back to the
+    // single-phase sum type so the output schema is unchanged.
+    val pre = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .rollup(col("r_name"), col("n_name"))
-      .agg(sum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("c_acctbal")).as("bal"), count(lit(1)).as("cnt"))
+    pre.rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("bal")).cast(DecimalType(22, 2)).as("total_bal"),
+        sum(col("cnt")).as("n_cust"))
       .select(
         coalesce(col("r_name"), lit("__ALL__")).as("region_name"),
         coalesce(col("n_name"), lit("__ALL__")).as("nation_name"),
@@ -467,11 +478,19 @@ object Relational {
       .orderBy(col("region_name"), col("nation_name"))
   }
 
-  /** cube: order counts/value across status × priority with all subtotals. */
+  /** cube: order counts/value across status × priority with all subtotals.
+    * Same two-phase shape as [[qRollupBalance]]: the direct cube Expands
+    * every order 4× (grouping sets {s,p},{s},{p},{}) before the shuffle;
+    * pre-aggregating on (status, priority) first shrinks the cubed input to
+    * a handful of rows.
+    */
   def qCubeOrders(s: SparkSession, d: String): DataFrame = {
-    Tables.ordersDec(s, d)
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_price"))
+    val pre = Tables.ordersDec(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("price"))
+    pre.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("n_orders"),
+        sum(col("price")).cast(DecimalType(22, 2)).as("total_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("__ALL__")).as("status"),
         coalesce(col("o_orderpriority"), lit("__ALL__")).as("priority"),

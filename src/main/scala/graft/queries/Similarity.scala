@@ -71,8 +71,9 @@ object Similarity {
     * "band:bits" strings. All plane dots run in ONE codegen expression
     * ([[graft.functions.HyperplaneBits]]); bands are 4-bit nibbles of the
     * packed sketch — identical values to summing per-bit columns.
+    * Shared with [[Dedup.qDedupEmbeddingLsh]] (same sketch, same planes).
     */
-  private def bandKeys(v: Column): Column = {
+  private[queries] def bandKeys(v: Column): Column = {
     val sketch = VectorFunctions.hyperplaneBits(
       v, Planes.map(_.map(_.toDouble)))
     val bandVals = (0 until NumPlanes / BandBits).map { b =>
@@ -119,7 +120,7 @@ object Similarity {
   // DuckDB oracles — hyperplanes inlined as the SAME literals.
   // ---------------------------------------------------------------------
 
-  private val normCte =
+  private[queries] val normCte =
     """n AS (SELECT vec_id, v,
       |  sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm
       |  FROM (SELECT vec_id,
@@ -128,6 +129,26 @@ object Similarity {
 
   private val dotSql =
     "list_aggregate(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), 'sum')"
+
+  /** DuckDB twin of [[bandKeys]] over CTE `n(vec_id, v, norm)`:
+    * `bits AS (...), bands AS (...)` with `bands(vec_id, band_key)`.
+    */
+  private[queries] lazy val bandsCteSql: String = {
+    val planeDots = Planes.zipWithIndex.map { case (plane, p) =>
+      val weights = plane.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
+      s"CASE WHEN list_aggregate(list_transform(range(1, 65), i -> v[i] * ($weights)[i]), 'sum') > 0 THEN 1 ELSE 0 END AS bit_$p"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until NumPlanes / BandBits).map { b =>
+      val packed = (0 until BandBits)
+        .map(i => s"bit_${b * BandBits + i} * ${1L << i}").mkString(" + ")
+      s"SELECT vec_id, '$b:' || CAST($packed AS VARCHAR) AS band_key FROM bits"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""bits AS (SELECT vec_id,
+       |  $planeDots
+       |  FROM n),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_ann_bruteforce" ->
@@ -145,21 +166,8 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_lsh" -> {
-      val planeDots = Planes.zipWithIndex.map { case (plane, p) =>
-        val weights = plane.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
-        s"CASE WHEN list_aggregate(list_transform(range(1, 65), i -> v[i] * ($weights)[i]), 'sum') > 0 THEN 1 ELSE 0 END AS bit_$p"
-      }.mkString(",\n  ")
-      val bandSelects = (0 until NumPlanes / BandBits).map { b =>
-        val packed = (0 until BandBits)
-          .map(i => s"bit_${b * BandBits + i} * ${1L << i}").mkString(" + ")
-        s"SELECT vec_id, '$b:' || CAST($packed AS VARCHAR) AS band_key FROM bits"
-      }.mkString("\n  UNION ALL\n  ")
       s"""WITH $normCte,
-         |bits AS (SELECT vec_id,
-         |  $planeDots
-         |  FROM n),
-         |bands AS (
-         |  $bandSelects),
+         |$bandsCteSql,
          |cand AS (SELECT DISTINCT q.vec_id query_id, c.vec_id neighbor_id
          |         FROM bands q JOIN bands c ON q.band_key = c.band_key
          |         WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id),

@@ -81,4 +81,18 @@ class ScaleShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("cube/rollup Expand runs over a pre-aggregate, not the base table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
+    for (df <- Seq(Relational.qCubeOrders(spark, sf),
+        Relational.qRollupBalance(spark, sf))) {
+      val expands = df.queryExecution.optimizedPlan.collect { case e: Expand => e }
+      assert(expands.nonEmpty, "expected an Expand for the grouping sets")
+      // the N× row multiplication must happen AFTER the fine-grained
+      // aggregate shrank the input, so every Expand sits above an Aggregate
+      assert(expands.forall(
+        _.child.collectFirst { case a: Aggregate => a }.nonEmpty),
+        s"Expand reads the base table directly:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
 }
