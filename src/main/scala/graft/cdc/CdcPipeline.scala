@@ -24,26 +24,52 @@ object CdcPipeline {
     * `StreamingQueryProgress.observedMetrics("cdc_enrich")` — zero-cost
     * accumulator aggregation instead of a per-record log line.
     */
-  private def enrichedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
+  private def enriched(in: DataFrame, cfg: EnrichConfig): DataFrame = {
+    // passthrough = output bytes are the input bytes (invalid JSON or the
+    // reference's email-TypeError fallback — see Enrich.apply)
+    val isPassthrough = col("value_out") === col("value")
     Enrich(in, cfg)
       .observe("cdc_enrich",
         count(lit(1)).as("n_total"),
-        count(when(col("envelope").isNotNull, 1)).as("n_enriched"),
-        count(when(col("envelope").isNull, 1)).as("n_passthrough"))
-      .select(col("value_out").as("value"))
+        count(when(!isPassthrough, 1)).as("n_enriched"),
+        count(when(isPassthrough, 1)).as("n_passthrough"))
+  }
+
+  private def enrichedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
+    enriched(in, cfg).select(col("value_out").as("value"))
+
+  /** Per-table output routing column — the sink analogue of the reference's
+    * one-topic-per-table layout (`docs/setup-guide.md:33-35`). Passthrough
+    * records (unparseable, so table unknown) route to `_unrouted`.
+    */
+  private def routedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
+    enriched(in, cfg).select(
+      coalesce(col("envelope.source.table"), lit("_unrouted"))
+        .as("source_table"),
+      col("value_out").as("value"))
 
   /** Streaming pipeline: JSON-lines dir → enrich → JSON-lines dir.
     * `Trigger.AvailableNow` drains what exists then stops (deterministic for
     * tests); pass `trigger = None` for a continuous micro-batch run.
+    *
+    * `fanOutByTable = true` partitions the sink by source table
+    * (`source_table=<t>/` directories), mirroring the reference's
+    * one-topic-per-table routing; at scale this also gives per-table
+    * readers partition pruning for free.
     */
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, cfg: EnrichConfig = EnrichConfig(),
-      availableNow: Boolean = true): StreamingQuery = {
-    val writer = enrichedValues(CdcSource.streamJsonLines(spark, inDir), cfg)
+      availableNow: Boolean = true,
+      fanOutByTable: Boolean = false): StreamingQuery = {
+    val values =
+      if (fanOutByTable) routedValues(CdcSource.streamJsonLines(spark, inDir), cfg)
+      else enrichedValues(CdcSource.streamJsonLines(spark, inDir), cfg)
+    var writer = values
       .writeStream
       .format("text")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
+    if (fanOutByTable) writer = writer.partitionBy("source_table")
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }

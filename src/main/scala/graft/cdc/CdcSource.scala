@@ -29,18 +29,34 @@ object CdcSource {
     * the record value. Subscribe pattern = per-table topics
     * `<server>.<schema>.<table>` (reference naming, `docs/setup-guide.md:33-35`).
     * Kafka metadata columns double as P16 context (topic/partition/offset).
+    *
+    * Manual runbook (no broker ships in this sandbox — the projection is
+    * spec-tested against Kafka's record schema in `CdcSourceSpec`):
+    *   1. point `bootstrap` at the Kafka cluster fronting Debezium;
+    *   2. `topicPattern = "dbserver1\\.public\\..*"` subscribes every
+    *      per-table topic the connector routes to;
+    *   3. downstream is identical to the file path: [[CdcEnvelope.parse]] →
+    *      [[Enrich]] → sink; `message_id`/`topic`/`partition` flow into
+    *      P16 `processing_metadata`.
     */
   def streamKafka(spark: SparkSession, bootstrap: String, topicPattern: String): DataFrame =
-    spark.readStream
+    projectKafka(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribePattern", topicPattern)
-      .load()
-      .select(
-        col("value").cast("string").as("value"),
-        col("topic"),
-        col("partition"),
-        concat_ws(":", col("topic"), col("partition"), col("offset")).as("message_id"))
+      .load())
+
+  /** Kafka record → enrichment input contract: decode the value bytes and
+    * keep topic/partition/offset as P16 context columns. Split from
+    * [[streamKafka]] so the projection is unit-testable against a mocked
+    * DataFrame carrying Kafka's source schema.
+    */
+  def projectKafka(records: DataFrame): DataFrame =
+    records.select(
+      col("value").cast("string").as("value"),
+      col("topic"),
+      col("partition"),
+      concat_ws(":", col("topic"), col("partition"), col("offset")).as("message_id"))
 
   /** Batch twin of [[streamJsonLines]] for replay/snapshot processing. */
   def readJsonLines(spark: SparkSession, dir: String): DataFrame =

@@ -84,6 +84,30 @@ class CdcPipelineSpec extends SparkSpec {
     assert(res.filter(col("value").contains("\"table\":\"events\"")).count() == 1000)
   }
 
+  test("per-table fan-out: envelopes land in source_table partitions") {
+    val in = tmpDir("cdc-fan-in")
+    val out = tmpDir("cdc-fan-out")
+    val ckpt = tmpDir("cdc-fan-ckpt")
+    val orders = event.replace("\"table\":\"customers\"", "\"table\":\"orders\"")
+    Files.write(Paths.get(in, "mixed.jsonl"),
+      (Seq(event.format(1, 1, 1, 1), orders.format(2, 2, 2, 2), "garbage{{{"))
+        .mkString("\n").getBytes)
+    CdcPipeline.start(spark, in, out, ckpt,
+      EnrichConfig(processingTimeIso = Some("t")), fanOutByTable = true)
+      .awaitTermination()
+    // one output directory per source table, like one topic per table
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_ == "_spark_metadata").toSet
+    assert(dirs == Set("source_table=customers", "source_table=orders",
+      "source_table=_unrouted"), s"got $dirs")
+    val cust = spark.read.text(s"$out/source_table=customers")
+      .collect().map(_.getString(0))
+    assert(cust.length == 1 && cust(0).contains("\"enrichment\""))
+    val raw = spark.read.text(s"$out/source_table=_unrouted")
+      .collect().map(_.getString(0))
+    assert(raw.sameElements(Array("garbage{{{")))
+  }
+
   test("snapshot() wraps batch rows as op=r envelopes through enrichment") {
     import spark.implicits._
     val table = Seq((1, "Ann", "ann@x.org"), (2, "Bob", "bob@y.io"))
