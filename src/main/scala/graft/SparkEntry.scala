@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Media.queries ++
       graft.queries.Approx.queries ++
-      graft.queries.Profiling.queries
+      graft.queries.Profiling.queries ++
+      graft.queries.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Events.oracle ++
       graft.queries.Media.oracle ++
       graft.queries.Approx.oracle ++
-      graft.queries.Profiling.oracle
+      graft.queries.Profiling.oracle ++
+      graft.queries.Curation.oracle
 }

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * beside dedup: benchmark-contamination detection, TF-IDF keyword
+  * extraction, and PII redaction. (Reference parity note: absent from the
+  * reference by evidence — SURVEY.md §2.3-2.7 — these extend the
+  * driver-mandated LLM-pipeline layer.)
+  *
+  * Scale design:
+  *  - contamination: the benchmark set is tiny by construction, so its
+  *    shingle index BROADCASTS — the corpus is scanned once, narrow, and
+  *    only overlap hits reach the (small) aggregate. No corpus self-join.
+  *  - tf-idf: the classic two-aggregate formulation (term counts, then
+  *    document frequencies) — shuffles keyed by (doc, term) and term; the
+  *    doc-count scalar joins in as a broadcast literal row.
+  *  - redaction: pure narrow regexp transforms at scan speed.
+  *
+  * All scores are scaled-integer arithmetic (×10000 integer division) so
+  * the DuckDB oracle matches bit-exactly.
+  */
+object Curation {
+
+  /** Benchmark docs: a deterministic held-out subset (doc_id % 97 == 0) —
+    * standing in for an eval benchmark the corpus must not leak.
+    */
+  private val BenchMod = 97
+
+  /** Contamination check: for every non-benchmark document, the benchmark
+    * document sharing the most 3-shingles, with the overlap ratio
+    * (|common shingles| / |doc shingles|, ×10000). Docs sharing nothing
+    * with the benchmark produce no row — at real scale that is ~all of
+    * them, so output stays tiny.
+    */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      VectorFunctions.shingleHash56(graft.text.TextOps.tokens(col("text")))
+        .as("hs"))
+    val isBench = col("doc_id") % BenchMod === 0
+    val bench = docs.filter(isBench)
+      .select(col("doc_id").as("bench_id"), explode(col("hs")).as("sh"))
+    val corpus = docs.filter(!isBench)
+      .select(col("doc_id"), size(col("hs")).as("n_sh"),
+        explode(col("hs")).as("sh"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("common").desc, col("bench_id"))
+    corpus.join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"), col("n_sh"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("common"),
+        floor(col("common") * 10000L / col("n_sh")).cast("long")
+          .as("contamination_x10000"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF keyword extraction: top-3 terms per document scored by
+    * tf × (10000·N ÷ df) in exact integer arithmetic (monotone in the
+    * real tf·log(N/df) for fixed tf; deterministic across engines, which
+    * log() is not). Ties break on term text.
+    */
+  def qTfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * floor(col("n_docs") * 10000L / col("df")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction over synthesized contact blurbs (the documents corpus
+    * carries no PII, so the blurbs are built deterministically from the
+    * customer table — same synthesis as `q_cdc_enrich`'s emails). Counts
+    * each PII class and emits the scrubbed text.
+    */
+  def qRedactPii(s: SparkSession, d: String): DataFrame = {
+    val email = concat(
+      regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "."),
+      lit("@"), lower(col("c_mktsegment")), lit(".example.com"))
+    val phone = concat(lit("555-"),
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    val blurb = concat(lit("Contact "), col("c_name"), lit(" <"), email,
+      lit("> or call "), phone, lit("."))
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), blurb.as("blurb"))
+      .select(
+        col("custkey"),
+        size(regexp_extract_all(col("blurb"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("blurb"), lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("blurb"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy(col("custkey"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles.
+  // ---------------------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "q_contamination" ->
+      s"""WITH sh AS (${Dedup.shingleSql}),
+         |b AS (SELECT doc_id AS bench_id, unnest(hs) AS sh FROM sh
+         |      WHERE doc_id % $BenchMod = 0),
+         |c AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS sh FROM sh
+         |      WHERE doc_id % $BenchMod != 0),
+         |p AS (SELECT c.doc_id, c.n_sh, b.bench_id, count(*) AS common
+         |      FROM c JOIN b ON c.sh = b.sh GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY common DESC, bench_id) AS rn FROM p)
+         |SELECT doc_id, bench_id, common,
+         |  CAST(common * 10000 // n_sh AS BIGINT) AS contamination_x10000
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |         tf.tf * (n.n_docs * 10000 // df.df) AS score
+        |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_redact_pii" ->
+      s"""WITH t AS (SELECT c_custkey AS custkey,
+         |  'Contact ' || c_name || ' <'
+         |    || regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g')
+         |    || '@' || lower(c_mktsegment) || '.example.com'
+         |    || '> or call 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+         |    || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '.'
+         |    AS blurb
+         |  FROM customer)
+         |SELECT custkey,
+         |  CAST(len(regexp_extract_all(blurb, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(blurb, '$PhoneRe')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(blurb, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM t ORDER BY custkey""".stripMargin
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination" -> (qContamination _),
+    "q_tfidf_keywords" -> (qTfidfKeywords _),
+    "q_redact_pii" -> (qRedactPii _)
+  )
+}

@@ -328,7 +328,7 @@ object Dedup {
   private def h56(x: String) = s"CAST('0x'||substr(md5($x),1,14) AS BIGINT)"
 
   /** Distinct 56-bit hashes of word 3-shingles (twin of ShingleHash56). */
-  private val shingleSql =
+  private[queries] val shingleSql =
     s"""SELECT doc_id, list_distinct(list_transform(
        |    range(1, greatest(len(toks)-2, 0)+1),
        |    i -> ${h56("toks[i]||' '||toks[i+1]||' '||toks[i+2]")})) AS hs

@@ -82,6 +82,12 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("contamination check broadcasts the benchmark shingle index") {
+    val plan = finalPlan(Curation.qContamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("cube/rollup Expand runs over a pre-aggregate, not the base table") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
     for (df <- Seq(Relational.qCubeOrders(spark, sf),
