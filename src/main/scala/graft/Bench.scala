@@ -37,9 +37,11 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // a failed query must be visible in the JSON contract, not just stderr
+    // a failed query must be visible in the JSON contract, not just stderr;
+    // blank every char that would need JSON escaping (quotes, backslash,
+    // ALL control chars) so the one-line metric contract stays RFC 8259
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      "\"" + k + "\":\"" + e.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =

@@ -24,27 +24,34 @@ object CdcPipeline {
     * `StreamingQueryProgress.observedMetrics("cdc_enrich")` — zero-cost
     * accumulator aggregation instead of a per-record log line.
     */
-  private def enriched(in: DataFrame, cfg: EnrichConfig): DataFrame = {
-    // passthrough = output bytes are the input bytes (invalid JSON or the
-    // reference's email-TypeError fallback — see Enrich.apply)
-    val isPassthrough = col("value_out") === col("value")
+  // passthrough = output bytes are the input bytes (invalid JSON or the
+  // reference's email-TypeError fallback — see Enrich.apply). Null input
+  // (e.g. a Kafka tombstone) is passthrough too: coalesce keeps the
+  // n_enriched + n_passthrough == n_total invariant, which a bare
+  // null === null comparison would break.
+  private def isPassthrough =
+    coalesce(col("value_out") === col("value"), lit(true))
+
+  private def enriched(in: DataFrame, cfg: EnrichConfig): DataFrame =
     Enrich(in, cfg)
       .observe("cdc_enrich",
         count(lit(1)).as("n_total"),
         count(when(!isPassthrough, 1)).as("n_enriched"),
         count(when(isPassthrough, 1)).as("n_passthrough"))
-  }
 
   private def enrichedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
     enriched(in, cfg).select(col("value_out").as("value"))
 
   /** Per-table output routing column — the sink analogue of the reference's
     * one-topic-per-table layout (`docs/setup-guide.md:33-35`). Passthrough
-    * records (unparseable, so table unknown) route to `_unrouted`.
+    * records (raw bytes, replayable) route to `_unrouted`; ENRICHED records
+    * whose envelope lacks `source.table` route to `_unknown` so the
+    * `_unrouted` partition never mixes enriched output with raw bytes.
     */
   private def routedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
     enriched(in, cfg).select(
-      coalesce(col("envelope.source.table"), lit("_unrouted"))
+      when(isPassthrough, lit("_unrouted"))
+        .otherwise(coalesce(col("envelope.source.table"), lit("_unknown")))
         .as("source_table"),
       col("value_out").as("value"))
 

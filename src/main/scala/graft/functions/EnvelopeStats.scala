@@ -103,14 +103,17 @@ object EnvelopeStats {
               row.update(3, null); row.update(4, null)
               row.update(5, null); row.update(6, null)
               if (vt == JsonToken.START_OBJECT) {
-                var cnt = 0
+                // unique keys, like Python's len(json.loads(...)) — dup
+                // keys collapse (and the email value takes the LAST
+                // occurrence, like dict construction)
+                val keys = new java.util.HashSet[String]()
                 var hasEmail = false
                 var email: UTF8String = null
                 var nonString = false
                 while (p.nextToken() == JsonToken.FIELD_NAME) {
                   val k = p.currentName()
                   val ft = p.nextToken()
-                  cnt += 1
+                  keys.add(k)
                   if (k == "email") {
                     hasEmail = true
                     if (ft == JsonToken.VALUE_STRING) {
@@ -123,7 +126,7 @@ object EnvelopeStats {
                   }
                   p.skipChildren()
                 }
-                row.update(3, cnt)
+                row.update(3, keys.size)
                 row.update(4, hasEmail)
                 row.update(5, email)
                 row.update(6, nonString)

@@ -26,26 +26,32 @@ object Approx {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Percentile points: shared by the aggregate and the exploded-row
+    * labels so the two can never drift apart.
+    */
+  private val Pcts = Seq(0.5, 0.95, 0.99)
+
   // One scalar row per (linestatus, percentile): the driver's rows-only
   // check loads results with pandas, which cannot sort an array<double>
   // column — so the percentile array is exploded to (pct, value) rows.
-  def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
+  def qApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val pctArray = array(Pcts.map(lit): _*)
     Tables.lineitem(s, d)
       .groupBy(col("l_linestatus"))
       .agg(
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_pcts"),
+          pctArray, lit(10000)).as("price_pcts"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
       .select(col("l_linestatus"),
         posexplode(col("price_pcts")).as(Seq("pct_idx", "price_pct")),
         col("min_price"), col("max_price"))
-      .withColumn("pct", element_at(
-        array(lit(0.5), lit(0.95), lit(0.99)), col("pct_idx") + 1))
+      .withColumn("pct", element_at(pctArray, col("pct_idx") + 1))
       .drop("pct_idx")
       .select(col("l_linestatus"), col("pct"), col("price_pct"),
         col("min_price"), col("max_price"))
       .orderBy(col("l_linestatus"), col("pct"))
+  }
 
   val oracle: Map[String, String] = Map.empty // rows-only: sketch params are engine-specific
 

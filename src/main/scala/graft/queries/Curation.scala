@@ -38,10 +38,13 @@ object Curation {
     * them, so output stays tiny.
     */
   def qContamination(s: SparkSession, d: String): DataFrame = {
+    // checkpoint the shingle projection: the benchmark and corpus filters
+    // both consume it, and the md5 shingle loop is the dominant per-row cost
     val docs = Tables.documents(s, d).select(
       col("doc_id"),
       VectorFunctions.shingleHash56(graft.text.TextOps.tokens(col("text")))
         .as("hs"))
+      .localCheckpoint()
     val isBench = col("doc_id") % BenchMod === 0
     val bench = docs.filter(isBench)
       .select(col("doc_id").as("bench_id"), explode(col("hs")).as("sh"))
@@ -70,10 +73,14 @@ object Curation {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.text.TextOps.tokens(col("text"))).as("term"))
+    // one scan: df derives from tf (rows of tf per term == docs containing
+    // the term), so the corpus is tokenized once, not twice; checkpoint tf
+    // because it feeds both the df aggregate and the score join
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d)
       .agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
