@@ -95,6 +95,40 @@ object CdcSource {
     )).as("value"))
   }
 
+  /** Generator twin of [[snapshot]] for arbitrary ops: wrap rows as
+    * c/u/d/r envelopes with an explicit monotone `lsn`. Image placement
+    * mirrors Debezium under default replica identity: inserts/updates/reads
+    * carry `after` only, deletes carry `before` only.
+    */
+  def changes(rows: DataFrame, op: String, db: String, schema: String,
+      table: String, lsn: org.apache.spark.sql.Column,
+      serverName: String = "dbserver1",
+      fixedTsMs: Option[Long] = None): DataFrame = {
+    val tsMs = fixedTsMs.map(lit(_).cast("long"))
+      .getOrElse((unix_timestamp(current_timestamp()) * 1000).cast("long"))
+    val image = struct(rows.columns.map(col): _*)
+    val noImage = lit(null).cast(StructType(rows.schema.fields))
+    val (before, after) =
+      if (op == "d") (image, noImage) else (noImage, image)
+    rows.select(to_json(struct(
+      before.as("before"),
+      after.as("after"),
+      struct(
+        lit("spark-graft").as("version"),
+        lit("postgresql").as("connector"),
+        lit(serverName).as("name"),
+        tsMs.as("ts_ms"),
+        lit(if (op == "r") "true" else "false").as("snapshot"),
+        lit(db).as("db"),
+        lit(schema).as("schema"),
+        lit(table).as("table"),
+        lit(null).cast("long").as("txId"),
+        lsn.cast("long").as("lsn")).as("source"),
+      lit(op).as("op"),
+      tsMs.as("ts_ms")
+    )).as("value"))
+  }
+
   /** S3: table include filter — restrict a multi-table envelope stream to one
     * schema/table, the Spark form of Debezium's `table.include.list`
     * (reference connector yaml:23-24). Applied on parsed envelopes so it

@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.Tables
-import graft.cdc.{CdcSource, Enrich, EnrichConfig}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cdc.{CdcEnvelope, CdcSource, Enrich, EnrichConfig}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Driver-gate coverage for the CDC path (SURVEY.md §2.1–2.2): synthesizes
   * snapshot envelopes from the `customer` table, runs the full
@@ -50,7 +51,59 @@ object Cdc {
       .orderBy(col("id"))
   }
 
+  /** Latest-state materialization — the consumer-side operator every CDC
+    * user builds (SURVEY.md §2.5 "natural v2 feature"): reduce a c/u/d/r
+    * change stream to the current table state. A deterministic change mix
+    * is synthesized from `customer` (snapshot all, update every 3rd key,
+    * delete every 7th), serialized through the full JSON envelope
+    * round-trip, then reduced: per key, the max-`lsn` envelope wins and a
+    * winning delete removes the row — one window shuffle on the key, which
+    * is the minimum any engine needs for this reduction.
+    *
+    * The oracle derives the SAME final state independently (closed-form
+    * from the mod rules), so the gate checks the materialization logic,
+    * not a SQL transliteration of it.
+    */
+  def qCdcLatestState(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      col("c_name").as("name"),
+      concat(
+        regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "."),
+        lit("@"), lower(col("c_mktsegment")), lit(".example.com")).as("email"))
+    def mk(rows: DataFrame, op: String, lsn: Column) =
+      CdcSource.changes(rows, op, "inventory", "public", "customers",
+        lsn, fixedTsMs = Some(FixedTs))
+    val snaps = mk(cust, "r", col("id").cast("long"))
+    val upds = mk(cust.filter(col("id") % 3 === 0)
+        .withColumn("name", upper(col("name"))),
+      "u", col("id") + 10000000L)
+    val dels = mk(cust.filter(col("id") % 7 === 0), "d", col("id") + 20000000L)
+    val parsed = CdcEnvelope.parse(snaps.unionByName(upds).unionByName(dels))
+    val keyed = parsed.select(
+      coalesce(col("envelope.after.id"), col("envelope.before.id")).as("id"),
+      col("envelope.source.lsn").as("lsn"),
+      col("envelope.op").as("op"),
+      col("envelope.after.name").as("name"),
+      col("envelope.after.email").as("email"))
+    val w = Window.partitionBy(col("id")).orderBy(col("lsn").desc)
+    keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("id"), col("name"), col("email"), col("lsn").as("last_lsn"))
+      .orderBy(col("id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_cdc_latest_state" ->
+      """SELECT CAST(c_custkey AS INT) AS id,
+        |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS name,
+        |  regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g')
+        |    || '@' || lower(c_mktsegment) || '.example.com' AS email,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
+        |            ELSE c_custkey END AS BIGINT) AS last_lsn
+        |FROM customer WHERE c_custkey % 7 != 0
+        |ORDER BY id""".stripMargin,
+
     "q_cdc_enrich" ->
       """SELECT CAST(c_custkey AS INT) AS id,
         |  'r' AS op_code, 'READ' AS op_label, false AS is_mutation,
@@ -67,6 +120,7 @@ object Cdc {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cdc_enrich" -> (qCdcEnrich _)
+    "q_cdc_enrich" -> (qCdcEnrich _),
+    "q_cdc_latest_state" -> (qCdcLatestState _)
   )
 }
