@@ -24,6 +24,31 @@ class RunningCountProcessor extends StatefulProcessor[Long, Ev, (Long, Long)] {
   }
 }
 
+case class ChangeRec(id: Int, lsn: Long, op: String, name: String)
+case class StateRec(lsn: Long, op: String, name: String)
+
+/** Streaming twin of the batch latest-state materialization
+  * (`queries.Cdc.qCdcLatestState`): per-key max-lsn state in RocksDB-backed
+  * ValueState, late (lower-lsn) events ignored, deletes tombstoned.
+  */
+class LatestStateProcessor
+    extends StatefulProcessor[Int, ChangeRec, (Int, Long, String, String)] {
+  @transient private var st: ValueState[StateRec] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[StateRec]("latest",
+      Encoders.product[StateRec], TTLConfig.NONE)
+  override def handleInputRows(key: Int, rows: Iterator[ChangeRec],
+      tv: TimerValues): Iterator[(Int, Long, String, String)] = {
+    var cur = if (st.exists()) st.get() else null
+    rows.foreach { r =>
+      if (cur == null || r.lsn > cur.lsn)
+        cur = StateRec(r.lsn, r.op, if (r.op == "d") null else r.name)
+    }
+    st.update(cur)
+    Iterator((key, cur.lsn, cur.op, cur.name))
+  }
+}
+
 /** Structured Streaming semantics: windowed aggregation parity with batch,
   * watermark-gated append emission across checkpointed restarts, stateful
   * dedup within watermark, and custom state via flatMapGroupsWithState —
@@ -219,6 +244,61 @@ class StreamingSpec extends SparkSpec {
         .groupBy("user_id").agg(max("running_n").as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(finalCounts == Map(0L -> 6L, 1L -> 6L, 2L -> 6L, 3L -> 6L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming latest-state: max-lsn wins across restarts, late events ignored") {
+    import spark.implicits._
+    val in = tmpDir("tws-ls-in")
+    val ckpt = tmpDir("tws-ls-ckpt")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    def run(): Map[Int, (Long, String, String)] = {
+      val emitted =
+        scala.collection.mutable.Map[Int, (Long, String, String)]()
+      spark.readStream.schema(Seq.empty[ChangeRec].toDF().schema).parquet(in)
+        .as[ChangeRec]
+        .groupByKey(_.id)
+        .transformWithState(new LatestStateProcessor(),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("id", "lsn", "op", "name")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect()
+          emitted.synchronized {
+            rows.foreach(r => emitted(r.getInt(0)) =
+              (r.getLong(1), r.getString(2), r.getString(3)))
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      emitted.toMap
+    }
+    try {
+      // batch 1: snapshot of 5 keys
+      (1 to 5).map(i => ChangeRec(i, i, "r", s"N$i")).toDF()
+        .coalesce(1).write.mode("append").parquet(in)
+      val s1 = run()
+      assert(s1 == (1 to 5).map(i => i -> ((i.toLong, "r", s"N$i"))).toMap)
+
+      // batch 2 after restart: update id 2, delete id 3, LATE event for id 4
+      // (lsn 0 < snapshot lsn — must not override the newer state)
+      Seq(ChangeRec(2, 102, "u", "N2v2"), ChangeRec(3, 103, "d", "gone"),
+        ChangeRec(4, 0, "u", "stale")).toDF()
+        .coalesce(1).write.mode("append").parquet(in)
+      val s2 = run()
+      assert(s2 == Map(
+        2 -> ((102L, "u", "N2v2")),
+        3 -> ((103L, "d", null)),      // tombstoned, name cleared
+        4 -> ((4L, "r", "N4"))))       // late event ignored, state unchanged
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
