@@ -11,19 +11,23 @@ class SourceFormatsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("csv and json round-trip identical to parquet") {
+  test("csv, json, and orc round-trip identical to parquet") {
     val nation = Tables.nation(spark, sf)
     val csvDir = tmpDir("fmt-csv")
     val jsonDir = tmpDir("fmt-json")
+    val orcDir = tmpDir("fmt-orc")
     nation.write.mode("overwrite").option("header", "true").csv(csvDir)
     nation.write.mode("overwrite").json(jsonDir)
+    nation.write.mode("overwrite").orc(orcDir)
 
     val fromCsv = spark.read.option("header", "true")
       .schema(nation.schema).csv(csvDir)
     val fromJson = spark.read.schema(nation.schema).json(jsonDir)
+    val fromOrc = spark.read.orc(orcDir) // self-describing, no schema needed
     val expected = nation.collect().map(_.toSeq).toSet
     assert(fromCsv.collect().map(_.toSeq).toSet == expected)
     assert(fromJson.collect().map(_.toSeq).toSet == expected)
+    assert(fromOrc.collect().map(_.toSeq).toSet == expected)
   }
 
   test("a join query runs unchanged over converted inputs") {
