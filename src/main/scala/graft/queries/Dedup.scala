@@ -68,15 +68,16 @@ object Dedup {
   def qDedupNgram(s: SparkSession, d: String): DataFrame = {
     val docs = shingled(s, d)
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
+    // df attached via a window over the shingle key (not a groupBy+join):
+    // one shuffle produces the filtered index already hash-partitioned on
+    // `sh`, so BOTH sides of the pair self-join reuse that exchange —
+    // no further shuffle until the pair aggregate.
     val inv = docs
       .select(col("doc_id"), col("n_sh"), explode(col("sh_hashes")).as("sh"))
-      .localCheckpoint()
-    val shared = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("sh"))
-    val a = inv.join(shared, "sh")
-      .select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
-    val b = inv.join(shared, "sh")
-      .select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") >= 2)
+    val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh"))
     a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -109,9 +110,11 @@ object Dedup {
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
       .localCheckpoint()
     val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh_hashes")).as("sh"))
-    val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // df attached via a window (one shuffle) instead of groupBy + join back
+    // (two); the rank window then re-shuffles on doc_id as before
     val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val prefix = inv.join(dfreq, "sh")
+    val prefix = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * JaccardT) + 1)
       .select(col("doc_id"), col("n_sh"), col("sh"))
