@@ -127,6 +127,62 @@ object Curation {
       .orderBy(col("custkey"))
   }
 
+  /** Per-language sampling keep-rates (percent). */
+  private val SampleRates: Map[String, Int] =
+    Map("en" -> 60, "de" -> 40, "es" -> 40, "zh" -> 25)
+  private val DefaultRate = 10
+
+  /** Deterministic stratified sampling: keep a per-language percentage of
+    * documents chosen by md5-hash bucket, NOT rand() — the only sampling
+    * that is reproducible across engines, re-runs, and repartitioning at
+    * cluster scale. Pure narrow filter: scan speed, zero shuffle before
+    * the presentation sort.
+    */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      graft.text.TextOps.hash56(concat(lit("sample:"), col("doc_id"))),
+      lit(100L))
+    val rate = SampleRates.foldRight(lit(DefaultRate): org.apache.spark.sql.Column) {
+      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window budget for sequence packing (whitespace tokens). */
+  private val PackBudget = 4096L
+
+  /** Sequential sequence packing by token offset: documents in doc_id
+    * order fill context windows of `PackBudget` tokens; each doc joins the
+    * window its FIRST token falls in (so a pack can overflow by at most
+    * one document's length — standard offset-based packing). Emits
+    * per-pack stats. The running total is one global window — fine here
+    * because packing is defined sequentially; at corpus scale the same op
+    * runs per shard (partitionBy(shard) prepended to the window) for
+    * embarrassing parallelism.
+    */
+  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // (cum - n_tokens) tokens precede this doc = its start offset;
+      // integer-divide by the budget to get its window
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("pack_id"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles.
   // ---------------------------------------------------------------------
@@ -161,6 +217,34 @@ object Curation {
         |  CAST(score AS BIGINT) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    "q_stratified_sample" -> {
+      val rateCase = SampleRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,14)
+         |    AS BIGINT) % 100 AS bucket,
+         |  $rateCase AS rate
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket
+         |FROM t WHERE bucket < rate
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT (cum - n_tokens) // $PackBudget AS pack_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
     "q_redact_pii" ->
       s"""WITH t AS (SELECT c_custkey AS custkey,
          |  'Contact ' || c_name || ' <'
@@ -181,6 +265,8 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_contamination" -> (qContamination _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
-    "q_redact_pii" -> (qRedactPii _)
+    "q_redact_pii" -> (qRedactPii _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_pack_sequences" -> (qPackSequences _)
   )
 }
