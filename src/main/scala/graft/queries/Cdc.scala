@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.cdc.{CdcEnvelope, CdcSource, Enrich, EnrichConfig}
+import graft.cdc.{CdcEnvelope, CdcMaterialize, CdcSource, Enrich, EnrichConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -80,16 +80,10 @@ object Cdc {
       "u", col("id") + 10000000L)
     val dels = mk(cust.filter(col("id") % 7 === 0), "d", col("id") + 20000000L)
     val parsed = CdcEnvelope.parse(snaps.unionByName(upds).unionByName(dels))
-    val keyed = parsed.select(
-      coalesce(col("envelope.after.id"), col("envelope.before.id")).as("id"),
-      col("envelope.source.lsn").as("lsn"),
-      col("envelope.op").as("op"),
-      col("envelope.after.name").as("name"),
-      col("envelope.after.email").as("email"))
-    val w = Window.partitionBy(col("id")).orderBy(col("lsn").desc)
-    keyed.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "d")
-      .select(col("id"), col("name"), col("email"), col("lsn").as("last_lsn"))
+    CdcMaterialize.latestState(parsed, keyField = "id")
+      // the envelope payload schema carries created_at (all-null here:
+      // the synthesized change events don't set it) — project it away
+      .select(col("id"), col("name"), col("email"), col("last_lsn"))
       .orderBy(col("id"))
   }
 
