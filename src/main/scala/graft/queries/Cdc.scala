@@ -4,7 +4,6 @@ import graft.Tables
 import graft.cdc.{CdcEnvelope, CdcMaterialize, CdcSource, Enrich, EnrichConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Driver-gate coverage for the CDC path (SURVEY.md §2.1–2.2): synthesizes
   * snapshot envelopes from the `customer` table, runs the full
