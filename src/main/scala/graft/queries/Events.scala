@@ -94,6 +94,34 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Range join via time binning: clicks within the hour BEFORE each
+    * purchase (attribution window), expressed as an EQUI join — each side
+    * keys on (user_id, hour bucket), purchases carry two bucket keys (their
+    * hour and the previous one, covering every possible 1-hour lookback),
+    * and the exact range predicate filters after the hash join. The naive
+    * formulation (`ON c.ts BETWEEN p.ts - 1h AND p.ts`) plans as a
+    * nested-loop join — quadratic per user at corpus scale; binning keeps
+    * it a hash join with O(events) shuffle. Each click has exactly one
+    * bucket, so no pair is double-counted.
+    */
+  def qEventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("hour_bucket",
+        explode(array(floor(col("p_us") / HourUs) - 1, floor(col("p_us") / HourUs))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("hour_bucket", floor(col("c_us") / HourUs))
+    purchases.join(clicks, Seq("user_id", "hour_bucket"))
+      .filter(col("c_us") >= col("p_us") - HourUs && col("c_us") < col("p_us"))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** JSON property extraction + aggregation over the stream-shaped table. */
   def qEventsProps(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -158,6 +186,16 @@ object Events {
         |SELECT user_id, t_click, t_view, t_purchase
         |FROM p ORDER BY user_id""".stripMargin,
 
+    "q_events_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  count(*) AS n_clicks_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) < epoch_us(p.ts)
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+
     "q_events_props" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
@@ -172,6 +210,7 @@ object Events {
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
     "q_events_props" -> (qEventsProps _),
-    "q_events_funnel" -> (qEventsFunnel _)
+    "q_events_funnel" -> (qEventsFunnel _),
+    "q_events_attribution" -> (qEventsAttribution _)
   )
 }

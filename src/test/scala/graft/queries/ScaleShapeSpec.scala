@@ -88,6 +88,13 @@ class ScaleShapeSpec extends SparkSpec {
       s"benchmark side must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("binned range join plans as a hash join, not a nested loop") {
+    val plan = finalPlan(Events.qEventsAttribution(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must bin to an equi join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("cube/rollup Expand runs over a pre-aggregate, not the base table") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
     for (df <- Seq(Relational.qCubeOrders(spark, sf),
