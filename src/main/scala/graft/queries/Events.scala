@@ -122,6 +122,38 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  /** Weekly retention cohorts: users grouped by the ISO week of their first
+    * event; for each (cohort week, week offset) the count of distinct users
+    * active that week and the retention rate vs the cohort's week-0 size.
+    * Scale shape: two user-keyed shuffles (first-event aggregate, then the
+    * activity set dedup arrives pre-partitioned into the join), then a tiny
+    * cohort×offset aggregate — the window for the week-0 denominator runs
+    * over the already-aggregated frame, O(weeks²) rows, not over events.
+    */
+  def qRetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val weekly = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    // min(date_trunc) == date_trunc(min): trunc is monotone, so the first
+    // event's week comes straight off the per-user aggregate
+    val firsts = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val active = weekly.distinct()
+    val grid = active.join(firsts, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    // offset 0 always exists (every cohort member is active in week 0), so
+    // the ordered-window first() is the cohort size
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+    grid
+      .withColumn("cohort_size", first(col("n_users")).over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        floor(col("n_users") * 10000L / col("cohort_size")).cast("long")
+          .as("retention_x10000"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** JSON property extraction + aggregation over the stream-shaped table. */
   def qEventsProps(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -196,6 +228,21 @@ object Events {
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
 
+    "q_retention_cohorts" ->
+      """WITH wk AS (SELECT user_id, date_trunc('week', ts) AS week
+        |            FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM wk),
+        |g AS (SELECT cohort_week,
+        |        date_diff('day', cohort_week, week) // 7 AS week_offset,
+        |        count(DISTINCT a.user_id) AS n_users
+        |      FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2),
+        |z AS (SELECT *, first(n_users) OVER (PARTITION BY cohort_week
+        |        ORDER BY week_offset) AS cohort_size FROM g)
+        |SELECT cohort_week, week_offset, n_users,
+        |  CAST(n_users * 10000 // cohort_size AS BIGINT) AS retention_x10000
+        |FROM z ORDER BY cohort_week, week_offset""".stripMargin,
+
     "q_events_props" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
@@ -211,6 +258,7 @@ object Events {
     "q_events_asof" -> (qEventsAsof _),
     "q_events_props" -> (qEventsProps _),
     "q_events_funnel" -> (qEventsFunnel _),
-    "q_events_attribution" -> (qEventsAttribution _)
+    "q_events_attribution" -> (qEventsAttribution _),
+    "q_retention_cohorts" -> (qRetentionCohorts _)
   )
 }

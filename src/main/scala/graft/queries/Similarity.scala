@@ -116,6 +116,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Every 61st vector is an IVF pivot — a deterministic coarse quantizer
+    * whose cell count grows with the corpus (≈n/61), standing in for the
+    * k-means centroids a production IVF trains offline.
+    */
+  val PivotMod = 61
+  val NProbe = 2
+
+  /** IVF (inverted-file) ANN: assign every vector to its nearest pivot
+    * cell, probe the [[NProbe]] nearest cells per query, exact cosine +
+    * top-k only within probed cells. The third classic ANN shape beside
+    * brute-force and LSH: candidate count is corpus/cells × nProbe per
+    * query, tunable independently of any hash family.
+    *
+    * Scale shape: pivots are tiny by construction → they BROADCAST, so
+    * cell assignment is a narrow scan (pivot dots fold map-side via
+    * max_by partial aggregation — one row per vector reaches the
+    * shuffle). Only query rows (1/50th) pay a row_number window. The
+    * candidate join shuffles on cell — the inverted file. No all-pairs
+    * product anywhere.
+    */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val vecs = vecsWithNorm(s, d).localCheckpoint()
+    val pivots = vecs.filter(col("vec_id") % PivotMod === 0)
+      .select(col("vec_id").as("pivot_id"), col("v").as("pv"),
+        col("norm").as("pnorm"))
+    val assigned = vecs.crossJoin(broadcast(pivots))
+      .withColumn("pcos",
+        VectorFunctions.dot(col("v"), col("pv")) / (col("norm") * col("pnorm")))
+    // nearest pivot without a corpus-wide window: max_by over (pcos,
+    // -pivot_id) == row_number()=1 under (pcos DESC, pivot_id) — the
+    // tiebreak key is unique, and the aggregate combines map-side
+    val cells = assigned.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("pivot_id"),
+          struct(col("pcos"), (-col("pivot_id")).as("nb"))).as("cell"),
+        first(col("v")).as("cv"), first(col("norm")).as("cnorm"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("cv"), col("cnorm"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("pivot_id"))
+    val probes = assigned.filter(isQuery(col("vec_id")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("pivot_id").as("cell"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    // cells partition the corpus, so no candidate pair repeats — no
+    // dropDuplicates needed (unlike the multi-band LSH path)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotQC / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles — hyperplanes inlined as the SAME literals.
   // ---------------------------------------------------------------------
@@ -165,6 +224,36 @@ object Similarity {
          |FROM r WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
+    "q_ann_ivf" ->
+      s"""WITH $normCte,
+         |piv AS (SELECT vec_id AS pivot_id, v AS pv, norm AS pnorm
+         |        FROM n WHERE vec_id % $PivotMod = 0),
+         |a AS (SELECT c.vec_id, p.pivot_id,
+         |        list_aggregate(list_transform(range(1, 65),
+         |          i -> c.v[i]*p.pv[i]), 'sum') / (c.norm*p.pnorm) AS pcos
+         |      FROM n c CROSS JOIN piv p),
+         |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY pcos DESC, pivot_id) AS prn FROM a),
+         |cell AS (SELECT vec_id AS neighbor_id, pivot_id AS cell
+         |         FROM r0 WHERE prn = 1),
+         |probe AS (SELECT vec_id AS query_id, pivot_id AS cell
+         |          FROM r0 WHERE vec_id % 50 = 0 AND prn <= $NProbe),
+         |cand AS (SELECT query_id, neighbor_id
+         |         FROM probe JOIN cell USING (cell)
+         |         WHERE query_id != neighbor_id),
+         |p AS (SELECT query_id, neighbor_id,
+         |        $dotSql / (q.norm*c.norm) AS cos
+         |      FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |                JOIN n c ON cand.neighbor_id = c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(round(cos*10000) AS BIGINT) AS cos_x10000
+         |FROM r WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q_ann_lsh" -> {
       s"""WITH $normCte,
          |$bandsCteSql,
@@ -188,6 +277,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
-    "q_ann_lsh" -> (qAnnLsh _)
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _)
   )
 }

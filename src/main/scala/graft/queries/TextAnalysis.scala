@@ -117,6 +117,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition / boilerplate signals per document (the Gopher-rules family
+    * of repetition filters): duplicate-token fraction and most-frequent-
+    * 2-gram share. Shape at scale: one narrow scan builds the 2-gram list,
+    * one shuffle keyed by (doc_id, gram) with map-side partials collapses
+    * counts, a second doc-keyed window picks the mode — no self-joins, no
+    * doc×doc work; output is one row per document.
+    */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    // adjacent (non-distinct) 2-grams; sequence(1,0) is DESCENDING in
+    // Spark, so the <2-token case must be guarded to an empty list
+    val grams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(typedLit(Seq.empty[String]))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        grams.as("grams"))
+    val gramCounts = base
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("gram_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gram_n").desc, col("gram"))
+    val topGram = gramCounts
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_2gram"),
+        col("gram_n").as("top_2gram_n"))
+    base.drop("grams").join(topGram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        idiv((col("n_tokens") - col("n_distinct")) * 10000L, col("n_tokens"))
+          .as("dup_token_x10000"),
+        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
+        coalesce(col("top_2gram_n"), lit(0L)).as("top_2gram_n"),
+        coalesce(
+          idiv(col("top_2gram_n") * 10000L, col("n_tokens") - 1), lit(0L))
+          .as("top_2gram_x10000"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: md5 of the normal form plus an order-sensitive
     * polynomial rolling hash over token hashes (mod 2^31-1) — two documents
     * with the same token multiset in different order fingerprint differently.
@@ -210,6 +254,33 @@ object TextAnalysis {
          |    AS bpe_per_word_x10000
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // DuckDB range(1, n) is ASCENDING-or-empty (1..n-1), so the <2-token
+    // guard Spark needs is implicit here; toks[i] is 1-indexed.
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_tokens,
+        |        len(list_distinct(toks)) AS n_distinct,
+        |        list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |      FROM t),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM b),
+        |gc AS (SELECT doc_id, gram, count(*) AS gram_n
+        |       FROM g GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, gram AS top_2gram, gram_n AS top_2gram_n
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY gram_n DESC, gram) AS rn FROM gc)
+        |       WHERE rn = 1)
+        |SELECT b.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST((n_tokens - n_distinct) * 10000 // n_tokens AS BIGINT)
+        |    AS dup_token_x10000,
+        |  coalesce(top_2gram, '') AS top_2gram,
+        |  CAST(coalesce(top_2gram_n, 0) AS BIGINT) AS top_2gram_n,
+        |  CAST(coalesce(top_2gram_n * 10000 // (n_tokens - 1), 0) AS BIGINT)
+        |    AS top_2gram_x10000
+        |FROM b LEFT JOIN tg ON b.doc_id = tg.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
     "q_doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -229,6 +300,7 @@ object TextAnalysis {
     "q_quality_score" -> (qQualityScore _),
     "q_lang_id" -> (qLangId _),
     "q_token_counts" -> (qTokenCounts _),
-    "q_doc_fingerprint" -> (qDocFingerprint _)
+    "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_repetition" -> (qRepetition _)
   )
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-2 operators: repetition signals,
+  * retention cohorts, histogram/CDF, and IVF ANN. The cell-exact values
+  * are gated by the DuckDB oracle; these specs assert the algebraic
+  * invariants the oracle can't express (recall floors, partition-of-corpus
+  * properties, hand-computed single-document values).
+  */
+class RoundTwoOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("repetition: hand-computed doc matches; ratios bounded") {
+    val rep = TextAnalysis.qRepetition(spark, sf).cache()
+    val rows = rep.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val dup = r.getAs[Long]("dup_token_x10000")
+      val top = r.getAs[Long]("top_2gram_x10000")
+      assert(dup >= 0 && dup <= 10000, s"dup ratio out of range: $r")
+      assert(top >= 0 && top <= 10000, s"2-gram ratio out of range: $r")
+      assert(r.getAs[Long]("top_2gram_n") >= 1) // every doc has ≥2 tokens
+    }
+    // recompute one document by hand
+    val doc = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7).select("text").head.getString(0)
+    val toks = doc.split(" ").toSeq
+    val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val (bestGram, bestN) = grams.groupBy(identity).view.mapValues(_.size)
+      .toSeq.minBy { case (g, n) => (-n, g) }
+    val r7 = rows.find(_.getAs[Long]("doc_id") == 7).get
+    assert(r7.getAs[Int]("n_tokens") == toks.size)
+    assert(r7.getAs[Long]("dup_token_x10000") ==
+      (toks.size - toks.distinct.size).toLong * 10000 / toks.size)
+    assert(r7.getAs[String]("top_2gram") == bestGram)
+    assert(r7.getAs[Long]("top_2gram_n") == bestN.toLong)
+    rep.unpersist()
+  }
+
+  test("retention cohorts: week-0 is full retention and covers every user") {
+    val ret = Events.qRetentionCohorts(spark, sf).cache()
+    val week0 = ret.filter(col("week_offset") === 0)
+    assert(week0.filter(col("retention_x10000") =!= 10000).isEmpty,
+      "week-0 retention must be exactly 10000 for every cohort")
+    val cohortSum = week0.agg(sum("n_users")).head.getLong(0)
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select(countDistinct("user_id")).head.getLong(0)
+    assert(cohortSum == totalUsers,
+      s"cohort week-0 sizes ($cohortSum) must partition all users ($totalUsers)")
+    assert(ret.filter(col("n_users") > col("n_users")).isEmpty) // sanity: no nulls
+    ret.unpersist()
+  }
+
+  test("histogram: counts partition the table, CDF ends at exactly 10000") {
+    val hist = Profiling.qHistogramPrices(spark, sf).collect()
+    val total = graft.Tables.lineitem(spark, sf).count()
+    assert(hist.map(_.getAs[Long]("n")).sum == total)
+    assert(hist.last.getAs[Long]("cdf_x10000") == 10000)
+    val buckets = hist.map(_.getAs[Long]("bucket"))
+    assert(buckets.sameElements(buckets.sorted), "buckets must be ascending")
+    hist.foreach { r =>
+      assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") == 5000)
+      assert(r.getAs[Long]("cum_n") >= r.getAs[Long]("n"))
+    }
+  }
+
+  test("IVF ANN: recall floor vs brute force, per-query row cap") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.qAnnBruteforce(spark, sf))
+    val ivfDf = Similarity.qAnnIvf(spark, sf)
+    val ivf = pairs(ivfDf)
+    assert(exact.nonEmpty)
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // nProbe=2 of ~9 cells at sf0.01: the true neighbor set concentrates
+    // in the query's own cell, so well above the 2/9 random floor
+    assert(recall >= 0.2, s"IVF recall $recall below floor")
+    val perQuery = ivfDf.groupBy("query_id").count().collect()
+    perQuery.foreach(r => assert(r.getLong(1) <= Similarity.TopK))
+  }
+}
