@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Media.queries ++
       graft.queries.Approx.queries ++
       graft.queries.Profiling.queries ++
-      graft.queries.Curation.queries
+      graft.queries.Curation.queries ++
+      graft.queries.Linkage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Media.oracle ++
       graft.queries.Approx.oracle ++
       graft.queries.Profiling.oracle ++
-      graft.queries.Curation.oracle
+      graft.queries.Curation.oracle ++
+      graft.queries.Linkage.oracle
 }

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution / record-linkage operators: fuzzy matching of near-
+  * identical names via blocked edit distance — the "same real-world thing,
+  * different spelling" problem every ingest pipeline hits.
+  *
+  * Scale design: never all-pairs. A BLOCKING key (here the brand) bounds
+  * the candidate product to Σ block², the classic ER compromise; the pair
+  * join is an equi-join on the block key (one shuffle, AQE-skew-splittable
+  * if a block runs hot). At 100 TB, blocks too large for a quadratic pass
+  * get the PPJoin prefix-filter treatment ([[Dedup.qDedupNgramPrefix]]) on
+  * name q-grams instead — same verify, subquadratic candidates.
+  *
+  * `levenshtein` is unit-cost edit distance in both Spark and DuckDB, so
+  * the oracle matches cell-exactly.
+  */
+object Linkage {
+
+  /** Inclusive edit-distance band: 0 is exact dup (the dedup family's
+    * job), >2 is noise on two-word names.
+    */
+  val MaxEdit = 2
+
+  /** Near-identical part names within a brand block: pairs at edit
+    * distance 1..2, the canonical "fat-finger variant" detector.
+    */
+  def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("part_a"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("part_a") < col("part_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") >= 1 && col("edit_dist") <= MaxEdit)
+      .select(col("part_a"), col("part_b"), col("p_brand"),
+        col("name_a"), col("name_b"), col("edit_dist"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_fuzzy_match" ->
+      s"""SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+         |  a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+         |FROM part a JOIN part b
+         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $MaxEdit
+         |ORDER BY part_a, part_b""".stripMargin
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_match" -> (qFuzzyMatch _)
+  )
+}

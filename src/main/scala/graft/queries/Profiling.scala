@@ -68,7 +68,86 @@ object Profiling {
       .orderBy(col("bucket"))
   }
 
+  /** Z-score outlier detection per order-priority group, in EXACT integer
+    * arithmetic: |x−μ| > 1.5σ rewritten denominator-free as
+    * 4·(n·x − S)² > 9·(n·Q − S²) with S=Σx, Q=Σx² in cents — float
+    * mean/stddev are summation-order-dependent and would not reproduce
+    * across partitionings, let alone engines. (1.5σ because the synthetic
+    * prices are near-uniform: max |z| of a uniform is √3, so a 2σ fence
+    * would be vacuously empty.) Scale shape: one tiny per-group aggregate
+    * broadcast back over a narrow scan; the squares live in DECIMAL(38,0)
+    * (≤26 digits here), the flag is a pure comparison, no division
+    * anywhere.
+    */
+  def qZscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), cents.as("cents"))
+    val stats = base.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast(dec38).as("s"),
+        sum((col("cents") * col("cents")).cast(dec38)).as("q"))
+    val dev = col("n").cast(dec38) * col("cents").cast(dec38) - col("s")
+    val varN2 = col("n").cast(dec38) * col("q") - col("s") * col("s")
+    base.join(broadcast(stats), "o_orderpriority")
+      .filter(lit(4).cast(dec38) * dev * dev > lit(9).cast(dec38) * varN2)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+        col("n"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Exact per-group median (lower median, percentile_disc semantics):
+    * the value at rank ⌈n/2⌉ under a fully deterministic order
+    * (cents, then orderkey). Mirrored as the same window formulation in
+    * the oracle rather than an engine median() whose interpolation and
+    * tie rules differ. Scale shape: one shuffle on the group key for the
+    * rank window; at 100 TB the same answer comes from a two-pass
+    * histogram refine, but the single-window form is the exact gate.
+    */
+  def qExactMedian(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), cents.as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rn") === ceil(col("n") / 2))
+      .select(col("o_orderpriority"), col("n"),
+        col("cents").as("median_cents"),
+        col("o_orderkey").as("median_orderkey"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_zscore_outliers" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |st AS (SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(cents) AS HUGEINT) AS s,
+        |  CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+        |  FROM b GROUP BY 1)
+        |SELECT o_orderkey, b.o_orderpriority, cents, n
+        |FROM b JOIN st ON b.o_orderpriority = st.o_orderpriority
+        |WHERE 4*(n*cents - s)*(n*cents - s) > 9*(n*q - s*s)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_exact_median" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cents, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM b)
+        |SELECT o_orderpriority, n, cents AS median_cents,
+        |  o_orderkey AS median_orderkey
+        |FROM r WHERE rn = ceil(n / 2.0)
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_histogram_prices" ->
       s"""WITH b AS (SELECT CAST(floor(l_extendedprice / $BinWidth) AS BIGINT)
          |    AS bucket
@@ -96,6 +175,8 @@ object Profiling {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_orders" -> (qProfileOrders _),
-    "q_histogram_prices" -> (qHistogramPrices _)
+    "q_histogram_prices" -> (qHistogramPrices _),
+    "q_zscore_outliers" -> (qZscoreOutliers _),
+    "q_exact_median" -> (qExactMedian _)
   )
 }

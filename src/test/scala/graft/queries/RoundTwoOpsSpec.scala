@@ -67,6 +67,48 @@ class RoundTwoOpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy match: banded distances, blocked equi-join plan") {
+    val fm = Linkage.qFuzzyMatch(spark, sf)
+    val rows = fm.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dist = r.getAs[Int]("edit_dist")
+      assert(dist >= 1 && dist <= Linkage.MaxEdit)
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+    }
+    val plan = fm.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"fuzzy match must block via equi-join, not a cross product:\n$plan")
+  }
+
+  test("z-score outliers and exact median agree with a Scala recompute") {
+    // recompute the alphabetically-first priority group exactly in Scala
+    val byGroup = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast(graft.Tables.Money) * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getAs[String]("o_orderpriority"))
+    val (grp, rows) = byGroup.toSeq.minBy(_._1)
+    val xs = rows.map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("c")))
+    val n = BigInt(xs.size)
+    val s = xs.map(x => BigInt(x._2)).sum
+    val q = xs.map(x => BigInt(x._2) * x._2).sum
+    val expectedOutliers = xs.filter { case (_, c) =>
+      val dev = n * c - s; 4 * dev * dev > 9 * (n * q - s * s)
+    }.map(_._1).toSet
+    val got = Profiling.qZscoreOutliers(spark, sf)
+      .filter(col("o_orderpriority") === grp)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == expectedOutliers, s"group $grp: ${got.size} vs ${expectedOutliers.size}")
+
+    val sortedXs = xs.sortBy { case (k, c) => (c, k) }
+    val medianRow = sortedXs((xs.size + 1) / 2 - 1) // rank ceil(n/2), 1-based
+    val gotMedian = Profiling.qExactMedian(spark, sf)
+      .filter(col("o_orderpriority") === grp).head
+    assert(gotMedian.getAs[Long]("median_cents") == medianRow._2)
+    assert(gotMedian.getAs[Long]("median_orderkey") == medianRow._1)
+  }
+
   test("IVF ANN: recall floor vs brute force, per-query row cap") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
