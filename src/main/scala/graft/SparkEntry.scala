@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Approx.queries ++
       graft.queries.Profiling.queries ++
       graft.queries.Curation.queries ++
-      graft.queries.Linkage.queries
+      graft.queries.Linkage.queries ++
+      graft.queries.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Approx.oracle ++
       graft.queries.Profiling.oracle ++
       graft.queries.Curation.oracle ++
-      graft.queries.Linkage.oracle
+      graft.queries.Linkage.oracle ++
+      graft.queries.Graph.oracle
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a relationally-derived graph: fixed-iteration
+  * PageRank on the customer↔supplier trade graph (an edge wherever a
+  * customer's order includes a supplier's lineitem). Complements the
+  * connected-components operator in [[Dedup.qDedupClusters]] with the
+  * other classic iterative-propagation shape.
+  *
+  * Determinism: all rank arithmetic is scaled-integer floor division
+  * (×10^12), so results are independent of summation order, partitioning,
+  * and engine — float PageRank would differ in the last bits everywhere.
+  * The fixed iteration count (no convergence test) keeps the oracle an
+  * unrolled CTE chain.
+  *
+  * Scale shape: each iteration is one equi-join of ranks onto edges (both
+  * sides hash-partitioned on the node key — the exchange is reused across
+  * iterations) plus one aggregate with map-side partials. K iterations =
+  * K joins + K aggregates, the same per-iteration cost profile GraphX/
+  * Pregel pays; the node-count scalar joins in as a broadcast literal row.
+  */
+object Graph {
+
+  /** Rank scale (10^12): keeps floor-division quotients exact in both
+    * engines — every dividend stays ≤ ~10^14, far under the 2^52 bound
+    * where floor(double-division) stops matching integer division.
+    */
+  val Scale = 1000000000000L
+  val Iterations = 3
+  /** Damping 0.85 expressed as an integer ratio. */
+  val DampNum = 85L
+  val DampDen = 100L
+
+  private def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    floor(a / b).cast("long")
+
+  /** Symmetric customer↔supplier edge list with degrees; one row per
+    * directed edge. Checkpointed: reused by every iteration.
+    */
+  def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val nCnt = deg.agg(count(lit(1)).as("n"))
+    // r0 = ⌊Scale/N⌋ for every node
+    var ranks = deg.crossJoin(broadcast(nCnt))
+      .select(col("a"), idiv(lit(Scale), col("n")).as("rank"),
+        col("deg"), col("n"))
+    for (_ <- 1 to Iterations) {
+      val contrib = edges.join(ranks, "a")
+        .select(col("b").as("node"),
+          idiv(col("rank") * DampNum, col("deg") * DampDen).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      ranks = deg.crossJoin(broadcast(nCnt))
+        .join(contrib, col("a") === col("node"), "left")
+        .select(col("a"),
+          (idiv(lit((DampDen - DampNum) * Scale), col("n") * DampDen) +
+            coalesce(col("in_sum"), lit(0L))).as("rank"),
+          col("deg"), col("n"))
+    }
+    ranks.select(col("a").as("node"), col("rank").as("rank_scaled"), col("deg"))
+      .orderBy(col("node"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" -> {
+      val iters = (1 to Iterations).map { k =>
+        s"""c$k AS (SELECT e.b AS node,
+           |  sum(r * $DampNum // (deg * $DampDen)) AS s
+           |  FROM e JOIN r${k - 1} USING (a) GROUP BY 1),
+           |r$k AS (SELECT deg.a,
+           |  CAST(${(DampDen - DampNum) * Scale} // (n * $DampDen)
+           |    + coalesce(s, 0) AS BIGINT) AS r, deg.deg, n
+           |  FROM deg CROSS JOIN nn LEFT JOIN c$k ON deg.a = c$k.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT a, count(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT a, CAST($Scale // n AS BIGINT) AS r, deg, n
+         |       FROM deg CROSS JOIN nn),
+         |$iters
+         |SELECT a AS node, r AS rank_scaled, deg
+         |FROM r$Iterations ORDER BY node""".stripMargin
+    }
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _)
+  )
+}

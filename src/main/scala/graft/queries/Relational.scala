@@ -478,6 +478,28 @@ object Relational {
       .orderBy(col("region_name"), col("nation_name"))
   }
 
+  /** Explicit GROUPING SETS — the sets {(status),(priority),()} are NOT a
+    * rollup or cube prefix chain, exercising the arbitrary-sets planner
+    * path. Same two-phase shape as [[qCubeOrders]]: pre-aggregate on the
+    * full key, expand only the tiny aggregate (the direct form Expands
+    * every order row 3× before its shuffle).
+    */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val pre = Tables.ordersDec(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("price"))
+    pre.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("n_orders"),
+        sum(col("price")).cast(DecimalType(22, 2)).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("__ALL__")).as("status"),
+        coalesce(col("o_orderpriority"), lit("__ALL__")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
   /** cube: order counts/value across status × priority with all subtotals.
     * Same two-phase shape as [[qRollupBalance]]: the direct cube Expands
     * every order 4× (grouping sets {s,p},{s},{p},{}) before the shuffle;
@@ -866,6 +888,15 @@ object Relational {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '__ALL__') AS status,
+        |  coalesce(o_orderpriority, '__ALL__') AS priority,
+        |  count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
     "q_set_ops" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders
         |           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
@@ -948,6 +979,7 @@ object Relational {
     "q_window_running" -> (qWindowRunning _),
     "q_rollup_balance" -> (qRollupBalance _),
     "q_cube_orders" -> (qCubeOrders _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_counts" -> (qDistinctCounts _),
     "q_min_cost_part" -> (qMinCostPart _),

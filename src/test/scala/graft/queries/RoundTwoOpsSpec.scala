@@ -109,6 +109,40 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(gotMedian.getAs[Long]("median_orderkey") == medianRow._1)
   }
 
+  test("pagerank: positive ranks, near-conserved mass, degree-monotone tendency") {
+    val pr = Graph.qPagerank(spark, sf).collect()
+    assert(pr.nonEmpty)
+    val total = pr.map(_.getAs[Long]("rank_scaled")).sum
+    // floors only ever LOSE mass: total ≤ Scale, and each node keeps at
+    // least the teleport base, so the loss is bounded by n per division
+    assert(total <= Graph.Scale)
+    assert(total > Graph.Scale * 8 / 10, s"too much mass lost: $total")
+    pr.foreach(r => assert(r.getAs[Long]("rank_scaled") > 0))
+    // suppliers aggregate many customers: the max-degree node must
+    // out-rank the min-degree node after 3 iterations
+    val byDeg = pr.sortBy(_.getAs[Long]("deg"))
+    assert(byDeg.last.getAs[Long]("rank_scaled") > byDeg.head.getAs[Long]("rank_scaled"))
+  }
+
+  test("grouping sets: exactly the three declared sets, no cross products") {
+    val gs = Relational.qGroupingSets(spark, sf).collect()
+    val statuses = gs.filter(_.getAs[String]("priority") == "__ALL__")
+      .map(_.getAs[String]("status")).toSet
+    val priorities = gs.filter(_.getAs[String]("status") == "__ALL__")
+      .map(_.getAs[String]("priority")).toSet
+    // every row belongs to set {(status)} or {(priority)} or {()} —
+    // a cube would also emit (status, priority) pairs
+    assert(gs.forall(r => r.getAs[String]("status") == "__ALL__" ||
+      r.getAs[String]("priority") == "__ALL__"))
+    assert(statuses.contains("__ALL__") && priorities.contains("__ALL__"))
+    assert(gs.length == (statuses.size - 1) + (priorities.size - 1) + 1)
+    // the grand total row counts every order once
+    val grand = gs.find(r => r.getAs[String]("status") == "__ALL__" &&
+      r.getAs[String]("priority") == "__ALL__").get
+    assert(grand.getAs[Long]("n_orders") ==
+      graft.Tables.orders(spark, sf).count())
+  }
+
   test("IVF ANN: recall floor vs brute force, per-query row cap") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
