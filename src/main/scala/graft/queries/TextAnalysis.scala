@@ -119,10 +119,11 @@ object TextAnalysis {
 
   /** Repetition / boilerplate signals per document (the Gopher-rules family
     * of repetition filters): duplicate-token fraction and most-frequent-
-    * 2-gram share. Shape at scale: one narrow scan builds the 2-gram list,
-    * one shuffle keyed by (doc_id, gram) with map-side partials collapses
-    * counts, a second doc-keyed window picks the mode — no self-joins, no
-    * doc×doc work; output is one row per document.
+    * 2-gram share. Shape at scale: ENTIRELY per-row — the 2-gram mode is a
+    * run-length fold over the row's own sorted gram array, so the whole
+    * operator is one narrow scan with zero shuffles before the
+    * presentation sort (the explode+groupBy formulation pays a corpus-wide
+    * (doc,gram) shuffle for what is a within-row statistic).
     */
   def qRepetition(s: SparkSession, d: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
@@ -132,31 +133,41 @@ object TextAnalysis {
       transform(sequence(lit(1), size(col("toks")) - 1),
         i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
       .otherwise(typedLit(Seq.empty[String]))
-    val base = Tables.documents(s, d)
+    // mode of the sorted array: equal grams are adjacent, so one fold
+    // tracking (prev, run, best_n, best_g) finds the longest run; a later
+    // gram replaces only on a STRICTLY longer run, so ties keep the
+    // lexicographically smallest gram — exactly row_number()=1 under
+    // (count DESC, gram ASC) in the oracle's formulation
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best_n"), lit("").as("best_g"))
+    val mode = aggregate(array_sort(col("grams")), zero,
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          when(run > acc.getField("best_n"), run)
+            .otherwise(acc.getField("best_n")).as("best_n"),
+          when(run > acc.getField("best_n"), g)
+            .otherwise(acc.getField("best_g")).as("best_g"))
+      })
+    Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         grams.as("grams"))
-    val gramCounts = base
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("gram_n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("gram_n").desc, col("gram"))
-    val topGram = gramCounts
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("gram").as("top_2gram"),
-        col("gram_n").as("top_2gram_n"))
-    base.drop("grams").join(topGram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        mode.getField("best_g").as("top_2gram"),
+        mode.getField("best_n").as("top_2gram_n"))
       .select(
         col("doc_id"), col("n_tokens"),
         idiv((col("n_tokens") - col("n_distinct")) * 10000L, col("n_tokens"))
           .as("dup_token_x10000"),
-        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
-        coalesce(col("top_2gram_n"), lit(0L)).as("top_2gram_n"),
+        col("top_2gram"),
+        col("top_2gram_n"),
         coalesce(
-          idiv(col("top_2gram_n") * 10000L, col("n_tokens") - 1), lit(0L))
+          idiv(col("top_2gram_n") * 10000L,
+            nullif((col("n_tokens") - 1).cast("long"), lit(0L))), lit(0L))
           .as("top_2gram_x10000"))
       .orderBy(col("doc_id"))
   }
