@@ -154,6 +154,30 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Time-series densification (gap filling): hourly event counts per
+    * type with MISSING HOURS materialized as zero rows — the
+    * regularization step before any windowed model sees the series.
+    * Scale shape: the dense hour spine is generated from each type's
+    * (min, max) — a per-type `sequence` explode over a tiny aggregate,
+    * never a cross join against a calendar table — then one left join
+    * back to the observed aggregate on (type, hour).
+    */
+  def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), sum(MoneyVal).as("v"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("v"), lit(0).cast(Tables.Money)).as("sum_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** JSON property extraction + aggregation over the stream-shaped table. */
   def qEventsProps(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -228,6 +252,21 @@ object Events {
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
 
+    "q_gap_fill" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type,
+        |    unnest(generate_series(min(hour), max(hour),
+        |      INTERVAL '1 hour')) AS hour
+        |  FROM h GROUP BY event_type)
+        |SELECT sp.event_type, sp.hour,
+        |  coalesce(n, 0) AS n_events,
+        |  coalesce(v, CAST(0 AS DECIMAL(12,2))) AS sum_value
+        |FROM sp LEFT JOIN h
+        |  ON sp.event_type = h.event_type AND sp.hour = h.hour
+        |ORDER BY sp.event_type, sp.hour""".stripMargin,
+
     "q_retention_cohorts" ->
       """WITH wk AS (SELECT user_id, date_trunc('week', ts) AS week
         |            FROM events),
@@ -259,6 +298,7 @@ object Events {
     "q_events_props" -> (qEventsProps _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_attribution" -> (qEventsAttribution _),
-    "q_retention_cohorts" -> (qRetentionCohorts _)
+    "q_retention_cohorts" -> (qRetentionCohorts _),
+    "q_gap_fill" -> (qGapFill _)
   )
 }

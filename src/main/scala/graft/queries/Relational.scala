@@ -478,6 +478,31 @@ object Relational {
       .orderBy(col("region_name"), col("nation_name"))
   }
 
+  /** FULL OUTER join — the snapshot-reconciliation shape: customers'
+    * order activity in 1996 vs 1997, categorized new/churned/retained.
+    * The two aggregates arrive at the join already hash-partitioned on
+    * the key (the groupBy exchanges are reused), so the full outer adds
+    * no extra shuffle; `Seq("o_custkey")` join syntax coalesces the key
+    * across sides exactly like SQL USING.
+    */
+  def qFullOuterReconcile(s: SparkSession, d: String): DataFrame = {
+    def year(y: String) = Tables.ordersDec(s, d)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y.toInt + 1}-01-01").cast("timestamp"))
+    val y96 = year("1996").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_1996"))
+    val y97 = year("1997").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_1997"))
+    y96.join(y97, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+        coalesce(col("n_1997"), lit(0L)).as("n_1997"),
+        when(col("n_1996").isNull, lit("new"))
+          .when(col("n_1997").isNull, lit("churned"))
+          .otherwise(lit("retained")).as("status"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Explicit GROUPING SETS — the sets {(status),(priority),()} are NOT a
     * rollup or cube prefix chain, exercising the arbitrary-sets planner
     * path. Same two-phase shape as [[qCubeOrders]]: pre-aggregate on the
@@ -888,6 +913,26 @@ object Relational {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
+    "q_full_outer_reconcile" ->
+      """WITH y96 AS (SELECT o_custkey, count(*) AS n_1996
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |y97 AS (SELECT o_custkey, count(*) AS n_1997
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT o_custkey,
+        |  coalesce(n_1996, 0) AS n_1996,
+        |  coalesce(n_1997, 0) AS n_1997,
+        |  CASE WHEN n_1996 IS NULL THEN 'new'
+        |       WHEN n_1997 IS NULL THEN 'churned'
+        |       ELSE 'retained' END AS status
+        |FROM y96 FULL JOIN y97 USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '__ALL__') AS status,
         |  coalesce(o_orderpriority, '__ALL__') AS priority,
@@ -980,6 +1025,7 @@ object Relational {
     "q_rollup_balance" -> (qRollupBalance _),
     "q_cube_orders" -> (qCubeOrders _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_full_outer_reconcile" -> (qFullOuterReconcile _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_counts" -> (qDistinctCounts _),
     "q_min_cost_part" -> (qMinCostPart _),

@@ -143,6 +143,37 @@ class RoundTwoOpsSpec extends SparkSpec {
       graft.Tables.orders(spark, sf).count())
   }
 
+  test("gap fill: dense hourly spine, zero rows for gaps, mass preserved") {
+    val gf = Events.qGapFill(spark, sf).cache()
+    assert(gf.filter(col("n_events") === 0).count() > 0,
+      "expected real gaps in the hourly series")
+    val total = gf.agg(sum("n_events")).head.getLong(0)
+    assert(total == graft.Tables.events(spark, sf).count())
+    // spine is dense: per type, rows == hours between min and max inclusive
+    gf.groupBy("event_type")
+      .agg(count(lit(1)).as("rows"), min("hour").as("h0"), max("hour").as("h1"))
+      .collect().foreach { r =>
+        val hours = (r.getAs[java.sql.Timestamp]("h1").getTime -
+          r.getAs[java.sql.Timestamp]("h0").getTime) / 3600000 + 1
+        assert(r.getAs[Long]("rows") == hours, s"sparse spine: $r")
+      }
+    gf.unpersist()
+  }
+
+  test("full outer reconcile: statuses partition, counts consistent") {
+    val fo = Relational.qFullOuterReconcile(spark, sf).collect()
+    assert(fo.nonEmpty)
+    fo.foreach { r =>
+      val (n94, n95) = (r.getAs[Long]("n_1996"), r.getAs[Long]("n_1997"))
+      val st = r.getAs[String]("status")
+      assert((st == "new" && n94 == 0 && n95 > 0) ||
+        (st == "churned" && n94 > 0 && n95 == 0) ||
+        (st == "retained" && n94 > 0 && n95 > 0), s"bad row: $r")
+    }
+    assert(Set("new", "churned", "retained")
+      .subsetOf(fo.map(_.getAs[String]("status")).toSet))
+  }
+
   test("IVF ANN: recall floor vs brute force, per-query row cap") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
