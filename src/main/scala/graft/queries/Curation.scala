@@ -183,6 +183,64 @@ object Curation {
       .orderBy(col("pack_id"))
   }
 
+  /** Quality-filter floor shared by the pipeline and its oracle. */
+  private val MinScore = 50
+
+  /** The END-TO-END corpus-curation pipeline, composed from the library's
+    * own stages: exact dedup (keep canonical) → quality filter (score ≥
+    * [[MinScore]]) → deterministic stratified sample → sequence packing.
+    * One query, one oracle — demonstrating that every stage composes as a
+    * plain DataFrame transform with no materialization between stages.
+    *
+    * Scale shape: stages 1–3 are one fingerprint-keyed window shuffle plus
+    * narrow filters (each stage only SHRINKS the data); only the final
+    * packing pays the sequential running-sum window (per-shard at corpus
+    * scale, see [[qPackSequences]]).
+    */
+  def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextOps
+    val toks = TextOps.tokens(col("text"))
+    // stage 1: exact dedup on the normal-form fingerprint
+    val canonical = Tables.documents(s, d)
+      .withColumn("fp", md5(TextOps.normText(col("text"))))
+      .withColumn("keep",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep"))
+    // stage 2: quality floor (same bands as q_quality_score)
+    val nTok = size(toks)
+    val ttrPct = floor(size(array_distinct(toks)) * lit(100L) / nTok).cast("long")
+    val stopPct = floor(TextOps.markerCount(toks, TextOps.LangMarkers("en"))
+      * lit(100L) / nTok).cast("long")
+    val score =
+      (when(col("n_chars") >= 200 && col("n_chars") <= 450, lit(40))
+        .when(col("n_chars") >= 100, lit(25)).otherwise(lit(10))) +
+      (when(ttrPct >= 60, lit(30)).when(ttrPct >= 40, lit(20)).otherwise(lit(5))) +
+      (when(stopPct >= 2 && stopPct <= 20, lit(30)).otherwise(lit(10)))
+    val quality = canonical.filter(score >= MinScore)
+    // stage 3: deterministic per-language sampling (same rates as
+    // q_stratified_sample)
+    val bucket = pmod(
+      TextOps.hash56(concat(lit("sample:"), col("doc_id"))), lit(100L))
+    val rate = SampleRates.foldRight(lit(DefaultRate): org.apache.spark.sql.Column) {
+      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    val sampled = quality.filter(bucket < rate)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    // stage 4: pack into context windows
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("pack_id"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles.
   // ---------------------------------------------------------------------
@@ -245,6 +303,44 @@ object Curation {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
 
+    "q_curation_pipeline" -> {
+      val enMarkers = graft.text.TextOps.LangMarkers("en")
+        .map(w => s"'$w'").mkString(", ")
+      val rateCase = SampleRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |    string_split(text, ' ') AS toks
+         |  FROM documents),
+         |k AS (SELECT * FROM (SELECT *,
+         |        min(doc_id) OVER (PARTITION BY fp) AS keep FROM t)
+         |      WHERE doc_id = keep),
+         |q AS (SELECT *,
+         |    (CASE WHEN n_chars >= 200 AND n_chars <= 450 THEN 40
+         |          WHEN n_chars >= 100 THEN 25 ELSE 10 END)
+         |  + (CASE WHEN len(list_distinct(toks))*100//len(toks) >= 60 THEN 30
+         |          WHEN len(list_distinct(toks))*100//len(toks) >= 40 THEN 20
+         |          ELSE 5 END)
+         |  + (CASE WHEN len(list_filter(toks, x -> x IN ($enMarkers)))*100//len(toks)
+         |          BETWEEN 2 AND 20 THEN 30 ELSE 10 END) AS score
+         |  FROM k),
+         |f AS (SELECT * FROM q WHERE score >= $MinScore),
+         |smp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM f
+         |  WHERE CAST('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,14)
+         |          AS BIGINT) % 100 < ($rateCase)),
+         |c AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM smp)
+         |SELECT (cum - n_tokens) // $PackBudget AS pack_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+    },
+
     "q_redact_pii" ->
       s"""WITH t AS (SELECT c_custkey AS custkey,
          |  'Contact ' || c_name || ' <'
@@ -267,6 +363,7 @@ object Curation {
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_redact_pii" -> (qRedactPii _),
     "q_stratified_sample" -> (qStratifiedSample _),
-    "q_pack_sequences" -> (qPackSequences _)
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_curation_pipeline" -> (qCurationPipeline _)
   )
 }

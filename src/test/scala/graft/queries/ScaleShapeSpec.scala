@@ -95,10 +95,38 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
-  test("cube/rollup Expand runs over a pre-aggregate, not the base table") {
+  test("IVF ANN: candidate join is a hash join keyed on the cell") {
+    val plan = finalPlan(Similarity.qAnnIvf(spark, sf))
+    // the pivot assignment legitimately broadcast-nested-loops (pivots are
+    // tiny by construction); the CANDIDATE join — the one that scales with
+    // the corpus — must be an equi hash/merge join on the cell key
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"IVF candidate join must be an equi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("gap fill and retention cohorts plan without cross products") {
+    for (df <- Seq(Events.qGapFill(spark, sf),
+        Events.qRetentionCohorts(spark, sf))) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), s"unexpected cross product:\n$plan")
+    }
+  }
+
+  test("curation pipeline stages only shrink: one window shuffle then narrow") {
+    val df = Curation.qCurationPipeline(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // no joins at all — dedup/quality/sample are window + filters
+    assert(!plan.contains("Join"), s"pipeline stages must not join:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("cube/rollup/grouping-sets Expand runs over a pre-aggregate, not the base table") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
     for (df <- Seq(Relational.qCubeOrders(spark, sf),
-        Relational.qRollupBalance(spark, sf))) {
+        Relational.qRollupBalance(spark, sf),
+        Relational.qGroupingSets(spark, sf))) {
       val expands = df.queryExecution.optimizedPlan.collect { case e: Expand => e }
       assert(expands.nonEmpty, "expected an Expand for the grouping sets")
       // the N× row multiplication must happen AFTER the fine-grained
