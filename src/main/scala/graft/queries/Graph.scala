@@ -50,7 +50,11 @@ object Graph {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    // checkpoint the degree table: r0 plus every iteration's base term and
+    // every broadcast node-count subquery re-reads it — uncheckpointed,
+    // each of those re-aggregates the full edge list (~8 passes)
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val nCnt = deg.agg(count(lit(1)).as("n"))
     // r0 = ⌊Scale/N⌋ for every node
     var ranks = deg.crossJoin(broadcast(nCnt))
