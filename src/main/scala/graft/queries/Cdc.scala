@@ -63,7 +63,12 @@ object Cdc {
     * from the mod rules), so the gate checks the materialization logic,
     * not a SQL transliteration of it.
     */
-  def qCdcLatestState(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic c/u/d/r change mix shared by the materialization
+    * gates: snapshot every customer (lsn=id), update every 3rd key
+    * (upper-cased name, lsn=id+10M), delete every 7th (lsn=id+20M) —
+    * serialized through the full JSON envelope round-trip and parsed back.
+    */
+  private def changeMix(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).select(
       col("c_custkey").cast("int").as("id"),
       col("c_name").as("name"),
@@ -78,12 +83,42 @@ object Cdc {
         .withColumn("name", upper(col("name"))),
       "u", col("id") + 10000000L)
     val dels = mk(cust.filter(col("id") % 7 === 0), "d", col("id") + 20000000L)
-    val parsed = CdcEnvelope.parse(snaps.unionByName(upds).unionByName(dels))
-    CdcMaterialize.latestState(parsed, keyField = "id")
+    CdcEnvelope.parse(snaps.unionByName(upds).unionByName(dels))
+  }
+
+  def qCdcLatestState(s: SparkSession, d: String): DataFrame =
+    CdcMaterialize.latestState(changeMix(s, d), keyField = "id")
       // the envelope payload schema carries created_at (all-null here:
       // the synthesized change events don't set it) — project it away
       .select(col("id"), col("name"), col("email"), col("last_lsn"))
       .orderBy(col("id"))
+
+  /** SCD2 (slowly-changing-dimension type 2) history materialization — the
+    * OTHER consumer-side reduction of a change stream: instead of keeping
+    * only the latest image, keep every version with its validity interval
+    * [valid_from_lsn, valid_to_lsn) and an is_current flag (open intervals
+    * use a -1 sentinel, not NULL — nullable columns sort differently
+    * across engines). One window shuffle on the key, same as latest-state.
+    *
+    * Like [[qCdcLatestState]], the oracle derives the history closed-form
+    * from the change-mix mod rules, so the gate exercises the real
+    * envelope JSON round-trip + window logic, not a SQL transliteration.
+    */
+  def qCdcScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = changeMix(s, d).select(
+      coalesce(col("envelope.after.id"), col("envelope.before.id")).as("id"),
+      col("envelope.source.lsn").as("lsn"),
+      col("envelope.op").as("op"),
+      coalesce(col("envelope.after.name"), col("envelope.before.name")).as("name"))
+    val w = Window.partitionBy(col("id")).orderBy(col("lsn"))
+    keyed
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_lsn", coalesce(lead(col("lsn"), 1).over(w), lit(-1L)))
+      .withColumn("is_current", col("valid_to_lsn") === -1L && col("op") =!= "d")
+      .select(col("id"), col("version"), col("op"), col("name"),
+        col("lsn").as("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+      .orderBy(col("id"), col("version"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -96,6 +131,27 @@ object Cdc {
         |            ELSE c_custkey END AS BIGINT) AS last_lsn
         |FROM customer WHERE c_custkey % 7 != 0
         |ORDER BY id""".stripMargin,
+
+    "q_cdc_scd2" ->
+      """WITH ch AS (
+        |  SELECT CAST(c_custkey AS INT) AS id, 'r' AS op,
+        |    CAST(c_custkey AS BIGINT) AS lsn, c_name AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS INT), 'u',
+        |    CAST(c_custkey + 10000000 AS BIGINT), upper(c_name)
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS INT), 'd',
+        |    CAST(c_custkey + 20000000 AS BIGINT), c_name
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |h AS (SELECT *, row_number() OVER w AS version,
+        |        coalesce(lead(lsn) OVER w, -1) AS valid_to_lsn
+        |      FROM ch WINDOW w AS (PARTITION BY id ORDER BY lsn))
+        |SELECT id, CAST(version AS INT) AS version, op, name,
+        |  lsn AS valid_from_lsn, CAST(valid_to_lsn AS BIGINT) AS valid_to_lsn,
+        |  (valid_to_lsn = -1 AND op != 'd') AS is_current
+        |FROM h ORDER BY id, version""".stripMargin,
 
     "q_cdc_enrich" ->
       """SELECT CAST(c_custkey AS INT) AS id,
@@ -114,6 +170,7 @@ object Cdc {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_enrich" -> (qCdcEnrich _),
-    "q_cdc_latest_state" -> (qCdcLatestState _)
+    "q_cdc_latest_state" -> (qCdcLatestState _),
+    "q_cdc_scd2" -> (qCdcScd2 _)
   )
 }

@@ -174,6 +174,31 @@ class RoundTwoOpsSpec extends SparkSpec {
       .subsetOf(fo.map(_.getAs[String]("status")).toSet))
   }
 
+  test("SCD2 history: intervals chain, at most one current version per key") {
+    val hist = Cdc.qCdcScd2(spark, sf).collect()
+      .groupBy(_.getAs[Int]("id"))
+    assert(hist.nonEmpty)
+    hist.foreach { case (id, vs) =>
+      val sorted = vs.sortBy(_.getAs[Int]("version"))
+      // intervals chain: each version's valid_to is the next's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_lsn") == b.getAs[Long]("valid_from_lsn"),
+            s"broken chain for id $id")
+        case _ =>
+      }
+      assert(sorted.last.getAs[Long]("valid_to_lsn") == -1L)
+      val current = sorted.filter(_.getAs[Boolean]("is_current"))
+      if (sorted.last.getAs[String]("op") == "d") assert(current.isEmpty)
+      else {
+        assert(current.length == 1)
+        assert(current.head.getAs[Int]("version") == sorted.length)
+      }
+      // deleted keys (id % 7 == 0) end with the delete version
+      if (id % 7 == 0) assert(sorted.last.getAs[String]("op") == "d")
+    }
+  }
+
   test("IVF ANN: recall floor vs brute force, per-query row cap") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
