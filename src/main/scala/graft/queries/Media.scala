@@ -20,7 +20,51 @@ object Media {
       .orderBy(col("media_id"), col("bin"))
   }
 
+  /** Frame size for the sampling operator (bytes). */
+  val FrameBytes = 64
+
+  /** Frame sampling: every media blob sliced into fixed 64-byte frames
+    * with per-frame checksums — the video-frame-extraction stand-in, and
+    * the chunking pass a multimodal pipeline runs before per-frame
+    * featurization. Byte slicing needs no codec, so unlike the decode
+    * stub this is REAL end-to-end: pure native expressions (binary
+    * substr + md5), a narrow scan exploding to O(bytes/64) rows, zero
+    * shuffles before the presentation sort.
+    */
+  def qMediaFrames(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d)).toDF()
+    val n = length(col("content"))
+    val frames = when(n >= 1,
+      transform(
+        sequence(lit(0), floor((n + FrameBytes - 1) / FrameBytes).cast("int") - 1),
+        i => col("content").substr(i * FrameBytes + 1, lit(FrameBytes))))
+      .otherwise(typedLit(Seq.empty[Array[Byte]]))
+    media
+      .select(col("media_id"), col("kind"),
+        posexplode(frames).as(Seq("frame_idx", "frame")))
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_media_frames" ->
+      s"""WITH d0 AS (SELECT doc_id,
+         |    regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(i AS INT) AS frame_idx,
+         |  CAST(length(substr(text, CAST(i*$FrameBytes+1 AS INT), $FrameBytes))
+         |    AS INT) AS frame_len,
+         |  md5(substr(text, CAST(i*$FrameBytes+1 AS INT), $FrameBytes))
+         |    AS frame_md5
+         |FROM d0 CROSS JOIN
+         |  unnest(range(0, (length(text)+${FrameBytes - 1})//$FrameBytes)) u(i)
+         |ORDER BY media_id, frame_idx""".stripMargin,
+
     "q_media_features" ->
       """WITH d0 AS (SELECT doc_id,
         |    regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text
@@ -43,6 +87,7 @@ object Media {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_features" -> (qMediaFeatures _)
+    "q_media_features" -> (qMediaFeatures _),
+    "q_media_frames" -> (qMediaFrames _)
   )
 }
