@@ -208,6 +208,27 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** RANGE-frame window: 7-day trailing revenue per supplier — the frame is
+    * defined by the VALUE distance on the epoch-day ordering key (days with
+    * no shipments shrink the window), not a row count; the planner's range-
+    * frame path is distinct from every ROWS frame elsewhere in the library.
+    * Scale shape: daily pre-aggregation first, so the window runs over
+    * O(suppliers × active days), not raw lineitems.
+    */
+  def qWindowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitemDec(s, d)
+      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_extendedprice")).as("day_rev"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", sum(col("day_rev")).over(w))
+      .select(col("l_suppkey"), col("day"), col("day_rev"), col("rev_7d"))
+      .orderBy(col("l_suppkey"), col("day"))
+  }
+
   /** q7 shape: bilateral trade volume — two broadcast nation lookups with a
     * cross-pair predicate, yearly decimal volume.
     */
@@ -913,6 +934,17 @@ object Relational {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
+    "q_window_range_frame" ->
+      """WITH daily AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS day_rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS day_num
+        |      FROM daily)
+        |SELECT l_suppkey, day, day_rev,
+        |  sum(day_rev) OVER (PARTITION BY l_suppkey ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d
+        |FROM n ORDER BY l_suppkey, day""".stripMargin,
+
     "q_full_outer_reconcile" ->
       """WITH y96 AS (SELECT o_custkey, count(*) AS n_1996
         |  FROM orders
@@ -1026,6 +1058,7 @@ object Relational {
     "q_cube_orders" -> (qCubeOrders _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_full_outer_reconcile" -> (qFullOuterReconcile _),
+    "q_window_range_frame" -> (qWindowRangeFrame _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_counts" -> (qDistinctCounts _),
     "q_min_cost_part" -> (qMinCostPart _),
