@@ -53,10 +53,80 @@ object Approx {
       .orderBy(col("l_linestatus"), col("pct"))
   }
 
-  val oracle: Map[String, String] = Map.empty // rows-only: sketch params are engine-specific
+  /** Count-min sketch geometry: R independent md5-derived hash rows over
+    * W buckets. Deterministic hashing makes the WHOLE sketch reproducible
+    * in any engine — unlike the built-in HLL/GK sketches above, this one
+    * carries a full DuckDB oracle.
+    */
+  val CmsRows = 4
+  val CmsWidth = 1024
+
+  private def cmsBucket(j: Int, key: org.apache.spark.sql.Column) =
+    pmod(graft.text.TextOps.hash56(
+      concat(lit(s"cms$j:"), key)), lit(CmsWidth.toLong))
+
+  /** Heavy hitters via count-min sketch: build the R×W counter table (one
+    * tiny aggregate — the sketch is mergeable, so partials combine
+    * map-side exactly like production CMS), estimate every candidate key
+    * as min over its R counters, emit the top 10 with the exact count
+    * alongside (est ≥ exact always; equality when no collisions).
+    *
+    * Scale shape: the sketch is O(R·W) regardless of input size; the
+    * estimate join probes it with R broadcast lookups per DISTINCT key,
+    * not per row. The exact-count column is for the gate's accuracy
+    * audit — a production pipeline would drop it (that's the point of
+    * the sketch).
+    */
+  def qCmsTopk(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"))
+    // R×W counter table: explode each row into its R (row, bucket) cells
+    val cells = li.select(posexplode(array(
+      (0 until CmsRows).map(j => cmsBucket(j, col("l_partkey"))): _*))
+      .as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact.select(col("l_partkey"), col("exact_cnt"),
+      posexplode(array(
+        (0 until CmsRows).map(j => cmsBucket(j, col("l_partkey"))): _*))
+        .as(Seq("j", "bucket")))
+    probes.join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("l_partkey"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("cms_est").desc, col("l_partkey"))
+      .limit(10)
+      .select(col("l_partkey"), col("cms_est"), col("exact_cnt"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    // q_approx_distinct / q_approx_percentiles stay rows-only: HLL/GK
+    // parameters are engine-specific. The CMS is md5-derived → exact twin.
+    "q_cms_topk" -> {
+      val buckets = (0 until CmsRows).map { j =>
+        s"CAST('0x'||substr(md5('cms$j:'||CAST(l_partkey AS VARCHAR)),1,14) AS BIGINT) % $CmsWidth"
+      }
+      s"""WITH base AS (SELECT l_partkey FROM lineitem),
+         |cells AS (
+         |  ${(0 until CmsRows).map(j =>
+              s"SELECT $j AS j, ${buckets(j)} AS bucket FROM base")
+              .mkString("\n  UNION ALL\n  ")}),
+         |sk AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT l_partkey, count(*) AS exact_cnt
+         |          FROM base GROUP BY 1),
+         |probes AS (
+         |  ${(0 until CmsRows).map(j =>
+              s"SELECT l_partkey, exact_cnt, $j AS j, ${buckets(j)} AS bucket FROM exact")
+              .mkString("\n  UNION ALL\n  ")}),
+         |est AS (SELECT l_partkey, exact_cnt, min(cnt) AS cms_est
+         |        FROM probes JOIN sk USING (j, bucket) GROUP BY 1, 2)
+         |SELECT l_partkey, cms_est, exact_cnt
+         |FROM est ORDER BY cms_est DESC, l_partkey LIMIT 10""".stripMargin
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (qApproxDistinct _),
-    "q_approx_percentiles" -> (qApproxPercentiles _)
+    "q_approx_percentiles" -> (qApproxPercentiles _),
+    "q_cms_topk" -> (qCmsTopk _)
   )
 }

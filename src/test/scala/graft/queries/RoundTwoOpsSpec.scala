@@ -199,6 +199,21 @@ class RoundTwoOpsSpec extends SparkSpec {
     }
   }
 
+  test("CMS top-k: estimates never undercount; error within the CMS bound") {
+    val rows = Approx.qCmsTopk(spark, sf).collect()
+    assert(rows.length == 10)
+    val n = graft.Tables.lineitem(spark, sf).count()
+    rows.foreach { r =>
+      val est = r.getAs[Long]("cms_est")
+      val exact = r.getAs[Long]("exact_cnt")
+      assert(est >= exact, s"CMS must never undercount: $r")
+      // standard bound: overcount ≤ 2N/W holds with prob 1-2^-R per key;
+      // assert a loose 4N/W so the spec isn't flaky-by-construction
+      assert(est - exact <= 4 * n / Approx.CmsWidth,
+        s"overcount beyond CMS bound: $r (n=$n)")
+    }
+  }
+
   test("IVF ANN: recall floor vs brute force, per-query row cap") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
