@@ -33,8 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  // 5-arg ExpressionInfo is (className, db, name, usage, examples) — db
+  // must be null for a session-global function, not skipped
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   /** (name, doc, builder) triples — shared by the extensions path and
     * [[registerAll]] for already-built sessions.
@@ -60,6 +62,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(toks) => ShingleHash56(toks, 3)
         case Seq(toks, k) =>
+          require(k.foldable && k.eval() != null &&
+            k.eval().isInstanceOf[Number],
+            "graft_shingle_hash56: k must be a non-null integer literal")
           ShingleHash56(toks, k.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "graft_shingle_hash56 takes (array<string>[, k])")

@@ -132,6 +132,26 @@ object Curation {
     Map("en" -> 60, "de" -> 40, "es" -> 40, "zh" -> 25)
   private val DefaultRate = 10
 
+  /** md5 keep-bucket over doc_id — SHARED by [[qStratifiedSample]] and
+    * [[qCurationPipeline]] so the sampling decision cannot drift.
+    */
+  private def sampleBucket: org.apache.spark.sql.Column = pmod(
+    graft.text.TextOps.hash56(concat(lit("sample:"), col("doc_id"))),
+    lit(100L))
+
+  /** Per-language keep rate (percent), shared like [[sampleBucket]]. */
+  private def sampleRate: org.apache.spark.sql.Column =
+    SampleRates.foldRight(lit(DefaultRate): org.apache.spark.sql.Column) {
+      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+
+  /** DuckDB twins of [[sampleBucket]] / [[sampleRate]]. */
+  private val sampleBucketSql =
+    "CAST('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,14) AS BIGINT) % 100"
+  private lazy val sampleRateSql = SampleRates.toSeq.sortBy(_._1)
+    .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+    .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+
   /** Deterministic stratified sampling: keep a per-language percentage of
     * documents chosen by md5-hash bucket, NOT rand() — the only sampling
     * that is reproducible across engines, re-runs, and repartitioning at
@@ -139,14 +159,9 @@ object Curation {
     * the presentation sort.
     */
   def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val bucket = pmod(
-      graft.text.TextOps.hash56(concat(lit("sample:"), col("doc_id"))),
-      lit(100L))
-    val rate = SampleRates.foldRight(lit(DefaultRate): org.apache.spark.sql.Column) {
-      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
-    }
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate"))
+      .select(col("doc_id"), col("lang"),
+        sampleBucket.as("bucket"), sampleRate.as("rate"))
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
       .orderBy(col("doc_id"))
@@ -164,12 +179,14 @@ object Curation {
     * runs per shard (partitionBy(shard) prepended to the window) for
     * embarrassing parallelism.
     */
-  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+  /** Packing stage over a (doc_id, n_tokens) frame — SHARED by
+    * [[qPackSequences]] and [[qCurationPipeline]] so the window/budget
+    * semantics cannot drift.
+    */
+  private def packStats(docs: DataFrame): DataFrame = {
     val w = Window.orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    docs
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // (cum - n_tokens) tokens precede this doc = its start offset;
       // integer-divide by the budget to get its window
@@ -182,6 +199,23 @@ object Curation {
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("pack_id"))
   }
+
+  /** DuckDB twin of [[packStats]] over a CTE `smp(doc_id, n_tokens)`. */
+  private val packSql =
+    s"""c AS (SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM smp)
+       |SELECT (cum - n_tokens) // $PackBudget AS pack_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+
+  def qPackSequences(s: SparkSession, d: String): DataFrame =
+    packStats(Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
 
   /** Quality-filter floor shared by the pipeline and its oracle. */
   private val MinScore = 50
@@ -199,46 +233,21 @@ object Curation {
     */
   def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
     import graft.text.TextOps
-    val toks = TextOps.tokens(col("text"))
     // stage 1: exact dedup on the normal-form fingerprint
     val canonical = Tables.documents(s, d)
       .withColumn("fp", md5(TextOps.normText(col("text"))))
       .withColumn("keep",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("keep"))
-    // stage 2: quality floor (same bands as q_quality_score)
-    val nTok = size(toks)
-    val ttrPct = floor(size(array_distinct(toks)) * lit(100L) / nTok).cast("long")
-    val stopPct = floor(TextOps.markerCount(toks, TextOps.LangMarkers("en"))
-      * lit(100L) / nTok).cast("long")
-    val score =
-      (when(col("n_chars") >= 200 && col("n_chars") <= 450, lit(40))
-        .when(col("n_chars") >= 100, lit(25)).otherwise(lit(10))) +
-      (when(ttrPct >= 60, lit(30)).when(ttrPct >= 40, lit(20)).otherwise(lit(5))) +
-      (when(stopPct >= 2 && stopPct <= 20, lit(30)).otherwise(lit(10)))
-    val quality = canonical.filter(score >= MinScore)
-    // stage 3: deterministic per-language sampling (same rates as
-    // q_stratified_sample)
-    val bucket = pmod(
-      TextOps.hash56(concat(lit("sample:"), col("doc_id"))), lit(100L))
-    val rate = SampleRates.foldRight(lit(DefaultRate): org.apache.spark.sql.Column) {
-      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
-    }
-    val sampled = quality.filter(bucket < rate)
-      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
-    // stage 4: pack into context windows
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampled
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id",
-        floor((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("long"))
-      .groupBy(col("pack_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("pack_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy(col("pack_id"))
+    // stages 2–4 reuse the SAME expressions as the stage queries
+    // (TextAnalysis.qualityScoreExpr, sampleBucket/sampleRate, packStats)
+    // — the "same bands/rates" contract is enforced by sharing, not by
+    // comment
+    val quality = canonical.filter(TextAnalysis.qualityScoreExpr >= MinScore)
+    val sampled = quality.filter(sampleBucket < sampleRate)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    packStats(sampled)
   }
 
   // ---------------------------------------------------------------------
@@ -275,40 +284,25 @@ object Curation {
         |  CAST(score AS BIGINT) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
-    "q_stratified_sample" -> {
-      val rateCase = SampleRates.toSeq.sortBy(_._1)
-        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
-        .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    "q_stratified_sample" ->
       s"""WITH t AS (SELECT doc_id, lang,
-         |  CAST('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,14)
-         |    AS BIGINT) % 100 AS bucket,
-         |  $rateCase AS rate
+         |  $sampleBucketSql AS bucket,
+         |  $sampleRateSql AS rate
          |  FROM documents)
          |SELECT doc_id, lang, bucket
          |FROM t WHERE bucket < rate
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
-      s"""WITH t AS (SELECT doc_id,
+      s"""WITH smp AS (SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |  FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |  sum(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t)
-         |SELECT (cum - n_tokens) // $PackBudget AS pack_id,
-         |  count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+         |$packSql""".stripMargin,
 
-    "q_curation_pipeline" -> {
-      val enMarkers = graft.text.TextOps.LangMarkers("en")
-        .map(w => s"'$w'").mkString(", ")
-      val rateCase = SampleRates.toSeq.sortBy(_._1)
-        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
-        .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    // stages share their SQL fragments with the stage-query oracles
+    // (TextAnalysis.qualityScoreSql, sampleBucketSql/sampleRateSql,
+    // packSql) — one source of truth per stage, Scala and SQL alike
+    "q_curation_pipeline" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars,
          |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
          |    string_split(text, ' ') AS toks
@@ -317,29 +311,13 @@ object Curation {
          |        min(doc_id) OVER (PARTITION BY fp) AS keep FROM t)
          |      WHERE doc_id = keep),
          |q AS (SELECT *,
-         |    (CASE WHEN n_chars >= 200 AND n_chars <= 450 THEN 40
-         |          WHEN n_chars >= 100 THEN 25 ELSE 10 END)
-         |  + (CASE WHEN len(list_distinct(toks))*100//len(toks) >= 60 THEN 30
-         |          WHEN len(list_distinct(toks))*100//len(toks) >= 40 THEN 20
-         |          ELSE 5 END)
-         |  + (CASE WHEN len(list_filter(toks, x -> x IN ($enMarkers)))*100//len(toks)
-         |          BETWEEN 2 AND 20 THEN 30 ELSE 10 END) AS score
+         |  ${TextAnalysis.qualityScoreSql} AS score
          |  FROM k),
          |f AS (SELECT * FROM q WHERE score >= $MinScore),
          |smp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
          |  FROM f
-         |  WHERE CAST('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,14)
-         |          AS BIGINT) % 100 < ($rateCase)),
-         |c AS (SELECT doc_id, n_tokens,
-         |    sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM smp)
-         |SELECT (cum - n_tokens) // $PackBudget AS pack_id,
-         |  count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
-    },
+         |  WHERE $sampleBucketSql < ($sampleRateSql)),
+         |$packSql""".stripMargin,
 
     "q_redact_pii" ->
       s"""WITH t AS (SELECT c_custkey AS custkey,

@@ -75,7 +75,12 @@ object TextAnalysis {
     * scale: the groupBy output is O(bands × langs), so partial aggregation
     * collapses nearly everything map-side.
     */
-  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+  /** Integer 0–100 quality score over a frame with (text, n_chars) —
+    * SHARED by [[qQualityScore]] and [[Curation.qCurationPipeline]] so the
+    * band thresholds cannot drift between the stage query and the
+    * composed pipeline.
+    */
+  private[queries] def qualityScoreExpr: Column = {
     val toks = TextOps.tokens(col("text"))
     val nTok = size(toks)
     val ttrPct = idiv(size(array_distinct(toks)) * lit(100L), nTok)
@@ -84,7 +89,23 @@ object TextAnalysis {
       .when(col("n_chars") >= 100, lit(25)).otherwise(lit(10))
     val divScore = when(ttrPct >= 60, lit(30)).when(ttrPct >= 40, lit(20)).otherwise(lit(5))
     val stopScore = when(stopPct >= 2 && stopPct <= 20, lit(30)).otherwise(lit(10))
-    val score = lenScore + divScore + stopScore
+    lenScore + divScore + stopScore
+  }
+
+  /** DuckDB twin of [[qualityScoreExpr]] over CTE columns
+    * (n_chars, toks) — shared with the pipeline oracle.
+    */
+  private[queries] lazy val qualityScoreSql: String =
+    s"""(CASE WHEN n_chars >= 200 AND n_chars <= 450 THEN 40
+       |        WHEN n_chars >= 100 THEN 25 ELSE 10 END)
+       |  + (CASE WHEN len(list_distinct(toks))*100//len(toks) >= 60 THEN 30
+       |          WHEN len(list_distinct(toks))*100//len(toks) >= 40 THEN 20
+       |          ELSE 5 END)
+       |  + (CASE WHEN len(list_filter(toks, x -> x IN ($enMarkers)))*100//len(toks)
+       |          BETWEEN 2 AND 20 THEN 30 ELSE 10 END)""".stripMargin
+
+  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val score = qualityScoreExpr
     Tables.documents(s, d)
       .select(col("lang"),
         when(score >= 80, "high").when(score >= 50, "medium").otherwise("low").as("band"))
@@ -219,13 +240,7 @@ object TextAnalysis {
       s"""WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks
          |           FROM documents),
          |s AS (SELECT lang,
-         |  (CASE WHEN n_chars >= 200 AND n_chars <= 450 THEN 40
-         |        WHEN n_chars >= 100 THEN 25 ELSE 10 END)
-         |  + (CASE WHEN len(list_distinct(toks))*100//len(toks) >= 60 THEN 30
-         |          WHEN len(list_distinct(toks))*100//len(toks) >= 40 THEN 20
-         |          ELSE 5 END)
-         |  + (CASE WHEN len(list_filter(toks, t -> t IN ($enMarkers)))*100//len(toks)
-         |            BETWEEN 2 AND 20 THEN 30 ELSE 10 END) AS score
+         |  $qualityScoreSql AS score
          |  FROM t)
          |SELECT lang,
          |  CASE WHEN score >= 80 THEN 'high' WHEN score >= 50 THEN 'medium'

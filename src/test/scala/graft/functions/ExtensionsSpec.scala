@@ -46,9 +46,26 @@ class ExtensionsSpec extends SparkSpec {
       .select(col("vec_id"), VectorFunctions.dot(col("v"), col("v")).as("d"))
     assert(dotSql.exceptAll(dotDsl).isEmpty && dotDsl.exceptAll(dotSql).isEmpty)
 
-    // the registration is also a valid session-build extension hook
-    val hook: org.apache.spark.sql.SparkSessionExtensions => Unit =
-      new GraftExtensions
-    assert(hook != null)
+    // the real session-build path: a NEW session built with
+    // .withExtensions must resolve the functions with no registerAll call
+    // (shares the suite's SparkContext; sessions restored afterwards)
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val viaExt = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(viaExt ne prev, "withExtensions must build a fresh session")
+      val d = viaExt
+        .sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head.getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
   }
 }

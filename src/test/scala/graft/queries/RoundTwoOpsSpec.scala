@@ -50,7 +50,8 @@ class RoundTwoOpsSpec extends SparkSpec {
       .select(countDistinct("user_id")).head.getLong(0)
     assert(cohortSum == totalUsers,
       s"cohort week-0 sizes ($cohortSum) must partition all users ($totalUsers)")
-    assert(ret.filter(col("n_users") > col("n_users")).isEmpty) // sanity: no nulls
+    assert(ret.filter(col("n_users").isNull ||
+      col("retention_x10000").isNull).isEmpty, "no null counts or rates")
     ret.unpersist()
   }
 
