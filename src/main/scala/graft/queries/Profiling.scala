@@ -120,7 +120,40 @@ object Profiling {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Wide→long melt via the native `unpivot` operator (vs the manual
+    * union in [[qProfileOrders]]): per-priority order metrics unpivoted
+    * to (priority, metric, value) rows. Unpivot is a zero-shuffle
+    * Expand over the already-tiny aggregate — the standard shape for
+    * feeding wide stats into long-format consumers.
+    */
+  def qUnpivotOrders(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum((col("o_totalprice").cast(Tables.Money) * 100).cast("long"))
+          .as("total_cents"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("n_customers"), col("total_cents")),
+        "metric", "value")
+      .orderBy(col("o_orderpriority"), col("metric"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_unpivot_orders" ->
+      """WITH wide AS (SELECT o_orderpriority,
+        |    count(*) AS n_orders,
+        |    count(DISTINCT o_custkey) AS n_customers,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS total_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, metric, CAST(value AS BIGINT) AS value
+        |FROM wide
+        |UNPIVOT (value FOR metric IN (n_orders, n_customers, total_cents))
+        |ORDER BY o_orderpriority, metric""".stripMargin,
+
     "q_zscore_outliers" ->
       """WITH b AS (SELECT o_orderkey, o_orderpriority,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -177,6 +210,7 @@ object Profiling {
     "q_profile_orders" -> (qProfileOrders _),
     "q_histogram_prices" -> (qHistogramPrices _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
-    "q_exact_median" -> (qExactMedian _)
+    "q_exact_median" -> (qExactMedian _),
+    "q_unpivot_orders" -> (qUnpivotOrders _)
   )
 }
