@@ -117,4 +117,53 @@ class PropertySpec extends SparkSpec {
       assert(replayed == once)
     }
   }
+
+  test("property: repetition fold == reference mode on random token lists") {
+    import spark.implicits._
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "e")
+    val docGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, tokGen))
+    forSamples(Gen.listOfN(24, docGen)) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // run the PRODUCTION query against the synthetic corpus via a
+      // parquet round-trip (the loaders key on directory layout)
+      val dir = tmpDir("prop-rep")
+      df.withColumn("lang", lit("en")).withColumn("source", lit("p"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.TextAnalysis.qRepetition(spark, dir)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[String]("top_2gram"), r.getAs[Long]("top_2gram_n")))).toMap
+      docs.zipWithIndex.foreach { case (ts, i) =>
+        val grams = ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val expected =
+          if (grams.isEmpty) ("", 0L)
+          else {
+            val (g, n) = grams.groupBy(identity).view.mapValues(_.size)
+              .toSeq.minBy { case (g, n) => (-n, g) }
+            (g, n.toLong)
+          }
+        assert(got(i.toLong) == expected,
+          s"doc $i (${ts.mkString(" ")}): got ${got(i.toLong)}, want $expected")
+      }
+    }
+  }
+
+  test("property: CMS estimate >= exact for arbitrary key multisets") {
+    import spark.implicits._
+    val keyGen = Gen.choose(1L, 30L)
+    forSamples(Gen.listOfN(300, keyGen)) { keys =>
+      val dir = tmpDir("prop-cms")
+      keys.toDF("l_partkey").write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      graft.queries.Approx.qCmsTopk(spark, dir).collect().foreach { r =>
+        val k = r.getAs[Long]("l_partkey")
+        assert(r.getAs[Long]("exact_cnt") == exact(k))
+        assert(r.getAs[Long]("cms_est") >= exact(k),
+          s"CMS undercounted key $k")
+      }
+    }
+  }
 }
