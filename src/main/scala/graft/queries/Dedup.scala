@@ -113,11 +113,15 @@ object Dedup {
     // df attached via a window (one shuffle) instead of groupBy + join back
     // (two); the rank window then re-shuffles on doc_id as before
     val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // checkpoint: BOTH sides of the candidate self-join consume this
+    // frame, and without materialization each side re-runs the two
+    // window exchanges above (no ReusedExchange across the join aliases)
     val prefix = inv
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * JaccardT) + 1)
       .select(col("doc_id"), col("n_sh"), col("sh"))
+      .localCheckpoint()
     val cands = prefix.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
