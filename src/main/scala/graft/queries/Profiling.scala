@@ -141,7 +141,60 @@ object Profiling {
       .orderBy(col("o_orderpriority"), col("metric"))
   }
 
+  /** Exact correlation sufficient statistics between quantity and price
+    * per return flag: the denominator-free integer forms
+    * cov_num = n·Σxy − Σx·Σy and var_num = n·Σx² − (Σx)² — float
+    * covariance/`corr()` is summation-order-dependent and never
+    * reproduces across partitionings; these DECIMAL(38,0)/HUGEINT
+    * integers do, and any consumer can finish corr = cov/√(vx·vy) in
+    * its own float domain. One tiny per-group aggregate, map-side
+    * partials, O(groups) output.
+    */
+  def qCorrelationStats(s: SparkSession, d: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val x = (col("l_quantity").cast(Tables.Money) * 100).cast("long")
+    val y = (col("l_extendedprice").cast(Tables.Money) * 100).cast("long")
+    val st = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(dec38).as("sx"),
+        sum(col("y")).cast(dec38).as("sy"),
+        sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec38)).as("syy"),
+        sum((col("x") * col("y")).cast(dec38)).as("sxy"))
+    val nD = col("n").cast(dec38)
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    st.select(col("l_returnflag"), col("n"),
+        cov.as("cov_num"),
+        (nD * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+        (nD * col("syy") - col("sy") * col("sy")).as("vary_num"),
+        when(cov > 0, "pos").when(cov < 0, "neg").otherwise("zero")
+          .as("corr_sign"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_correlation_stats" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT)*y) AS HUGEINT) AS sxy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS cov_num,
+        |  CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS varx_num,
+        |  CAST(n*syy - sy*sy AS DECIMAL(38,0)) AS vary_num,
+        |  CASE WHEN n*sxy - sx*sy > 0 THEN 'pos'
+        |       WHEN n*sxy - sx*sy < 0 THEN 'neg'
+        |       ELSE 'zero' END AS corr_sign
+        |FROM st ORDER BY l_returnflag""".stripMargin,
+
     "q_unpivot_orders" ->
       """WITH wide AS (SELECT o_orderpriority,
         |    count(*) AS n_orders,
@@ -211,6 +264,7 @@ object Profiling {
     "q_histogram_prices" -> (qHistogramPrices _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
     "q_exact_median" -> (qExactMedian _),
-    "q_unpivot_orders" -> (qUnpivotOrders _)
+    "q_unpivot_orders" -> (qUnpivotOrders _),
+    "q_correlation_stats" -> (qCorrelationStats _)
   )
 }
