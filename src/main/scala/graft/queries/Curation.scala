@@ -217,6 +217,47 @@ object Curation {
       .select(col("doc_id"),
         size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
 
+  /** Chunking geometry: window size and stride in tokens (overlap =
+    * size − stride). Sized so the ~50-token synthetic docs produce
+    * multiple overlapping chunks.
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Token-level chunking with overlap: each document split into
+    * [[ChunkSize]]-token windows every [[ChunkStride]] tokens — the
+    * context-window splitting pass a training pipeline runs on long
+    * documents (sliding overlap preserves cross-boundary context).
+    * Emits per-chunk offsets, lengths, and an md5 chunk fingerprint
+    * (the dedup key for chunk-level exact dedup downstream).
+    *
+    * Scale shape: pure narrow — the chunk list is built per row and
+    * exploded, O(tokens/stride) rows out, zero shuffles before the
+    * presentation sort.
+    */
+  def qChunkDocuments(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.text.TextOps.tokens(col("text"))
+    val n = size(col("toks"))
+    // offsets 0, stride, 2·stride … while offset < n (every doc has ≥1)
+    val chunks = transform(
+      sequence(lit(0), floor((n - 1) / ChunkStride).cast("int")),
+      k => {
+        val off = k * ChunkStride
+        val piece = slice(col("toks"), off + 1, lit(ChunkSize))
+        struct(off.as("off"), size(piece).as("len"),
+          md5(concat_ws(" ", piece)).as("fp"))
+      })
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), n.as("n_tokens"),
+        posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        col("c.off").as("offset"),
+        col("c.len").as("chunk_tokens"),
+        col("c.fp").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Quality-filter floor shared by the pipeline and its oracle. */
   private val MinScore = 50
 
@@ -299,6 +340,20 @@ object Curation {
          |  FROM documents),
          |$packSql""".stripMargin,
 
+    "q_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(k AS INT) AS chunk_idx,
+         |  CAST(k * $ChunkStride AS INT) AS offset,
+         |  CAST(len(list_slice(toks, k*$ChunkStride + 1,
+         |    k*$ChunkStride + $ChunkSize)) AS INT) AS chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, k*$ChunkStride + 1,
+         |    k*$ChunkStride + $ChunkSize), ' ')) AS chunk_md5
+         |FROM t CROSS JOIN
+         |  unnest(range(0, (len(toks) - 1) // $ChunkStride + 1)) u(k)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // stages share their SQL fragments with the stage-query oracles
     // (TextAnalysis.qualityScoreSql, sampleBucketSql/sampleRateSql,
     // packSql) — one source of truth per stage, Scala and SQL alike
@@ -342,6 +397,7 @@ object Curation {
     "q_redact_pii" -> (qRedactPii _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack_sequences" -> (qPackSequences _),
-    "q_curation_pipeline" -> (qCurationPipeline _)
+    "q_curation_pipeline" -> (qCurationPipeline _),
+    "q_chunk_documents" -> (qChunkDocuments _)
   )
 }
