@@ -178,6 +178,27 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Batch twin of streaming `dropDuplicatesWithinWatermark`: keep the
+    * EARLIEST event per (user, type) within each 10-minute bucket —
+    * at-least-once sources deliver duplicates and this is the keyed
+    * compaction that removes them. Deterministic tie-break on event_id.
+    * One shuffle on (bucket, user, type); in streaming mode the same
+    * keys + a watermark run through the dedup state store
+    * (`StreamingSpec` covers that path).
+    */
+  def qEventsDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("bucket"), col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("bucket", window(col("ts"), "10 minutes").getField("start"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("bucket"), col("ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** JSON property extraction + aggregation over the stream-shaped table. */
   def qEventsProps(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -252,6 +273,17 @@ object Events {
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
 
+    "q_events_dedup" ->
+      """WITH b AS (SELECT event_id, user_id, event_type, ts,
+        |  make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS bucket
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY bucket, user_id, event_type
+        |        ORDER BY ts, event_id) AS rn
+        |      FROM b)
+        |SELECT event_id, user_id, event_type, bucket, ts
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "q_gap_fill" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |    count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS v
@@ -299,6 +331,7 @@ object Events {
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_attribution" -> (qEventsAttribution _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
-    "q_gap_fill" -> (qGapFill _)
+    "q_gap_fill" -> (qGapFill _),
+    "q_events_dedup" -> (qEventsDedup _)
   )
 }

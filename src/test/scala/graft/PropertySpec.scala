@@ -166,4 +166,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: chunking covers every token; interior chunks full-width") {
+    import spark.implicits._
+    import graft.queries.Curation.{ChunkSize, ChunkStride}
+    val docGen = Gen.choose(1, 90).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "yy", "zzz")))
+    forSamples(Gen.listOfN(16, docGen)) { docs =>
+      val dir = tmpDir("prop-chunk")
+      docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val byDoc = graft.queries.Curation.qChunkDocuments(spark, dir)
+        .collect().groupBy(_.getAs[Long]("doc_id"))
+      docs.zipWithIndex.foreach { case (ts, i) =>
+        val cs = byDoc(i.toLong).sortBy(_.getAs[Int]("chunk_idx"))
+        val n = ts.size
+        // chunk starts step by the stride from zero and stay inside the doc
+        assert(cs.zipWithIndex.forall { case (c, k) =>
+          c.getAs[Int]("offset") == k * ChunkStride })
+        assert(cs.last.getAs[Int]("offset") < n)
+        // coverage: the final chunk reaches the last token
+        val last = cs.last
+        assert(last.getAs[Int]("offset") + last.getAs[Int]("chunk_tokens") == n)
+        // interior chunks are full-width
+        cs.init.foreach(c =>
+          assert(c.getAs[Int]("chunk_tokens") == math.min(ChunkSize, n - c.getAs[Int]("offset"))))
+      }
+    }
+  }
 }
