@@ -274,6 +274,46 @@ object Relational {
       .orderBy(col("n_name"), col("o_year"), col("p_type"))
   }
 
+  /** q8 shape: national market share — NATION_1 suppliers' slice of
+    * STANDARD-part revenue sold to EUROPE customers, per order year.
+    * Emits exact-decimal numerator/denominator instead of the float
+    * ratio so the result is bit-reproducible across partitionings (the
+    * division is a trivial client-side step).
+    *
+    * Scale: lineitem→orders→customer are the three big shuffles and all
+    * key on their join columns; part is pre-filtered to one type before
+    * the join (1/6 selectivity reaches the parquet scan as a pushed
+    * filter); nation/region are broadcast. The two nation roles reuse
+    * one cached-by-Spark scan with disjoint aliases.
+    */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitemDec(s, d)
+    val part = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+    val cust = Tables.customer(s, d)
+    val cNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val eur = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+    val sNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (one - col("l_discount"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cNat), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(eur), col("c_rk") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sNat), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", vol)
+          .otherwise(lit(0).cast(Tables.Money))).as("nation_volume"),
+        sum(vol).as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
   /** q12 shape: late-shipment counts by priority band — CASE aggregation
     * over a date-window filter.
     */
@@ -749,6 +789,24 @@ object Relational {
          |GROUP BY 1, 2, 3
          |ORDER BY n_name, o_year, p_type""".stripMargin,
 
+    "q8_market_share" ->
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         |  sum(CASE WHEN n2.n_name = 'NATION_1' THEN $revenue
+         |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS nation_volume,
+         |  sum($revenue) AS total_volume
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
     "q12_ship_priority" ->
       """SELECT l_linestatus,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -1039,6 +1097,7 @@ object Relational {
     "q13_customer_dist" -> (q13CustomerDist _),
     "q7_trade_volume" -> (q7TradeVolume _),
     "q9_product_profit" -> (q9ProductProfit _),
+    "q8_market_share" -> (q8MarketShare _),
     "q12_ship_priority" -> (q12ShipPriority _),
     "q_skew_salted" -> (qSkewSalted _),
     "q15_top_supplier" -> (q15TopSupplier _),
