@@ -45,8 +45,14 @@ object Linkage {
       col("p_partkey").as("part_b"), col("p_name").as("name_b"))
     a.join(b, Seq("p_brand", "blk_tok"))
       .filter(col("part_a") < col("part_b"))
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edit_dist") >= 1 && col("edit_dist") <= MaxEdit)
+      // bounded form: banded DP that abandons a pair once distance
+      // provably exceeds MaxEdit (returns -1) — O(k·n) per pair instead
+      // of O(n·m), and the band collapses immediately on length-skewed
+      // pairs. Kept rows and distances are identical to the unbounded
+      // form filtered to [1, MaxEdit].
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b"), MaxEdit))
+      .filter(col("edit_dist") >= 1)
       .select(col("part_a"), col("part_b"), col("p_brand"),
         col("name_a"), col("name_b"), col("edit_dist"))
       .orderBy(col("part_a"), col("part_b"))
