@@ -136,4 +136,28 @@ class ScaleShapeSpec extends SparkSpec {
         s"Expand reads the base table directly:\n${df.queryExecution.optimizedPlan}")
     }
   }
+
+  test("q8 market share: part-type filter reaches the scan, no cartesian") {
+    val df = Relational.q8MarketShare(spark, sf)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("EqualTo(p_type,STANDARD)"),
+      s"p_type filter not pushed to the part scan:\n$scans")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"q8 must join on keys only:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims should broadcast:\n$plan")
+  }
+
+  test("events dedup: one shuffle on the window key, earliest-wins") {
+    val plan = finalPlan(Events.qEventsDedup(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected exactly one hash shuffle (the dedup window key), got $shuffles:\n$plan")
+  }
+
+  test("fuzzy match: levenshtein stays in its bounded (banded-DP) form") {
+    val plan = Linkage.qFuzzyMatch(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("levenshtein") && plan.contains("Some(2)"),
+      s"expected threshold levenshtein(…, Some(2)) in the plan:\n$plan")
+  }
 }
