@@ -167,6 +167,26 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Percent of hash buckets assigned to the train side. */
+  val TrainPct = 90
+
+  /** Deterministic train/holdout split: md5 bucket of doc_id < [[TrainPct]]
+    * → train, else test. Hash-assignment (never rand()) is the only split
+    * that survives re-runs, engine swaps, repartitioning, and corpus
+    * growth — a document's side is a pure function of its id, so newly
+    * ingested docs never flip existing assignments (critical for
+    * decontamination guarantees). Pure narrow map: scan speed, zero
+    * shuffles before the presentation sort.
+    */
+  def qTrainTestSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), pmod(
+        graft.text.TextOps.hash56(concat(lit("split:"), col("doc_id"))),
+        lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, lit("train")).otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+
   /** Context-window budget for sequence packing (whitespace tokens). */
   private val PackBudget = 4096L
 
@@ -296,6 +316,15 @@ object Curation {
   // ---------------------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q_train_test_split" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,14)
+         |    AS BIGINT) % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < $TrainPct THEN 'train' ELSE 'test' END AS split
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_contamination" ->
       s"""WITH sh AS (${Dedup.shingleSql}),
          |b AS (SELECT doc_id AS bench_id, unnest(hs) AS sh FROM sh
@@ -396,6 +425,7 @@ object Curation {
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_redact_pii" -> (qRedactPii _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_train_test_split" -> (qTrainTestSplit _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_chunk_documents" -> (qChunkDocuments _)

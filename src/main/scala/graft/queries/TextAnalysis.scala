@@ -210,6 +210,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary statistics: per-term document frequency and
+    * collection frequency, top 50 by collection frequency — the input
+    * table of a tokenizer-training (BPE/unigram) run and of idf weights.
+    *
+    * Scale shape: two shuffles, both shrinking — (term, doc) partial
+    * counts combine map-side before the first exchange (a doc's repeats
+    * of a term never leave the mapper), then the per-term rollup groups
+    * the already-deduplicated pairs. The top-50 is
+    * TakeOrderedAndProject, never a global sort of the vocabulary.
+    */
+  def qVocabStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("n")).as("coll_freq"))
+      .orderBy(col("coll_freq").desc, col("token"))
+      .limit(50)
+
   // ---------------------------------------------------------------------
   // DuckDB oracles. NOTE: DuckDB lists are 1-indexed; Spark arrays 0-indexed.
   // hash56 twin: CAST('0x'||substr(md5(x),1,14) AS BIGINT).
@@ -223,6 +243,15 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_stats" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |p AS (SELECT token, doc_id, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+        |  CAST(sum(n) AS BIGINT) AS coll_freq
+        |FROM p GROUP BY token
+        |ORDER BY coll_freq DESC, token LIMIT 50""".stripMargin,
+
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
          |           FROM documents)
@@ -327,6 +356,7 @@ object TextAnalysis {
     "q_lang_id" -> (qLangId _),
     "q_token_counts" -> (qTokenCounts _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
-    "q_repetition" -> (qRepetition _)
+    "q_repetition" -> (qRepetition _),
+    "q_vocab_stats" -> (qVocabStats _)
   )
 }
