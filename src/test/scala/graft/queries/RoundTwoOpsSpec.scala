@@ -230,4 +230,62 @@ class RoundTwoOpsSpec extends SparkSpec {
     val perQuery = ivfDf.groupBy("query_id").count().collect()
     perQuery.foreach(r => assert(r.getLong(1) <= Similarity.TopK))
   }
+
+  test("vocab stats: df ≤ cf, df ≤ corpus size, top-50 ordered by cf") {
+    val rows = TextAnalysis.qVocabStats(spark, sf).collect()
+    // synthetic vocab is ~31 terms at sf0.01 — smaller than the top-k cap
+    assert(rows.nonEmpty && rows.length <= 50)
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_freq") <= r.getAs[Long]("coll_freq"), r.toString)
+      assert(r.getAs[Long]("doc_freq") <= nDocs, r.toString)
+    }
+    val cfs = rows.map(_.getAs[Long]("coll_freq"))
+    assert(cfs.zip(cfs.tail).forall { case (a, b) => a >= b }, "not cf-descending")
+    // spot-check one term against a direct recompute
+    val term = rows.head.getAs[String]("token")
+    val direct = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === term).count()
+    assert(rows.head.getAs[Long]("coll_freq") == direct)
+  }
+
+  test("train/test split: partition of corpus, ~TrainPct split, stable under growth") {
+    val split = Curation.qTrainTestSplit(spark, sf).cache()
+    val n = split.count()
+    assert(n == graft.Tables.documents(spark, sf).count())
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "test"))
+    val frac = byS("train").toDouble / n
+    assert(math.abs(frac - Curation.TrainPct / 100.0) < 0.05,
+      s"train fraction $frac far from ${Curation.TrainPct}%")
+    // growth stability: the assignment on a PREFIX of the corpus is the
+    // restriction of the full assignment (hash of id, independent of peers)
+    val full = split.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val prefixDir = tmpDir("split-prefix")
+    graft.Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .write.mode("overwrite").parquet(s"$prefixDir/documents.parquet")
+    Curation.qTrainTestSplit(spark, prefixDir).collect().foreach { r =>
+      assert(full(r.getAs[Long]("doc_id")) == r.getAs[String]("split"),
+        s"assignment flipped for ${r.getAs[Long]("doc_id")}")
+    }
+    split.unpersist()
+  }
+
+  test("events dedup: no key-bucket repeats, earliest-wins, subset of events") {
+    val out = Events.qEventsDedup(spark, sf).cache()
+    val keyed = out.groupBy("bucket", "user_id", "event_type").count().collect()
+    keyed.foreach(r => assert(r.getAs[Long]("count") == 1L,
+      s"duplicate survivor in ${r}"))
+    // survivors carry the minimum ts of their group in the raw table
+    val raw = graft.Tables.events(spark, sf)
+      .withColumn("bucket", window(col("ts"), "10 minutes").getField("start"))
+      .groupBy("bucket", "user_id", "event_type").agg(min("ts").as("min_ts"))
+    val joined = out.join(raw, Seq("bucket", "user_id", "event_type"))
+    assert(joined.filter(col("ts") =!= col("min_ts")).count() == 0)
+    assert(out.count() == raw.count())
+    out.unpersist()
+  }
 }
