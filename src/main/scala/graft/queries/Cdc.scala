@@ -121,7 +121,55 @@ object Cdc {
       .orderBy(col("id"), col("version"))
   }
 
+  /** Incremental aggregate maintenance (materialized-view maintenance)
+    * from the change stream: per email-domain live-row count and change
+    * counters, computed from the DELTAS ONLY — op r/c contribute +1, d
+    * contributes −1, u contributes 0 to liveness (this stream's updates
+    * can't move a row between domains: email is key-derived). No base
+    * table is ever re-scanned.
+    *
+    * Scale shape: this is THE reason change streams exist — maintaining
+    * the aggregate costs O(|changes|) with map-side-combining counters
+    * (one tiny shuffle on the group key), where a recompute is an
+    * O(|corpus|) scan. In streaming form the same delta column feeds a
+    * `groupBy(domain).agg(sum)` with update-mode output; the batch gate
+    * here verifies the delta algebra itself.
+    */
+  def qCdcIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val env = changeMix(s, d)
+    val email = coalesce(
+      col("envelope.after.email"), col("envelope.before.email"))
+    val delta = when(col("envelope.op").isin("r", "c"), 1L)
+      .when(col("envelope.op") === "d", -1L)
+      .otherwise(0L)
+    env
+      .select(
+        element_at(split(email, "@"), 2).as("email_domain"),
+        delta.as("delta"),
+        col("envelope.op").as("op"))
+      .groupBy(col("email_domain"))
+      .agg(
+        sum(col("delta")).as("live_count"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("op") === "u", 1L).otherwise(0L)).as("n_updates"))
+      .orderBy(col("email_domain"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // closed-form from the change-mix mod rules (see changeMix): every
+    // customer snapshots (+1), every 3rd updates (0), every 7th deletes
+    // (−1) — so the maintained counters fold back to per-segment counts.
+    "q_cdc_incremental_agg" ->
+      """SELECT lower(c_mktsegment) || '.example.com' AS email_domain,
+        |  CAST(sum(CASE WHEN c_custkey % 7 != 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS live_count,
+        |  CAST(count(*) + sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_updates
+        |FROM customer GROUP BY 1 ORDER BY email_domain""".stripMargin,
+
     "q_cdc_latest_state" ->
       """SELECT CAST(c_custkey AS INT) AS id,
         |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS name,
@@ -171,6 +219,7 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_enrich" -> (qCdcEnrich _),
     "q_cdc_latest_state" -> (qCdcLatestState _),
-    "q_cdc_scd2" -> (qCdcScd2 _)
+    "q_cdc_scd2" -> (qCdcScd2 _),
+    "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _)
   )
 }

@@ -223,6 +223,50 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 101L), (3L, 103L)))
   }
 
+  test("incremental aggregate maintenance: update-mode delta counters across restart") {
+    import spark.implicits._
+    val in = tmpDir("iagg-in")
+    val ckpt = tmpDir("iagg-ckpt")
+    def writeChg(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, op) =>
+        (id, op, if (id % 2 == 0) "even.example.com" else "odd.example.com")
+      }.toDF("id", "op", "domain").coalesce(1).write.mode("append").parquet(in)
+
+    val out = tmpDir("iagg-out")
+    // foreachBatch = the MV-upsert sink pattern: each micro-batch delivers
+    // only the keys whose counters changed (update mode), stamped with the
+    // batch id so the newest version per key wins downstream
+    def run(): Unit =
+      spark.readStream
+        .schema("id LONG, op STRING, domain STRING").parquet(in)
+        .withColumn("delta", when(col("op").isin("r", "c"), 1L)
+          .when(col("op") === "d", -1L).otherwise(0L))
+        .groupBy(col("domain"))
+        .agg(sum(col("delta")).as("live"), count(lit(1)).as("n_events"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    writeChg((1L to 10L).map(_ -> "r"))
+    run()
+    // restart with more changes: deletes 1..3, no-delta updates 4..5 —
+    // state resumes from the checkpoint, counters absorb only the deltas
+    writeChg(Seq(1L -> "d", 2L -> "d", 3L -> "d", 4L -> "u", 5L -> "u"))
+    run()
+    val fin = spark.read.parquet(out).collect()
+      .groupBy(_.getAs[String]("domain"))
+      .map { case (d, rs) => d -> rs.maxBy(_.getAs[Long]("batch_id")) }
+    assert(fin("even.example.com").getAs[Long]("live") == 4L) // 5 − id 2
+    assert(fin("odd.example.com").getAs[Long]("live") == 3L) // 5 − ids 1,3
+    assert(fin("even.example.com").getAs[Long]("n_events") == 7L) // 5 r + id2 d + id4 u
+    assert(fin("odd.example.com").getAs[Long]("n_events") == 8L) // 5 r + 1,3 d + id5 u
+  }
+
   test("transformWithState: RocksDB-backed per-user running counts") {
     import spark.implicits._
     val in = tmpDir("tws-in")
