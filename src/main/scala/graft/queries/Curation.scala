@@ -167,6 +167,33 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Docs kept per source by [[qSelectBest]]. */
+  val SelectPerSource = 25
+
+  /** Corpus selection: the [[SelectPerSource]] highest-quality documents
+    * per source (deterministic tie-break on doc_id), using the SAME
+    * quality score as [[TextAnalysis.qQualityScore]] and the composed
+    * pipeline — the "keep the best N per domain" pass of a data-mixing
+    * recipe.
+    *
+    * Scale shape: the `row_number ≤ k` filter plans as WindowGroupLimit
+    * (asserted in ScaleShapeSpec) — every mapper pre-prunes to its local
+    * top-k per source BEFORE the shuffle, so the exchange carries
+    * O(sources · k) rows per mapper, not the corpus. The score itself is
+    * a narrow scan-speed expression.
+    */
+  def qSelectBest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .withColumn("score", TextAnalysis.qualityScoreExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SelectPerSource)
+      .select(col("source"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Percent of hash buckets assigned to the train side. */
   val TrainPct = 90
 
@@ -316,6 +343,20 @@ object Curation {
   // ---------------------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q_select_best" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  ${TextAnalysis.qualityScoreSql} AS score
+         |  FROM t),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+         |      FROM s)
+         |SELECT source, CAST(rank AS INT) AS rank, doc_id,
+         |  CAST(score AS INT) AS score
+         |FROM r WHERE rank <= $SelectPerSource
+         |ORDER BY source, rank""".stripMargin,
+
     "q_train_test_split" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,14)
@@ -426,6 +467,7 @@ object Curation {
     "q_redact_pii" -> (qRedactPii _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_train_test_split" -> (qTrainTestSplit _),
+    "q_select_best" -> (qSelectBest _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_chunk_documents" -> (qChunkDocuments _)

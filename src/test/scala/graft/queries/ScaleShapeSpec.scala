@@ -155,6 +155,12 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected exactly one hash shuffle (the dedup window key), got $shuffles:\n$plan")
   }
 
+  test("select-best plans WindowGroupLimit: mappers pre-prune to local top-k") {
+    val plan = finalPlan(Curation.qSelectBest(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter must push a per-mapper group limit below the shuffle:\n$plan")
+  }
+
   test("fuzzy match: levenshtein stays in its bounded (banded-DP) form") {
     val plan = Linkage.qFuzzyMatch(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("levenshtein") && plan.contains("Some(2)"),
