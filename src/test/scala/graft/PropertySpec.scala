@@ -196,4 +196,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: incremental-agg delta sum == replayed live count, any lifecycle") {
+    import spark.implicits._
+    // per-key lifecycle: 1-3 generations of insert + 0-3 updates, each
+    // but possibly the last closed by a delete — covers re-insertion,
+    // which the gate query's closed-form change mix doesn't exercise
+    val lifecycleGen: Gen[List[String]] = for {
+      gens <- Gen.choose(1, 3)
+      segs <- Gen.listOfN(gens, for {
+        ups <- Gen.choose(0, 3)
+        closed <- Gen.oneOf(true, false)
+      } yield ("c" :: List.fill(ups)("u")) ++ (if (closed) List("d") else Nil))
+      // only the final generation may stay open: close all earlier ones
+    } yield segs.zipWithIndex.flatMap { case (s, i) =>
+      if (i < segs.size - 1 && s.lastOption != Some("d")) s :+ "d" else s
+    }
+    forSamples(Gen.listOfN(30, lifecycleGen)) { logs =>
+      val rows = logs.zipWithIndex.flatMap { case (ops, k) =>
+        ops.map(op => (k.toLong, op, s"g${k % 3}.example.com"))
+      }
+      val got = rows.toDF("id", "op", "domain")
+        .withColumn("delta", when(col("op").isin("r", "c"), 1L)
+          .when(col("op") === "d", -1L).otherwise(0L))
+        .groupBy(col("domain")).agg(sum(col("delta")).as("live"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = logs.zipWithIndex
+        .groupBy { case (_, k) => s"g${k % 3}.example.com" }
+        .view.mapValues(_.count { case (ops, _) => ops.last != "d" }.toLong)
+        .toMap
+      // domains where every key ended deleted still appear with live=0
+      expected.foreach { case (d, n) => assert(got.getOrElse(d, 0L) == n,
+        s"domain $d: delta-sum ${got.get(d)} != replayed live $n") }
+      got.foreach { case (d, n) => assert(expected.getOrElse(d, 0L) == n) }
+    }
+  }
 }
