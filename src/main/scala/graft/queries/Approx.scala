@@ -61,9 +61,16 @@ object Approx {
   val CmsRows = 4
   val CmsWidth = 1024
 
-  private def cmsBucket(j: Int, key: org.apache.spark.sql.Column) =
-    pmod(graft.text.TextOps.hash56(
-      concat(lit(s"cms$j:"), key)), lit(CmsWidth.toLong))
+  private def cmsBucket(j: Int, key: org.apache.spark.sql.Column) = {
+    // md5 yields 128 bits — rows 2j and 2j+1 take independent 56-bit
+    // slices (hex chars 1-14 / 15-28) of ONE digest, so R rows cost
+    // ⌈R/2⌉ md5 calls per input row (digest slicing; measured neutral at
+    // sf0.1 where explode+agg dominates, but halves the hash budget that
+    // scales with corpus size)
+    val slice = substring(md5(concat(lit(s"cms${j / 2}:"), key)),
+      1 + (j % 2) * 14, 14)
+    pmod(conv(slice, 16, 10).cast("long"), lit(CmsWidth.toLong))
+  }
 
   /** Heavy hitters via count-min sketch: build the R×W counter table (one
     * tiny aggregate — the sketch is mergeable, so partials combine
@@ -104,7 +111,7 @@ object Approx {
     // parameters are engine-specific. The CMS is md5-derived → exact twin.
     "q_cms_topk" -> {
       val buckets = (0 until CmsRows).map { j =>
-        s"CAST('0x'||substr(md5('cms$j:'||CAST(l_partkey AS VARCHAR)),1,14) AS BIGINT) % $CmsWidth"
+        s"CAST('0x'||substr(md5('cms${j / 2}:'||CAST(l_partkey AS VARCHAR)),${1 + (j % 2) * 14},14) AS BIGINT) % $CmsWidth"
       }
       s"""WITH base AS (SELECT l_partkey FROM lineitem),
          |cells AS (
