@@ -155,6 +155,35 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected exactly one hash shuffle (the dedup window key), got $shuffles:\n$plan")
   }
 
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // At 100 TB the big-side scan of a selective join should be pruned by
+    // a bloom filter built from the filtered small side (InjectRuntimeFilter).
+    // Local sizes are far under the production thresholds, so the test
+    // lowers them to prove the rewrite fires; a real deployment keeps the
+    // defaults (creation side ≤ 10MB, application side ≥ 10GB scanned).
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val j = Tables.lineitem(spark, sf)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_quantity").cast(Tables.Money)).as("qty"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom-filter probe (might_contain):\n$optimized")
+      assert(j.count() > 0)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("select-best plans WindowGroupLimit: mappers pre-prune to local top-k") {
     val plan = finalPlan(Curation.qSelectBest(spark, sf))
     assert(plan.contains("WindowGroupLimit"),
