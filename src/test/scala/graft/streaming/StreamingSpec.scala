@@ -4,7 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import java.sql.Timestamp
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
@@ -46,6 +46,39 @@ class LatestStateProcessor
     }
     st.update(cur)
     Iterator((key, cur.lsn, cur.op, cur.name))
+  }
+}
+
+/** Event-time session timeout via transformWithState TIMERS: accumulate a
+  * per-user count, re-arm a timer at last-event + gap, and emit the closed
+  * session ONLY when the watermark passes the timer — the emit-on-timeout
+  * half of sessionization that `session_window` (which emits on watermark
+  * per window) doesn't expose for custom payloads.
+  */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Ev, (Long, Long)] {
+  @transient private var cnt: ValueState[Long] = _
+  @transient private var maxTs: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    maxTs = getHandle.getValueState[Long]("maxTs", Encoders.scalaLong, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    val oldMax = if (maxTs.exists()) Some(maxTs.get()) else None
+    var n = if (cnt.exists()) cnt.get() else 0L
+    var m = oldMax.getOrElse(0L)
+    rows.foreach { r => n += 1; m = math.max(m, r.ts.getTime) }
+    oldMax.filter(_ != m).foreach(o => getHandle.deleteTimer(o + gapMs))
+    cnt.update(n); maxTs.update(m)
+    getHandle.registerTimer(m + gapMs)
+    Iterator.empty // nothing emitted until the session closes
+  }
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+    val n = if (cnt.exists()) cnt.get() else 0L
+    cnt.clear(); maxTs.clear()
+    Iterator((key, n))
   }
 }
 
@@ -265,6 +298,54 @@ class StreamingSpec extends SparkSpec {
     assert(fin("odd.example.com").getAs[Long]("live") == 3L) // 5 − ids 1,3
     assert(fin("even.example.com").getAs[Long]("n_events") == 7L) // 5 r + id2 d + id4 u
     assert(fin("odd.example.com").getAs[Long]("n_events") == 8L) // 5 r + 1,3 d + id5 u
+  }
+
+  test("transformWithState timers: sessions emit on event-time timeout only") {
+    import spark.implicits._
+    val in = tmpDir("twt-in")
+    val out = tmpDir("twt-out")
+    val ckpt = tmpDir("twt-ckpt")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit =
+        streamFrom(in).as[Ev]
+          .withWatermark("ts", "0 seconds")
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionTimeoutProcessor(600000L), // 10 min gap
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "n_events")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+
+      // users 1 (3 events) and 2 (2 events), all before 10:05
+      writeEvents(in, Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+        Ev(2, ts("2024-01-01 10:02:00"), 1, 1.0),
+        Ev(3, ts("2024-01-01 10:04:00"), 1, 1.0),
+        Ev(4, ts("2024-01-01 10:01:00"), 2, 1.0),
+        Ev(5, ts("2024-01-01 10:05:00"), 2, 1.0)))
+      run() // watermark ends at 10:05 — timers (10:14/10:15) still armed
+      assert(spark.read.parquet(out).count() == 0,
+        "no session may close before the watermark passes its timer")
+      // user 3 at 11:00 advances the watermark for the NEXT batch
+      writeEvents(in, Seq(Ev(6, ts("2024-01-01 11:00:00"), 3, 1.0)))
+      run() // this batch still runs at watermark 10:05
+      writeEvents(in, Seq(Ev(7, ts("2024-01-01 12:00:00"), 3, 1.0)))
+      run() // watermark 11:00 > both timers → sessions 1 and 2 emit
+      val sessions = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sessions == Map(1L -> 3L, 2L -> 2L),
+        s"expected users 1,2 closed and user 3 still open, got $sessions")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("transformWithState: RocksDB-backed per-user running counts") {
