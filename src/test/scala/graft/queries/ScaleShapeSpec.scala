@@ -155,6 +155,33 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected exactly one hash shuffle (the dedup window key), got $shuffles:\n$plan")
   }
 
+  test("ANALYZE statistics feed the optimizer: sizeInBytes drives broadcast choice") {
+    // On a cluster, CBO decisions (broadcast, join order) come from catalog
+    // statistics, not file listing. Verify the ANALYZE → catalog → plan path:
+    // computed stats must reach the optimized plan's size estimate.
+    try {
+      Tables.nation(spark, sf).write.mode("overwrite").saveAsTable("nation_t")
+      Tables.supplier(spark, sf).write.mode("overwrite").saveAsTable("supplier_t")
+      spark.sql("ANALYZE TABLE nation_t COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE nation_t COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+      val cat = spark.sql("DESCRIBE EXTENDED nation_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cat("Statistics").contains("rows"),
+        s"ANALYZE must record a row count: ${cat("Statistics")}")
+      val joined = spark.table("supplier_t")
+        .join(spark.table("nation_t"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).count()
+      val stats = joined.queryExecution.optimizedPlan.stats
+      assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 100L * 1024 * 1024,
+        s"catalog stats must bound the size estimate, got ${stats.sizeInBytes}")
+      // with a 25-row nation the planner must pick a broadcast join unaided
+      assert(finalPlan(joined).contains("BroadcastHashJoin"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nation_t")
+      spark.sql("DROP TABLE IF EXISTS supplier_t")
+    }
+  }
+
   test("runtime bloom filter injects on a selective shuffle join") {
     // At 100 TB the big-side scan of a selective join should be pruned by
     // a bloom filter built from the filtered small side (InjectRuntimeFilter).
