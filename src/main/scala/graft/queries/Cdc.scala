@@ -135,13 +135,18 @@ object Cdc {
     * `groupBy(domain).agg(sum)` with update-mode output; the batch gate
     * here verifies the delta algebra itself.
     */
+  /** ±1 liveness delta of a change op — the single definition shared by
+    * [[qCdcIncrementalAgg]], the streaming foreachBatch twin, and the
+    * lifecycle property test, so the mapping cannot drift between them.
+    */
+  def liveDelta(op: Column): Column =
+    when(op.isin("r", "c"), 1L).when(op === "d", -1L).otherwise(0L)
+
   def qCdcIncrementalAgg(s: SparkSession, d: String): DataFrame = {
     val env = changeMix(s, d)
     val email = coalesce(
       col("envelope.after.email"), col("envelope.before.email"))
-    val delta = when(col("envelope.op").isin("r", "c"), 1L)
-      .when(col("envelope.op") === "d", -1L)
-      .otherwise(0L)
+    val delta = liveDelta(col("envelope.op"))
     env
       .select(
         element_at(split(email, "@"), 2).as("email_domain"),

