@@ -253,7 +253,7 @@ object Curation {
        |    sum(n_tokens) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM smp)
-       |SELECT (cum - n_tokens) // $PackBudget AS pack_id,
+       |SELECT CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
        |  count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -245,7 +245,7 @@ object Profiling {
          |  sum(n) OVER () AS total
          |  FROM g)
          |SELECT bucket, bucket * $BinWidth AS lo,
-         |  (bucket + 1) * $BinWidth AS hi, n, cum_n,
+         |  (bucket + 1) * $BinWidth AS hi, n, CAST(cum_n AS BIGINT) AS cum_n,
          |  CAST(cum_n * 10000 // total AS BIGINT) AS cdf_x10000
          |FROM c ORDER BY bucket""".stripMargin,
 
