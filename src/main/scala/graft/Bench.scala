@@ -35,8 +35,8 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       (name, dt, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qJson(rs: Seq[(String, Double, Option[String])]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a failed query must be visible in the JSON contract, not just stderr;
     // blank every char that would need JSON escaping (quotes, backslash,
     // ALL control chars) so the one-line metric contract stays RFC 8259
@@ -44,12 +44,17 @@ object Bench {
       "\"" + k + "\":\"" + e.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // belt-and-braces: the driver parses stdout, but sbt may prefix it with
-    // its logger; a file copy survives any wrapping.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    def line(qs: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size}}"""
+    // Full per-query detail goes to the file; stdout gets a COMPACT line
+    // (top-12 slowest only). Round 2 post-mortem: the full 90-query line is
+    // ~4 KB, the driver records only the stdout tail, and the line's head —
+    // including the {"metric" anchor — fell outside the window, so the
+    // driver parsed null. The compact line stays well under 1 KB and is the
+    // last thing printed.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line(qJson(results)))
     spark.stop()
+    println(line(qJson(results.sortBy(-_._2).take(12))))
   }
 }

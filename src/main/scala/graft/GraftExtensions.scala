@@ -34,9 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   // 5-arg ExpressionInfo is (className, db, name, usage, examples) — db
-  // must be null for a session-global function, not skipped
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+  // must be null for a session-global function, not skipped. className is
+  // the concrete Expression class so DESCRIBE FUNCTION points at the
+  // implementation, not this registration shim.
+  private def info(cls: Class[_], name: String, usage: String) =
+    new ExpressionInfo(cls.getName, null, name, usage, "")
 
   /** (name, doc, builder) triples — shared by the extensions path and
     * [[registerAll]] for already-built sessions.
@@ -44,20 +46,20 @@ object GraftExtensions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder)] = Seq(
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
+      info(classOf[DotProduct], "graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot takes (array, array)")
         DotProduct(args.head, args(1))
       }),
     (FunctionIdentifier("graft_simhash56"),
-      info("graft_simhash56",
+      info(classOf[SimHash56], "graft_simhash56",
         "graft_simhash56(hashes) - 56-bit simhash over an array of int64 hashes"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash56 takes (array<bigint>)")
         SimHash56(args.head)
       }),
     (FunctionIdentifier("graft_shingle_hash56"),
-      info("graft_shingle_hash56",
+      info(classOf[ShingleHash56], "graft_shingle_hash56",
         "graft_shingle_hash56(tokens[, k]) - distinct 56-bit hashes of word k-shingles (default k=3)"),
       (args: Seq[Expression]) => args match {
         case Seq(toks) => ShingleHash56(toks, 3)
@@ -70,7 +72,7 @@ object GraftExtensions {
           "graft_shingle_hash56 takes (array<string>[, k])")
       }),
     (FunctionIdentifier("graft_minhash_sig"),
-      info("graft_minhash_sig",
+      info(classOf[MinHashSig], "graft_minhash_sig",
         "graft_minhash_sig(hashes) - 12-permutation minhash signature (library parameters)"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_minhash_sig takes (array<bigint>)")

@@ -285,15 +285,22 @@ object Curation {
   def qChunkDocuments(s: SparkSession, d: String): DataFrame = {
     val toks = graft.text.TextOps.tokens(col("text"))
     val n = size(col("toks"))
-    // offsets 0, stride, 2·stride … while offset < n (every doc has ≥1)
-    val chunks = transform(
-      sequence(lit(0), floor((n - 1) / ChunkStride).cast("int")),
-      k => {
-        val off = k * ChunkStride
-        val piece = slice(col("toks"), off + 1, lit(ChunkSize))
-        struct(off.as("off"), size(piece).as("len"),
-          md5(concat_ws(" ", piece)).as("fp"))
-      })
+    // offsets 0, stride, 2·stride … while offset < n. The sequence bound is
+    // clamped to ≥0 because sequence(0, -1) counts DOWN in Spark (bogus
+    // negative offsets) while the DuckDB twin's range(0, …) is empty; the
+    // off<n filter then drops the lone off=0 probe a zero-token doc would
+    // produce. Unreachable with split-on-space tokens (empty text → [""],
+    // n≥1) but the guard keeps the operator total, like qMediaFrames.
+    val chunks = filter(
+      transform(
+        sequence(lit(0), greatest(floor((n - 1) / ChunkStride), lit(0)).cast("int")),
+        k => {
+          val off = k * ChunkStride
+          val piece = slice(col("toks"), off + 1, lit(ChunkSize))
+          struct(off.as("off"), size(piece).as("len"),
+            md5(concat_ws(" ", piece)).as("fp"))
+        }),
+      c => c("off") < n)
     Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), n.as("n_tokens"),
