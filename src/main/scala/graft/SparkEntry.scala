@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.Profiling.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Linkage.queries ++
-      graft.queries.Graph.queries
+      graft.queries.Graph.queries ++
+      graft.queries.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.Profiling.oracle ++
       graft.queries.Curation.oracle ++
       graft.queries.Linkage.oracle ++
-      graft.queries.Graph.oracle
+      graft.queries.Graph.oracle ++
+      graft.queries.Retrieval.oracle
 }

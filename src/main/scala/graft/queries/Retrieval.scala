@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval / embedding-training operators over `documents` and
+  * `embeddings`: BM25 keyword search and a distributed k-means (Lloyd)
+  * iteration — the query-side and training-side primitives an LLM data
+  * pipeline runs against a curated corpus.
+  *
+  * Reference parity note: absent from the reference (its only data plane is
+  * the CDC enrichment function — SURVEY.md §2.3–2.7 evidence of absence);
+  * these are driver-mandated LLM-pipeline operators.
+  *
+  * Determinism rules (same as the rest of the engine): all scores are
+  * scaled-integer arithmetic with explicit floor division — no log(), no
+  * float aggregation — so the DuckDB oracle hash-matches bit-exactly and a
+  * 1000-executor run reproduces a laptop run.
+  */
+object Retrieval {
+
+  /** Exact integer division for non-negative operands. floor(a/b) on
+    * doubles is exact while a < 2^52 (correctly-rounded double division);
+    * every dividend in this file is bounded ≤ ~1e15 at 100 TB scale by
+    * construction (scale-free ratios are formed BEFORE multiplying).
+    */
+  private def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+
+  // ---------------------------------------------------------------------
+  // BM25
+  // ---------------------------------------------------------------------
+
+  /** Fixed query term set (from the corpus vocabulary). */
+  val QueryTerms: Seq[String] = Seq("join", "hash", "vector")
+  val BmTopK = 20
+
+  /** BM25 with k1=1.2, b=0.75 in exact integer arithmetic.
+    *
+    * The classic idf = ln((N-df+0.5)/(df+0.5)) is replaced by its scaled
+    * rational argument idf_x10000 = ⌊((N-df)·2+1)·10000 / (2·df+1)⌋ —
+    * monotone in the real idf, so ranking is BM25-faithful while staying
+    * engine-exact (ln() is libm-dependent). The length norm dl/avgdl is
+    * quantized once as rel_x1000 = ⌊dl·1000·N / T⌋ (scale-free: doc length
+    * over mean length), then
+    *
+    *   score_t_x10000 = ⌊idf_x10000 · 2200·tf / (1000·tf + 300 + ⌊9·rel_x1000/10⌋)⌋
+    *
+    * which is (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) with k1=6/5, b=3/4
+    * multiplied through by 1000.
+    *
+    * Scale shape (100 TB): per-term tf is an array-filter inside the scan —
+    * NO corpus explode, NO shuffle for term matching; only matched
+    * (doc, term) rows (≤|Q| per doc) go long. df/N/T are tiny aggregates
+    * that broadcast back. Top-k plans as TakeOrderedAndProject. One corpus
+    * scan total.
+    */
+  def qBm25TopK(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        (col("doc_id") +: size(col("toks")).as("dl") +:
+          QueryTerms.map(t =>
+            size(filter(col("toks"), x => x === t)).as(s"tf_$t"))): _*)
+    // long form: only matched terms survive (≤ |QueryTerms| rows per doc)
+    val termMap = map(
+      QueryTerms.flatMap(t => Seq(lit(t), col(s"tf_$t"))): _*)
+    val long = docs
+      .select(col("doc_id"), col("dl"), explode(termMap).as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+    val dfT = long.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = idiv(((col("n_docs") - col("df")) * 2L + 1L) * 10000L,
+      col("df") * 2L + 1L)
+    val rel = idiv(col("dl") * 1000L * col("n_docs"), col("total_toks"))
+    val denom = col("tf") * 1000L + 300L + idiv(rel * 9L, lit(10L))
+    val score = idiv(idf * 2200L * col("tf"), denom)
+    long
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score_t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_t")).as("score_x10000"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_x10000").desc, col("doc_id"))
+      .limit(BmTopK)
+  }
+
+  // ---------------------------------------------------------------------
+  // k-means (one Lloyd iteration)
+  // ---------------------------------------------------------------------
+
+  /** Every 97th vector seeds a centroid (5 at sf0.01, ~21 at sf0.1) —
+    * deterministic stand-in for a k-means++ init.
+    */
+  val CentroidMod = 97
+  /** Component quantization for the exact centroid update. */
+  val CoordScale = 1000000L
+
+  /** One distributed Lloyd iteration: assign every vector to its nearest
+    * centroid (max cosine, tie → smaller centroid id), then recompute each
+    * centroid as the exact component-wise mean.
+    *
+    * The float mean is order-dependent (sum of doubles), so components are
+    * quantized to ×1e6 integers first: sums of int64 are exact and
+    * order-independent, the mean is an exact integer division — the same
+    * centroid comes out of any partitioning, any executor count, and the
+    * DuckDB oracle.
+    *
+    * Scale shape (100 TB): centroids broadcast (K is small by definition);
+    * assignment is max_by partial aggregation inside the scan — one row per
+    * vector reaches the assignment shuffle. The update posexplodes to
+    * (cluster, dim) — 64 rows per vector map-side, collapsed by partial
+    * aggregation to K×64 per task BEFORE the shuffle, so the exchange
+    * carries O(tasks · K · 64), not O(corpus · 64). Output is K×64 rows.
+    */
+  def qKmeansUpdate(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .localCheckpoint() // centroid + corpus sides share one materialization
+    val cents = vecs.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+    // nearest centroid as a map-side max_by aggregate (no window over the
+    // corpus): unique (cos, -centroid_id) key == row_number()=1 under
+    // (cos DESC, centroid_id ASC)
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        VectorFunctions.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cos"), (-col("centroid_id")).as("nb"))).as("cluster"),
+        first(col("v")).as("v"))
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("x") * CoordScale).cast("long")).as("sx"))
+      .select(col("cluster"), col("dim"), col("n_members"),
+        // sx can be NEGATIVE: DuckDB // truncates toward zero (-7//2 = -3),
+        // so mirror with a truncating long cast of the double quotient —
+        // floor() would disagree by 1 on negative non-exact quotients.
+        // Exact for |sx| < 2^52 (correctly-rounded division; the quotient
+        // is ≥ 1/n_members away from any other integer).
+        (col("sx") / col("n_members")).cast("long").as("c_x1e6"))
+      .orderBy(col("cluster"), col("dim"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25_topk" -> {
+      val tfCols = QueryTerms.map(t =>
+        s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
+      val longArms = QueryTerms.map(t =>
+        s"SELECT doc_id, dl, '$t' AS term, tf_$t AS tf FROM d WHERE tf_$t > 0")
+        .mkString("\n  UNION ALL ")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS dl,
+         |  $tfCols
+         |  FROM base),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM d),
+         |long AS ($longArms),
+         |dft AS (SELECT term, count(*) AS df FROM long GROUP BY 1),
+         |scored AS (SELECT doc_id,
+         |    (((n_docs - df) * 2 + 1) * 10000 // (df * 2 + 1)) * 2200 * tf
+         |      // (tf * 1000 + 300 + (dl * 1000 * n_docs // total_toks) * 9 // 10)
+         |      AS score_t
+         |  FROM long JOIN dft USING (term) CROSS JOIN stats)
+         |SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score_x10000,
+         |  count(*) AS n_terms
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score_x10000 DESC, doc_id LIMIT $BmTopK""".stripMargin
+    },
+    "q_kmeans_update" ->
+      s"""WITH n AS (SELECT vec_id, v,
+         |    sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm
+         |  FROM (SELECT vec_id,
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |cen AS (SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+         |  WHERE vec_id % $CentroidMod = 0),
+         |p AS (SELECT n.vec_id, cen.centroid_id, n.v,
+         |    list_aggregate(list_transform(range(1, 65),
+         |      i -> n.v[i] * cen.cv[i]), 'sum') / (n.norm * cen.cnorm) AS cos
+         |  FROM n CROSS JOIN cen),
+         |a AS (SELECT vec_id, centroid_id AS cluster, v
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, centroid_id) AS rn FROM p)
+         |  WHERE rn = 1),
+         |e AS (SELECT cluster, CAST(r.dim AS INT) AS dim,
+         |    CAST(round(v[CAST(r.dim AS INT) + 1] * $CoordScale) AS BIGINT) AS xi
+         |  FROM a CROSS JOIN range(64) r(dim))
+         |SELECT cluster, dim, count(*) AS n_members,
+         |  CAST(CAST(sum(xi) AS BIGINT) // count(*) AS BIGINT) AS c_x1e6
+         |FROM e GROUP BY cluster, dim
+         |ORDER BY cluster, dim""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk" -> (qBm25TopK _),
+    "q_kmeans_update" -> (qKmeansUpdate _)
+  )
+}
