@@ -22,15 +22,18 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val showPlan = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "1") == "1"
+    val showFinal = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "1") == "2"
     names.foreach { name =>
       println(s"\n===== $name =====")
       if (showPlan) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       // time from plan construction: queries with eager localCheckpoint do
       // real work at build time, which timing only the write would hide
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
       println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // EXPLAIN=2: the POST-AQE executed plan (what actually ran)
+      if (showFinal) println(df.queryExecution.executedPlan.toString)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

@@ -86,14 +86,19 @@ object Approx {
     */
   def qCmsTopk(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_partkey"))
-    // R×W counter table: explode each row into its R (row, bucket) cells
-    val cells = li.select(posexplode(array(
+    // ONE corpus scan: CMS over a multiset == weighted CMS over distinct
+    // keys, so hash per DISTINCT key (≈20k md5s at sf0.1) instead of per
+    // row (600k) and build the R×W counter table from the exact-count
+    // frame — which the probe side needs anyway. Checkpointed: cells +
+    // probes both consume it.
+    val exact = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint()
+    val cells = exact.select(col("exact_cnt"), posexplode(array(
       (0 until CmsRows).map(j => cmsBucket(j, col("l_partkey"))): _*))
       .as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = li.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("exact_cnt"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
     val probes = exact.select(col("l_partkey"), col("exact_cnt"),
       posexplode(array(
         (0 until CmsRows).map(j => cmsBucket(j, col("l_partkey"))): _*))
@@ -114,13 +119,14 @@ object Approx {
         s"CAST('0x'||substr(md5('cms${j / 2}:'||CAST(l_partkey AS VARCHAR)),${1 + (j % 2) * 14},14) AS BIGINT) % $CmsWidth"
       }
       s"""WITH base AS (SELECT l_partkey FROM lineitem),
-         |cells AS (
-         |  ${(0 until CmsRows).map(j =>
-              s"SELECT $j AS j, ${buckets(j)} AS bucket FROM base")
-              .mkString("\n  UNION ALL\n  ")}),
-         |sk AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
          |exact AS (SELECT l_partkey, count(*) AS exact_cnt
          |          FROM base GROUP BY 1),
+         |cells AS (
+         |  ${(0 until CmsRows).map(j =>
+              s"SELECT exact_cnt, $j AS j, ${buckets(j)} AS bucket FROM exact")
+              .mkString("\n  UNION ALL\n  ")}),
+         |sk AS (SELECT j, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cnt
+         |       FROM cells GROUP BY 1, 2),
          |probes AS (
          |  ${(0 until CmsRows).map(j =>
               s"SELECT l_partkey, exact_cnt, $j AS j, ${buckets(j)} AS bucket FROM exact")

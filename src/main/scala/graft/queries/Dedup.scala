@@ -110,25 +110,46 @@ object Dedup {
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
       .localCheckpoint()
     val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh_hashes")).as("sh"))
-    // df attached via a window (one shuffle) instead of groupBy + join back
-    // (two); the rank window then re-shuffles on doc_id as before
+    // df via a map-side-combined groupBy joined back, NOT a count-over-sh
+    // window: the window pays a full SORT exchange of every (doc, shingle)
+    // row; the groupBy ships at most the same rows hash-partitioned
+    // (usually far fewer after partial aggregation) and its O(distinct
+    // shingles) output is deliberately un-hinted — AQE broadcasts it at
+    // runtime when small (always, here) but degrades to a shuffle join on
+    // a corpus whose shingle vocabulary outgrows one executor.
+    val dfTab = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     // checkpoint: BOTH sides of the candidate self-join consume this
-    // frame, and without materialization each side re-runs the two
-    // window exchanges above (no ReusedExchange across the join aliases)
+    // frame, and without materialization each side re-runs the exchanges
+    // above (no ReusedExchange across the join aliases)
     val prefix = inv
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .join(dfTab, "sh")
       .withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * JaccardT) + 1)
-      .select(col("doc_id"), col("n_sh"), col("sh"))
+      .select(col("doc_id"), col("n_sh"), col("sh"), col("rk"))
       .localCheckpoint()
-    val cands = prefix.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh")), Seq("sh"))
+    // PPJoin positional filter: both docs rank shingles under the SAME
+    // global (df, sh) order, so common shingles appear in a consistent
+    // order on both sides; for the FIRST common shingle (positions i, j)
+    // every other common shingle lies after it in BOTH docs, hence
+    // common ≤ 1 + min(na−i, nb−j). A J ≥ t pair needs
+    // common ≥ ⌈t/(1+t)·(na+nb)⌉, and its first common shingle provably
+    // sits inside both prefixes — so max over matched prefix positions of
+    // that upper bound must clear α, or the pair cannot qualify. This cuts
+    // the verify-join input (the expensive stage: it ships both full hash
+    // arrays per pair) without touching results.
+    val alpha = ceil((col("na") + col("nb")) * JaccardT / (1 + JaccardT))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        col("sh"), col("rk").as("rka"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+        col("sh"), col("rk").as("rkb")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
         col("nb") >= ceil(col("na") * JaccardT) &&
         col("na") >= ceil(col("nb") * JaccardT))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(max(least(col("na") - col("rka"), col("nb") - col("rkb"))).as("ub"))
+      .filter(col("ub") + 1 >= alpha)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     val ha = docs.select(col("doc_id").as("doc_a"), col("sh_hashes").as("ha"),
       col("n_sh").as("na"))
     val hb = docs.select(col("doc_id").as("doc_b"), col("sh_hashes").as("hb"),

@@ -41,11 +41,15 @@ object Graph {
     * directed edge. Checkpointed: reused by every iteration.
     */
   def qPagerank(s: SparkSession, d: String): DataFrame = {
+    // Node ids are LONGS in flight (customer 2k, supplier 2k+1): every
+    // shuffle/sort/join in the iteration loop compares 8-byte keys, not
+    // variable-length strings. The presentation strings ("c<id>"/"s<id>")
+    // are built once in the final projection only.
     val pairs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select((col("o_custkey") * 2L).as("a"),
+        (col("l_suppkey") * 2L + 1L).as("b"))
       .distinct()
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -56,23 +60,31 @@ object Graph {
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val nCnt = deg.agg(count(lit(1)).as("n"))
-    // r0 = ⌊Scale/N⌋ for every node
-    var ranks = deg.crossJoin(broadcast(nCnt))
-      .select(col("a"), idiv(lit(Scale), col("n")).as("rank"),
-        col("deg"), col("n"))
+    // the teleport term and r0 are iteration-invariant — computed ONCE and
+    // checkpointed (tiny: one row per node) instead of rebuilding the
+    // deg × nCnt broadcast join inside every iteration
+    val base = deg.crossJoin(broadcast(nCnt))
+      .select(col("a"),
+        idiv(lit(Scale), col("n")).as("r0"),
+        idiv(lit((DampDen - DampNum) * Scale), col("n") * DampDen).as("tele"),
+        col("deg"))
+      .localCheckpoint()
+    var ranks = base.select(col("a"), col("r0").as("rank"), col("deg"))
     for (_ <- 1 to Iterations) {
       val contrib = edges.join(ranks, "a")
         .select(col("b").as("node"),
           idiv(col("rank") * DampNum, col("deg") * DampDen).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-      ranks = deg.crossJoin(broadcast(nCnt))
+      ranks = base
         .join(contrib, col("a") === col("node"), "left")
         .select(col("a"),
-          (idiv(lit((DampDen - DampNum) * Scale), col("n") * DampDen) +
-            coalesce(col("in_sum"), lit(0L))).as("rank"),
-          col("deg"), col("n"))
+          (col("tele") + coalesce(col("in_sum"), lit(0L))).as("rank"),
+          col("deg"))
     }
-    ranks.select(col("a").as("node"), col("rank").as("rank_scaled"), col("deg"))
+    ranks.select(
+      when(col("a") % 2 === 0, concat(lit("c"), shiftright(col("a"), 1)))
+        .otherwise(concat(lit("s"), shiftright(col("a"), 1))).as("node"),
+      col("rank").as("rank_scaled"), col("deg"))
       .orderBy(col("node"))
   }
 
