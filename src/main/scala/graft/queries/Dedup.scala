@@ -180,12 +180,10 @@ object Dedup {
     */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
-    // band key j = "j:sig[3j]:sig[3j+1]:sig[3j+2]" — one row per (doc, band)
-    val bandKeys = array((0 until TextOps.LshBands).map { j =>
-      concat_ws(":", lit(j) +:
-        (0 until TextOps.LshRows).map(r => element_at(col("sig"), j * TextOps.LshRows + r + 1)): _*)
-    }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
+    // band key j = "j:sig[3j]:sig[3j+1]:sig[3j+2]" — one row per (doc,
+    // band); banding shared with the streaming increment (TextOps)
+    val bands = sigs.select(col("doc_id"),
+      explode(TextOps.lshBandKeys(col("sig"))).as("band_key"))
     val cands = bands.select(col("doc_id").as("doc_a"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_key")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
@@ -193,9 +191,7 @@ object Dedup {
       .distinct()
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val matched = (1 to TextOps.MinhashParams.size)
-      .map(i => when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1L).otherwise(0L))
-      .reduce(_ + _)
+    val matched = TextOps.minhashMatchedSlots(col("sig_a"), col("sig_b"))
     cands.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("matched", matched)
       .filter(col("matched") >= TextOps.MinhashParams.size / 2)

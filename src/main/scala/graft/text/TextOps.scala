@@ -73,6 +73,24 @@ object TextOps {
         lit(P))
     }: _*)
 
+  /** LSH band-key array ("j:s0:s1:s2") for a minhash signature column —
+    * SHARED by the batch near-dup join ([[graft.queries.Dedup]]) and the
+    * streaming increment ([[graft.streaming.StreamingDedup]]) so the two
+    * paths bucket identically by construction.
+    */
+  def lshBandKeys(sig: Column): Column =
+    array((0 until LshBands).map { j =>
+      concat_ws(":", lit(j) +:
+        (0 until LshRows).map(r =>
+          element_at(sig, j * LshRows + r + 1)): _*)
+    }: _*)
+
+  /** Matching-slot count between two minhash signature columns. */
+  def minhashMatchedSlots(a: Column, b: Column): Column =
+    (1 to MinhashParams.size)
+      .map(i => when(element_at(a, i) === element_at(b, i), 1L).otherwise(0L))
+      .reduce(_ + _)
+
   /** 64-bit simhash over token hashes, assembled from per-bit majority votes.
     * Produced via explode/groupBy in the query (not a higher-order fold) so
     * the shape is a distributed partial aggregation, not a per-row loop.

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+case class Doc(doc_id: Long, text: String)
+
+/** Incremental LSH near-dup detection over a document stream: verdicts
+  * come from band-key joins against the append-only index — never a
+  * corpus scan — and match the batch minhash query's semantics exactly
+  * (shared signature/banding/verify helpers).
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old stone bridge at dawn"
+  private def variant(tail: String) =
+    base.split(" ").dropRight(1).mkString(" ") + " " + tail
+
+  private def writeDocs(dir: String, docs: Seq[Doc]): Unit = {
+    import spark.implicits._
+    docs.toDF().coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  test("stream batches dedup against the accumulated index and themselves") {
+    import spark.implicits._
+    val in = tmpDir("sdedup-in"); val index = tmpDir("sdedup-idx")
+    val out = tmpDir("sdedup-out"); val ck = tmpDir("sdedup-ck")
+    // batch 1: two genuinely different docs
+    writeDocs(in, Seq(
+      Doc(1L, base),
+      Doc(2L, "completely different content about distributed query engines and shuffles here twelve tokens")))
+    val stream = spark.readStream
+      .schema(Seq.empty[Doc].toDF().schema).parquet(in)
+    val q = StreamingDedup.run(stream, index, out, ck)
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 3 ≈ doc 1 (one trailing token differs → J well over
+      // the LSH threshold), doc 4 novel, doc 5 ≈ doc 4 IN THE SAME BATCH
+      writeDocs(in, Seq(
+        Doc(3L, variant("dusk")),
+        Doc(4L, "a totally novel document mentioning vectors embeddings and sketches with nothing shared"),
+        Doc(5L, "a totally novel document mentioning vectors embeddings and sketches with nothing stolen")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.read.parquet(out)
+      .select(col("doc_id"), col("dup_of"), col("matched")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross-batch: 3 flagged against 1; in-batch: 5 against 4
+    assert(verdicts.contains((3L, 1L)), s"missing cross-batch dup: $verdicts")
+    assert(verdicts.contains((5L, 4L)), s"missing in-batch dup: $verdicts")
+    // the unrelated pairs are NOT flagged
+    assert(!verdicts.exists { case (a, b) => Set(a, b) == Set(1L, 2L) })
+    assert(!verdicts.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
+
+    // the index accumulated every admitted doc's bands
+    val idx = spark.read.parquet(index)
+    assert(idx.select("doc_id").distinct().count() == 5)
+    assert(idx.count() == 5L * graft.text.TextOps.LshBands)
+
+    // semantics parity: the flagged pair agrees with the batch verifier
+    val sigs = spark.read.parquet(in)
+      .select(col("doc_id"), StreamingDedup.signature(col("text")).as("sig"))
+    val s1 = sigs.filter(col("doc_id") === 1).select("sig").as[Seq[Long]].head()
+    val s3 = sigs.filter(col("doc_id") === 3).select("sig").as[Seq[Long]].head()
+    val slots = s1.zip(s3).count { case (a, b) => a == b }
+    assert(slots >= graft.text.TextOps.MinhashParams.size / 2)
+  }
+
+  test("a doc repeated verbatim across batches is flagged with full-signature match") {
+    import spark.implicits._
+    val in = tmpDir("sdedup2-in"); val index = tmpDir("sdedup2-idx")
+    val out = tmpDir("sdedup2-out"); val ck = tmpDir("sdedup2-ck")
+    writeDocs(in, Seq(Doc(10L, base)))
+    val stream = spark.readStream
+      .schema(Seq.empty[Doc].toDF().schema).parquet(in)
+    val q = StreamingDedup.run(stream, index, out, ck)
+    try {
+      q.processAllAvailable()
+      writeDocs(in, Seq(Doc(11L, base)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("matched")))
+    assert(v.contains((11L, 10L, graft.text.TextOps.MinhashParams.size.toLong)), v.toSeq)
+  }
+}
