@@ -26,6 +26,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
+  /** Exact integer division (floor) for non-negative operands < 2^52 —
+    * mirrors DuckDB `//` (see TextAnalysis.idiv for the bound argument).
+    */
+  private def idiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(a / b).cast("long")
+
+
   /** Benchmark docs: a deterministic held-out subset (doc_id % 97 == 0) —
     * standing in for an eval benchmark the corpus must not leak.
     */
@@ -345,11 +353,81 @@ object Curation {
     packStats(sampled)
   }
 
+  /** Mixture budget: 40% of the corpus. */
+  val MixBudgetX10000 = 4000L
+
+  /** Data-mixture resampling: hit TARGET source proportions, not the
+    * corpus's accidental ones — the data-mixing step of a training
+    * recipe. Each source gets weight 3 (even source index — the
+    * "upweighted domains") or 1; its keep-rate is
+    *
+    *   rate = min(1, budget·total·wₛ / (Σw · nₛ))
+    *
+    * and documents are kept by md5-hash bucket < rate — reproducible
+    * across engines, re-runs, and repartitioning, unlike rand().
+    *
+    * Scale shape: per-source counts are a map-side-combined aggregate of
+    * O(sources) rows; the rate table broadcasts (bounded by the source
+    * vocabulary); selection is a narrow scan-speed filter. Integer-exact
+    * throughout (dividends ≤ total·budget·w ≈ 1e14 at 100 TB — inside
+    * the 2^52 exact-floor window).
+    */
+  def qDataMixture(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextOps
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val w = when(
+      regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 2 === 0,
+      lit(3L)).otherwise(lit(1L))
+    val counts = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src")).withColumn("w", w)
+    val tot = counts.agg(sum(col("n_src")).as("n_total"), sum(col("w")).as("sw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("desired",
+        idiv(col("n_total") * MixBudgetX10000 * col("w"),
+          lit(10000L) * col("sw")))
+      .withColumn("rate_x10000",
+        least(lit(10000L), idiv(col("desired") * 10000L, col("n_src"))))
+      .select(col("source"), col("n_src"), col("rate_x10000"))
+    val kept = base
+      .withColumn("bucket",
+        pmod(TextOps.hash56(concat(lit("mix:"), col("doc_id"))), lit(10000L)))
+      .join(broadcast(rates.select(col("source"), col("rate_x10000"))), "source")
+      .filter(col("bucket") < col("rate_x10000"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_src"), col("rate_x10000"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles.
   // ---------------------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q_data_mixture" ->
+      s"""WITH base AS (SELECT doc_id, source FROM documents),
+         |c AS (SELECT source, count(*) AS n_src,
+         |    CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 2 = 0
+         |         THEN 3 ELSE 1 END AS w
+         |  FROM base GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
+         |             CAST(sum(w) AS BIGINT) AS sw FROM c),
+         |r AS (SELECT source, n_src,
+         |    least(10000,
+         |      (n_total * $MixBudgetX10000 * w // (10000 * sw)) * 10000 // n_src)
+         |      AS rate_x10000
+         |  FROM c CROSS JOIN t),
+         |k AS (SELECT source, count(*) AS n_kept
+         |  FROM base JOIN r USING (source)
+         |  WHERE CAST('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,14)
+         |          AS BIGINT) % 10000 < rate_x10000
+         |  GROUP BY 1)
+         |SELECT r.source, CAST(n_src AS BIGINT) AS n_src,
+         |  CAST(rate_x10000 AS BIGINT) AS rate_x10000,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+         |FROM r LEFT JOIN k USING (source)
+         |ORDER BY source""".stripMargin,
     "q_select_best" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars,
          |    string_split(text, ' ') AS toks FROM documents),
@@ -477,6 +555,7 @@ object Curation {
     "q_select_best" -> (qSelectBest _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_curation_pipeline" -> (qCurationPipeline _),
-    "q_chunk_documents" -> (qChunkDocuments _)
+    "q_chunk_documents" -> (qChunkDocuments _),
+    "q_data_mixture" -> (qDataMixture _)
   )
 }

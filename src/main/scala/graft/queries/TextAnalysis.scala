@@ -230,6 +230,55 @@ object TextAnalysis {
       .orderBy(col("coll_freq").desc, col("token"))
       .limit(50)
 
+  /** Bigram-LM fluency score (the CCNet-style "perplexity proxy" pass of
+    * a corpus filter), integer-exact: the corpus itself is the LM.
+    *
+    *   score(doc) = ⌊ Σ_{bigram occurrences g} ⌊B(g)·10000 / U(first(g))⌋
+    *                  / n_bigrams ⌋
+    *
+    * where B is the corpus bigram count and U the corpus unigram count —
+    * a scaled conditional-probability average, monotone in the real
+    * bigram log-likelihood's per-gram ratios but engine-exact (no log,
+    * no float sums). Repetitive/common word sequences score high;
+    * unusual sequences score low.
+    *
+    * Scale shape: both LM tables are map-side-combined aggregates keyed
+    * by gram/token (partial counts collapse within each task); scoring
+    * joins the exploded doc bigrams against them — un-hinted, so AQE
+    * broadcasts the LM tables while they fit and degrades to key-
+    * partitioned joins on an open-vocabulary corpus — then one doc-keyed
+    * aggregate. No corpus self-join anywhere.
+    */
+  def qLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val grams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          element_at(col("toks"), i).as("w1"),
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)).as("gram"))))
+      .otherwise(typedLit(Seq.empty[(String, String)])
+        .cast("array<struct<w1:string,gram:string>>"))
+    val docGrams = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.gram").as("gram"))
+      .localCheckpoint() // feeds the B table AND the scoring join
+    val bTab = docGrams.groupBy(col("gram")).agg(count(lit(1)).as("b"))
+    val uTab = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("u"))
+    docGrams
+      .join(bTab, "gram")
+      .join(uTab, "w1")
+      .select(col("doc_id"), idiv(col("b") * 10000L, col("u")).as("fx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fx")).as("sum_fx"))
+      .select(col("doc_id"), col("n_bigrams"),
+        idiv(col("sum_fx"), col("n_bigrams")).as("lm_score_x10000"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles. NOTE: DuckDB lists are 1-indexed; Spark arrays 0-indexed.
   // hash56 twin: CAST('0x'||substr(md5(x),1,14) AS BIGINT).
@@ -243,6 +292,24 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |dg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |           i -> {'w1': toks[i], 'gram': toks[i] || ' ' || toks[i+1]}),
+        |           recursive := true)
+        |       FROM t),
+        |b AS (SELECT gram, count(*) AS b FROM dg GROUP BY 1),
+        |u AS (SELECT unnest(toks) AS w1 FROM t),
+        |uc AS (SELECT w1, count(*) AS u FROM u GROUP BY 1),
+        |fx AS (SELECT doc_id, b.b * 10000 // uc.u AS fx
+        |       FROM dg JOIN b USING (gram) JOIN uc USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(sum(fx) AS BIGINT) // count(*) AS BIGINT)
+        |    AS lm_score_x10000
+        |FROM fx GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_vocab_stats" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |           FROM documents),
@@ -357,6 +424,7 @@ object TextAnalysis {
     "q_token_counts" -> (qTokenCounts _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_repetition" -> (qRepetition _),
-    "q_vocab_stats" -> (qVocabStats _)
+    "q_vocab_stats" -> (qVocabStats _),
+    "q_lm_score" -> (qLmScore _)
   )
 }
