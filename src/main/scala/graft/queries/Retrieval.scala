@@ -57,7 +57,15 @@ object Retrieval {
     * that broadcast back. Top-k plans as TakeOrderedAndProject. One corpus
     * scan total.
     */
-  def qBm25TopK(s: SparkSession, d: String): DataFrame = {
+  def qBm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
+      .orderBy(col("score_x10000").desc, col("doc_id"))
+      .limit(BmTopK)
+
+  /** BM25-scored frame (doc_id, score_x10000, n_terms) — shared by
+    * [[qBm25TopK]] and the hybrid fusion so the text arm cannot drift.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
@@ -65,7 +73,6 @@ object Retrieval {
         (col("doc_id") +: size(col("toks")).as("dl") +:
           QueryTerms.map(t =>
             size(filter(col("toks"), x => x === t)).as(s"tf_$t"))): _*)
-    // long form: only matched terms survive (≤ |QueryTerms| rows per doc)
     val termMap = map(
       QueryTerms.flatMap(t => Seq(lit(t), col(s"tf_$t"))): _*)
     val long = docs
@@ -86,8 +93,68 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(sum(col("score_t")).as("score_x10000"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("score_x10000").desc, col("doc_id"))
-      .limit(BmTopK)
+  }
+
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval (BM25 ∪ ANN via reciprocal-rank fusion)
+  // ---------------------------------------------------------------------
+
+  /** Arm depth and fusion constants. */
+  val HybridArmK = 50
+  val RrfK = 60L
+  val HybridTopK = 10
+
+  /** Hybrid search: the text arm's top-[[HybridArmK]] BM25 docs and the
+    * vector arm's top-[[HybridArmK]] cosine neighbors of a fixed query
+    * embedding (vec_id 0) fused by reciprocal-rank fusion,
+    *
+    *   rrf(doc) = Σ_arms ⌊1000000 / (60 + rank_arm(doc))⌋
+    *
+    * — the standard integer-exact RRF (k=60). Docs without an embedding
+    * (the corpus outgrows the embedded subset at sf0.1) simply lack the
+    * vector contribution, as in production backfills.
+    *
+    * Scale shape: each arm is the operator it reuses — one corpus scan +
+    * TakeOrderedAndProject for BM25 ([[bm25Scored]]), one broadcast-query
+    * narrow scan + TakeOrderedAndProject for cosine. Ranks are assigned by
+    * a window over the arm's ALREADY-LIMITED [[HybridArmK]] rows (never a
+    * corpus-wide window); the fusion joins two 50-row frames.
+    */
+  def qHybridSearch(s: SparkSession, d: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("arm_key").asc)
+    val text50 = bm25Scored(s, d)
+      .orderBy(col("score_x10000").desc, col("doc_id")).limit(HybridArmK)
+      .select(col("doc_id"),
+        struct((-col("score_x10000")).as("ns"), col("doc_id").as("id"))
+          .as("arm_key"))
+      .withColumn("text_rank", row_number().over(wAll))
+      .select(col("doc_id"), col("text_rank"))
+    val vecs = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    val vec50 = vecs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos",
+        VectorFunctions.dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(HybridArmK)
+      .select(col("vec_id").as("doc_id"),
+        struct((-col("cos")).as("nc"), col("vec_id").as("id")).as("arm_key"))
+      .withColumn("vec_rank", row_number().over(wAll))
+      .select(col("doc_id"), col("vec_rank"))
+    val rrf =
+      coalesce(idiv(lit(1000000L), lit(RrfK) + col("text_rank")), lit(0L)) +
+      coalesce(idiv(lit(1000000L), lit(RrfK) + col("vec_rank")), lit(0L))
+    text50.join(vec50, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_rank"), lit(0)).cast("long").as("text_rank"),
+        coalesce(col("vec_rank"), lit(0)).cast("long").as("vec_rank"),
+        rrf.as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(HybridTopK)
   }
 
   // ---------------------------------------------------------------------
@@ -156,31 +223,65 @@ object Retrieval {
   // DuckDB oracles
   // ---------------------------------------------------------------------
 
+  /** Shared BM25 CTE chain ending in `scored(doc_id, score_t)`. */
+  private lazy val bmCteSql: String = {
+    val tfCols = QueryTerms.map(t =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
+    val longArms = QueryTerms.map(t =>
+      s"SELECT doc_id, dl, '$t' AS term, tf_$t AS tf FROM d WHERE tf_$t > 0")
+      .mkString("\n  UNION ALL ")
+    s"""base AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |d AS (SELECT doc_id, len(toks) AS dl,
+       |  $tfCols
+       |  FROM base),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM d),
+       |long AS ($longArms),
+       |dft AS (SELECT term, count(*) AS df FROM long GROUP BY 1),
+       |scored AS (SELECT doc_id,
+       |    (((n_docs - df) * 2 + 1) * 10000 // (df * 2 + 1)) * 2200 * tf
+       |      // (tf * 1000 + 300 + (dl * 1000 * n_docs // total_toks) * 9 // 10)
+       |      AS score_t
+       |  FROM long JOIN dft USING (term) CROSS JOIN stats)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "q_bm25_topk" -> {
-      val tfCols = QueryTerms.map(t =>
-        s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
-      val longArms = QueryTerms.map(t =>
-        s"SELECT doc_id, dl, '$t' AS term, tf_$t AS tf FROM d WHERE tf_$t > 0")
-        .mkString("\n  UNION ALL ")
-      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |  FROM documents),
-         |d AS (SELECT doc_id, len(toks) AS dl,
-         |  $tfCols
-         |  FROM base),
-         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM d),
-         |long AS ($longArms),
-         |dft AS (SELECT term, count(*) AS df FROM long GROUP BY 1),
-         |scored AS (SELECT doc_id,
-         |    (((n_docs - df) * 2 + 1) * 10000 // (df * 2 + 1)) * 2200 * tf
-         |      // (tf * 1000 + 300 + (dl * 1000 * n_docs // total_toks) * 9 // 10)
-         |      AS score_t
-         |  FROM long JOIN dft USING (term) CROSS JOIN stats)
+    "q_bm25_topk" ->
+      s"""WITH $bmCteSql
          |SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score_x10000,
          |  count(*) AS n_terms
          |FROM scored GROUP BY doc_id
-         |ORDER BY score_x10000 DESC, doc_id LIMIT $BmTopK""".stripMargin
-    },
+         |ORDER BY score_x10000 DESC, doc_id LIMIT $BmTopK""".stripMargin,
+
+    "q_hybrid_search" ->
+      s"""WITH $bmCteSql,
+         |bm AS (SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score
+         |  FROM scored GROUP BY doc_id),
+         |t50 AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS text_rank
+         |  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id
+         |        LIMIT $HybridArmK)),
+         |n AS (SELECT vec_id, v,
+         |    sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm
+         |  FROM (SELECT vec_id,
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |qv AS (SELECT v, norm FROM n WHERE vec_id = 0),
+         |v50 AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+         |  FROM (SELECT c.vec_id AS doc_id,
+         |      list_aggregate(list_transform(range(1, 65),
+         |        i -> c.v[i] * q.v[i]), 'sum') / (c.norm * q.norm) AS cos
+         |    FROM n c CROSS JOIN qv q WHERE c.vec_id != 0
+         |    ORDER BY cos DESC, c.vec_id LIMIT $HybridArmK))
+         |SELECT doc_id,
+         |  CAST(coalesce(text_rank, 0) AS BIGINT) AS text_rank,
+         |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+         |  CAST(coalesce(1000000 // ($RrfK + text_rank), 0)
+         |     + coalesce(1000000 // ($RrfK + vec_rank), 0) AS BIGINT)
+         |    AS rrf_score
+         |FROM t50 FULL OUTER JOIN v50 USING (doc_id)
+         |ORDER BY rrf_score DESC, doc_id LIMIT $HybridTopK""".stripMargin,
     "q_kmeans_update" ->
       s"""WITH n AS (SELECT vec_id, v,
          |    sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm
@@ -208,6 +309,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (qBm25TopK _),
-    "q_kmeans_update" -> (qKmeansUpdate _)
+    "q_kmeans_update" -> (qKmeansUpdate _),
+    "q_hybrid_search" -> (qHybridSearch _)
   )
 }

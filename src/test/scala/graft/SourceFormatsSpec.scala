@@ -30,6 +30,25 @@ class SourceFormatsSpec extends SparkSpec {
     assert(fromOrc.collect().map(_.toSeq).toSet == expected)
   }
 
+  test("schema evolution: mergeSchema unions old and new parquet layouts") {
+    // a corpus ingested over months gains columns; readers must keep
+    // working over the mixed layout without rewriting history
+    val dir = tmpDir("fmt-evolve")
+    val v1 = Tables.nation(spark, sf)
+    v1.write.mode("overwrite").parquet(dir + "/batch=1")
+    val v2 = v1.withColumn("ingest_tag", lit("r2"))
+    v2.write.mode("overwrite").parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.contains("ingest_tag"))
+    assert(merged.count() == v1.count() * 2)
+    // old rows surface the new column as null; new rows carry it
+    assert(merged.filter(col("ingest_tag").isNull).count() == v1.count())
+    assert(merged.filter(col("ingest_tag") === "r2").count() == v1.count())
+    // queries over the shared columns are layout-agnostic
+    val agg = merged.groupBy(col("n_regionkey")).count()
+    assert(agg.collect().forall(_.getLong(1) % 2 == 0))
+  }
+
   test("a join query runs unchanged over converted inputs") {
     val region = Tables.region(spark, sf)
     val nation = Tables.nation(spark, sf)

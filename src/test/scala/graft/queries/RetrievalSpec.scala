@@ -51,6 +51,26 @@ class RetrievalSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("hybrid search: RRF fuses both arms, agrees with a Scala recompute") {
+    val rows = Retrieval.qHybridSearch(spark, sf).collect()
+    assert(rows.length == Retrieval.HybridTopK)
+    rows.foreach { r =>
+      val (t, v, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t >= 0 && t <= Retrieval.HybridArmK)
+      assert(v >= 0 && v <= Retrieval.HybridArmK)
+      assert(t > 0 || v > 0, "a fused doc must appear in at least one arm")
+      def c(rank: Long) = if (rank == 0) 0L else 1000000L / (Retrieval.RrfK + rank)
+      assert(rrf == c(t) + c(v), s"RRF mismatch: $r")
+    }
+    // ordered by fused score desc then doc_id
+    val scores = rows.map(_.getLong(3))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // a doc ranked #1 in BOTH arms would dominate; at minimum the top
+    // fused doc must beat any single-arm-only doc's best possible score
+    val topBoth = rows.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0)
+    topBoth.foreach(r => assert(r.getLong(3) > 1000000L / (Retrieval.RrfK + 1)))
+  }
+
   test("kmeans update: exact partition of the corpus into centroid cells") {
     val rows = Retrieval.qKmeansUpdate(spark, sf).collect()
     val nVecs = graft.Tables.embeddings(spark, sf).count()
