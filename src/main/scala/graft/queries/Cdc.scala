@@ -121,6 +121,43 @@ object Cdc {
       .orderBy(col("id"), col("version"))
   }
 
+  /** Point-in-time (temporal) join against the SCD2 history: for every
+    * order, the customer VERSION that was valid at the order's query LSN —
+    * "what did this row look like when the order happened". The probe LSN
+    * is synthesized deterministically (`o_orderkey·40000 mod 3·10^7`) to
+    * sweep all three version bands of the change mix (r / u / d), so the
+    * gate exercises matches against every version kind, including
+    * tombstones (op='d' versions are legitimate point-in-time answers:
+    * the entity was deleted as of that LSN).
+    *
+    * Scale shape: [[graft.operators.AsOfJoin.lastBefore]] — ONE key
+    * shuffle of each side, no per-row interval probe. SCD2 intervals are
+    * half-open and contiguous, so "last version with valid_from ≤ q" IS
+    * the interval containment match; ≤ is obtained from the operator's
+    * strictly-before contract by probing at q+1 (integer LSNs). Orders
+    * whose probe precedes the first version (q < first valid_from) drop
+    * out, as a warehouse point-in-time lookup would.
+    */
+  def qCdcPointInTime(s: SparkSession, d: String): DataFrame = {
+    val hist = qCdcScd2(s, d).select(
+      col("id"), col("version"), col("op"), col("name"),
+      col("valid_from_lsn"))
+    val ords = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_custkey").cast("int").as("id"),
+      (col("o_orderkey") * 40000L % 30000000L).as("q_lsn"))
+    graft.operators.AsOfJoin.lastBefore(
+      ords.withColumn("probe", col("q_lsn") + 1L), hist,
+      key = "id", leftTime = "probe", rightTime = "valid_from_lsn",
+      rightCols = Seq("version", "op", "name"),
+      rightTiebreak = Some("valid_from_lsn"))
+      .filter(col("asof_version").isNotNull)
+      .select(col("o_orderkey"), col("id"), col("q_lsn"),
+        col("asof_version").cast("int").as("version"),
+        col("asof_op").as("op"), col("asof_name").as("name"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Incremental aggregate maintenance (materialized-view maintenance)
     * from the change stream: per email-domain live-row count and change
     * counters, computed from the DELTAS ONLY — op r/c contribute +1, d
@@ -206,6 +243,32 @@ object Cdc {
         |  (valid_to_lsn = -1 AND op != 'd') AS is_current
         |FROM h ORDER BY id, version""".stripMargin,
 
+    "q_cdc_point_in_time" ->
+      """WITH ch AS (
+        |  SELECT CAST(c_custkey AS INT) AS id, 'r' AS op,
+        |    CAST(c_custkey AS BIGINT) AS lsn, c_name AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS INT), 'u',
+        |    CAST(c_custkey + 10000000 AS BIGINT), upper(c_name)
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS INT), 'd',
+        |    CAST(c_custkey + 20000000 AS BIGINT), c_name
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |h AS (SELECT *, row_number() OVER w AS version
+        |      FROM ch WINDOW w AS (PARTITION BY id ORDER BY lsn)),
+        |o AS (SELECT o_orderkey, CAST(o_custkey AS INT) AS id,
+        |        (o_orderkey * 40000) % 30000000 AS q_lsn
+        |      FROM orders),
+        |m AS (SELECT o.o_orderkey, o.id, o.q_lsn, h.version, h.op, h.name,
+        |        row_number() OVER (PARTITION BY o.o_orderkey
+        |          ORDER BY h.lsn DESC) AS rn
+        |      FROM o JOIN h ON o.id = h.id AND h.lsn <= o.q_lsn)
+        |SELECT o_orderkey, id, CAST(q_lsn AS BIGINT) AS q_lsn,
+        |  CAST(version AS INT) AS version, op, name
+        |FROM m WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
     "q_cdc_enrich" ->
       """SELECT CAST(c_custkey AS INT) AS id,
         |  'r' AS op_code, 'READ' AS op_label, false AS is_mutation,
@@ -225,6 +288,7 @@ object Cdc {
     "q_cdc_enrich" -> (qCdcEnrich _),
     "q_cdc_latest_state" -> (qCdcLatestState _),
     "q_cdc_scd2" -> (qCdcScd2 _),
-    "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _)
+    "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
+    "q_cdc_point_in_time" -> (qCdcPointInTime _)
   )
 }
