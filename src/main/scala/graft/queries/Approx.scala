@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Approximate aggregates — the sketch family a 100 TB pipeline uses when
   * exact distinct/percentile would shuffle the world: HyperLogLog++
@@ -111,7 +112,66 @@ object Approx {
       .select(col("l_partkey"), col("cms_est"), col("exact_cnt"))
   }
 
+  /** Deterministic-subsample percentiles: 1/[[SampleMod]] of the rows
+    * chosen by md5 hash of the unique line key, exact rank-percentiles
+    * over the subsample. The third approximate-quantile path beside the
+    * GK sketch ([[qApproxPercentiles]]) — and the only one that is
+    * engine-reproducible, so unlike GK/HLL it carries a full DuckDB
+    * hash-gate. Accuracy is the standard sampling bound (±O(1/√m) in
+    * rank); determinism makes the estimate auditable: any engine, any
+    * partitioning, same answer.
+    *
+    * Scale shape: the hash filter is a narrow scan predicate (1/16 of
+    * rows survive); the rank window runs per group over the SAMPLE only.
+    * Target index ⌈m·p/100⌉ in pure integer arithmetic.
+    */
+  val SampleMod = 16L
+  private val PctPoints = Seq(50, 95, 99)
+
+  def qSampledPercentiles(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextOps
+    val keyHash = TextOps.hash56(concat(lit("qs:"), col("l_orderkey"),
+      lit(":"), col("l_linenumber")))
+    val sample = Tables.lineitem(s, d)
+      .filter(pmod(keyHash, lit(SampleMod)) === 0)
+      .select(col("l_linestatus"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_linestatus"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = sample
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("l_linestatus"))))
+    val pts = explode(array(PctPoints.map(lit): _*)).as("pct")
+    ranked
+      .select(col("l_linestatus"), col("l_extendedprice"),
+        col("rn"), col("m"), pts)
+      // ⌈m·pct/100⌉ = (m·pct + 99) div 100, exact integers
+      .filter(col("rn") === floor((col("m") * col("pct") + 99L) / 100L).cast("long"))
+      .select(col("l_linestatus"), col("pct").cast("long").as("pct"),
+        col("l_extendedprice").as("price_pct"), col("m").as("n_sample"))
+      .orderBy(col("l_linestatus"), col("pct"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_sampled_percentiles" -> {
+      val pcts = PctPoints.mkString(", ")
+      s"""WITH sm AS (SELECT l_linestatus, l_extendedprice,
+         |    l_orderkey, l_linenumber
+         |  FROM lineitem
+         |  WHERE CAST('0x'||substr(md5('qs:'||CAST(l_orderkey AS VARCHAR)
+         |      ||':'||CAST(l_linenumber AS VARCHAR)),1,14) AS BIGINT)
+         |    % $SampleMod = 0),
+         |r AS (SELECT l_linestatus, l_extendedprice,
+         |    row_number() OVER (PARTITION BY l_linestatus
+         |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         |    count(*) OVER (PARTITION BY l_linestatus) AS m
+         |  FROM sm),
+         |p AS (SELECT * FROM r CROSS JOIN (SELECT unnest([$pcts]) AS pct))
+         |SELECT l_linestatus, CAST(pct AS BIGINT) AS pct,
+         |  l_extendedprice AS price_pct, CAST(m AS BIGINT) AS n_sample
+         |FROM p WHERE rn = (m * pct + 99) // 100
+         |ORDER BY l_linestatus, pct""".stripMargin
+    },
     // q_approx_distinct / q_approx_percentiles stay rows-only: HLL/GK
     // parameters are engine-specific. The CMS is md5-derived → exact twin.
     "q_cms_topk" -> {
@@ -140,6 +200,7 @@ object Approx {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_percentiles" -> (qApproxPercentiles _),
-    "q_cms_topk" -> (qCmsTopk _)
+    "q_cms_topk" -> (qCmsTopk _),
+    "q_sampled_percentiles" -> (qSampledPercentiles _)
   )
 }

@@ -41,4 +41,26 @@ class ApproxSpec extends SparkSpec {
       assert(vals(0) <= vals(1) && vals(1) <= vals(2), "monotone percentiles")
     }
   }
+
+  test("sampled percentiles: monotone, inside the full-data hull, sane sample size") {
+    val rows = Approx.qSampledPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val full = graft.Tables.lineitem(spark, sf)
+      .agg(org.apache.spark.sql.functions.min("l_extendedprice"),
+        org.apache.spark.sql.functions.max("l_extendedprice"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect().head
+    val (mn, mx, n) = (full.getDouble(0), full.getDouble(1), full.getLong(2))
+    rows.groupBy(_.getString(0)).foreach { case (status, rs) =>
+      assert(rs.length == 3, s"$status: expected 3 percentile rows")
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == Seq(50L, 95L, 99L))
+      val vals = sorted.map(_.getDouble(2))
+      assert(vals.forall(p => p >= mn && p <= mx))
+      assert(vals(0) <= vals(1) && vals(1) <= vals(2))
+      // 1/16 hash sampling: group sample between 1% and 25% of the table
+      val m = rs.head.getLong(3)
+      assert(m > n / 100 && m < n / 4, s"$status: odd sample size $m of $n")
+    }
+  }
 }
