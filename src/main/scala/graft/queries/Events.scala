@@ -200,6 +200,46 @@ object Events {
   }
 
   /** JSON property extraction + aggregation over the stream-shaped table. */
+  /** The funnel pattern as a delimiter-anchored literal. */
+  private val FunnelPat = ",view,click,purchase,"
+
+  /** Sequence-pattern detection (MATCH_RECOGNIZE-lite): per user, the
+    * time-ordered event-type sequence and the count of consecutive
+    * view→click→purchase runs in it — the "behavioral pattern" pass that
+    * complements [[qEventsFunnel]]'s any-gap funnel.
+    *
+    * Occurrences are counted by delimiter-anchored substring replacement
+    * (non-overlapping, left-to-right — both engines implement replace()
+    * identically, so the count is engine-exact without a regex engine).
+    * Ordering inside the collected list is total: (ts, event_id) with
+    * event_id unique, so the sequence string is deterministic under any
+    * partitioning.
+    *
+    * Scale shape: ONE key shuffle with map-side partial collect; the
+    * per-user array is bounded by per-user activity (whales would be
+    * sessionized first — the session operator exists for exactly that).
+    */
+  def qEventPatterns(s: SparkSession, d: String): DataFrame = {
+    val evs = array_sort(collect_list(
+      struct(col("ts"), col("event_id"), col("event_type"))))
+    val seq = concat_ws(",",
+      transform(col("evs"), e => e.getField("event_type")))
+    val anchored = concat(lit(","), col("seq"), lit(","))
+    val nPat = ((length(anchored) -
+      length(replace(anchored, lit(FunnelPat), lit(",")))) /
+      (FunnelPat.length - 1)).cast("long")
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+        seq.as("seq"))
+      .select(col("user_id"), col("n_events"),
+        nPat.as("n_funnel_runs"),
+        substring_index(col("seq"), ",", 1).as("first_type"),
+        substring_index(col("seq"), ",", -1).as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
   def qEventsProps(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(col("event_type"),
@@ -319,7 +359,21 @@ object Events {
         |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
         |  count(DISTINCT CAST(props->>'k' AS INT)) AS distinct_k,
         |  max(CAST(props->>'k' AS INT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_event_patterns" ->
+      """WITH s AS (SELECT user_id, count(*) AS n_events,
+        |    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT user_id, n_events, seq,
+        |    ',' || seq || ',' AS anchored FROM s)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((length(anchored)
+        |    - length(replace(anchored, ',view,click,purchase,', ',')))
+        |    // 20 AS BIGINT) AS n_funnel_runs,
+        |  string_split(seq, ',')[1] AS first_type,
+        |  string_split(seq, ',')[-1] AS last_type
+        |FROM a ORDER BY user_id""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -332,6 +386,7 @@ object Events {
     "q_events_attribution" -> (qEventsAttribution _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_gap_fill" -> (qGapFill _),
-    "q_events_dedup" -> (qEventsDedup _)
+    "q_events_dedup" -> (qEventsDedup _),
+    "q_event_patterns" -> (qEventPatterns _)
   )
 }

@@ -26,6 +26,28 @@ class PointInTimeSpec extends SparkSpec {
     }
   }
 
+  test("event patterns: counts match a Scala recompute of ordered sequences") {
+    val rows = Events.qEventPatterns(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(rows.nonEmpty)
+    // independent recompute from the raw events
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    raw.groupBy(_._1).foreach { case (user, evs) =>
+      val ordered = evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+      val (nEvents, nRuns, first, last) = rows(user)
+      assert(nEvents == ordered.length, s"user $user event count")
+      assert(first == ordered.head && last == ordered.last, s"user $user endpoints")
+      val anchored = ordered.mkString(",", ",", ",")
+      val expected =
+        (anchored.length - anchored.replace(",view,click,purchase,", ",").length) / 20
+      assert(nRuns == expected, s"user $user: $nRuns != $expected")
+    }
+  }
+
   test("point-in-time: one row per order, all version kinds reachable") {
     val pit = Cdc.qCdcPointInTime(spark, sf).collect()
     val keys = pit.map(_.getAs[Long]("o_orderkey"))
