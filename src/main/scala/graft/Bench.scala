@@ -46,7 +46,10 @@ object Bench {
       val (dt1, err1) = once(name, fn)
       if (err1.isEmpty && dt1 > RetryAbove) {
         val (dt2, err2) = once(name, fn)
-        (name, math.min(dt1, dt2), err2)
+        // the first run SUCCEEDED — a transient retry failure must not
+        // overwrite that, nor may the aborted run's duration count
+        if (err2.isEmpty) (name, math.min(dt1, dt2), None)
+        else (name, dt1, err1)
       } else (name, dt1, err1)
     }
     def qJson(rs: Seq[(String, Double, Option[String])]): String =

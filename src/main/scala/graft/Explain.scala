@@ -32,8 +32,14 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      // EXPLAIN=2: the POST-AQE executed plan (what actually ran)
-      if (showFinal) println(df.queryExecution.executedPlan.toString)
+      // EXPLAIN=2: the POST-AQE executed plan. The noop write above runs
+      // through its OWN QueryExecution, so df.queryExecution would still
+      // hold the initial plan (isFinalPlan=false); execute THIS one via
+      // collect() so AQE finalizes on the printed plan.
+      if (showFinal) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

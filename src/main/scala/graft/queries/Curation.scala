@@ -26,12 +26,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  /** Exact integer division (floor) for non-negative operands < 2^52 —
-    * mirrors DuckDB `//` (see TextAnalysis.idiv for the bound argument).
-    */
   private def idiv(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(a / b).cast("long")
+      b: org.apache.spark.sql.Column) = graft.text.TextOps.idiv(a, b)
 
 
   /** Benchmark docs: a deterministic held-out subset (doc_id % 97 == 0) —

@@ -200,8 +200,14 @@ object Events {
   }
 
   /** JSON property extraction + aggregation over the stream-shaped table. */
-  /** The funnel pattern as a delimiter-anchored literal. */
-  private val FunnelPat = ",view,click,purchase,"
+  /** The funnel pattern, leading-delimiter-anchored only: the char after
+    * "purchase" is necessarily ',' or end-of-string (no event type has
+    * "purchase" as a prefix), and NOT consuming that trailing comma means
+    * back-to-back runs share no matched characters — non-overlapping
+    * replace() then counts every consecutive run (a trailing-comma pattern
+    * would eat the next run's leading delimiter and undercount).
+    */
+  private val FunnelPat = ",view,click,purchase"
 
   /** Sequence-pattern detection (MATCH_RECOGNIZE-lite): per user, the
     * time-ordered event-type sequence and the count of consecutive
@@ -226,8 +232,8 @@ object Events {
       transform(col("evs"), e => e.getField("event_type")))
     val anchored = concat(lit(","), col("seq"), lit(","))
     val nPat = ((length(anchored) -
-      length(replace(anchored, lit(FunnelPat), lit(",")))) /
-      (FunnelPat.length - 1)).cast("long")
+      length(replace(anchored, lit(FunnelPat), lit("")))) /
+      FunnelPat.length).cast("long")
     events(s, d)
       .groupBy(col("user_id"))
       .agg(evs.as("evs"))
@@ -369,7 +375,7 @@ object Events {
         |    ',' || seq || ',' AS anchored FROM s)
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |  CAST((length(anchored)
-        |    - length(replace(anchored, ',view,click,purchase,', ',')))
+        |    - length(replace(anchored, ',view,click,purchase', '')))
         |    // 20 AS BIGINT) AS n_funnel_runs,
         |  string_split(seq, ',')[1] AS first_type,
         |  string_split(seq, ',')[-1] AS last_type

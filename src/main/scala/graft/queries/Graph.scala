@@ -34,8 +34,8 @@ object Graph {
   val DampNum = 85L
   val DampDen = 100L
 
-  private def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    floor(a / b).cast("long")
+  private def idiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) = graft.text.TextOps.idiv(a, b)
 
   /** Symmetric customer↔supplier edge list with degrees; one row per
     * directed edge. Checkpointed: reused by every iteration.

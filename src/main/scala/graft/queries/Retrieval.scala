@@ -22,12 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Exact integer division for non-negative operands. floor(a/b) on
-    * doubles is exact while a < 2^52 (correctly-rounded double division);
-    * every dividend in this file is bounded ≤ ~1e15 at 100 TB scale by
-    * construction (scale-free ratios are formed BEFORE multiplying).
-    */
-  private def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+  private def idiv(a: Column, b: Column): Column = TextOps.idiv(a, b)
 
   // ---------------------------------------------------------------------
   // BM25
@@ -73,6 +68,9 @@ object Retrieval {
         (col("doc_id") +: size(col("toks")).as("dl") +:
           QueryTerms.map(t =>
             size(filter(col("toks"), x => x === t)).as(s"tf_$t"))): _*)
+      // checkpoint: `long`, `stats`, and (via long) `dfT` all consume this
+      // frame — without materialization the corpus scan + tokenize runs 3×
+      .localCheckpoint()
     val termMap = map(
       QueryTerms.flatMap(t => Seq(lit(t), col(s"tf_$t"))): _*)
     val long = docs

@@ -17,12 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Integer division matching DuckDB `//` for non-negative operands.
-    * Spark's `/` is always double; for int operands ≤ 2^53 the double
-    * division is correctly rounded, so floor() reproduces exact int division
-    * (operands here are bounded by ~1e7).
-    */
-  private def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+  private def idiv(a: Column, b: Column): Column = TextOps.idiv(a, b)
 
   /** Token counting + quality metrics, per document. Ratios are emitted as
     * ×10000 scaled integers — identical in any engine, no decimal-division

@@ -75,6 +75,9 @@ object StreamingDedup {
       index.select(col("band_key"), col("doc_id").as("dup_of"),
         col("sig").as("sig_b")),
       Seq("band_key"))
+      // a replayed batch (at-least-once) finds its own rows already in the
+      // index; a doc must never be reported as a duplicate of itself
+      .filter(col("doc_id") =!= col("dup_of"))
     val inBatch = bands.join(
       bands.select(col("band_key"), col("doc_id").as("dup_of"),
         col("sig").as("sig_b")),

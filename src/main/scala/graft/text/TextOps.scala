@@ -35,6 +35,17 @@ object TextOps {
   /** [[hash56]] reduced mod P — the input domain for minhash permutations. */
   def hashP(s: Column): Column = pmod(hash56(s), lit(P))
 
+  /** Exact integer floor-division, mirroring DuckDB `//` for NON-NEGATIVE
+    * operands: floor(a/b) on doubles is exact while the dividend < 2^52
+    * (double division is correctly rounded, and a non-integer quotient
+    * with denominator b sits ≥ 1/b away from the next integer). Every
+    * scaled-integer dividend in this engine is bounded ≤ ~1e15 by
+    * construction (scale-free ratios are formed BEFORE multiplying).
+    * For possibly-NEGATIVE dividends DuckDB `//` TRUNCATES toward zero
+    * instead — mirror those with `(a/b).cast("long")`, not this.
+    */
+  def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+
   /** Word k-shingles as strings ("w1 w2 w3"), distinct, from a token array.
     * Docs shorter than k shingle to the empty array — guarded explicitly:
     * `sequence(1, 0)` is a DESCENDING [1,0] in Spark, not empty, which

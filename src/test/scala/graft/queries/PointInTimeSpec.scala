@@ -41,9 +41,11 @@ class PointInTimeSpec extends SparkSpec {
       val (nEvents, nRuns, first, last) = rows(user)
       assert(nEvents == ordered.length, s"user $user event count")
       assert(first == ordered.head && last == ordered.last, s"user $user endpoints")
-      val anchored = ordered.mkString(",", ",", ",")
-      val expected =
-        (anchored.length - anchored.replace(",view,click,purchase,", ",").length) / 20
+      // independent formulation: sliding window over the ordered types —
+      // catches back-to-back runs the way the query's leading-anchored
+      // replace does
+      val expected = ordered.sliding(3)
+        .count(_.toSeq == Seq("view", "click", "purchase"))
       assert(nRuns == expected, s"user $user: $nRuns != $expected")
     }
   }

@@ -23,14 +23,17 @@ class SqlSurfaceSpec extends SparkSpec {
     "q6_forecast_revenue", "q10_returned_items", "q12_ship_priority",
     "q13_customer_dist", "q18_large_orders", "q22_wealthy_inactive")
 
-  private def comparable(df: DataFrame): Set[String] = {
+  /** Sorted multiset, not a Set: row multiplicity differences (e.g. a
+    * join-induced fanout on one side only) must fail the cross-check.
+    */
+  private def comparable(df: DataFrame): Seq[String] = {
     val casted = df.select(df.schema.fields.map { f =>
       f.dataType match {
         case _: DecimalType => col(f.name).cast("double").as(f.name)
         case _              => col(f.name)
       }
     }.toIndexedSeq: _*)
-    casted.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    casted.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
   }
 
   test("ANSI oracle SQL runs in Spark over temp views and matches the DataFrame API") {
@@ -43,8 +46,8 @@ class SqlSurfaceSpec extends SparkSpec {
       val viaDf = comparable(graft.SparkEntry.queries(name)(spark, sf))
       assert(viaSql == viaDf,
         s"$name: SQL and DataFrame results differ\n" +
-          s"only-sql: ${(viaSql -- viaDf).take(3)}\n" +
-          s"only-df:  ${(viaDf -- viaSql).take(3)}")
+          s"only-sql: ${(viaSql.diff(viaDf)).take(3)}\n" +
+          s"only-df:  ${(viaDf.diff(viaSql)).take(3)}")
     }
   }
 }
