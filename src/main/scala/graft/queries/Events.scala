@@ -95,9 +95,9 @@ object Events {
   }
 
   /** Range join via time binning: clicks within the hour BEFORE each
-    * purchase (attribution window), expressed as an EQUI join — each side
-    * keys on (user_id, hour bucket), purchases carry two bucket keys (their
-    * hour and the previous one, covering every possible 1-hour lookback),
+    * purchase (attribution window), expressed as an EQUI join through
+    * [[graft.operators.RangeJoin.pointInInterval]] — each side keys on
+    * (user_id, hour bucket); a 1-hour interval covers exactly two buckets,
     * and the exact range predicate filters after the hash join. The naive
     * formulation (`ON c.ts BETWEEN p.ts - 1h AND p.ts`) plans as a
     * nested-loop join — quadratic per user at corpus scale; binning keeps
@@ -109,17 +109,40 @@ object Events {
     val ev = events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        unix_micros(col("ts")).as("p_us"))
-      .withColumn("hour_bucket",
-        explode(array(floor(col("p_us") / HourUs) - 1, floor(col("p_us") / HourUs))))
+        (unix_micros(col("ts")) - HourUs).as("w_start"),
+        unix_micros(col("ts")).as("w_end"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
-      .withColumn("hour_bucket", floor(col("c_us") / HourUs))
-    purchases.join(clicks, Seq("user_id", "hour_bucket"))
-      .filter(col("c_us") >= col("p_us") - HourUs && col("c_us") < col("p_us"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, purchases, "user_id", "c_us", "w_start", "w_end", HourUs)
       .groupBy(col("purchase_id"), col("user_id"))
       .agg(count(lit(1)).as("n_clicks_1h"))
       .orderBy(col("purchase_id"))
+  }
+
+  /** Point-in-interval pairing via the generic bucketed range-join operator
+    * ([[graft.operators.RangeJoin]]): every (purchase, view) pair of the
+    * same user where the view falls in the hour before the purchase — the
+    * pair-level counterpart of [[qEventsAttribution]]'s count (which inlines
+    * the same hour-bucket trick for its aggregate). gap_seconds > 0 always:
+    * the window upper bound is exclusive.
+    */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (unix_micros(col("ts")) - HourUs).as("w_start"),
+        unix_micros(col("ts")).as("w_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("v_us"))
+    graft.operators.RangeJoin.pointInInterval(
+        views, purchases, "user_id", "v_us", "w_start", "w_end", HourUs)
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        graft.text.TextOps.idiv(col("w_end") - col("v_us"), lit(1000000L))
+          .as("gap_seconds"))
+      .orderBy(col("purchase_id"), col("view_id"))
   }
 
   /** Weekly retention cohorts: users grouped by the ISO week of their first
@@ -319,6 +342,17 @@ object Events {
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
 
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+        |  CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+        |    AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(v.ts) < epoch_us(p.ts)
+        |ORDER BY purchase_id, view_id""".stripMargin,
+
     "q_events_dedup" ->
       """WITH b AS (SELECT event_id, user_id, event_type, ts,
         |  make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS bucket
@@ -390,6 +424,7 @@ object Events {
     "q_events_props" -> (qEventsProps _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_attribution" -> (qEventsAttribution _),
+    "q_range_join" -> (qRangeJoin _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_gap_fill" -> (qGapFill _),
     "q_events_dedup" -> (qEventsDedup _),

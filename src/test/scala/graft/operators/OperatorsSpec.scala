@@ -53,4 +53,33 @@ class OperatorsSpec extends SparkSpec {
         (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(viaOperator == viaQuery && viaQuery.nonEmpty)
   }
+
+  test("RangeJoin.pointInInterval matches naive range join incl. bucket edges") {
+    import spark.implicits._
+    // intervals spanning 1..4 buckets (bucket=10), incl. bucket-aligned
+    // bounds; points on every boundary
+    val intervals = Seq(
+      (1L, 101L, 5L, 14L),   // spans buckets 0-1
+      (1L, 102L, 10L, 10L),  // empty under [start, end), single point under []
+      (1L, 103L, 0L, 39L),   // spans 4 buckets
+      (2L, 201L, 7L, 8L),    // within one bucket
+      (3L, 301L, 20L, 29L)   // key with no points
+    ).toDF("k", "iv_id", "st", "en")
+    val points = Seq(
+      (1L, 11L, 5L), (1L, 12L, 10L), (1L, 13L, 14L), (1L, 14L, 39L),
+      (2L, 21L, 7L), (2L, 22L, 9L), (9L, 91L, 5L)
+    ).toDF("k", "pt_id", "t")
+    def naive(endInclusive: Boolean) = {
+      val upper = if (endInclusive) col("t") <= col("en") else col("t") < col("en")
+      points.join(intervals, Seq("k"))
+        .filter(col("t") >= col("st") && upper)
+        .select("iv_id", "pt_id").collect().map(_.toSeq).toSet
+    }
+    for (inc <- Seq(false, true)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "k",
+          "t", "st", "en", bucket = 10L, endInclusive = inc)
+        .select("iv_id", "pt_id").collect().map(_.toSeq).toSet
+      assert(got == naive(inc) && got.nonEmpty, s"endInclusive=$inc")
+    }
+  }
 }
