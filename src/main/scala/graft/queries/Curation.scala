@@ -349,6 +349,38 @@ object Curation {
     packStats(sampled)
   }
 
+  /** Sample size drawn by [[qWeightedSample]]. */
+  val WeightedSampleK = 100
+
+  /** Deterministic weight-biased sampling: draw [[WeightedSampleK]] docs
+    * with selection pressure proportional to quality — the "sample more
+    * from the good stuff" step of a data recipe, without rand(). Each doc
+    * gets an integer priority hash56("wsamp:"+doc_id) ÷ weight (weight =
+    * the shared quality score, 25–100); the k LOWEST priorities win. A
+    * doc with twice the weight halves its priority scale, so expected
+    * selection odds grow with quality while remaining a pure function of
+    * (doc_id, text) — reproducible across engines, re-runs,
+    * repartitioning, and (unlike rand()-based weighted reservoirs)
+    * corpus growth never reshuffles the relative order of existing docs.
+    * The hash is reduced mod P (< 2^31) BEFORE dividing so the floor
+    * division sits inside idiv's 2^52 exact window — raw hash56 (2^56)
+    * would not.
+    *
+    * Scale shape: narrow scan computes (hash, weight, priority); the
+    * top-k is TakeOrderedAndProject — every mapper keeps its local k, so
+    * the single-point merge sees O(mappers·k) rows, never the corpus.
+    */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("weight", TextAnalysis.qualityScoreExpr.cast("long"))
+      .withColumn("priority", idiv(
+        graft.text.TextOps.hashP(concat(lit("wsamp:"), col("doc_id"))),
+        col("weight")))
+      .select(col("doc_id"), col("lang"), col("weight"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WeightedSampleK)
+
   /** Mixture budget: 40% of the corpus. */
   val MixBudgetX10000 = 4000L
 
@@ -476,6 +508,19 @@ object Curation {
         |  CAST(score AS BIGINT) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    CAST(${TextAnalysis.qualityScoreSql} AS BIGINT) AS weight
+         |  FROM t),
+         |p AS (SELECT doc_id, lang, weight,
+         |    CAST((CAST('0x'||substr(md5('wsamp:'||CAST(doc_id AS VARCHAR)),1,14)
+         |      AS BIGINT) % 2147483647) // weight AS BIGINT) AS priority
+         |  FROM s)
+         |SELECT doc_id, lang, weight, priority
+         |FROM p ORDER BY priority, doc_id LIMIT $WeightedSampleK""".stripMargin,
+
     "q_stratified_sample" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |  $sampleBucketSql AS bucket,
@@ -547,6 +592,7 @@ object Curation {
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_redact_pii" -> (qRedactPii _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_select_best" -> (qSelectBest _),
     "q_pack_sequences" -> (qPackSequences _),

@@ -280,6 +280,63 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** Window length (tokens) for substring-level dedup. */
+  val SubstrK = 8
+
+  /** SUBSTRING-level duplication detection (the "dedup below document
+    * granularity" pass of a training-data pipeline — boilerplate headers,
+    * quoted passages, and licence blocks duplicate across documents that
+    * are NOT near-dups as wholes, so document-level dedup never sees
+    * them). Every overlapping [[SubstrK]]-token window is hashed; a
+    * window occurring in ≥ 2 distinct documents is "duplicated", and each
+    * document reports how much of it is covered by duplicated windows.
+    *
+    * Scale shape: two shrinking shuffles and an id-keyed join — explode
+    * to (doc, window-hash) pairs that partially aggregate map-side (a
+    * doc's own repeats never leave the mapper), roll up window
+    * document-frequency keyed by the 8-byte hash, join back, aggregate
+    * per doc. The window df table is O(distinct windows) — corpus-sized,
+    * so the join is deliberately un-hinted: AQE key-partitions it (never
+    * a broadcast), and every stage shrinks. No all-pairs anything.
+    */
+  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    // all overlapping K-windows (NON-distinct: coverage counts positions);
+    // sequence(1, n-K+1) would count DOWN for docs shorter than K tokens,
+    // so guard those to the empty list
+    val winHashes = when(size(col("toks")) >= SubstrK,
+      transform(
+        sequence(lit(1), size(col("toks")) - (SubstrK - 1)),
+        i => TextOps.hash56(concat_ws(" ",
+          (0 until SubstrK).map(j => element_at(col("toks"), i + j)): _*))))
+      .otherwise(typedLit(Seq.empty[Long]))
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(winHashes).as("wh"))
+    val perDoc = wins.groupBy(col("doc_id"), col("wh"))
+      .agg(count(lit(1)).as("cnt"))
+      // feeds BOTH the df rollup and the coverage join — without
+      // materialization each side re-runs the md5 window loop, the
+      // dominant per-row cost
+      .localCheckpoint()
+    val dfTab = perDoc.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val cover = perDoc.join(dfTab, "wh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_dup_windows"))
+    // left join from the full corpus: docs shorter than K tokens (zero
+    // windows) must still appear, with zero counts
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(cover, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(
+          floor(col("n_dup_windows") * 10000L / col("n_windows")).cast("long"),
+          lit(0L)).as("dup_win_x10000"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
     * baseline. Double arithmetic mirrors the oracle term-for-term (same
     * cast, same left-to-right summation).
@@ -448,6 +505,29 @@ object Dedup {
          |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
          |FROM comp GROUP BY label ORDER BY cluster_id""".stripMargin,
 
+    // DuckDB range(a,b) is [a,b) ascending-or-empty, so the short-doc
+    // guard Spark needs is implicit; list slices are 1-indexed inclusive.
+    "q_dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+         |           FROM documents),
+         |w AS (SELECT doc_id, unnest(list_transform(
+         |        range(1, greatest(len(toks) - ${SubstrK - 2}, 1)),
+         |        i -> ${h56(s"list_aggregate(toks[i:i+${SubstrK - 1}], 'string_agg', ' ')")}))
+         |        AS wh
+         |      FROM t),
+         |pd AS (SELECT doc_id, wh, count(*) AS cnt FROM w GROUP BY 1, 2),
+         |dfc AS (SELECT wh, count(*) AS df FROM pd GROUP BY 1),
+         |agg AS (SELECT doc_id, sum(cnt) AS n_windows,
+         |          sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS n_dup
+         |        FROM pd JOIN dfc USING (wh) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(n_dup * 10000 // n_windows, 0) AS BIGINT)
+         |    AS dup_win_x10000
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_dedup_simhash" -> {
       val bits = (0 until TextOps.SimhashBits).map { j =>
         s"""CASE WHEN list_aggregate(list_transform(hs,
@@ -498,6 +578,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _)
   )

@@ -175,6 +175,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** int8 scalar quantization of embeddings (per-vector symmetric absmax
+    * — the 4× compression step before vectors ship to an ANN index or
+    * cold storage): qᵢ = round(vᵢ·127/max|v|), plus the L1
+    * reconstruction error the compression costs. Emits scalar summaries
+    * only — min/max/sum/L1 of the quantized codes and the error floored
+    * at ×1e6 — because the driver's pandas gate cannot sort array
+    * columns (round-1 post-mortem). All double arithmetic mirrors the
+    * oracle term-for-term: same casts, same multiply-then-divide order,
+    * same left-to-right error fold seeded at 0.0, so the float64 bits
+    * agree and the gate hash-matches.
+    *
+    * Scale shape: pure narrow per-row transform — zero shuffles before
+    * the presentation sort, scan speed at any corpus size. The
+    * zero-vector guard keeps the operator total (round(NaN) would throw
+    * under ANSI casts).
+    */
+  def qEmbeddingQuantize(s: SparkSession, d: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+    // CaseWhen evaluates only the matching branch per row, so the
+    // division never sees maxabs = 0
+    val qv = when(col("maxabs") === 0d, transform(col("v"), _ => lit(0)))
+      .otherwise(transform(col("v"),
+        x => round(x * lit(127d) / col("maxabs")).cast("int")))
+    val err = aggregate(
+      zip_with(col("v"), col("qv"),
+        (x, q) => abs(x - q.cast("double") * col("maxabs") / lit(127d))),
+      lit(0d), (acc, e) => acc + e)
+    base.withColumn("qv", qv)
+      .select(
+        col("vec_id"), col("label"), col("maxabs"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"),
+        aggregate(col("qv"), lit(0L), (a, q) => a + q).as("q_sum"),
+        aggregate(col("qv"), lit(0L), (a, q) => a + abs(q)).as("q_l1"),
+        floor(err * lit(1e6)).cast("long").as("l1_err_x1e6"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles — hyperplanes inlined as the SAME literals.
   // ---------------------------------------------------------------------
@@ -254,6 +295,35 @@ object Similarity {
          |FROM r WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
+    // integer sums (q_sum/q_l1) are order-independent, so list_aggregate
+    // suffices; the DOUBLE error fold must mirror Spark's aggregate
+    // exactly — seeded 0.0, left-to-right — hence list_reduce + prepend
+    "q_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |q AS (SELECT vec_id, label, v, maxabs,
+        |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v,
+        |           x -> CAST(round(x * 127 / maxabs) AS INT)) END AS qv
+        |  FROM m),
+        |r AS (SELECT vec_id, label, maxabs, qv,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1),
+        |        i -> abs(v[i] - qv[i] * maxabs / 127))),
+        |      (acc, x) -> acc + x) AS err
+        |  FROM q)
+        |SELECT vec_id, label, maxabs,
+        |  CAST(list_min(qv) AS INT) AS q_min,
+        |  CAST(list_max(qv) AS INT) AS q_max,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum')
+        |    AS BIGINT) AS q_l1,
+        |  CAST(floor(err * 1e6) AS BIGINT) AS l1_err_x1e6
+        |FROM r ORDER BY vec_id""".stripMargin,
+
     "q_ann_lsh" -> {
       s"""WITH $normCte,
          |$bandsCteSql,
@@ -278,6 +348,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_ann_ivf" -> (qAnnIvf _)
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_embedding_quantize" -> (qEmbeddingQuantize _)
   )
 }

@@ -225,6 +225,42 @@ object TextAnalysis {
       .orderBy(col("coll_freq").desc, col("token"))
       .limit(50)
 
+  /** Vocabulary size for the OOV-rate check. */
+  val OovVocabSize = 1000
+
+  /** Vocabulary coverage / OOV rate: build the corpus's own top-
+    * [[OovVocabSize]] token vocabulary (by collection frequency,
+    * deterministic tie-break on token), then report per document how many
+    * token positions fall outside it — the "will my tokenizer fragment
+    * this document" health check run before committing a vocab, and a
+    * quality signal in its own right (gibberish is OOV-dense).
+    *
+    * Scale shape: the vocabulary aggregate is map-side combined and its
+    * top-k is TakeOrderedAndProject (never a global sort of the term
+    * space); the resulting k-row table broadcasts into the coverage join,
+    * so the scoring pass is one narrow scan + one doc-keyed aggregate.
+    * The corpus is tokenized twice (vocab pass, coverage pass) — at scale
+    * that beats materializing the exploded (doc, token) frame, which is
+    * tokens-×-8-bytes of shuffle/cache traffic.
+    */
+  def qOovRate(s: SparkSession, d: String): DataFrame = {
+    def exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = exploded.groupBy(col("token"))
+      .agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(OovVocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    exploded
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        idiv(col("n_oov") * 10000L, col("n_tokens")).as("oov_x10000"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM fluency score (the CCNet-style "perplexity proxy" pass of
     * a corpus filter), integer-exact: the corpus itself is the LM.
     *
@@ -304,6 +340,21 @@ object TextAnalysis {
         |    AS lm_score_x10000
         |FROM fx GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |            FROM documents),
+         |v AS (SELECT token FROM (
+         |        SELECT token, count(*) AS cf FROM tk GROUP BY 1
+         |        ORDER BY cf DESC, token LIMIT $OovVocabSize)),
+         |a AS (SELECT doc_id, count(*) AS n_tokens,
+         |        count(*) FILTER (WHERE v.token IS NULL) AS n_oov
+         |      FROM tk LEFT JOIN v ON tk.token = v.token
+         |      GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_oov AS BIGINT) AS n_oov,
+         |  CAST(n_oov * 10000 // n_tokens AS BIGINT) AS oov_x10000
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -420,6 +471,7 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_vocab_stats" -> (qVocabStats _),
+    "q_oov_rate" -> (qOovRate _),
     "q_lm_score" -> (qLmScore _)
   )
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant + Scala-recompute specs for the round-3 operators:
+  * substring-level dedup, OOV rate, weighted sampling, and embedding
+  * quantization. Cell-exact values are gated by the DuckDB oracle; these
+  * specs independently recompute the same semantics in plain Scala (no
+  * Spark expressions) so a bug shared by the query and its SQL twin
+  * still gets caught.
+  */
+class RoundThreeOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hash56(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).take(14), 16)
+
+  private val P = graft.text.TextOps.P
+
+  /** Plain-Scala twin of TextAnalysis.qualityScoreExpr. */
+  private def qualityScore(text: String, nChars: Long): Int = {
+    val toks = text.split(" ").toSeq
+    val ttrPct = toks.distinct.size.toLong * 100 / toks.size
+    val stops = graft.text.TextOps.LangMarkers("en").toSet
+    val stopPct = toks.count(stops).toLong * 100 / toks.size
+    val lenScore = if (nChars >= 200 && nChars <= 450) 40
+      else if (nChars >= 100) 25 else 10
+    val divScore = if (ttrPct >= 60) 30 else if (ttrPct >= 40) 20 else 5
+    val stopScore = if (stopPct >= 2 && stopPct <= 20) 30 else 10
+    lenScore + divScore + stopScore
+  }
+
+  test("substring dedup: full Scala recompute matches") {
+    val k = Dedup.SubstrK
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val windows: Map[Long, Seq[String]] = docs.map { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      id -> (if (toks.size >= k) toks.sliding(k).map(_.mkString(" ")).toSeq
+             else Seq.empty)
+    }
+    val docsPerWindow = windows.toSeq
+      .flatMap { case (id, ws) => ws.distinct.map(w => (w, id)) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rows = Dedup.qDedupSubstring(spark, sf).collect()
+    assert(rows.length == docs.size, "one row per document")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = windows(id)
+      val nDup = ws.count(w => docsPerWindow(w) >= 2).toLong
+      assert(r.getAs[Long]("n_windows") == ws.size.toLong, s"n_windows doc $id")
+      assert(r.getAs[Long]("n_dup_windows") == nDup, s"n_dup_windows doc $id")
+      val expFrac = if (ws.isEmpty) 0L else nDup * 10000 / ws.size
+      assert(r.getAs[Long]("dup_win_x10000") == expFrac, s"frac doc $id")
+    }
+    // the synthetic corpus genuinely contains cross-doc duplicated spans
+    assert(rows.count(_.getAs[Long]("n_dup_windows") > 0) > 10,
+      "expected some substring duplication in the corpus")
+  }
+
+  test("oov rate: full Scala recompute matches") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val cf = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = cf.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextAnalysis.OovVocabSize).map(_._1).toSet
+    val rows = TextAnalysis.qOovRate(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id)
+      val nOov = toks.count(t => !vocab(t)).toLong
+      assert(r.getAs[Long]("n_tokens") == toks.size.toLong, s"n_tokens doc $id")
+      assert(r.getAs[Long]("n_oov") == nOov, s"n_oov doc $id")
+      assert(r.getAs[Long]("oov_x10000") == nOov * 10000 / toks.size,
+        s"oov ratio doc $id")
+    }
+  }
+
+  test("weighted sample: exactly the k lowest deterministic priorities win") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val pri = docs.map { case (id, text, nChars) =>
+      val w = qualityScore(text, nChars).toLong
+      val p = (((hash56(s"wsamp:$id") % P) + P) % P) / w
+      (id, w, p)
+    }
+    val expected = pri.sortBy { case (id, _, p) => (p, id) }
+      .take(Curation.WeightedSampleK)
+    val rows = Curation.qWeightedSample(spark, sf).collect()
+    assert(rows.length == Curation.WeightedSampleK)
+    // the query's output order is (priority, doc_id) — compare pairwise
+    expected.zip(rows).foreach { case ((id, w, p), r) =>
+      assert(r.getAs[Long]("doc_id") == id, s"selection order at doc $id")
+      assert(r.getAs[Long]("weight") == w, s"weight doc $id")
+      assert(r.getAs[Long]("priority") == p, s"priority doc $id")
+    }
+    // selection pressure: the sample skews toward higher-quality docs
+    val meanAll = pri.map(_._2).sum.toDouble / pri.length
+    val meanSel = expected.map(_._2).sum.toDouble / expected.length
+    assert(meanSel > meanAll,
+      f"sample mean weight $meanSel%.1f should exceed corpus mean $meanAll%.1f")
+  }
+
+  test("embedding quantize: Scala recompute matches; codes bounded") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val rows = Similarity.qEmbeddingQuantize(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val v = vecs(id)
+      val maxabs = v.map(math.abs).max
+      // HALF_UP away from zero, like Spark round / DuckDB round
+      def q(x: Double): Int = if (maxabs == 0) 0
+        else BigDecimal(x * 127 / maxabs)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+      val qv = v.map(q)
+      assert(r.getAs[Double]("maxabs") == maxabs, s"maxabs vec $id")
+      assert(r.getAs[Int]("q_min") == qv.min, s"q_min vec $id")
+      assert(r.getAs[Int]("q_max") == qv.max, s"q_max vec $id")
+      assert(qv.min >= -127 && qv.max <= 127, s"codes out of int8 range vec $id")
+      assert(r.getAs[Long]("q_sum") == qv.map(_.toLong).sum, s"q_sum vec $id")
+      assert(r.getAs[Long]("q_l1") == qv.map(c => math.abs(c.toLong)).sum,
+        s"q_l1 vec $id")
+      val err = v.zip(qv).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + math.abs(x - c.toDouble * maxabs / 127)
+      }
+      assert(r.getAs[Long]("l1_err_x1e6") == math.floor(err * 1e6).toLong,
+        s"l1 err vec $id")
+      // each element's error is at most half a quantization step
+      assert(err <= v.size * maxabs / 254 + 1e-9, s"error bound vec $id")
+    }
+  }
+}
