@@ -35,22 +35,36 @@ object Bench {
       // build GC pressure for later ones; blocking so the release can't
       // race the next query's eager localCheckpoint
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // stderr progress (stdout carries only the JSON contract): makes a
+      // stalled or anomalously slow query identifiable mid-run
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       (dt, err)
     }
-    // Slow outliers get ONE re-run, min taken: a single pass confuses GC /
-    // compilation / machine-load noise with plan cost (round-2 recorded
-    // 10s for queries that measure ~1s reproducibly); bounding the retry
-    // to the slow tail caps the extra wall time at a few seconds.
+    // Slow outliers get up to TWO re-runs, min taken: a single pass
+    // confuses first-execution codegen/C2 compilation and machine-load
+    // noise with plan cost (round-2 recorded 10s for queries that measure
+    // ~1s reproducibly; round-3 saw a 46s spike whose single retry landed
+    // in the same stall window at 11s — a query that times 2s in
+    // isolation). The second retry only runs while the previous one still
+    // improved the kept minimum by ≥30% AND the minimum remains above the
+    // threshold, so steady-state slow queries pay exactly one extra run.
     val RetryAbove = 2.5
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (dt1, err1) = once(name, fn)
-      if (err1.isEmpty && dt1 > RetryAbove) {
+      var kept = dt1
+      var attempts = 1
+      var improving = true
+      while (err1.isEmpty && kept > RetryAbove && improving && attempts < 3) {
         val (dt2, err2) = once(name, fn)
         // the first run SUCCEEDED — a transient retry failure must not
         // overwrite that, nor may the aborted run's duration count
-        if (err2.isEmpty) (name, math.min(dt1, dt2), None)
-        else (name, dt1, err1)
-      } else (name, dt1, err1)
+        if (err2.isEmpty) {
+          improving = dt2 < kept * 0.7
+          kept = math.min(kept, dt2)
+        } else improving = false
+        attempts += 1
+      }
+      (name, kept, err1)
     }
     def qJson(rs: Seq[(String, Double, Option[String])]): String =
       rs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

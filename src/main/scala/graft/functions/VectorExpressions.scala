@@ -132,8 +132,14 @@ case class SimHash56(child: Expression, bits: Int = 56)
   * `conv(substr(md5(s),1,14),16,10)` and the DuckDB oracle's
   * `CAST('0x'||substr(md5(s),1,14) AS BIGINT)`. Distinctness is on the hash
   * (the oracle mirrors with `list_distinct` over hashes).
+  *
+  * `distinct = false` emits every POSITIONAL window hash instead (length
+  * max(0, n−k+1), order preserved) — the coverage-counting input of
+  * substring-level dedup, where a window repeated within a document must
+  * count each occurrence. Cheaper than the distinct path: the output size
+  * is known up front, no set.
   */
-case class ShingleHash56(child: Expression, k: Int)
+case class ShingleHash56(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -146,23 +152,34 @@ case class ShingleHash56(child: Expression, k: Int)
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
+  private def windowDigest(toks: ArrayData, i: Int,
+      md: java.security.MessageDigest): Long = {
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < k) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks.getUTF8String(i + j).toString)
+      j += 1
+    }
+    md.reset()
+    ShingleHash56.fold56(
+      md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
   override def nullSafeEval(in: Any): Any = {
     val toks = in.asInstanceOf[ArrayData]
     val md = mdLocal.get()
-    val out = new java.util.LinkedHashSet[java.lang.Long]()
     val n = toks.numElements()
+    if (!distinct) {
+      val arr = new Array[Long](math.max(n - k + 1, 0))
+      var i = 0
+      while (i <= n - k) { arr(i) = windowDigest(toks, i, md); i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i <= n - k) {
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
-        j += 1
-      }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.add(ShingleHash56.fold56(d))
+      out.add(windowDigest(toks, i, md))
       i += 1
     }
     val arr = new Array[Long](out.size())
@@ -181,32 +198,47 @@ case class ShingleHash56(child: Expression, k: Int)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
       val sb = ctx.freshName("sb")
       val d = ctx.freshName("d")
       val arr = ctx.freshName("arr")
       val it = ctx.freshName("it")
       val x = ctx.freshName("x")
-      // Janino (Spark's codegen compiler) has no generics and unreliable
-      // autoboxing: raw collection types + explicit Long.valueOf / cast.
-      s"""
-         |java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
-         |int $n = $a.numElements();
-         |for (int $i = 0; $i + $k <= $n; $i++) {
-         |  StringBuilder $sb = new StringBuilder();
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    if ($j > 0) $sb.append(' ');
-         |    $sb.append($a.getUTF8String($i + $j).toString());
-         |  }
-         |  $mdRef.reset();
-         |  byte[] $d = $mdRef.digest($sb.toString().getBytes(java.nio.charset.StandardCharsets.UTF_8));
-         |  $set.add(Long.valueOf(graft.functions.ShingleHash56.fold56($d)));
-         |}
-         |long[] $arr = new long[$set.size()];
-         |java.util.Iterator $it = $set.iterator();
-         |int $x = 0;
-         |while ($it.hasNext()) { $arr[$x++] = ((Long) $it.next()).longValue(); }
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
-       """.stripMargin
+      val windowHash =
+        s"""StringBuilder $sb = new StringBuilder();
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    if ($j > 0) $sb.append(' ');
+           |    $sb.append($a.getUTF8String($i + $j).toString());
+           |  }
+           |  $mdRef.reset();
+           |  byte[] $d = $mdRef.digest($sb.toString().getBytes(java.nio.charset.StandardCharsets.UTF_8));""".stripMargin
+      if (!distinct)
+        s"""
+           |int $n = $a.numElements();
+           |int $cnt = $n - $k + 1; if ($cnt < 0) $cnt = 0;
+           |long[] $arr = new long[$cnt];
+           |for (int $i = 0; $i + $k <= $n; $i++) {
+           |  $windowHash
+           |  $arr[$i] = graft.functions.ShingleHash56.fold56($d);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         """.stripMargin
+      else
+        // Janino (Spark's codegen compiler) has no generics and unreliable
+        // autoboxing: raw collection types + explicit Long.valueOf / cast.
+        s"""
+           |java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
+           |int $n = $a.numElements();
+           |for (int $i = 0; $i + $k <= $n; $i++) {
+           |  $windowHash
+           |  $set.add(Long.valueOf(graft.functions.ShingleHash56.fold56($d)));
+           |}
+           |long[] $arr = new long[$set.size()];
+           |java.util.Iterator $it = $set.iterator();
+           |int $x = 0;
+           |while ($it.hasNext()) { $arr[$x++] = ((Long) $it.next()).longValue(); }
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         """.stripMargin
     })
   }
 
@@ -356,8 +388,9 @@ object VectorFunctions {
     GraftSqlBridge.column(SimHash56(GraftSqlBridge.expression(hashes)))
 
   /** Column API for [[ShingleHash56]]. */
-  def shingleHash56(tokens: Column, k: Int = 3): Column =
-    GraftSqlBridge.column(ShingleHash56(GraftSqlBridge.expression(tokens), k))
+  def shingleHash56(tokens: Column, k: Int = 3, distinct: Boolean = true): Column =
+    GraftSqlBridge.column(
+      ShingleHash56(GraftSqlBridge.expression(tokens), k, distinct))
 
   /** Column API for [[HyperplaneBits]]. */
   def hyperplaneBits(v: Column, planes: Seq[Seq[Double]]): Column =

@@ -300,18 +300,12 @@ object Dedup {
     * a broadcast), and every stage shrinks. No all-pairs anything.
     */
   def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    // all overlapping K-windows (NON-distinct: coverage counts positions);
-    // sequence(1, n-K+1) would count DOWN for docs shorter than K tokens,
-    // so guard those to the empty list
-    val winHashes = when(size(col("toks")) >= SubstrK,
-      transform(
-        sequence(lit(1), size(col("toks")) - (SubstrK - 1)),
-        i => TextOps.hash56(concat_ws(" ",
-          (0 until SubstrK).map(j => element_at(col("toks"), i + j)): _*))))
-      .otherwise(typedLit(Seq.empty[Long]))
+    // all overlapping K-windows, NON-distinct (coverage counts positions):
+    // one codegen pass ([[graft.functions.ShingleHash56]] positional
+    // mode); docs shorter than K tokens hash to the empty array
+    val winHashes = VectorFunctions.shingleHash56(
+      TextOps.tokens(col("text")), SubstrK, distinct = false)
     val wins = Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(winHashes).as("wh"))
     val perDoc = wins.groupBy(col("doc_id"), col("wh"))
       .agg(count(lit(1)).as("cnt"))

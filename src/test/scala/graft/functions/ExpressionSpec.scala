@@ -87,6 +87,31 @@ class ExpressionSpec extends SparkSpec {
         && r.getSeq[Long](0).size == r.getSeq[Long](1).size))
   }
 
+  test("ShingleHash56 positional mode matches per-window composable hashes") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val k = 8
+    val rng = new scala.util.Random(23)
+    val words = Seq("a", "bb", "ccc", "dd", "e")
+    // includes docs SHORTER than k (empty output) and with repeated
+    // windows (positional mode must keep every occurrence)
+    val df = (Seq.fill(25)(
+      (1 to rng.nextInt(30) + 1).map(_ => words(rng.nextInt(words.size)))
+        .mkString(" ")) :+ "one two" :+ "x x x x x x x x x x").toDF("text")
+    val slow = when(size(TextOps.tokens(col("text"))) >= k,
+      transform(
+        sequence(lit(1), size(TextOps.tokens(col("text"))) - (k - 1)),
+        i => TextOps.hash56(concat_ws(" ",
+          (0 until k).map(j =>
+            element_at(TextOps.tokens(col("text")), i + j)): _*))))
+      .otherwise(typedLit(Seq.empty[Long]))
+    val out = df.select(
+      VectorFunctions.shingleHash56(TextOps.tokens(col("text")), k,
+        distinct = false).as("fast"),
+      slow.as("slow")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("SimHash56: similar inputs give near fingerprints, empty gives 0") {
     import spark.implicits._
     val rng3 = new scala.util.Random(3)
