@@ -222,4 +222,35 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("levenshtein") && plan.contains("Some(2)"),
       s"expected threshold levenshtein(…, Some(2)) in the plan:\n$plan")
   }
+
+  test("weighted sample plans TakeOrderedAndProject, not a global sort") {
+    val plan = Curation.qWeightedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-lowest-priority must be a per-mapper top-k merge:\n$plan")
+  }
+
+  test("oov rate: the vocabulary side broadcasts into the coverage join") {
+    val plan = finalPlan(TextAnalysis.qOovRate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-k vocab must broadcast, never shuffle the token stream:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("embedding quantization is narrow: no exchange before the final sort") {
+    val plan = Similarity.qEmbeddingQuantize(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly the presentation sort's rangepartitioning exchange — no
+    // hashpartitioning anywhere (the operator itself is shuffle-free)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quantization must not shuffle:\n$plan")
+  }
+
+  test("substring dedup: no cartesian product, join keyed on the window hash") {
+    val plan = finalPlan(Dedup.qDedupSubstring(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must never be all-pairs:\n$plan")
+  }
 }

@@ -89,4 +89,31 @@ class StreamingDedupSpec extends SparkSpec {
         r.getAs[Long]("matched")))
     assert(v.contains((11L, 10L, graft.text.TextOps.MinhashParams.size.toLong)), v.toSeq)
   }
+
+  test("restart: index and checkpoint survive, dups flagged against pre-restart docs") {
+    import spark.implicits._
+    val in = tmpDir("sdedup3-in"); val index = tmpDir("sdedup3-idx")
+    val out = tmpDir("sdedup3-out"); val ck = tmpDir("sdedup3-ck")
+    writeDocs(in, Seq(Doc(20L, base)))
+    val schema = Seq.empty[Doc].toDF().schema
+    val q1 = StreamingDedup.run(
+      spark.readStream.schema(schema).parquet(in), index, out, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    // docs arriving while the query is DOWN; the restarted query (same
+    // checkpoint) must process exactly these and dedup them against the
+    // index built before the restart
+    writeDocs(in, Seq(Doc(21L, variant("dusk")), Doc(22L, base)))
+    val q2 = StreamingDedup.run(
+      spark.readStream.schema(schema).parquet(in), index, out, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    val v = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(v.contains((21L, 20L)) && v.contains((22L, 20L)),
+      s"post-restart docs must match the pre-restart index: $v")
+    // no doc was double-admitted to the index by the restart
+    val idx = spark.read.parquet(index)
+    assert(idx.count() == idx.dropDuplicates("doc_id", "band_key").count(),
+      "restart must not duplicate index rows")
+    assert(idx.select("doc_id").distinct().count() == 3)
+  }
 }
