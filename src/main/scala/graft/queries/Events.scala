@@ -280,7 +280,109 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Decay horizon (days) for [[qDecayedEngagement]]. */
+  val DecayHorizon = 30
+
+  /** Time-decayed per-user engagement score (the recency-weighted feature
+    * a ranking/recsys pipeline derives from an event log): every event
+    * contributes 2^(horizon−1−age_days) — a one-day half-life decay — as
+    * an EXACT integer, so the score is reproducible on any engine and
+    * partitioning (float EWMA is order-dependent; this is not). The
+    * anchor day is the corpus's own max event date, derived from a tiny
+    * aggregate, so the query is deterministic per dataset with no
+    * wall-clock dependence. Events older than the horizon weigh 0.
+    *
+    * Scale shape: the anchor is a broadcast scalar row; scoring is one
+    * narrow scan + one user-keyed map-side-combined aggregate — the
+    * information minimum for a per-user reduction. Weights stay < 2^30
+    * and per-user sums < 2^52 at any plausible per-user event volume.
+    */
+  def qDecayedEngagement(s: SparkSession, d: String): DataFrame = {
+    val anchor = events(s, d).agg(max(to_date(col("ts"))).as("anchor"))
+    events(s, d)
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("anchor"), to_date(col("ts"))).as("age"))
+      // expr: functions.shiftleft only takes a literal shift amount
+      .withColumn("w", expr(
+        s"""CASE WHEN age BETWEEN 0 AND ${DecayHorizon - 1}
+           |THEN shiftleft(CAST(1 AS BIGINT), ${DecayHorizon - 1} - age)
+           |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("age") <= 6, 1L).otherwise(0L)).as("n_last7"),
+        min(col("age")).cast("long").as("days_since_last"),
+        sum(col("w")).as("decayed_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Rolling 7-day / 1-day distinct active users per day — THE operational
+    * health metric of any event product, and the classic "distinct over a
+    * sliding window" problem: a window frame cannot express COUNT
+    * DISTINCT, and re-scanning 7 days per day is 7× the work.
+    *
+    * Formulation: dedupe to (day, user) once — one shuffle that collapses
+    * the event volume to at most users×days rows — then each pair
+    * CONTRIBUTES itself to the 7 target days it covers (a 7× fanout of
+    * the already-tiny deduped frame, the same bucket-expansion trick as
+    * the range join), and one aggregate per target day counts distinct
+    * users. Days beyond the data's max day are clipped; the first 6 days
+    * are genuine partial windows.
+    */
+  def qRollingActives(s: SparkSession, d: String): DataFrame = {
+    val du = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // feeds the 1-day aggregate AND the 7-day fanout
+    val bounds = du.agg(max(col("day")).as("max_day"))
+    val d1 = du.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("actives_1d"))
+    val d7 = du
+      .select(explode(transform(sequence(lit(0), lit(6)),
+        i => date_add(col("day"), i))).as("day"), col("user_id"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("actives_7d"))
+    d7.join(d1, Seq("day"), "left_outer")
+      .select(col("day"), col("actives_7d"),
+        coalesce(col("actives_1d"), lit(0L)).as("actives_1d"))
+      .orderBy(col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_decayed_engagement" ->
+      s"""WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+         |e AS (SELECT user_id,
+         |        date_diff('day', CAST(ts AS DATE), anchor) AS age
+         |      FROM events CROSS JOIN a),
+         |w AS (SELECT user_id, age,
+         |        CASE WHEN age BETWEEN 0 AND ${DecayHorizon - 1}
+         |             THEN (CAST(1 AS BIGINT) << (${DecayHorizon - 1} - age))
+         |             ELSE CAST(0 AS BIGINT) END AS w
+         |      FROM e)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN age <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_last7,
+         |  CAST(min(age) AS BIGINT) AS days_since_last,
+         |  CAST(sum(w) AS BIGINT) AS decayed_score
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rolling_actives" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |b AS (SELECT max(day) AS max_day FROM du),
+        |d1 AS (SELECT day, count(DISTINCT user_id) AS actives_1d
+        |       FROM du GROUP BY 1),
+        |f AS (SELECT day + CAST(i AS INTEGER) AS day, user_id
+        |      FROM du CROSS JOIN range(0, 7) t(i)),
+        |d7 AS (SELECT f.day, count(DISTINCT user_id) AS actives_7d
+        |       FROM f CROSS JOIN b WHERE f.day <= b.max_day GROUP BY 1)
+        |SELECT CAST(d7.day AS TIMESTAMP) AS day,
+        |  CAST(actives_7d AS BIGINT) AS actives_7d,
+        |  CAST(coalesce(actives_1d, 0) AS BIGINT) AS actives_1d
+        |FROM d7 LEFT JOIN d1 ON d7.day = d1.day
+        |ORDER BY d7.day""".stripMargin,
+
     "q_events_tumbling" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n_events,
@@ -428,6 +530,8 @@ object Events {
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_gap_fill" -> (qGapFill _),
     "q_events_dedup" -> (qEventsDedup _),
-    "q_event_patterns" -> (qEventPatterns _)
+    "q_event_patterns" -> (qEventPatterns _),
+    "q_decayed_engagement" -> (qDecayedEngagement _),
+    "q_rolling_actives" -> (qRollingActives _)
   )
 }

@@ -111,6 +111,67 @@ class RoundThreeOpsSpec extends SparkSpec {
       f"sample mean weight $meanSel%.1f should exceed corpus mean $meanAll%.1f")
   }
 
+  /** Event (user, UTC day-offset) pairs — shared by the decayed-engagement
+    * and rolling-actives recomputes. Days derived via Instant→UTC, the
+    * same semantics as Spark's to_date under the UTC session TZ.
+    */
+  private def eventDays(): Seq[(Long, java.time.LocalDate)] =
+    graft.Tables.events(spark, sf).select("user_id", "ts").collect().toSeq
+      .map { r =>
+        (r.getLong(0), r.getTimestamp(1).toInstant
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      }
+
+  test("decayed engagement: exact integer half-life recompute matches") {
+    val evs = eventDays()
+    val anchor = evs.map(_._2).maxBy(_.toEpochDay)
+    val h = Events.DecayHorizon
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val ages = es.map { case (_, d) =>
+        java.time.temporal.ChronoUnit.DAYS.between(d, anchor) }
+      u -> (es.size.toLong,
+        ages.count(_ <= 6).toLong,
+        ages.min,
+        ages.map(a => if (a >= 0 && a < h) 1L << (h - 1 - a) else 0L).sum)
+    }
+    val rows = Events.qDecayedEngagement(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val (n, n7, last, score) = expected(u)
+      assert(r.getAs[Long]("n_events") == n, s"n_events user $u")
+      assert(r.getAs[Long]("n_last7") == n7, s"n_last7 user $u")
+      assert(r.getAs[Long]("days_since_last") == last, s"recency user $u")
+      assert(r.getAs[Long]("decayed_score") == score, s"score user $u")
+    }
+    // decay sanity: a user active only on the anchor day would score
+    // 2^(h-1) per event; everyone's score is positive (all in horizon)
+    assert(rows.forall(_.getAs[Long]("decayed_score") > 0))
+  }
+
+  test("rolling actives: 7-day distinct windows recomputed per day") {
+    val du = eventDays().distinct
+    val maxDay = du.map(_._2).maxBy(_.toEpochDay)
+    val rows = Events.qRollingActives(spark, sf).collect()
+    rows.foreach { r =>
+      // the raw query emits DateType (SparkEntry's presentation layer
+      // does the timestamp cast); java.sql.Date.toLocalDate is TZ-free
+      val day = r.getDate(0).toLocalDate
+      assert(!day.isAfter(maxDay), s"clipped at max day: $day")
+      val in7 = du.filter { case (_, d) =>
+        val a = java.time.temporal.ChronoUnit.DAYS.between(d, day)
+        a >= 0 && a <= 6
+      }.map(_._1).distinct.size.toLong
+      val in1 = du.filter(_._2 == day).map(_._1).distinct.size.toLong
+      assert(r.getAs[Long]("actives_7d") == in7, s"7d actives on $day")
+      assert(r.getAs[Long]("actives_1d") == in1, s"1d actives on $day")
+    }
+    // every day from first event to maxDay appears (fanout covers gaps)
+    val minDay = du.map(_._2).minBy(_.toEpochDay)
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(minDay, maxDay) + 1
+    assert(rows.length == nDays, s"expected $nDays days, got ${rows.length}")
+  }
+
   test("embedding quantize: Scala recompute matches; codes bounded") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
