@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.Curation.queries ++
       graft.queries.Linkage.queries ++
       graft.queries.Graph.queries ++
-      graft.queries.Retrieval.queries
+      graft.queries.Retrieval.queries ++
+      graft.queries.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.Curation.oracle ++
       graft.queries.Linkage.oracle ++
       graft.queries.Graph.oracle ++
-      graft.queries.Retrieval.oracle
+      graft.queries.Retrieval.oracle ++
+      graft.queries.Layout.oracle
 }

@@ -280,6 +280,40 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Bucket width for [[qIntervalOverlap]]: one week in microseconds,
+    * near the typical per-(user, type) activity span.
+    */
+  private val OverlapBucketUs = 7L * 86400 * 1000000
+
+  /** Interval-overlap join: per user, every pair of event types whose
+    * activity intervals [first event, last event] overlap in time — the
+    * interval × interval join behind session-collision and concurrent-
+    * activity analysis, via [[graft.operators.IntervalJoin]] (bucketed
+    * equi-join + emit-at-max-start dedup; no key-only quadratic fanout,
+    * no distinct over the output). The interval frame is tiny
+    * (users × types) and checkpointed once so the self-join does not
+    * rescan the event volume.
+    */
+  def qIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val iv = events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+      .localCheckpoint()
+    val a = iv.select(col("user_id"), col("event_type").as("type_a"),
+      col("s").as("a_start"), col("e").as("a_end"))
+    val b = iv.select(col("user_id"), col("event_type").as("type_b"),
+      col("s").as("b_start"), col("e").as("b_end"))
+    graft.operators.IntervalJoin
+      .overlap(a, b, "user_id", "a_start", "a_end", "b_start", "b_end",
+        OverlapBucketUs)
+      .filter(col("type_a") < col("type_b"))
+      .select(col("user_id"), col("type_a"), col("type_b"),
+        greatest(col("a_start"), col("b_start")).as("overlap_start"),
+        least(col("a_end"), col("b_end")).as("overlap_end"))
+      .orderBy(col("user_id"), col("type_a"), col("type_b"))
+  }
+
   /** Decay horizon (days) for [[qDecayedEngagement]]. */
   val DecayHorizon = 30
 
@@ -351,6 +385,18 @@ object Events {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_interval_overlap" ->
+      """WITH iv AS (SELECT user_id, event_type,
+        |    min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+        |  greatest(a.s, b.s) AS overlap_start,
+        |  least(a.e, b.e) AS overlap_end
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a.user_id, type_a, type_b""".stripMargin,
+
     "q_decayed_engagement" ->
       s"""WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
          |e AS (SELECT user_id,
@@ -532,6 +578,7 @@ object Events {
     "q_events_dedup" -> (qEventsDedup _),
     "q_event_patterns" -> (qEventPatterns _),
     "q_decayed_engagement" -> (qDecayedEngagement _),
-    "q_rolling_actives" -> (qRollingActives _)
+    "q_rolling_actives" -> (qRollingActives _),
+    "q_interval_overlap" -> (qIntervalOverlap _)
   )
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.GlobalRank
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout planning operators — the pass that decides HOW 100 TB gets
+  * written so later scans can prune: multi-dimensional clustering keys
+  * (Z-order) and equi-depth range boundaries (the split points a
+  * range-partitioned write or a secondary index would use).
+  */
+object Layout {
+
+  /** Bits per dimension interleaved into the Z-value. */
+  val ZBits = 16
+
+  /** Z-order (Morton) key of (x, y): bit i of x lands at position 2i, bit
+    * i of y at 2i+1, so sorting by the key interleaves both dimensions —
+    * rows close in Z are close in BOTH x and y, which is what lets a
+    * min/max-pruned scan skip files for predicates on EITHER column. A
+    * single-column sort clusters one dimension perfectly and scatters the
+    * other; Z-order trades a little of each for pruning on both.
+    *
+    * Pure literal-shift bit arithmetic — every term codegen'd, zero
+    * shuffle, scan speed.
+    */
+  def zvalue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The same interleave in ANSI SQL, generated term-for-term. */
+  def zvalueSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  /** Width of the part price buckets fed into the Z-curve. */
+  private val PriceBucket = 10L
+
+  /** Z-order clustering key for `part` over (p_size, price bucket): the
+    * layout key a 100 TB part catalog would be written under so scans
+    * filtered on size OR price both prune. Output is the curve itself
+    * (key per row), gate-checked term-exact against the SQL interleave.
+    */
+  def qZorderCurve(s: SparkSession, d: String): DataFrame = {
+    val x = col("p_size").cast("long")
+    val y = least(floor(col("p_retailprice") / PriceBucket).cast("long"),
+      lit((1L << ZBits) - 1))
+    Tables.part(s, d)
+      .select(col("p_partkey"), x.as("x"), y.as("y"))
+      .withColumn("zval", zvalue(col("x"), col("y")))
+      .orderBy(col("zval"), col("p_partkey"))
+  }
+
+  /** Number of equi-depth buckets. */
+  val EquidepthK = 16
+
+  /** Exact equi-depth binning of order totals: bucket b holds ranks
+    * (b·n/k, (b+1)·n/k] under the total order (cents, orderkey) — the
+    * boundary computation behind range-partitioned writes, ntile-style
+    * feature binning, and histogram-equalized sampling. Uses
+    * [[graft.operators.GlobalRank]]: a plain `row_number()` window with
+    * no PARTITION BY is a single-partition sort (the scale cliff); the
+    * operator ranks via range-partitioned sort + partition-offset
+    * arithmetic instead, all codegen, no single-task stage.
+    */
+  def qEquidepthBins(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), cents.as("cents"))
+    GlobalRank.withRank(base, Seq(col("cents"), col("o_orderkey")), "rn", "n")
+      .withColumn("bucket", expr(s"((rn - 1) * $EquidepthK) div n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_zorder_curve" ->
+      s"""SELECT p_partkey, x, y, ${zvalueSql("x", "y")} AS zval
+         |FROM (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+         |    least(CAST(floor(p_retailprice / $PriceBucket) AS BIGINT),
+         |          ${(1L << ZBits) - 1}) AS y
+         |  FROM part)
+         |ORDER BY zval, p_partkey""".stripMargin,
+
+    "q_equidepth_bins" ->
+      s"""WITH b AS (SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders),
+         |r AS (SELECT *,
+         |    row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM b)
+         |SELECT CAST(((rn - 1) * $EquidepthK) // n AS BIGINT) AS bucket,
+         |  count(*) AS n_rows, min(cents) AS lo_cents,
+         |  max(cents) AS hi_cents
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_curve" -> (qZorderCurve _),
+    "q_equidepth_bins" -> (qEquidepthBins _)
+  )
+}

@@ -681,6 +681,31 @@ object Relational {
   private val mEp = "CAST(l_extendedprice AS DECIMAL(12,2))"
   private val mDisc = "CAST(l_discount AS DECIMAL(4,2))"
   private val mTax = "CAST(l_tax AS DECIMAL(4,2))"
+  /** Semi join with a Bloom-filter runtime prefilter
+    * ([[graft.operators.BloomFilterJoin]]): revenue of lineitems belonging
+    * to urgent-priority orders. The ~20% build side summarizes to 2^20
+    * bits; the probe-side `might_contain` filter sits BELOW the shuffle as
+    * a narrow codegen'd predicate, so ~80% of the fact table never pays
+    * shuffle I/O — the decisive join optimization when the probe is 100 TB
+    * and the build's KEY SET fits a broadcastable sketch but the build
+    * rows do not. The exact semi join above it removes false positives;
+    * the result (and the oracle) is a plain EXISTS.
+    */
+  def qBloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = Tables.lineitemDec(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+    graft.operators.BloomFilterJoin
+      .semiJoin(li, urgent, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice") * (one - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   private val oneR = "CAST(1.00 AS DECIMAL(4,2))"
   private val revenue = s"$mEp * ($oneR - $mDisc)"
 
@@ -927,6 +952,15 @@ object Relational {
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_bloom_semi_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_items, sum($revenue) AS revenue
+         |FROM lineitem
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |              WHERE o_orderkey = l_orderkey
+         |                AND o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+
     "q4_priority_semi" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
@@ -1107,6 +1141,7 @@ object Relational {
     "q19_disjunctive_predicate" -> (q19DisjunctivePredicate _),
     "q22_wealthy_inactive" -> (q22WealthyInactive _),
     "q4_priority_semi" -> (q4PrioritySemi _),
+    "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_anti_customers" -> (qAntiCustomers _),
     "q_top_customers" -> (qTopCustomers _),
     "q_window_rank" -> (qWindowRank _),
