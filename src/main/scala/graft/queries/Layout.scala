@@ -80,6 +80,35 @@ object Layout {
       .orderBy(col("bucket"))
   }
 
+  /** Exact P1/P99 winsorization (outlier clipping) of order totals — the
+    * feature-preprocessing pass that caps heavy tails before training
+    * statistics. The clip bounds are the values at ranks ⌈n/100⌉ and
+    * ⌈99n/100⌉ under the same GlobalRank total order (exact, not
+    * approx-percentile: reproducible across engines and partitionings);
+    * they reduce to ONE broadcast row, and the clip itself is a narrow
+    * `least(greatest(...))` at scan speed. Output: per-priority sums of
+    * the clipped values plus clip counts — all exact integers.
+    */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), cents.as("cents"))
+    val ranked = GlobalRank
+      .withRank(base, Seq(col("cents"), col("o_orderkey")), "rn", "n")
+      .localCheckpoint() // bounds pass + clip pass share one ranking
+    val bounds = ranked.agg(
+      min(when(col("rn") === expr("(n + 99) div 100"), col("cents"))).as("lo"),
+      min(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("hi"))
+    ranked.crossJoin(broadcast(bounds))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(least(greatest(col("cents"), col("lo")), col("hi")))
+          .cast("long").as("sum_winsorized_cents"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q_zorder_curve" ->
       s"""SELECT p_partkey, x, y, ${zvalueSql("x", "y")} AS zval
@@ -88,6 +117,29 @@ object Layout {
          |          ${(1L << ZBits) - 1}) AS y
          |  FROM part)
          |ORDER BY zval, p_partkey""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM b),
+        |bd AS (SELECT
+        |    min(CASE WHEN rn = (n + 99) // 100 THEN cents END) AS lo,
+        |    min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS hi
+        |  FROM r)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT)
+        |    AS sum_winsorized_cents,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high
+        |FROM r CROSS JOIN bd
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_equidepth_bins" ->
       s"""WITH b AS (SELECT o_orderkey,
@@ -106,6 +158,7 @@ object Layout {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_curve" -> (qZorderCurve _),
-    "q_equidepth_bins" -> (qEquidepthBins _)
+    "q_equidepth_bins" -> (qEquidepthBins _),
+    "q_winsorize" -> (qWinsorize _)
   )
 }

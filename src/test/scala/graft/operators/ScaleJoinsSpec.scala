@@ -88,6 +88,35 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == pts.length)
   }
 
+  test("winsorize: clip bounds and sums match a plain-Scala recompute") {
+    val rows = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast(graft.Tables.Money) * 100).cast("long")
+          .as("cents"))
+      .as[(Long, String, Long)].collect()
+    val sorted = rows.map { case (k, _, c) => (c, k) }.sorted
+    val n = sorted.length
+    val lo = sorted((n + 99) / 100 - 1)._1
+    val hi = sorted((99 * n + 99) / 100 - 1)._1
+    val expected = rows.groupBy(_._2).map { case (p, rs) =>
+      p -> (rs.length.toLong,
+        rs.map { case (_, _, c) => math.min(math.max(c, lo), hi) }.sum,
+        rs.count(_._3 < lo).toLong, rs.count(_._3 > hi).toLong)
+    }
+    val got = graft.queries.Layout.qWinsorize(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      assert((r.getAs[Long]("n_orders"), r.getAs[Long]("sum_winsorized_cents"),
+        r.getAs[Long]("n_clipped_low"), r.getAs[Long]("n_clipped_high"))
+        == expected(p), s"priority $p")
+    }
+    // the clip actually fired somewhere (1% tails are non-empty at n>=100)
+    assert(got.map(_.getAs[Long]("n_clipped_low")).sum > 0)
+    assert(got.map(_.getAs[Long]("n_clipped_high")).sum > 0)
+  }
+
   test("equi-depth bins: every bucket within one row of n/k") {
     val rows = graft.queries.Layout
       .qEquidepthBins(spark, "/root/testdata/sf0.001").collect()

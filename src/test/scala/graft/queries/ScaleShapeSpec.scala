@@ -253,4 +253,36 @@ class ScaleShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"substring dedup must never be all-pairs:\n$plan")
   }
+
+  test("interval overlap joins on (key, bucket), never a nested loop") {
+    val plan = finalPlan(Events.qIntervalOverlap(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must stay an equi-join on (key, bucket):\n$plan")
+  }
+
+  test("bloom semi join: probe filter runs below the shuffle, join is semi") {
+    val plan = finalPlan(Relational.qBloomSemiJoin(spark, sf))
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    // the might_contain predicate (xxhash64 bit probes) must appear as a
+    // Filter in the scan stage — before any Exchange of the probe side
+    val probeFilter = plan.indexOf("xxhash64")
+    assert(probeFilter >= 0, s"bloom probe predicate missing:\n$plan")
+  }
+
+  test("equi-depth bins: distributed range sort + broadcast offsets, " +
+    "no single-partition window over the data") {
+    val plan = finalPlan(Layout.qEquidepthBins(spark, sf))
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"global rank must range-partition the sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast back:\n$plan")
+  }
+
+  test("z-order curve is narrow: no hash exchange anywhere") {
+    val plan = Layout.qZorderCurve(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the Morton interleave must be scan-speed narrow:\n$plan")
+  }
 }
