@@ -172,6 +172,19 @@ class RoundThreeOpsSpec extends SparkSpec {
     assert(rows.length == nDays, s"expected $nDays days, got ${rows.length}")
   }
 
+  test("variant extract: agrees with the get_json_object formulation") {
+    val viaVariant = Events.qVariantExtract(spark, sf).collect()
+    val viaWalk = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"), col("k_mod"))
+      .collect()
+    assert(viaVariant.map(_.toSeq).toSeq == viaWalk.map(_.toSeq).toSeq)
+    assert(viaVariant.length > 1)
+  }
+
   test("embedding quantize: Scala recompute matches; codes bounded") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
