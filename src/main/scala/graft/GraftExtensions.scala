@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSig, ShingleHash56, SimHash56}
+import graft.functions.{DotProduct, MinHashSig, ShingleHash56, SimHash56, ZOrder2}
 import graft.text.TextOps
 
 /** SparkSessionExtensions entry point: exposes the library's custom
@@ -70,6 +70,19 @@ object GraftExtensions {
           ShingleHash56(toks, k.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "graft_shingle_hash56 takes (array<string>[, k])")
+      }),
+    (FunctionIdentifier("graft_zorder"),
+      info(classOf[ZOrder2], "graft_zorder",
+        "graft_zorder(x, y[, bits]) - Morton interleave of the low bits (default 16) of two longs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y) => ZOrder2(x, y)
+        case Seq(x, y, b) =>
+          require(b.foldable && b.eval() != null &&
+            b.eval().isInstanceOf[Number],
+            "graft_zorder: bits must be a non-null integer literal")
+          ZOrder2(x, y, b.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "graft_zorder takes (bigint, bigint[, bits])")
       }),
     (FunctionIdentifier("graft_minhash_sig"),
       info(classOf[MinHashSig], "graft_minhash_sig",

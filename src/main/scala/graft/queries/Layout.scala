@@ -22,10 +22,15 @@ object Layout {
     * single-column sort clusters one dimension perfectly and scatters the
     * other; Z-order trades a little of each for pruning on both.
     *
-    * Pure literal-shift bit arithmetic — every term codegen'd, zero
-    * shuffle, scan speed.
+    * One-loop codegen expression ([[graft.functions.ZOrder2]], also on the
+    * SQL surface as `graft_zorder`); [[zvalueComposed]] is the equivalent
+    * literal-shift fold it is bit-equality-tested against.
     */
   def zvalue(x: Column, y: Column): Column =
+    graft.functions.LayoutFunctions.zorder(x, y, ZBits)
+
+  /** Composable-form twin of [[zvalue]] (2×ZBits shift/mask terms). */
+  def zvalueComposed(x: Column, y: Column): Column =
     (0 until ZBits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))

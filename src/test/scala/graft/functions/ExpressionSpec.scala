@@ -26,6 +26,19 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("ZOrder2 matches the literal-shift composed fold bit-exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(200)((rng.nextInt(1 << 16).toLong,
+      rng.nextInt(1 << 16).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L))
+    val out = rows.toDF("x", "y").select(
+      LayoutFunctions.zorder(col("x"), col("y")).as("fast"),
+      graft.queries.Layout.zvalueComposed(col("x"), col("y")).as("slow"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("DotProduct edge cases: empty, mismatched length, null") {
     import spark.implicits._
     val df = Seq(

@@ -46,6 +46,13 @@ class ExtensionsSpec extends SparkSpec {
       .select(col("vec_id"), VectorFunctions.dot(col("v"), col("v")).as("d"))
     assert(dotSql.exceptAll(dotDsl).isEmpty && dotDsl.exceptAll(dotSql).isEmpty)
 
+    // graft_zorder: SQL name binds the same interleave, default + explicit
+    // bits
+    val z = spark.sql(
+      """SELECT graft_zorder(5L, 3L) AS z16,
+        |  graft_zorder(5L, 3L, 8) AS z8""".stripMargin).head
+    assert(z.getLong(0) == 27L && z.getLong(1) == 27L) // 101⊗11 = 11011
+
     // the real session-build path: a NEW session built with
     // .withExtensions must resolve the functions with no registerAll call
     // (shares the suite's SparkContext; sessions restored afterwards)
