@@ -237,4 +237,61 @@ class PropertySpec extends SparkSpec {
       got.foreach { case (d, n) => assert(expected.getOrElse(d, 0L) == n) }
     }
   }
+
+  test("property: bucketed interval overlap ≡ naive quadratic join, " +
+    "including negative times and zero-length intervals") {
+    import spark.implicits._
+    val genIv = for {
+      k <- Gen.choose(1, 4)
+      s <- Gen.choose(-50L, 200L)
+      len <- Gen.choose(0L, 60L)
+    } yield (k.toLong, s, s + len)
+    forSamples2(Gen.listOfN(20, genIv), Gen.listOfN(20, genIv), n = 5) {
+      (la, lb) =>
+        val a = la.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+          .toDF("k", "a_start", "a_end", "a_id")
+        val b = lb.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+          .toDF("k", "b_start", "b_end", "b_id")
+        val got = graft.operators.IntervalJoin
+          .overlap(a, b, "k", "a_start", "a_end", "b_start", "b_end", bucket = 13L)
+          .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+        val naive = (for {
+          ((ak, s1, e1), i) <- la.zipWithIndex
+          ((bk, s2, e2), j) <- lb.zipWithIndex
+          if ak == bk && s1 <= e2 && s2 <= e1
+        } yield (i.toLong, j.toLong)).sorted
+        assert(got == naive, s"bucketed=$got naive=$naive")
+    }
+  }
+
+  test("property: global rank ≡ sorted-sequence index under any values") {
+    import spark.implicits._
+    val genV = Gen.choose(-1000L, 1000L)
+    forSamples(Gen.listOfN(300, genV), n = 5) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id").repartition(7)
+      val got = graft.operators.GlobalRank
+        .withRank(df, Seq(col("v"), col("id")), "r", "n")
+        .select("v", "id", "r").as[(Long, Long, Long)].collect()
+      val expected = vs.zipWithIndex
+        .map { case (v, i) => (v, i.toLong) }.sorted.zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+      got.foreach { case (v, id, r) =>
+        assert(r == expected((v, id)), s"rank of ($v,$id)") }
+    }
+  }
+
+  test("property: bloom-prefiltered semi join ≡ set intersection") {
+    import spark.implicits._
+    val genKey = Gen.choose(0L, 500L)
+    forSamples2(Gen.listOfN(60, genKey), Gen.listOfN(200, genKey), n = 5) {
+      (bk, pk) =>
+        val got = graft.operators.BloomFilterJoin
+          .semiJoin(pk.toDF("p"), bk.toDF("b"), "p", "b",
+            numBits = 1 << 12, numHashes = 4)
+          .as[Long].collect().sorted.toSeq
+        val expected = pk.filter(bk.toSet).sorted
+        assert(got == expected)
+    }
+  }
 }
