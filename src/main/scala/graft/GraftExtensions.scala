@@ -74,15 +74,24 @@ object GraftExtensions {
     (FunctionIdentifier("graft_zorder"),
       info(classOf[ZOrder2], "graft_zorder",
         "graft_zorder(x, y[, bits]) - Morton interleave of the low bits (default 16) of two longs"),
-      (args: Seq[Expression]) => args match {
-        case Seq(x, y) => ZOrder2(x, y)
-        case Seq(x, y, b) =>
-          require(b.foldable && b.eval() != null &&
-            b.eval().isInstanceOf[Number],
-            "graft_zorder: bits must be a non-null integer literal")
-          ZOrder2(x, y, b.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "graft_zorder takes (bigint, bigint[, bits])")
+      (args: Seq[Expression]) => {
+        // SQL surface accepts any integral type: ZOrder2's interpreted
+        // path unboxes Long, so INT literals/columns must be cast here
+        // (ExpectsInputTypes is private[sql]).
+        def asLong(e: Expression): Expression =
+          org.apache.spark.sql.catalyst.expressions.Cast(e,
+            org.apache.spark.sql.types.LongType)
+        args match {
+          case Seq(x, y) => ZOrder2(asLong(x), asLong(y))
+          case Seq(x, y, b) =>
+            require(b.foldable && b.eval() != null &&
+              b.eval().isInstanceOf[Number],
+              "graft_zorder: bits must be a non-null integer literal")
+            ZOrder2(asLong(x), asLong(y),
+              b.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException(
+            "graft_zorder takes (bigint, bigint[, bits])")
+        }
       }),
     (FunctionIdentifier("graft_minhash_sig"),
       info(classOf[MinHashSig], "graft_minhash_sig",

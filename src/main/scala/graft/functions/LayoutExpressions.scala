@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class ZOrder2(left: Expression, right: Expression, bits: Int = 16)
     extends BinaryExpression {
 
+  // 2·bits positions must fit a long with none wrapping mod 64 — bits
+  // outside [1, 32] would silently interleave onto colliding positions.
+  require(bits >= 1 && bits <= 32, s"zorder bits must be in [1, 32]: $bits")
+
   // Callers guarantee long inputs (plans cast explicitly), as elsewhere in
   // this package: ExpectsInputTypes is private[sql].
   override def dataType: DataType = LongType

@@ -35,11 +35,18 @@ object GlobalRank {
     * `nCol` (total row count, the same on every row — callers need n for
     * quantile math and this avoids a second scan).
     */
+  /** The pre-checkpoint sort stage: range-partitioned `orderBy` + id
+    * assignment. Exposed so plan tests can assert the sort's shape — the
+    * checkpoint in [[withRank]] truncates lineage, hiding this stage from
+    * the final query's executed plan.
+    */
+  private[graft] def sortedWithId(df: DataFrame, sortCols: Seq[Column]): DataFrame =
+    df.orderBy(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+
   def withRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
       nCol: String): DataFrame = {
-    val sorted = df.orderBy(sortCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
+    val sorted = sortedWithId(df, sortCols).localCheckpoint()
     val local = col("__mid").bitwiseAND(lit((1L << 33) - 1))
     // exclusive prefix sum of per-partition counts, plus the grand total
     val offs = sorted

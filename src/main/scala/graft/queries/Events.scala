@@ -293,7 +293,9 @@ object Events {
       .select(col("event_type"), parse_json(col("props")).as("v"))
       .select(col("event_type"),
         variant_get(col("v"), "$.k", "int").as("k"))
-      .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
+      // % (rem), not pmod: DuckDB's % is rem, so the twins agree even if
+      // a future dataset carries negative k
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"), col("k_mod"))
 

@@ -46,12 +46,17 @@ class ExtensionsSpec extends SparkSpec {
       .select(col("vec_id"), VectorFunctions.dot(col("v"), col("v")).as("d"))
     assert(dotSql.exceptAll(dotDsl).isEmpty && dotDsl.exceptAll(dotSql).isEmpty)
 
-    // graft_zorder: SQL name binds the same interleave, default + explicit
-    // bits
+    // graft_zorder: SQL name binds the same interleave; inputs with a bit
+    // at position >= 8 make the explicit-bits path observable (x's bit 8
+    // is dropped at bits=8, kept at the default 16), and INT literals
+    // exercise the builder's cast-to-long
     val z = spark.sql(
-      """SELECT graft_zorder(5L, 3L) AS z16,
-        |  graft_zorder(5L, 3L, 8) AS z8""".stripMargin).head
-    assert(z.getLong(0) == 27L && z.getLong(1) == 27L) // 101⊗11 = 11011
+      """SELECT graft_zorder(5, 3) AS z16,
+        |  graft_zorder(256L, 1L, 8) AS z8,
+        |  graft_zorder(256L, 1L) AS zWide""".stripMargin).head
+    assert(z.getLong(0) == 27L) // 101⊗11 = 11011
+    assert(z.getLong(1) == 2L, "bits=8 must drop x's bit 8")
+    assert(z.getLong(2) == 65538L, "bits=16 must keep x's bit 8")
 
     // the real session-build path: a NEW session built with
     // .withExtensions must resolve the functions with no registerAll call

@@ -124,32 +124,25 @@ class ScaleJoinsSpec extends SparkSpec {
     val pts = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
     val df = pts.toDF("x", "y")
       .withColumn("z", graft.queries.Layout.zvalue(col("x"), col("y")))
-    def avgBoxArea(sortCol: String): Double = {
-      val parts = df.repartitionByRange(16, col(sortCol))
+    // per-partition span of each dimension under a given layout key —
+    // what parquet min/max pruning would see per file
+    def spans(sortCol: String): Array[(Long, Long)] =
+      df.repartitionByRange(16, col(sortCol))
         .select(col("x"), col("y"), spark_partition_id().as("p"))
         .groupBy(col("p"))
-        .agg((max(col("x")) - min(col("x")) + 1).as("dx"),
-          (max(col("y")) - min(col("y")) + 1).as("dy"))
-        .select((col("dx") * col("dy")).as("area"))
-        .as[Long].collect()
-      parts.sum.toDouble / parts.length
-    }
-    val byX = avgBoxArea("x")
-    val byZ = avgBoxArea("z")
-    // x-sort: each partition spans ALL of y → area ≈ 4×64 = 256.
-    // z-sort: each partition is a ~16×16 quadrant → area ≈ 256 too in
-    // total area, BUT the per-dimension spans differ: x-sort gives
-    // dy=64 always. Assert the z layout bounds the worst dimension span
-    // far below 64 — that's what makes pruning on y possible at all.
-    val zSpans = df.repartitionByRange(16, col("z"))
-      .select(col("x"), col("y"), spark_partition_id().as("p"))
-      .groupBy(col("p"))
-      .agg(greatest(max(col("x")) - min(col("x")),
-        max(col("y")) - min(col("y"))).as("worst"))
-      .as[(Int, Long)].collect().map(_._2)
-    assert(zSpans.max <= 31,
-      s"z partitions must stay within a quadrant: worst=${zSpans.max}")
-    assert(byX > 0 && byZ > 0) // both layouts computed over the full grid
+        .agg((max(col("x")) - min(col("x"))).as("dx"),
+          (max(col("y")) - min(col("y"))).as("dy"))
+        .select(col("dx"), col("dy")).as[(Long, Long)].collect()
+    // x-sort: x is perfectly clustered but EVERY partition spans all of y
+    // — a filter on y prunes nothing
+    val byX = spans("x")
+    assert(byX.forall(_._2 == 63L),
+      s"x-sort must scatter y across the full axis: ${byX.mkString(",")}")
+    // z-sort: every partition stays inside one 16×16 quadrant — both
+    // dimensions bounded, so min/max pruning works on either
+    val byZ = spans("z")
+    assert(byZ.forall { case (dx, dy) => dx <= 31 && dy <= 31 },
+      s"z partitions must stay within a quadrant: ${byZ.mkString(",")}")
   }
 
   test("equi-depth bins: every bucket within one row of n/k") {

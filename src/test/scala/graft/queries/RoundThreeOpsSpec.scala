@@ -177,7 +177,7 @@ class RoundThreeOpsSpec extends SparkSpec {
     val viaWalk = graft.Tables.events(spark, sf)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"), col("k_mod"))
       .collect()

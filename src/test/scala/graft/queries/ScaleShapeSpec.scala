@@ -264,17 +264,36 @@ class ScaleShapeSpec extends SparkSpec {
   test("bloom semi join: probe filter runs below the shuffle, join is semi") {
     val plan = finalPlan(Relational.qBloomSemiJoin(spark, sf))
     assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
-    // the might_contain predicate (xxhash64 bit probes) must appear as a
-    // Filter in the scan stage — before any Exchange of the probe side
+    // the might_contain predicate (xxhash64 bit probes) must sit in the
+    // probe SCAN stage: walking the printed tree downward from the filter,
+    // the parquet scan must appear before any further shuffle — an
+    // intervening Exchange would mean the filter ran above the shuffle,
+    // after the rows already paid network cost
     val probeFilter = plan.indexOf("xxhash64")
     assert(probeFilter >= 0, s"bloom probe predicate missing:\n$plan")
+    val scanBelow = plan.indexOf("FileScan parquet", probeFilter)
+    val exchangeBelow = plan.indexOf("Exchange hashpartitioning", probeFilter)
+    assert(scanBelow >= 0 &&
+      (exchangeBelow == -1 || scanBelow < exchangeBelow),
+      s"bloom filter must be in the scan stage, not above a shuffle:\n$plan")
   }
 
   test("equi-depth bins: distributed range sort + broadcast offsets, " +
     "no single-partition window over the data") {
+    // the final query's executed plan hides the rank's sort behind the
+    // checkpoint, so assert the sort stage's own plan: a range-partitioned
+    // exchange (parallel total sort), NOT a single-partition window
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), cents.as("cents"))
+    val sortStage = graft.operators.GlobalRank
+      .sortedWithId(base, Seq(col("cents"), col("o_orderkey")))
+      .queryExecution.executedPlan.toString
+    assert(sortStage.contains("Exchange rangepartitioning"),
+      s"global rank must range-partition the sort:\n$sortStage")
+    assert(!sortStage.contains("Window"),
+      s"the rank sort stage must not window the data:\n$sortStage")
     val plan = finalPlan(Layout.qEquidepthBins(spark, sf))
-    assert(plan.contains("Exchange rangepartitioning"),
-      s"global rank must range-partition the sort:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"partition offsets must broadcast back:\n$plan")
   }
