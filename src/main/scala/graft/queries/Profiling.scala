@@ -174,7 +174,95 @@ object Profiling {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Data-validation suite (the expectation checks a pipeline gates a
+    * table publish on): null keys, duplicate primary keys, out-of-range
+    * measures, and referential orphans, each reported as
+    * (check, n_violations, n_checked). Scale shape: ALL per-column checks
+    * on a table fold into ONE aggregate over ONE scan (map-side partials)
+    * and unpivot from the single result row — never a scan per check; the
+    * two referential checks are anti-joins that shuffle only the key
+    * column. A healthy 100 TB table answers in two scans + two slim joins.
+    */
+  def qDataValidation(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val cust = Tables.customer(s, d)
+    def pivotChecks(agg: DataFrame): DataFrame =
+      agg.unpivot(Array(col("n_checked")),
+          agg.columns.filter(c => c != "n_checked").map(col).toArray,
+          "check", "n_violations")
+        .select(col("check"), col("n_violations"), col("n_checked"))
+    val ordChecks = pivotChecks(ord.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("orders_null_custkey"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+        .as("orders_nonpositive_totalprice"),
+      (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+        .as("orders_duplicate_orderkey")))
+    val liChecks = pivotChecks(li.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("lineitem_discount_out_of_range"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+        .as("lineitem_nonpositive_quantity"),
+      sum(when(col("l_shipdate") < lit("1990-01-01").cast("timestamp") ||
+        col("l_shipdate") >= lit("2010-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("lineitem_shipdate_out_of_bounds")))
+    def orphans(name: String, probe: DataFrame, pk: String,
+        build: DataFrame, bk: String): DataFrame = {
+      val n = probe.agg(count(lit(1)).as("n_checked"))
+      probe.select(col(pk))
+        .join(build.select(col(bk)), col(pk) === col(bk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(n))
+        .select(lit(name).as("check"), col("n_violations"), col("n_checked"))
+    }
+    ordChecks
+      .unionByName(liChecks)
+      .unionByName(orphans("lineitem_orphan_orderkey", li, "l_orderkey",
+        ord, "o_orderkey"))
+      .unionByName(orphans("orders_orphan_custkey", ord, "o_custkey",
+        cust, "c_custkey"))
+      .orderBy(col("check"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_data_validation" ->
+      """WITH o AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_ck,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nonpos_tp,
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+        |      AS BIGINT) AS dup_ok
+        |  FROM orders),
+        |l AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS disc_oor,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nonpos_qty,
+        |    CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01'
+        |      OR l_shipdate >= TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ship_oob
+        |  FROM lineitem)
+        |SELECT 'orders_null_custkey' AS "check", null_ck AS n_violations,
+        |  n AS n_checked FROM o
+        |UNION ALL SELECT 'orders_nonpositive_totalprice', nonpos_tp, n FROM o
+        |UNION ALL SELECT 'orders_duplicate_orderkey', dup_ok, n FROM o
+        |UNION ALL SELECT 'lineitem_discount_out_of_range', disc_oor, n FROM l
+        |UNION ALL SELECT 'lineitem_nonpositive_quantity', nonpos_qty, n FROM l
+        |UNION ALL SELECT 'lineitem_shipdate_out_of_bounds', ship_oob, n FROM l
+        |UNION ALL SELECT 'lineitem_orphan_orderkey',
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL SELECT 'orders_orphan_custkey',
+        |  (SELECT count(*) FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+        |  (SELECT count(*) FROM orders)
+        |ORDER BY "check"""".stripMargin,
+
     "q_correlation_stats" ->
       """WITH b AS (SELECT l_returnflag,
         |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
@@ -265,6 +353,7 @@ object Profiling {
     "q_zscore_outliers" -> (qZscoreOutliers _),
     "q_exact_median" -> (qExactMedian _),
     "q_unpivot_orders" -> (qUnpivotOrders _),
-    "q_correlation_stats" -> (qCorrelationStats _)
+    "q_correlation_stats" -> (qCorrelationStats _),
+    "q_data_validation" -> (qDataValidation _)
   )
 }

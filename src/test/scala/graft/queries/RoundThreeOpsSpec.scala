@@ -185,6 +185,39 @@ class RoundThreeOpsSpec extends SparkSpec {
     assert(viaVariant.length > 1)
   }
 
+  test("data validation: every check fires on injected violations") {
+    import spark.implicits._
+    val dir = tmpDir("graft-dv")
+    // orders: one null custkey, one non-positive total, one duplicated key,
+    // one custkey (99) with no customer row
+    Seq((1L, Option(10L), 50.0), (2L, None, 60.0), (3L, Option(11L), -5.0),
+      (3L, Option(10L), 70.0), (4L, Option(99L), 80.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    // lineitem: one orphan orderkey, one bad discount, one zero quantity,
+    // one out-of-bounds shipdate
+    Seq((1L, 0.05, 10.0, "1995-06-01"), (777L, 0.00, 5.0, "1996-01-01"),
+      (2L, 1.50, 3.0, "1997-03-01"), (3L, 0.10, 0.0, "1998-04-01"),
+      (4L, 0.02, 2.0, "2015-01-01"))
+      .toDF("l_orderkey", "l_discount", "l_quantity", "ship")
+      .withColumn("l_shipdate", col("ship").cast("timestamp")).drop("ship")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq(10L, 11L).toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    val got = Profiling.qDataValidation(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("orders_null_custkey") == (1L, 5L))
+    assert(got("orders_nonpositive_totalprice") == (1L, 5L))
+    assert(got("orders_duplicate_orderkey") == (1L, 5L))
+    assert(got("orders_orphan_custkey") == (2L, 5L)) // null + unknown 99
+    assert(got("lineitem_orphan_orderkey") == (1L, 5L))
+    assert(got("lineitem_discount_out_of_range") == (1L, 5L))
+    assert(got("lineitem_nonpositive_quantity") == (1L, 5L))
+    assert(got("lineitem_shipdate_out_of_bounds") == (1L, 5L))
+    // and on the real corpus the suite reports clean
+    val real = Profiling.qDataValidation(spark, sf).collect()
+    assert(real.forall(_.getAs[Long]("n_violations") == 0L))
+  }
+
   test("embedding quantize: Scala recompute matches; codes bounded") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
