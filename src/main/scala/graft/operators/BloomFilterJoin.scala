@@ -63,7 +63,11 @@ object BloomFilterJoin {
   def semiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, numBits: Int = 1 << 20,
       numHashes: Int = 5): DataFrame = {
-    val bits = buildBits(build.select(col(buildKey)).distinct(),
+    // no distinct() before the build: bit_or dedups positions inherently,
+    // and a pre-shuffle distinct would shuffle |build| keys where the
+    // bit_or agg's map-side partials shuffle at most numBits/64 words
+    // per mapper
+    val bits = buildBits(build.select(col(buildKey)),
       buildKey, numBits, numHashes)
     probe
       .filter(mightContain(col(probeKey), bits, numHashes))

@@ -333,6 +333,31 @@ object Events {
       .orderBy(col("user_id"), col("type_a"), col("type_b"))
   }
 
+  /** Day-over-day volume anomaly detection — the pipeline-health monitor
+    * that catches a broken producer (volume collapse) or a runaway one
+    * (volume spike) per event type. One aggregate collapses the event
+    * volume to the tiny (type, day) frame; the lag window and the flag run
+    * over that aggregate, never the base table. The ratio is exact
+    * integer ×10000 (both operands positive, so Spark's truncating `div`
+    * and DuckDB's floor `//` agree); flagged when volume halves or grows
+    * ≥1.5× versus the previous observed day.
+    */
+  def qVolumeAnomalies(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("ratio_x10000", expr("(n * 10000) div prev_n"))
+      .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+        col("ratio_x10000"),
+        (col("ratio_x10000") <= 5000 || col("ratio_x10000") >= 15000)
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Decay horizon (days) for [[qDecayedEngagement]]. */
   val DecayHorizon = 30
 
@@ -404,6 +429,20 @@ object Events {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_volume_anomalies" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM daily)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day, n, prev_n,
+        |  CAST((n * 10000) // prev_n AS BIGINT) AS ratio_x10000,
+        |  ((n * 10000) // prev_n <= 5000 OR (n * 10000) // prev_n >= 15000)
+        |    AS is_anomaly
+        |FROM l WHERE prev_n IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin,
+
     "q_variant_extract" ->
       """SELECT event_type,
         |  CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
@@ -608,6 +647,7 @@ object Events {
     "q_decayed_engagement" -> (qDecayedEngagement _),
     "q_rolling_actives" -> (qRollingActives _),
     "q_interval_overlap" -> (qIntervalOverlap _),
-    "q_variant_extract" -> (qVariantExtract _)
+    "q_variant_extract" -> (qVariantExtract _),
+    "q_volume_anomalies" -> (qVolumeAnomalies _)
   )
 }

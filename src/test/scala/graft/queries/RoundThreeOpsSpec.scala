@@ -185,6 +185,36 @@ class RoundThreeOpsSpec extends SparkSpec {
     assert(viaVariant.length > 1)
   }
 
+  test("volume anomalies: lag ratios recomputed per type; boundary flags") {
+    val daily = graft.Tables.events(spark, sf)
+      .select("event_type", "ts").collect()
+      .map { r =>
+        (r.getString(0), r.getTimestamp(1).toInstant
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Events.qVolumeAnomalies(spark, sf).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      // raw query emits DateType; SparkEntry's presentation layer does the
+      // timestamp cast. java.sql.Date.toLocalDate is TZ-free.
+      val day = r.getDate(1).toLocalDate
+      val n = r.getAs[Long]("n")
+      val prev = r.getAs[Long]("prev_n")
+      assert(daily((t, day)) == n, s"count $t $day")
+      // prev_n is the count of the PREVIOUS OBSERVED day for this type
+      val prevDay = daily.keys.filter(k => k._1 == t && k._2.isBefore(day))
+        .map(_._2).maxBy(_.toEpochDay)
+      assert(daily((t, prevDay)) == prev, s"prev of $t $day")
+      val ratio = n * 10000 / prev
+      assert(r.getAs[Long]("ratio_x10000") == ratio)
+      assert(r.getAs[Boolean]("is_anomaly") == (ratio <= 5000 || ratio >= 15000))
+    }
+    // each type contributes (its days - 1) rows
+    val expRows = daily.keys.groupBy(_._1).view.mapValues(_.size - 1).values.sum
+    assert(rows.length == expRows)
+  }
+
   test("data validation: every check fires on injected violations") {
     import spark.implicits._
     val dir = tmpDir("graft-dv")
