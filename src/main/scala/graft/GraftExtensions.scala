@@ -84,11 +84,18 @@ object GraftExtensions {
         args match {
           case Seq(x, y) => ZOrder2(asLong(x), asLong(y))
           case Seq(x, y, b) =>
-            require(b.foldable && b.eval() != null &&
-              b.eval().isInstanceOf[Number],
-              "graft_zorder: bits must be a non-null integer literal")
-            ZOrder2(asLong(x), asLong(y),
-              b.eval().asInstanceOf[Number].intValue())
+            val bitsVal = if (b.foldable) b.eval() else null
+            val bits = bitsVal match {
+              // integral literals only — a fractional 8.9 must be
+              // rejected, not silently truncated to 8
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long    => l.intValue()
+              case s: java.lang.Short   => s.intValue()
+              case y: java.lang.Byte    => y.intValue()
+              case _ => throw new IllegalArgumentException(
+                "graft_zorder: bits must be a non-null integer literal")
+            }
+            ZOrder2(asLong(x), asLong(y), bits)
           case _ => throw new IllegalArgumentException(
             "graft_zorder takes (bigint, bigint[, bits])")
         }

@@ -58,8 +58,15 @@ case class ZOrder2(left: Expression, right: Expression, bits: Int = 16)
 }
 
 object LayoutFunctions {
-  /** Column API for [[ZOrder2]]. */
-  def zorder(x: Column, y: Column, bits: Int = 16): Column =
-    GraftSqlBridge.column(
-      ZOrder2(GraftSqlBridge.expression(x), GraftSqlBridge.expression(y), bits))
+  /** Column API for [[ZOrder2]]. Inputs are cast to long here — the
+    * expression's interpreted path (constant folding, codegen fallback)
+    * unboxes Long and would crash on int inputs; the cast is a no-op for
+    * already-long columns.
+    */
+  def zorder(x: Column, y: Column, bits: Int = 16): Column = {
+    def asLong(c: Column) =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        GraftSqlBridge.expression(c), LongType)
+    GraftSqlBridge.column(ZOrder2(asLong(x), asLong(y), bits))
+  }
 }

@@ -31,10 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Adds `rankCol` (1-based exact global rank under `sortCols`) and
-    * `nCol` (total row count, the same on every row — callers need n for
-    * quantile math and this avoids a second scan).
-    */
   /** The pre-checkpoint sort stage: range-partitioned `orderBy` + id
     * assignment. Exposed so plan tests can assert the sort's shape — the
     * checkpoint in [[withRank]] truncates lineage, hiding this stage from
@@ -44,6 +40,10 @@ object GlobalRank {
     df.orderBy(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
 
+  /** Adds `rankCol` (1-based exact global rank under `sortCols`) and
+    * `nCol` (total row count, the same on every row — callers need n for
+    * quantile math and this avoids a second scan).
+    */
   def withRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
       nCol: String): DataFrame = {
     val sorted = sortedWithId(df, sortCols).localCheckpoint()

@@ -290,7 +290,9 @@ object Events {
     */
   def qVariantExtract(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .select(col("event_type"), parse_json(col("props")).as("v"))
+      // try_parse_json: a malformed payload row nulls out, like the
+      // get_json_object family — strict parse_json would kill the job
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .select(col("event_type"),
         variant_get(col("v"), "$.k", "int").as("k"))
       // % (rem), not pmod: DuckDB's % is rem, so the twins agree even if

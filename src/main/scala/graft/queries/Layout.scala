@@ -98,9 +98,10 @@ object Layout {
     val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), cents.as("cents"))
+    // no second checkpoint: withRank already pins the expensive sort; the
+    // bounds pass only re-runs the cheap broadcast join above it
     val ranked = GlobalRank
       .withRank(base, Seq(col("cents"), col("o_orderkey")), "rn", "n")
-      .localCheckpoint() // bounds pass + clip pass share one ranking
     val bounds = ranked.agg(
       min(when(col("rn") === expr("(n + 99) div 100"), col("cents"))).as("lo"),
       min(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("hi"))

@@ -192,15 +192,18 @@ object Profiling {
           agg.columns.filter(c => c != "n_checked").map(col).toArray,
           "check", "n_violations")
         .select(col("check"), col("n_violations"), col("n_checked"))
-    val ordChecks = pivotChecks(ord.agg(
+    // each stats row is materialized ONCE (it is one row) and reused by
+    // both the unpivot and the orphan checks' n_checked — without the
+    // checkpoint each consumer subtree would re-run the full-table scan
+    val ordStats = ord.agg(
       count(lit(1)).as("n_checked"),
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
         .as("orders_null_custkey"),
       sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
         .as("orders_nonpositive_totalprice"),
       (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
-        .as("orders_duplicate_orderkey")))
-    val liChecks = pivotChecks(li.agg(
+        .as("orders_duplicate_orderkey")).localCheckpoint()
+    val liStats = li.agg(
       count(lit(1)).as("n_checked"),
       sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
         .otherwise(0L)).as("lineitem_discount_out_of_range"),
@@ -208,22 +211,23 @@ object Profiling {
         .as("lineitem_nonpositive_quantity"),
       sum(when(col("l_shipdate") < lit("1990-01-01").cast("timestamp") ||
         col("l_shipdate") >= lit("2010-01-01").cast("timestamp"), 1L)
-        .otherwise(0L)).as("lineitem_shipdate_out_of_bounds")))
+        .otherwise(0L)).as("lineitem_shipdate_out_of_bounds"))
+      .localCheckpoint()
+    // orphan checks: key-only anti joins; n_checked comes from the
+    // already-materialized stats row, never a recount of the probe table
     def orphans(name: String, probe: DataFrame, pk: String,
-        build: DataFrame, bk: String): DataFrame = {
-      val n = probe.agg(count(lit(1)).as("n_checked"))
+        build: DataFrame, bk: String, stats: DataFrame): DataFrame =
       probe.select(col(pk))
         .join(build.select(col(bk)), col(pk) === col(bk), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
-        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(stats.select(col("n_checked"))))
         .select(lit(name).as("check"), col("n_violations"), col("n_checked"))
-    }
-    ordChecks
-      .unionByName(liChecks)
+    pivotChecks(ordStats)
+      .unionByName(pivotChecks(liStats))
       .unionByName(orphans("lineitem_orphan_orderkey", li, "l_orderkey",
-        ord, "o_orderkey"))
+        ord, "o_orderkey", liStats))
       .unionByName(orphans("orders_orphan_custkey", ord, "o_custkey",
-        cust, "c_custkey"))
+        cust, "c_custkey", ordStats))
       .orderBy(col("check"))
   }
 
