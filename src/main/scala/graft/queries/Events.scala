@@ -344,10 +344,12 @@ object Events {
     * and DuckDB's floor `//` agree); flagged when volume halves or grows
     * ≥1.5× versus the previous observed day.
     */
-  def qVolumeAnomalies(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+  /** Flag pass of [[qVolumeAnomalies]] over a (event_type, day, n) daily
+    * counts frame — shared by the batch gate and the streaming monitor
+    * (which maintains the counts incrementally and re-runs only this tiny
+    * pass per refresh).
+    */
+  def anomalyFlags(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     daily
       .withColumn("prev_n", lag(col("n"), 1).over(w))
@@ -359,6 +361,11 @@ object Events {
           .as("is_anomaly"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  def qVolumeAnomalies(s: SparkSession, d: String): DataFrame =
+    anomalyFlags(events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
 
   /** Decay horizon (days) for [[qDecayedEngagement]]. */
   val DecayHorizon = 30

@@ -481,4 +481,62 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(finalCounts == Map(0L -> 10L, 1L -> 10L, 2L -> 10L))
   }
+
+  test("streaming volume monitor: incrementally maintained daily counts " +
+    "feed the batch anomaly flags, across restart") {
+    import spark.implicits._
+    val in = tmpDir("vm-in")
+    val ckpt = tmpDir("vm-ckpt")
+    val out = tmpDir("vm-out")
+    def writeDay(day: String, clicks: Int, views: Int): Unit =
+      ((0 until clicks).map(i => ("click", ts(f"$day%s 10:00:${i % 60}%02d"))) ++
+        (0 until views).map(i => ("view", ts(f"$day%s 11:00:${i % 60}%02d"))))
+        .toDF("event_type", "ts").coalesce(1).write.mode("append").parquet(in)
+    // update-mode incremental daily counts: each micro-batch emits only
+    // the (type, day) keys whose counters changed; foreachBatch upserts
+    // them stamped with the batch id (newest wins downstream) — the
+    // event volume is never rescanned
+    def run(): Unit =
+      spark.readStream.schema("event_type STRING, ts TIMESTAMP").parquet(in)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    writeDay("2024-03-01", clicks = 40, views = 40)
+    writeDay("2024-03-02", clicks = 38, views = 42)
+    run()
+    // restart: a collapsed click day (40 → 10, ratio 2632 ≤ 5000) and a
+    // view spike (42 → 80, ratio 19047 ≥ 15000) arrive later
+    writeDay("2024-03-03", clicks = 10, views = 80)
+    run()
+    // newest counter version per (type, day), then the SAME flag pass the
+    // batch gate uses
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("day"))
+      .orderBy(col("batch_id").desc)
+    val daily = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("n"))
+    val flags = graft.queries.Events.anomalyFlags(daily).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(flags(("click", "2024-03-02")) == (38L, false))
+    assert(flags(("click", "2024-03-03")) == (10L, true), "collapse flagged")
+    assert(flags(("view", "2024-03-02")) == (42L, false))
+    assert(flags(("view", "2024-03-03")) == (80L, true), "spike flagged")
+    // and the streamed counts equal a batch recount of the full input
+    val batchDaily = spark.read.parquet(in)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(daily.exceptAll(batchDaily).isEmpty &&
+      batchDaily.exceptAll(daily).isEmpty)
+  }
 }
