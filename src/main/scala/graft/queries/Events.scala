@@ -344,6 +344,37 @@ object Events {
     * and DuckDB's floor `//` agree); flagged when volume halves or grows
     * ≥1.5× versus the previous observed day.
     */
+  /** Event-type transition matrix (first-order Markov statistics — the
+    * next-event-prediction feature and the input to flow/sankey
+    * analyses): for every consecutive pair in each user's timeline, count
+    * (from, to) and its share of all transitions leaving `from`, as an
+    * exact ×10000 integer. The pair order is fully deterministic
+    * ((ts, event_id) total order per user).
+    *
+    * Scale shape: ONE user-keyed shuffle for the lead window — the
+    * information minimum for adjacency — then a map-side-combined
+    * aggregate collapses to the O(types²) matrix; the share window runs
+    * over that tiny frame, never the event volume.
+    */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    pairs
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n"))
+        .over(Window.partitionBy(col("from_type"))))
+      .withColumn("share_x10000", expr("(n * 10000) div from_total"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("share_x10000"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Flag pass of [[qVolumeAnomalies]] over a (event_type, day, n) daily
     * counts frame — shared by the batch gate and the streaming monitor
     * (which maintains the counts incrementally and re-runs only this tiny
@@ -438,6 +469,19 @@ object Events {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 10000) // sum(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS share_x10000
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+
     "q_volume_anomalies" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    count(*) AS n
@@ -657,6 +701,7 @@ object Events {
     "q_rolling_actives" -> (qRollingActives _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_variant_extract" -> (qVariantExtract _),
-    "q_volume_anomalies" -> (qVolumeAnomalies _)
+    "q_volume_anomalies" -> (qVolumeAnomalies _),
+    "q_event_transitions" -> (qEventTransitions _)
   )
 }

@@ -215,6 +215,36 @@ class RoundThreeOpsSpec extends SparkSpec {
     assert(rows.length == expRows)
   }
 
+  test("event transitions: Markov counts and shares recomputed in Scala") {
+    val evs = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getLong(3)))
+    val counts = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy { case (_, _, t, id) => (t, id) }
+      ordered.zip(ordered.drop(1)).map { case ((_, a, _, _), (_, b, _, _)) =>
+        (a, b)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val rows = Events.qEventTransitions(spark, sf).collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val n = r.getAs[Long]("n")
+      assert(counts(key) == n, s"count $key")
+      assert(r.getAs[Long]("share_x10000") ==
+        n * 10000 / fromTotals(key._1), s"share $key")
+    }
+    // shares leaving each type sum to ~10000 (floor-division shortfall < k)
+    rows.groupBy(_.getString(0)).foreach { case (f, rs) =>
+      val tot = rs.map(_.getAs[Long]("share_x10000")).sum
+      assert(tot > 10000 - rs.size && tot <= 10000, s"shares of $f: $tot")
+    }
+  }
+
   test("data validation: every check fires on injected violations") {
     import spark.implicits._
     val dir = tmpDir("graft-dv")
