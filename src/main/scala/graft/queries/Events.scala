@@ -375,6 +375,43 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Dwell time per transition: the exact LOWER-median gap (µs) between
+    * consecutive events of each (from, to) type pair — the
+    * time-to-next-action metric behind funnel latency and abandonment
+    * analyses. Median, not mean: one idle-overnight gap would dominate a
+    * float mean, and the exact rank formulation (deterministic
+    * (gap, user, event) tie-break) reproduces on any engine where an
+    * interpolating percentile would not.
+    *
+    * Scale shape: one user-keyed shuffle for adjacency (lead window),
+    * one pair-keyed shuffle for the rank — both information minimums;
+    * output is O(types²).
+    */
+  def qDwellTimes(s: SparkSession, d: String): DataFrame = {
+    // ordering by integer µs ≡ ordering by ts (truncation is order-preserving)
+    val wAdj = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("t"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(wAdj))
+      .withColumn("gap_us", lead(col("t"), 1).over(wAdj) - col("t"))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"),
+        col("next_type").as("to_type"),
+        col("gap_us"), col("user_id"), col("event_id"))
+    val wRank = Window.partitionBy(col("from_type"), col("to_type"))
+      .orderBy(col("gap_us"), col("user_id"), col("event_id"))
+    pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("from_type"), col("to_type"))))
+      .filter(col("rn") === ceil(col("n") / 2))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("gap_us").as("median_gap_us"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Flag pass of [[qVolumeAnomalies]] over a (event_type, day, n) daily
     * counts frame — shared by the batch gate and the streaming monitor
     * (which maintains the counts incrementally and re-runs only this tiny
@@ -469,6 +506,25 @@ object Events {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_dwell_times" ->
+      """WITH p AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS t,
+        |    lead(event_type) OVER w AS next_type,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    gap_us, user_id, event_id
+        |  FROM p WHERE next_type IS NOT NULL),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY from_type, to_type
+        |      ORDER BY gap_us, user_id, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY from_type, to_type) AS n
+        |  FROM g)
+        |SELECT from_type, to_type, n, gap_us AS median_gap_us
+        |FROM r WHERE rn = ceil(n / 2.0)
+        |ORDER BY from_type, to_type""".stripMargin,
+
     "q_event_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id
@@ -702,6 +758,7 @@ object Events {
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_variant_extract" -> (qVariantExtract _),
     "q_volume_anomalies" -> (qVolumeAnomalies _),
-    "q_event_transitions" -> (qEventTransitions _)
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_dwell_times" -> (qDwellTimes _)
   )
 }

@@ -245,6 +245,37 @@ class RoundThreeOpsSpec extends SparkSpec {
     }
   }
 
+  test("dwell times: exact lower-median gap per transition recomputed") {
+    val evs = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 +
+          r.getTimestamp(2).getNanos / 1000 % 1000, r.getLong(3)))
+    val gaps = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy { case (_, _, t, id) => (t, id) }
+      ordered.zip(ordered.drop(1)).map {
+        case ((_, a, t1, id1), (_, b, t2, _)) => ((a, b), t2 - t1, u, id1)
+      }
+    }
+    // lower median under the query's (gap, user_id, event_id) tie-break —
+    // the pair row carries the FIRST event's user_id and event_id (lead
+    // pulls the next event's values onto the current row)
+    val expected = gaps
+      .groupBy(_._1)
+      .map { case (k, gs) =>
+        val sorted = gs.map { case (_, g, u, id) => (g, u, id) }.sorted
+        k -> (gs.size.toLong, sorted((gs.size + 1) / 2 - 1)._1)
+      }
+    val rows = Events.qDwellTimes(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n") == expected(k)._1, s"n of $k")
+      assert(r.getAs[Long]("median_gap_us") == expected(k)._2, s"median $k")
+    }
+    assert(rows.forall(_.getAs[Long]("median_gap_us") >= 0))
+  }
+
   test("data validation: every check fires on injected violations") {
     import spark.implicits._
     val dir = tmpDir("graft-dv")
