@@ -48,7 +48,7 @@ object CdcPipeline {
     * whose envelope lacks `source.table` route to `_unknown` so the
     * `_unrouted` partition never mixes enriched output with raw bytes.
     */
-  private def routedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
+  def routedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
     enriched(in, cfg).select(
       when(isPassthrough, lit("_unrouted"))
         .otherwise(coalesce(col("envelope.source.table"), lit("_unknown")))

@@ -95,6 +95,42 @@ object CdcSource {
     )).as("value"))
   }
 
+  /** S2 (JDBC variant): initial snapshot read straight from the source
+    * database — the Spark analogue of Debezium's `snapshot.mode: initial`
+    * reading the live table (reference connector yaml:33-34), rather than
+    * wrapping an already-loaded DataFrame. The rows wrap through
+    * [[snapshot]], so envelope shape and enrichment are IDENTICAL to the
+    * DataFrame variant (spec-proven parity in `CdcJdbcSnapshotSpec`
+    * against an in-JVM Derby with the reference `customers` DDL,
+    * reference scripts/install.sh:330).
+    *
+    * Scale shape: pass `partitionColumn` + `bounds` to split the scan
+    * into `numPartitions` bounded range queries (Spark's JDBC
+    * partitioned read) — one cursor per executor, the only way a large
+    * snapshot is feasible; omitting them falls back to a single-cursor
+    * read for small tables.
+    *
+    * @param url        JDBC url (driver inferred; set `driver` in `props`
+    *                   for drivers that don't self-register)
+    * @param dbTable    source table (or a pushdown subquery alias)
+    */
+  def snapshotJdbc(spark: SparkSession, url: String, dbTable: String,
+      db: String, schema: String, table: String,
+      partitionColumn: Option[String] = None,
+      bounds: Option[(Long, Long)] = None,
+      numPartitions: Int = 8,
+      props: java.util.Properties = new java.util.Properties(),
+      serverName: String = "dbserver1",
+      fixedTsMs: Option[Long] = None): DataFrame = {
+    val rows = (partitionColumn, bounds) match {
+      case (Some(pc), Some((lo, hi))) =>
+        spark.read.jdbc(url, dbTable, pc, lo, hi, numPartitions, props)
+      case _ =>
+        spark.read.jdbc(url, dbTable, props)
+    }
+    snapshot(rows, db, schema, table, serverName, fixedTsMs)
+  }
+
   /** Generator twin of [[snapshot]] for arbitrary ops: wrap rows as
     * c/u/d/r envelopes with an explicit monotone `lsn`. Image placement
     * mirrors Debezium under default replica identity: inserts/updates/reads

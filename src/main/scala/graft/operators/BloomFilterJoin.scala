@@ -69,8 +69,10 @@ object BloomFilterJoin {
     // per mapper
     val bits = buildBits(build.select(col(buildKey)),
       buildKey, numBits, numHashes)
-    probe
-      .filter(mightContain(col(probeKey), bits, numHashes))
-      .join(build, col(probeKey) === build(buildKey), "left_semi")
+    // bind the probe key to the filtered frame: a bare col(probeKey) is
+    // ambiguous when both sides share the key name (the common case for
+    // semi joins) and would fail analysis
+    val filtered = probe.filter(mightContain(col(probeKey), bits, numHashes))
+    filtered.join(build, filtered(probeKey) === build(buildKey), "left_semi")
   }
 }

@@ -30,13 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Per-row bucket fanout cap: an interval spanning more than this many
+    * buckets (bucket chosen far below interval lengths, or a corrupt
+    * endpoint) would explode the output unboundedly — fail loudly with
+    * the offending span instead.
+    */
+  val MaxFanout = 100000L
+
   def overlap(a: DataFrame, b: DataFrame, key: String,
       aStart: String, aEnd: String, bStart: String, bEnd: String,
       bucket: Long): DataFrame = {
-    def exploded(df: DataFrame, s: String, e: String): DataFrame =
-      df.withColumn("__bucket",
-        explode(sequence(floor(col(s) / bucket).cast("long"),
-          floor(col(e) / bucket).cast("long"))))
+    require(bucket > 0, s"bucket=$bucket must be positive")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame = {
+      val (lo, hi) =
+        (floor(col(s) / bucket).cast("long"), floor(col(e) / bucket).cast("long"))
+      // precondition guards, in-plan: an inverted interval (end < start)
+      // would make sequence() throw an opaque boundaries error, and an
+      // over-wide one would fan out past MaxFanout rows — both raise a
+      // named error carrying the offending values instead
+      df.withColumn("__bucket", explode(sequence(lo,
+        when(col(s) <= col(e) && hi - lo < MaxFanout, hi)
+          .otherwise(raise_error(concat(
+            lit(s"IntervalJoin: invalid interval [$s,$e]=["), col(s),
+            lit(","), col(e),
+            lit(s"] (inverted, or fanout ≥ $MaxFanout buckets of $bucket)")))))))
+    }
     exploded(a, aStart, aEnd)
       .join(exploded(b, bStart, bEnd), Seq(key, "__bucket"))
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))

@@ -11,46 +11,100 @@ import org.apache.spark.sql.expressions.Window
   * and frequent-items. Mergeable sketches ⇒ map-side partials, one tiny
   * shuffle, no global sort.
   *
-  * No DuckDB oracle is declared: sketch outputs are algorithm-specific
-  * (DuckDB's approx_count_distinct uses different HLL parameters), so the
-  * driver records these under its weaker rows-only check. Exactness bounds
-  * are asserted in `ApproxSpec` instead (vs exact counts at test scale).
+  * Sketch OUTPUTS are algorithm-specific (DuckDB's HLL/GK use different
+  * parameters), so the HLL/GK gate queries never emit the raw estimate.
+  * Instead they emit exact-recomputable columns plus an in-plan
+  * `within_bound` verdict: the sketch runs in the same aggregate as the
+  * exact twin, the bound check folds the estimate into a boolean, and the
+  * DuckDB oracle recomputes the exact columns and expects the verdict to
+  * hold — a sketch that drifts outside its published error bound flips
+  * the boolean and hash-mismatches the gate.
   */
 object Approx {
 
-  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+  /** HLL++ relative standard deviations used below; verdict allows 5σ —
+    * false-failure probability is negligible (<1e-6 per group) while a
+    * broken sketch (off by ~2× at these cardinalities) still trips it.
+    */
+  private val RsdParts = 0.05
+  private val RsdSupps = 0.01
+
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    def verdict(approxCol: String, exactCol: String, rsd: Double) =
+      abs(col(approxCol) - col(exactCol)) <=
+        greatest(lit(1L), ceil(col(exactCol) * rsd * 5))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey"), RsdParts).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), RsdSupps).as("approx_supps"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        col("n_rows"),
+        verdict("approx_parts", "exact_parts", RsdParts)
+          .as("parts_within_bound"),
+        verdict("approx_supps", "exact_supps", RsdSupps)
+          .as("supps_within_bound"))
       .orderBy(col("l_returnflag"))
+  }
 
-  /** Percentile points: shared by the aggregate and the exploded-row
-    * labels so the two can never drift apart.
+  /** Percentile points: shared by the aggregate, the exploded-row labels
+    * and the oracle so the three can never drift apart.
     */
   private val Pcts = Seq(0.5, 0.95, 0.99)
+  private val GkAccuracy = 10000
 
-  // One scalar row per (linestatus, percentile): the driver's rows-only
-  // check loads results with pandas, which cannot sort an array<double>
-  // column — so the percentile array is exploded to (pct, value) rows.
+  /** GK sketch percentiles with an in-plan rank-error audit. The sketch's
+    * contract (SQL `percentile_approx(col, p, accuracy)`) is that the
+    * returned value's exact rank is within n/accuracy of the target rank.
+    * Pass 1 builds the 6-row (group, pct, estimate) frame; pass 2 scans
+    * the corpus ONCE more, broadcast-joining the tiny frame, to count
+    * rows strictly-below / at-or-below each estimate — the estimate's
+    * exact rank interval. The verdict checks that interval against the
+    * target rank ± tolerance, then the estimate itself is dropped so the
+    * output is engine-reproducible.
+    *
+    * Scale shape: two corpus scans (agg + broadcast-join agg), no window,
+    * no sort beyond the 6-row presentation ORDER BY.
+    */
   def qApproxPercentiles(s: SparkSession, d: String): DataFrame = {
     val pctArray = array(Pcts.map(lit): _*)
-    Tables.lineitem(s, d)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_linestatus"), col("l_extendedprice"))
+    val est = li
       .groupBy(col("l_linestatus"))
       .agg(
         percentile_approx(col("l_extendedprice"),
-          pctArray, lit(10000)).as("price_pcts"),
+          pctArray, lit(GkAccuracy)).as("price_pcts"),
+        count(lit(1)).as("n_rows"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
-      .select(col("l_linestatus"),
-        posexplode(col("price_pcts")).as(Seq("pct_idx", "price_pct")),
-        col("min_price"), col("max_price"))
+      .select(col("l_linestatus"), col("n_rows"),
+        col("min_price"), col("max_price"),
+        posexplode(col("price_pcts")).as(Seq("pct_idx", "est")))
       .withColumn("pct", element_at(pctArray, col("pct_idx") + 1))
       .drop("pct_idx")
-      .select(col("l_linestatus"), col("pct"), col("price_pct"),
-        col("min_price"), col("max_price"))
+    val ranked = li.join(broadcast(est), Seq("l_linestatus"))
+      .groupBy(col("l_linestatus"), col("pct"), col("n_rows"),
+        col("min_price"), col("max_price"), col("est"))
+      .agg(
+        sum(when(col("l_extendedprice") < col("est"), 1L).otherwise(0L))
+          .as("rank_lt"),
+        sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L))
+          .as("rank_le"))
+    // target rank ±(n/accuracy + 1): +1 absorbs floor-vs-ceil ambiguity
+    // in the target-rank definition; the estimate's exact rank occupies
+    // the tie interval [rank_lt+1, rank_le], so the verdict is interval
+    // intersection, robust to duplicated values.
+    val tol = ceil(col("n_rows").cast("double") / GkAccuracy) + lit(1L)
+    val target = ceil(col("pct") * col("n_rows"))
+    ranked
+      .select(col("l_linestatus"), col("pct"),
+        col("min_price"), col("max_price"), col("n_rows"),
+        ((col("rank_lt") + 1 <= target + tol) &&
+          (col("rank_le") >= target - tol)).as("within_bound"))
       .orderBy(col("l_linestatus"), col("pct"))
   }
 
@@ -172,8 +226,28 @@ object Approx {
          |FROM p WHERE rn = (m * pct + 99) // 100
          |ORDER BY l_linestatus, pct""".stripMargin
     },
-    // q_approx_distinct / q_approx_percentiles stay rows-only: HLL/GK
-    // parameters are engine-specific. The CMS is md5-derived → exact twin.
+    // HLL/GK estimates never reach the output — the oracle recomputes the
+    // exact columns and expects the in-plan accuracy verdicts to hold.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS parts_within_bound,
+        |  TRUE AS supps_within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_percentiles" -> {
+      val pcts = Pcts.mkString(", ")
+      s"""WITH g AS (SELECT l_linestatus,
+         |    min(l_extendedprice) AS min_price,
+         |    max(l_extendedprice) AS max_price,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_linestatus, CAST(pct AS DOUBLE) AS pct,
+         |  min_price, max_price, n_rows, TRUE AS within_bound
+         |FROM g CROSS JOIN (SELECT unnest([$pcts]) AS pct)
+         |ORDER BY l_linestatus, pct""".stripMargin
+    },
     "q_cms_topk" -> {
       val buckets = (0 until CmsRows).map { j =>
         s"CAST('0x'||substr(md5('cms${j / 2}:'||CAST(l_partkey AS VARCHAR)),${1 + (j % 2) * 14},14) AS BIGINT) % $CmsWidth"

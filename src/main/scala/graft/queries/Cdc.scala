@@ -197,7 +197,57 @@ object Cdc {
       .orderBy(col("email_domain"))
   }
 
+  /** Multi-table capture under ONE stream — the reference's
+    * one-topic-per-table layout (`docs/setup-guide.md:33-35`) as a gate
+    * query: a mixed envelope stream (customers snapshots + orders inserts
+    * + corrupt records) runs through the REAL pipeline routing
+    * ([[graft.cdc.CdcPipeline.routedValues]] — parse → enrich → per-table
+    * routing column, the same expression the partitionBy sink fans out
+    * on), then aggregates per routed table. `sum_ids` re-extracts the key
+    * from the routed OUTPUT JSON, so payload integrity through the
+    * enrich/serialize round-trip is inside the hash gate; corrupt records
+    * must land in `_unrouted` with byte-passthrough (null ids).
+    *
+    * Scale shape: narrow parse/enrich/route per record, one tiny
+    * aggregate — identical to the streaming fan-out's per-batch plan.
+    */
+  def qCdcMultiTable(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      col("c_name").as("name"))
+    val ords = Tables.orders(s, d).select(
+      col("o_orderkey").cast("int").as("id"),
+      col("o_orderstatus").as("status"))
+    val custEnv = CdcSource.changes(cust, "r", "inventory", "public",
+      "customers", col("id").cast("long"), fixedTsMs = Some(FixedTs))
+    val ordEnv = CdcSource.changes(ords, "c", "inventory", "public",
+      "orders", col("id") + 50000000L, fixedTsMs = Some(FixedTs))
+    val bad = s.range(7).select(
+      concat(lit("corrupt{{"), col("id").cast("string")).as("value"))
+    graft.cdc.CdcPipeline.routedValues(
+      custEnv.unionByName(ordEnv).unionByName(bad),
+      EnrichConfig(processingTimeIso = Some("2026-01-01T00:00:00")))
+      .groupBy(col("source_table"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(get_json_object(col("value"), "$.original.after.id")
+          .cast("long")).as("sum_ids"))
+      .orderBy(col("source_table"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_cdc_multi_table" ->
+      """SELECT * FROM (
+        |  SELECT 'customers' AS source_table,
+        |    CAST(count(*) AS BIGINT) AS n_records,
+        |    CAST(sum(c_custkey) AS BIGINT) AS sum_ids
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', CAST(count(*) AS BIGINT),
+        |    CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '_unrouted', CAST(7 AS BIGINT), CAST(NULL AS BIGINT))
+        |ORDER BY source_table""".stripMargin,
     // closed-form from the change-mix mod rules (see changeMix): every
     // customer snapshots (+1), every 3rd updates (0), every 7th deletes
     // (−1) — so the maintained counters fold back to per-segment counts.
@@ -285,6 +335,7 @@ object Cdc {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_multi_table" -> (qCdcMultiTable _),
     "q_cdc_enrich" -> (qCdcEnrich _),
     "q_cdc_latest_state" -> (qCdcLatestState _),
     "q_cdc_scd2" -> (qCdcScd2 _),

@@ -225,20 +225,18 @@ object Curation {
     * order fill context windows of `PackBudget` tokens; each doc joins the
     * window its FIRST token falls in (so a pack can overflow by at most
     * one document's length — standard offset-based packing). Emits
-    * per-pack stats. The running total is one global window — fine here
-    * because packing is defined sequentially; at corpus scale the same op
-    * runs per shard (partitionBy(shard) prepended to the window) for
-    * embarrassing parallelism.
+    * per-pack stats. The running token total is [[graft.operators.GlobalRank.withPrefixSum]]
+    * — the distributed range-partitioned formulation, NOT a global
+    * `Window.orderBy` (which would plan as a single-partition sort over
+    * the corpus, the one scale cliff this family otherwise avoids).
     */
   /** Packing stage over a (doc_id, n_tokens) frame — SHARED by
     * [[qPackSequences]] and [[qCurationPipeline]] so the window/budget
     * semantics cannot drift.
     */
   private def packStats(docs: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    graft.operators.GlobalRank
+      .withPrefixSum(docs, Seq(col("doc_id")), "n_tokens", "cum")
       // (cum - n_tokens) tokens precede this doc = its start offset;
       // integer-divide by the budget to get its window
       .withColumn("pack_id",

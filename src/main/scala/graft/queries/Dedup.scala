@@ -331,9 +331,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
-    * baseline. Double arithmetic mirrors the oracle term-for-term (same
-    * cast, same left-to-right summation).
+  /** Super-block width for the bounded exact pair join: 2^6 = 64 blocks.
+    * At corpus scale, widen with log(n) so expected block size stays
+    * constant (block count is free — it's just more sign bits of the
+    * sketch every vector already computes).
+    */
+  val EmbedBlockBits = 6
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4), exact WITHIN
+    * hyperplane super-blocks — the bounded exact baseline. A true
+    * all-pairs crossJoin is O(n²) and dies at corpus scale, so the exact
+    * cosine runs only inside coarse LSH blocks (the low [[EmbedBlockBits]]
+    * sign bits of the same deterministic hyperplane sketch the banded
+    * variant uses): an EQUI-join on the block key — shuffle-partitioned,
+    * no cartesian anywhere in the plan. Pairs split across blocks are the
+    * recall tradeoff; [[qDedupEmbeddingLsh]]'s multi-band OR-construction
+    * is the production path for those, and unblocked all-pairs survives
+    * only as the recall oracle inside `DedupSpec`. Double arithmetic
+    * mirrors the oracle term-for-term (same cast, same left-to-right
+    * summation).
     */
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(
@@ -341,10 +357,13 @@ object Dedup {
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val withNorm = emb
       .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .withColumn("block", Similarity.superBlock(col("v"), EmbedBlockBits))
       .localCheckpoint() // feeds both sides of the pair join
-    val a = withNorm.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("norm_a"))
-    val b = withNorm.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("norm_b"))
-    a.crossJoin(b)
+    val a = withNorm.select(col("block"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("block"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("norm_b"))
+    a.join(b, Seq("block"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
@@ -537,17 +556,17 @@ object Dedup {
     },
 
     "q_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |  sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm FROM e),
-        |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
-        |  list_aggregate(list_transform(range(1, len(a.v)+1),
-        |    i -> a.v[i]*b.v[i]), 'sum') / (a.norm*b.norm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, CAST(round(cos*10000) AS BIGINT) AS cos_x10000
-        |FROM p WHERE cos >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH ${Similarity.normCte},
+         |${Similarity.blocksCteSql(EmbedBlockBits)},
+         |nb AS (SELECT n.vec_id, n.v, n.norm, blocks.block
+         |       FROM n JOIN blocks USING (vec_id)),
+         |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+         |  list_aggregate(list_transform(range(1, len(a.v)+1),
+         |    i -> a.v[i]*b.v[i]), 'sum') / (a.norm*b.norm) AS cos
+         |  FROM nb a JOIN nb b ON a.block = b.block AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, CAST(round(cos*10000) AS BIGINT) AS cos_x10000
+         |FROM p WHERE cos >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_dedup_embedding_lsh" ->
       s"""WITH ${Similarity.normCte},

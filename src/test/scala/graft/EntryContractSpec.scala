@@ -30,10 +30,10 @@ class EntryContractSpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     val missing = os -- qs
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    // rows-only queries (no oracle) are the documented sketch exceptions
+    // every query carries an oracle — the HLL/GK sketches included,
+    // via exact-recomputable columns + in-plan accuracy verdicts
     val rowsOnly = qs -- os
-    assert(rowsOnly == Set("q_approx_distinct", "q_approx_percentiles"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 
   test("entry() smoke: flagship query returns rows at sf0.001") {

@@ -70,6 +70,29 @@ class ScaleJoinsSpec extends SparkSpec {
     val got = BloomFilterJoin.semiJoin(probe, build, "pk", "bk")
       .as[Long].collect().sorted
     assert(got.toSeq == (1L to 6000L).filter(_ % 3 == 0))
+    // identical key name on both sides must not be ambiguous (the common
+    // semi-join shape — probe column is bound to the filtered frame)
+    val sameName = BloomFilterJoin
+      .semiJoin((1L to 100L).toDF("k"), (1L to 30L).map(_ * 2).toDF("k"), "k", "k")
+      .as[Long].collect().sorted
+    assert(sameName.toSeq == (2L to 60L by 2))
+  }
+
+  test("interval join: inverted interval raises a named error; zero-length ok") {
+    import org.apache.spark.sql.AnalysisException
+    val ok = Seq((1L, 5L, 5L, "p")).toDF("k", "a_start", "a_end", "a_id")
+    val bs = Seq((1L, 0L, 9L, "q")).toDF("k", "b_start", "b_end", "b_id")
+    assert(IntervalJoin.overlap(ok, bs, "k", "a_start", "a_end",
+      "b_start", "b_end", bucket = 7L).count() == 1)
+    val inverted = Seq((1L, 9L, 2L, "bad")).toDF("k", "a_start", "a_end", "a_id")
+    val e = intercept[Exception] {
+      IntervalJoin.overlap(inverted, bs, "k", "a_start", "a_end",
+        "b_start", "b_end", bucket = 7L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("IntervalJoin: invalid interval")),
+      s"expected the named precondition error, got: $e")
   }
 
   test("z-order curve: Scala bit-interleave recompute; range intact") {

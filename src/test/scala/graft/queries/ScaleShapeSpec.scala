@@ -114,11 +114,15 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
-  test("curation pipeline stages only shrink: one window shuffle then narrow") {
+  test("curation pipeline: broadcast-only joins, no data-sized shuffle join") {
     val df = Curation.qCurationPipeline(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    // no joins at all — dedup/quality/sample are window + filters
-    assert(!plan.contains("Join"), s"pipeline stages must not join:\n$plan")
+    // dedup/quality/sample are window + filters; the packing stage's only
+    // join is GlobalRank's O(numPartitions) offsets broadcast — a
+    // shuffle-side (SortMerge/ShuffledHash) join would mean a data-sized
+    // frame snuck into the pairing
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"pipeline must not shuffle-join:\n$plan")
     assert(df.count() > 0)
   }
 
@@ -296,6 +300,47 @@ class ScaleShapeSpec extends SparkSpec {
     val plan = finalPlan(Layout.qEquidepthBins(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
       s"partition offsets must broadcast back:\n$plan")
+  }
+
+  test("ALL gated queries: no cartesian product, nested-loop joins only on " +
+    "the bounded-broadcast allowlist, every window partitioned") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window => LWindow}
+    // A non-equi join or unpartitioned window is a scale killer only when
+    // its input is UNBOUNDED. The optimizer's own `maxRows` is the proof
+    // of boundedness (Limit and grouping-free Aggregate yield Some(n)):
+    // a scalar-stats crossJoin or a window over a top-k list is the
+    // standard broadcast pattern, not a defect. Metadata frames whose
+    // bound Catalyst can't see (grouped-by-partition-id aggregates) carry
+    // GlobalRank.metaPartitionKey instead, precisely so this sweep can
+    // stay unconditional. localCheckpoint boundaries hide their upstream
+    // stage from this sweep — those stages have dedicated tests above.
+    val Bounded = 10000L
+    def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= Bounded)
+    // Declared nested-loop baselines whose broadcast side is a sampled
+    // set Catalyst can't bound (query vectors / IVF pivots / k-means
+    // centroids — fixed-size by design, mod-sampled in the test data).
+    val bnljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_kmeans_update")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      if (df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      df.queryExecution.optimizedPlan.foreach {
+        case j: Join if !bnljAllowed(name) =>
+          // EqualNullSafe: intersect/except decorrelate to <=> semi/anti
+          val equi = j.condition.exists(_.collectFirst {
+            case _: EqualTo => (); case _: EqualNullSafe => () }.nonEmpty)
+          if (!equi && !bounded(j.left) && !bounded(j.right))
+            offenders += s"$name: non-equi join with no bounded side"
+        case w: LWindow
+            if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          offenders += s"$name: unpartitioned window over unbounded input"
+        case _ =>
+      }
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer plan shapes in gated queries:\n${offenders.mkString("\n")}")
   }
 
   test("z-order curve is narrow: no hash exchange anywhere") {
