@@ -58,6 +58,19 @@ object CdcSource {
       col("partition"),
       concat_ws(":", col("topic"), col("partition"), col("offset")).as("message_id"))
 
+  /** S1 (TCP socket variant): envelope lines over a live network socket —
+    * the in-sandbox stand-in for a broker transport (no Kafka broker or
+    * connector jars ship here; see the README runbook for the real
+    * wiring). Emits the same one-string-column contract as the file and
+    * Kafka variants, so everything downstream is identical; exercised
+    * end-to-end over a real socket in `CdcSocketTransportSpec`. Not for
+    * production (the socket source is unreplayable — no offsets), which
+    * is exactly why the checkpointed file/Kafka variants exist.
+    */
+  def streamSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
   /** Batch twin of [[streamJsonLines]] for replay/snapshot processing. */
   def readJsonLines(spark: SparkSession, dir: String): DataFrame =
     spark.read.text(dir)

