@@ -51,8 +51,14 @@ object Graph {
       .select((col("o_custkey") * 2L).as("a"),
         (col("l_suppkey") * 2L + 1L).as("b"))
       .distinct()
+    // pre-partition on the join key BEFORE the checkpoint: localCheckpoint
+    // preserves partitioning, so every iteration's edges⋈ranks starts from
+    // an already-hash-partitioned big side — no edges exchange in any
+    // iteration (ReuseExchange would dedup them, but this removes even
+    // the first, and pins the layout against AQE coalescing drift)
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
       .localCheckpoint()
     // checkpoint the degree table: r0 plus every iteration's base term and
     // every broadcast node-count subquery re-reads it — uncheckpointed,

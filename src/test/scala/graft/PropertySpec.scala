@@ -281,6 +281,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: distributed prefix sum ≡ sequential running sum under any values") {
+    import spark.implicits._
+    val genV = Gen.choose(-1000L, 1000L)
+    forSamples(Gen.listOfN(300, genV), n = 5) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").repartition(7)
+      val got = graft.operators.GlobalRank
+        .withPrefixSum(df, Seq(col("id")), "v", "cum")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      var running = 0L
+      vs.zipWithIndex.foreach { case (v, i) =>
+        running += v
+        assert(got(i.toLong) == running, s"prefix sum at id=$i")
+      }
+    }
+  }
+
   test("property: bloom-prefiltered semi join ≡ set intersection") {
     import spark.implicits._
     val genKey = Gen.choose(0L, 500L)
