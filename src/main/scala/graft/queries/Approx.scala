@@ -129,6 +129,45 @@ object Approx {
       .orderBy(col("l_linestatus"), col("pct"))
   }
 
+  /** Mergeable-sketch ROLLUP — the pattern that makes sketches matter at
+    * 100 TB: per-(returnflag, linestatus) HLL sketches (DataSketches
+    * binary, `hll_sketch_agg`) are the persisted "daily sketch table";
+    * the per-returnflag distinct-count then comes from UNIONING those
+    * sketches (`hll_union_agg`) WITHOUT rescanning the base data — the
+    * daily→monthly rollup a warehouse runs on sketch columns. The gate
+    * emits exact-recomputable columns plus the in-plan accuracy verdict
+    * (merged-sketch estimate vs a two-level exact distinct), so the
+    * whole build→persist→merge→estimate path sits inside the hash gate.
+    *
+    * lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; the verdict allows 5σ.
+    */
+  private val HllLgK = 12
+  private val HllRsd = 1.04 / math.sqrt((1 << HllLgK).toDouble)
+
+  def qSketchRollup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
+    // stage 1: the persisted fine-grained sketch table (one binary
+    // sketch per group — this is what a pipeline would write to parquet)
+    val sketchTable = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(HllLgK)).as("sk"))
+    // stage 2: rollup by sketch union — no base-table rescan
+    val rolled = sketchTable
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_groups"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("approx_parts"))
+    // exact twin (two-level distinct, see distinctBoth) for the verdict
+    val exact = li.groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    rolled.join(exact, Seq("l_returnflag")) // 3-row frames
+      .select(col("l_returnflag"), col("exact_parts"), col("n_groups"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          greatest(lit(1L), ceil(col("exact_parts") * HllRsd * 5)))
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Count-min sketch geometry: R independent md5-derived hash rows over
     * W buckets. Deterministic hashing makes the WHOLE sketch reproducible
     * in any engine — unlike the built-in HLL/GK sketches above, this one
@@ -257,6 +296,12 @@ object Approx {
         |  TRUE AS parts_within_bound,
         |  TRUE AS supps_within_bound
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sketch_rollup" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_groups,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_approx_percentiles" -> {
       val pcts = Pcts.mkString(", ")
       s"""WITH g AS (SELECT l_linestatus,
@@ -295,6 +340,7 @@ object Approx {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_percentiles" -> (qApproxPercentiles _),
+    "q_sketch_rollup" -> (qSketchRollup _),
     "q_cms_topk" -> (qCmsTopk _),
     "q_sampled_percentiles" -> (qSampledPercentiles _)
   )

@@ -44,6 +44,38 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("sketch rollup: unioned per-group sketches estimate like a direct sketch") {
+    // the property that makes sketch TABLES work at scale: rolling up
+    // persisted per-(flag,status) sketches estimates each flag's
+    // distinct count without rescanning rows and without an accuracy
+    // cliff. Union is NOT register-identical to direct aggregation
+    // (DataSketches unions promote to a different target HLL type), so
+    // the check is the honest one: both paths land within the sketch's
+    // error bound of the exact count.
+    val rows = Approx.qSketchRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"${r.getString(0)}: merged estimate outside 5σ bound"))
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12)))
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = 1.04 / math.sqrt(4096.0) * 5
+    for ((k, n) <- exact; est <- Seq(direct(k), merged(k)))
+      assert(math.abs(est - n).toDouble / n <= bound,
+        s"$k: estimate $est vs exact $n outside ${bound * 100}%")
+  }
+
   test("sampled percentiles: monotone, inside the full-data hull, sane sample size") {
     val rows = Approx.qSampledPercentiles(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -343,6 +343,40 @@ class ScaleShapeSpec extends SparkSpec {
       s"scale-killer plan shapes in gated queries:\n${offenders.mkString("\n")}")
   }
 
+  test("AQE splits a skewed join partition at runtime (hot-key immunity)") {
+    // At 100 TB a hot join key concentrates a partition onto one task; the
+    // engine's answer is AQE's runtime skew split (plus explicit salting
+    // for aggregations — q_skew_salted). Local sizes sit under the
+    // production thresholds, so the test lowers them to prove the
+    // rewrite fires; a real deployment keeps the defaults.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // hot key 0 carries 100k rows; 100 cold keys carry 100 each
+      val left = spark.range(100000)
+        .select(lit(0L).as("k"), col("id").as("v"))
+        .unionAll(spark.range(10000)
+          .select((col("id") % 100 + 1).as("k"), col("id").as("v")))
+      val right = spark.range(101).select(col("id").as("k"), col("id").as("w"))
+      val j = left.join(right, "k")
+      // collect() (not count(), which plans its own QueryExecution) so
+      // AQE finalizes on THIS frame's plan
+      assert(j.collect().length == 110000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE must split the hot partition (no skew marker in plan):\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("z-order curve is narrow: no hash exchange anywhere") {
     val plan = Layout.qZorderCurve(spark, sf)
       .queryExecution.executedPlan.toString
