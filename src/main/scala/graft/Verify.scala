@@ -7,8 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing names: dump only those queries (local iteration;
-    // the driver always passes exactly two args → full suite)
+    // the driver always passes exactly two args → full suite). A typo'd
+    // name must fail loudly, not produce an empty successful run.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

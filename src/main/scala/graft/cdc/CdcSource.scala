@@ -135,6 +135,10 @@ object CdcSource {
       props: java.util.Properties = new java.util.Properties(),
       serverName: String = "dbserver1",
       fixedTsMs: Option[Long] = None): DataFrame = {
+    // half-specified partitioning would SILENTLY fall back to the
+    // single-cursor read — the exact scale failure these params prevent
+    require(partitionColumn.isDefined == bounds.isDefined,
+      "snapshotJdbc: partitionColumn and bounds must be supplied together")
     val rows = (partitionColumn, bounds) match {
       case (Some(pc), Some((lo, hi))) =>
         spark.read.jdbc(url, dbTable, pc, lo, hi, numPartitions, props)

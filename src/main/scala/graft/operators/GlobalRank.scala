@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *  4. broadcast-join the offsets back: rank = offset + localIndex + 1
   *     (prefix sum: offset + within-partition running sum).
   *
-  * Two passes over the sorted data and one broadcast join — no data-sized
-  * shuffle after the sort itself. The sorted frame is locally
-  * checkpointed so both passes see the SAME partition/id assignment (a
-  * recompute could resample range boundaries).
+  * [[withRank]]: two passes over the sorted data and one broadcast
+  * join — no data-sized shuffle after the sort itself. [[withPrefixSum]]
+  * additionally pays ONE data-sized hash exchange on the partition id
+  * (the checkpoint erases output partitioning, so its within-partition
+  * running-sum window re-shuffles — balanced by construction, since the
+  * range sort already equalized partition sizes). The sorted frame is
+  * locally checkpointed so both passes see the SAME partition/id
+  * assignment (a recompute could resample range boundaries).
   *
   * The sort columns must form a TOTAL order (include a unique tiebreaker);
   * otherwise ranks within a tie group depend on partition placement.
@@ -54,7 +58,11 @@ object GlobalRank {
     * for — reserved for genuine data-sized defects, and lets plan-shape
     * sweeps assert partitionSpec.nonEmpty across every gated query.
     */
-  private[graft] def metaPartitionKey(c: Column): Column = pmod(c, lit(1))
+  private[graft] def metaPartitionKey(c: Column): Column =
+    // coalesce: pmod(null, 1) is null, which would split null-key rows
+    // into their OWN window partition — the global-window semantics this
+    // marker replaces kept them in the single ordered frame
+    coalesce(pmod(c, lit(1)), lit(0))
 
   private def metaWindow: WindowSpec =
     Window.partitionBy(metaPartitionKey(col("__pid"))).orderBy(col("__pid"))

@@ -44,16 +44,21 @@ object IntervalJoin {
     def exploded(df: DataFrame, s: String, e: String): DataFrame = {
       val (lo, hi) =
         (floor(col(s) / bucket).cast("long"), floor(col(e) / bucket).cast("long"))
-      // precondition guards, in-plan: an inverted interval (end < start)
-      // would make sequence() throw an opaque boundaries error, and an
-      // over-wide one would fan out past MaxFanout rows — both raise a
-      // named error carrying the offending values instead
-      df.withColumn("__bucket", explode(sequence(lo,
-        when(col(s) <= col(e) && hi - lo < MaxFanout, hi)
-          .otherwise(raise_error(concat(
-            lit(s"IntervalJoin: invalid interval [$s,$e]=["), col(s),
-            lit(","), col(e),
-            lit(s"] (inverted, or fanout ≥ $MaxFanout buckets of $bucket)")))))))
+      // precondition guards, in-plan: a NULL endpoint yields a null
+      // sequence and the row drops at the explode (join semantics — a
+      // null time matches nothing; same as the pre-guard behavior); an
+      // inverted interval (end < start) or one fanning out past
+      // MaxFanout buckets raises a named error carrying the offending
+      // values, where bare sequence() would throw an opaque boundaries
+      // error or explode the output unboundedly
+      val guarded = when(col(s).isNull || col(e).isNull,
+        lit(null).cast("array<long>"))
+        .when(col(s) <= col(e) && hi - lo + 1 <= MaxFanout, sequence(lo, hi))
+        .otherwise(raise_error(concat(
+          lit(s"IntervalJoin: invalid interval [$s,$e]=["), col(s),
+          lit(","), col(e),
+          lit(s"] (inverted, or fanout > $MaxFanout buckets of $bucket)"))))
+      df.withColumn("__bucket", explode(guarded))
     }
     exploded(a, aStart, aEnd)
       .join(exploded(b, bStart, bEnd), Seq(key, "__bucket"))

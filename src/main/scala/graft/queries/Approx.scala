@@ -157,8 +157,9 @@ object Approx {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_groups"),
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("approx_parts"))
-    // exact twin (two-level distinct, see distinctBoth) for the verdict
-    val exact = li.groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)).as("__c"))
+    // exact twin for the verdict: distinct pairs then a per-group count
+    // (same two-level shape as distinctBoth, minus the unused columns)
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
     rolled.join(exact, Seq("l_returnflag")) // 3-row frames
       .select(col("l_returnflag"), col("exact_parts"), col("n_groups"),
