@@ -266,6 +266,39 @@ object Curation {
       .select(col("doc_id"),
         size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
 
+  /** Length-bucket granularity in tokens: documents are padded up to the
+    * next multiple of this when batched (the 10–99-token corpus spreads
+    * over several buckets).
+    */
+  val LenBucket = 32L
+
+  /** Length-bucketed batching economics: bucket documents by token count
+    * rounded up to the next [[LenBucket]] multiple, and report per bucket
+    * the padding waste a fixed-shape batch would pay (padded slots minus
+    * real tokens). The complement of [[qPackSequences]]: packing
+    * eliminates padding by concatenation, bucketing bounds it by
+    * grouping — both are standard batch-assembly strategies. Scale shape:
+    * one narrow scan → O(max_len / bucket)-group aggregate, collapses
+    * map-side.
+    */
+  def qLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val n = size(graft.text.TextOps.tokens(col("text"))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (floor((n + LenBucket - 1L) / LenBucket).cast("long") * LenBucket)
+          .as("bucket_max"),
+        n.as("n_tokens"))
+      .groupBy(col("bucket_max"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_max"))
+      .withColumn("waste_x10000",
+        graft.text.TextOps.idiv(
+          (col("padded_tokens") - col("sum_tokens")) * 10000L,
+          col("padded_tokens")))
+      .orderBy(col("bucket_max"))
+  }
+
   /** Chunking geometry: window size and stride in tokens (overlap =
     * size − stride). Sized so the ~50-token synthetic docs produce
     * multiple overlapping chunks.
@@ -534,6 +567,21 @@ object Curation {
          |  FROM documents),
          |$packSql""".stripMargin,
 
+    "q_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT ((n_tokens + ${LenBucket - 1}) // $LenBucket) * $LenBucket
+         |        AS bucket_max, n_tokens FROM t),
+         |g AS (SELECT bucket_max, count(*) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |      FROM b GROUP BY 1)
+         |SELECT CAST(bucket_max AS BIGINT) AS bucket_max, n_docs, sum_tokens,
+         |  CAST(n_docs * bucket_max AS BIGINT) AS padded_tokens,
+         |  CAST((n_docs * bucket_max - sum_tokens) * 10000
+         |       // (n_docs * bucket_max) AS BIGINT) AS waste_x10000
+         |FROM g ORDER BY bucket_max""".stripMargin,
+
     "q_chunk_documents" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
          |           FROM documents)
@@ -594,6 +642,7 @@ object Curation {
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_select_best" -> (qSelectBest _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_chunk_documents" -> (qChunkDocuments _),
     "q_data_mixture" -> (qDataMixture _)

@@ -67,6 +67,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Votes per kNN classification — wider than [[TopK]] so label
+    * majorities are meaningful.
+    */
+  val KnnK = 10
+
+  /** kNN label-vote classification: each query vector takes the majority
+    * label among its [[KnnK]] exact-cosine nearest corpus neighbors
+    * (tie-break: smaller label). Same scale shape as [[qAnnBruteforce]] —
+    * broadcast(queries) ⋈ one corpus scan, no corpus shuffle — plus an
+    * O(queries × labels) vote aggregate that collapses map-side.
+    */
+  def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+      .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .localCheckpoint() // queries + corpus sides reuse one materialization
+    val queries = vecs.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("label").as("true_label"))
+    val corpus = vecs.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("norm").as("cnorm"),
+      col("label").as("neighbor_label"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("neighbor_label"))
+    broadcast(queries).crossJoin(corpus)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotQC / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= KnnK)
+      .groupBy(col("query_id"), col("true_label"), col("neighbor_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("neighbor_label").as("pred_label"), col("votes"),
+        (col("neighbor_label") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   /** Sign-sketch band keys for a double vector column: array of
     * "band:bits" strings. All plane dots run in ONE codegen expression
     * ([[graft.functions.HyperplaneBits]]); bands are 4-bit nibbles of the
@@ -367,13 +410,38 @@ object Similarity {
          |  CAST(round(cos*10000) AS BIGINT) AS cos_x10000
          |FROM r WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin
-    }
+    },
+
+    "q_knn_classify" ->
+      s"""WITH n AS (SELECT vec_id, label, v,
+         |    sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm
+         |  FROM (SELECT vec_id, label,
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |p AS (SELECT q.vec_id query_id, q.label true_label,
+         |        c.vec_id neighbor_id, c.label neighbor_label,
+         |        $dotSql / (q.norm*c.norm) AS cos
+         |      FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id),
+         |r AS (SELECT query_id, true_label, neighbor_label,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM p),
+         |vt AS (SELECT query_id, true_label, neighbor_label,
+         |         count(*) AS votes
+         |       FROM r WHERE rank <= $KnnK GROUP BY 1, 2, 3),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY votes DESC, neighbor_label) AS vr FROM vt)
+         |SELECT query_id, true_label, neighbor_label AS pred_label,
+         |  CAST(votes AS BIGINT) AS votes,
+         |  neighbor_label = true_label AS correct
+         |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_embedding_quantize" -> (qEmbeddingQuantize _)
+    "q_embedding_quantize" -> (qEmbeddingQuantize _),
+    "q_knn_classify" -> (qKnnClassify _)
   )
 }

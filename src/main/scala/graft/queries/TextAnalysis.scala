@@ -133,6 +133,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // Gopher-style rule thresholds (shared with the spec). Word-count and
+  // mean-length bands are tuned to the corpus so both outcomes occur;
+  // alpha/symbol rules are the published ≥80% / ≤10% bounds.
+  val RuleMinWords = 20L
+  val RuleMaxWords = 80L
+  val RuleMinMeanLenX100 = 400L
+  val RuleMaxMeanLenX100 = 520L
+  val RuleMinAlphaX10000 = 8000L
+  val RuleMaxSymbolX10000 = 1000L
+  val RuleMinStopwords = 2
+
+  /** Gopher-style rule-set document filter: per-document booleans for the
+    * classic quality rules (word count band, mean word length band,
+    * ≥80% alphabetic words, ≤10% pure-symbol words, ≥2 stopword hits) and
+    * their conjunction. Unlike [[qQualityScore]]'s banded score, this is
+    * the keep/drop *rule* form curation pipelines compose. Entirely
+    * per-row — one narrow scan, zero shuffles before the presentation
+    * sort; at 100 TB it runs at scan speed.
+    */
+  def qGopherRules(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        idiv(sum_chars(col("toks")) * 100L, size(col("toks"))).as("mean_len_x100"),
+        idiv(size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))) * lit(10000L),
+          size(col("toks"))).as("alpha_x10000"),
+        idiv(size(filter(col("toks"), t => t.rlike("^[^a-zA-Z0-9]+$"))) * lit(10000L),
+          size(col("toks"))).as("symbol_x10000"),
+        TextOps.markerCount(col("toks"), TextOps.LangMarkers("en")).as("stop_hits"))
+      .withColumn("r_word_count",
+        col("n_tokens").between(RuleMinWords, RuleMaxWords))
+      .withColumn("r_mean_len",
+        col("mean_len_x100").between(RuleMinMeanLenX100, RuleMaxMeanLenX100))
+      .withColumn("r_alpha", col("alpha_x10000") >= RuleMinAlphaX10000)
+      .withColumn("r_symbol", col("symbol_x10000") <= RuleMaxSymbolX10000)
+      .withColumn("r_stopwords", col("stop_hits") >= RuleMinStopwords)
+      .withColumn("passes",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha") &&
+          col("r_symbol") && col("r_stopwords"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Repetition / boilerplate signals per document (the Gopher-rules family
     * of repetition filters): duplicate-token fraction and most-frequent-
     * 2-gram share. Shape at scale: ENTIRELY per-row — the 2-gram mode is a
@@ -378,6 +422,33 @@ object TextAnalysis {
          |  CAST(len(list_distinct(toks)) * 10000 // len(toks) AS BIGINT) AS ttr_x10000
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    "q_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+         |       'sum') * 100 // len(toks) AS BIGINT) AS mean_len_x100,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+         |       * 10000 // len(toks) AS BIGINT) AS alpha_x10000,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[^a-zA-Z0-9]+$$')))
+         |       * 10000 // len(toks) AS BIGINT) AS symbol_x10000,
+         |  CAST(len(list_filter(toks, x -> x IN ($enMarkers))) AS INT) AS stop_hits
+         |FROM t)
+         |SELECT *,
+         |  n_tokens BETWEEN $RuleMinWords AND $RuleMaxWords AS r_word_count,
+         |  mean_len_x100 BETWEEN $RuleMinMeanLenX100 AND $RuleMaxMeanLenX100
+         |    AS r_mean_len,
+         |  alpha_x10000 >= $RuleMinAlphaX10000 AS r_alpha,
+         |  symbol_x10000 <= $RuleMaxSymbolX10000 AS r_symbol,
+         |  stop_hits >= $RuleMinStopwords AS r_stopwords,
+         |  (n_tokens BETWEEN $RuleMinWords AND $RuleMaxWords)
+         |    AND (mean_len_x100 BETWEEN $RuleMinMeanLenX100 AND $RuleMaxMeanLenX100)
+         |    AND alpha_x10000 >= $RuleMinAlphaX10000
+         |    AND symbol_x10000 <= $RuleMaxSymbolX10000
+         |    AND stop_hits >= $RuleMinStopwords AS passes
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "q_quality_score" ->
       s"""WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks
          |           FROM documents),
@@ -466,6 +537,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_quality_score" -> (qQualityScore _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q_lang_id" -> (qLangId _),
     "q_token_counts" -> (qTokenCounts _),
     "q_doc_fingerprint" -> (qDocFingerprint _),

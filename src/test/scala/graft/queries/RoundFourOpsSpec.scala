@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Scala-recompute specs for the round-4 operators: Gopher-style rule
+  * filtering, length-bucket padding economics, and kNN label-vote
+  * classification. Cell-exact values are gated by the DuckDB oracle;
+  * these recompute the same semantics in plain Scala (no Spark
+  * expressions) so a bug shared by the query and its SQL twin still
+  * gets caught.
+  */
+class RoundFourOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("gopher rules: full Scala recompute matches; both outcomes occur") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stops = graft.text.TextOps.LangMarkers("en").toSet
+    val rows = TextAnalysis.qGopherRules(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1).toSeq
+      val n = toks.size.toLong
+      val meanX100 = toks.map(_.length.toLong).sum * 100 / n
+      val alpha = toks.count(_.exists(_.isLetter)).toLong * 10000 / n
+      val symbol = toks.count(t =>
+        t.nonEmpty && t.forall(c => !c.isLetterOrDigit)).toLong * 10000 / n
+      val stopHits = toks.count(stops)
+      assert(r.getAs[Int]("n_tokens").toLong == n)
+      assert(r.getAs[Long]("mean_len_x100") == meanX100)
+      assert(r.getAs[Long]("alpha_x10000") == alpha)
+      assert(r.getAs[Long]("symbol_x10000") == symbol)
+      assert(r.getAs[Int]("stop_hits") == stopHits)
+      val rules = Seq(
+        n >= TextAnalysis.RuleMinWords && n <= TextAnalysis.RuleMaxWords,
+        meanX100 >= TextAnalysis.RuleMinMeanLenX100 &&
+          meanX100 <= TextAnalysis.RuleMaxMeanLenX100,
+        alpha >= TextAnalysis.RuleMinAlphaX10000,
+        symbol <= TextAnalysis.RuleMaxSymbolX10000,
+        stopHits >= TextAnalysis.RuleMinStopwords)
+      val names = Seq("r_word_count", "r_mean_len", "r_alpha", "r_symbol",
+        "r_stopwords")
+      names.zip(rules).foreach { case (c, expect) =>
+        assert(r.getAs[Boolean](c) == expect, s"$c doc ${r.get(0)}")
+      }
+      assert(r.getAs[Boolean]("passes") == rules.forall(identity))
+    }
+    // thresholds must actually split the corpus, or the filter is a no-op
+    assert(rows.exists(_.getAs[Boolean]("passes")), "no doc passes")
+    assert(rows.exists(!_.getAs[Boolean]("passes")), "no doc fails")
+  }
+
+  test("length buckets: Scala recompute matches; buckets cover the corpus") {
+    val b = Curation.LenBucket
+    val lens = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0).split(" ", -1).length.toLong)
+    val expected = lens.groupBy(n => (n + b - 1) / b * b).map {
+      case (bucket, ns) =>
+        val padded = ns.size * bucket
+        bucket -> (ns.size.toLong, ns.sum, padded,
+          (padded - ns.sum) * 10000 / padded)
+    }
+    val rows = Curation.qLengthBuckets(spark, sf).collect()
+    assert(rows.length == expected.size && rows.length > 1,
+      s"want >1 buckets, got ${rows.length}")
+    rows.foreach { r =>
+      val (nDocs, sumTok, padded, waste) = expected(r.getAs[Long]("bucket_max"))
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("sum_tokens") == sumTok)
+      assert(r.getAs[Long]("padded_tokens") == padded)
+      assert(r.getAs[Long]("waste_x10000") == waste)
+      // padding waste is bounded by one bucket-granule per doc
+      assert(padded - sumTok < nDocs * b)
+    }
+  }
+
+  test("knn classify: Scala top-k vote recompute matches") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val rows = Similarity.qKnnClassify(spark, sf).collect()
+    assert(rows.length == vecs.count(_._1 % 50 == 0))
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val (_, qv, qLabel) = vecs.find(_._1 == qid).get
+      val topK = vecs.filter(_._1 != qid)
+        .map { case (id, cv, l) =>
+          val cos = qv.zip(cv).foldLeft(0.0) { case (a, (x, y)) => a + x * y } /
+            (norm(qv) * norm(cv))
+          (id, l, cos)
+        }
+        .sortBy { case (id, _, cos) => (-cos, id) }
+        .take(Similarity.KnnK)
+      val (predLabel, votes) = topK.groupBy(_._2).view
+        .mapValues(_.length).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      assert(r.getAs[Int]("true_label") == qLabel, s"true label q$qid")
+      assert(r.getAs[Int]("pred_label") == predLabel, s"pred q$qid")
+      assert(r.getAs[Long]("votes") == votes.toLong, s"votes q$qid")
+      assert(r.getAs[Boolean]("correct") == (predLabel == qLabel))
+    }
+  }
+}
