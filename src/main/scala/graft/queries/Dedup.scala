@@ -213,6 +213,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // Hamming-banded simhash join (Manku et al., WWW'07 "Detecting
+  // Near-Duplicates for Web Crawling"): 56 bits split into 4 bands of 14.
+  // Pigeonhole: any pair within hamming distance ≤ bands−1 = 3 agrees
+  // EXACTLY on at least one band, so the band-key equi-join has full
+  // recall at the threshold — no all-pairs comparison anywhere.
+  val HamBands = 4
+  val HamBandBits = 14
+  val HamMaxDist: Int = HamBands - 1
+
+  /** SimHash near-dup PAIRS at hamming distance ≤ [[HamMaxDist]] via
+    * banded candidate generation. Scale shape: O(n·bands) explode →
+    * band-key shuffle → within-bucket equi-join → codegen'd
+    * `bit_count(xor)` verify. The popcount runs before the pair-distinct,
+    * so the distinct shuffles only 8-byte ids + a tiny int.
+    */
+  def qSimhashHamming(s: SparkSession, d: String): DataFrame = {
+    val hs = transform(TextOps.tokens(col("text")), t => TextOps.hash56(t))
+    val banded = Tables.documents(s, d)
+      .select(col("doc_id"), VectorFunctions.simhash56(hs).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until HamBands).map(b => struct(lit(b).as("band"),
+          shiftright(col("sh"), b * HamBandBits)
+            .bitwiseAND(lit((1L << HamBandBits) - 1)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= HamMaxDist)
+      .distinct() // pairs sharing several bands appear once
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Near-dup CLUSTERS: connected components over the minhash candidate
     * pairs via iterative min-label propagation — the step that turns pair
     * lists into canonical keep/drop decisions in a real corpus dedup.
@@ -555,6 +593,27 @@ object Dedup {
          |FROM t ORDER BY doc_id""".stripMargin
     },
 
+    "q_simhash_hamming" -> {
+      val bits = (0 until TextOps.SimhashBits).map { j =>
+        s"""CASE WHEN list_aggregate(list_transform(hs,
+           |    h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+           |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+      }.mkString(" +\n  ")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(string_split(text,' '), tok -> ${h56("tok")}) AS hs
+         |  FROM documents),
+         |s AS (SELECT doc_id, $bits AS sh FROM t),
+         |b AS (SELECT doc_id, sh, band,
+         |        (sh >> (${HamBandBits}*band)) & ${(1L << HamBandBits) - 1} AS bv
+         |      FROM s CROSS JOIN (SELECT unnest(range($HamBands)) AS band)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |        CAST(bit_count(xor(a.sh, b2.sh)) AS INT) AS hamming
+         |      FROM b a JOIN b b2
+         |        ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p
+         |WHERE hamming <= $HamMaxDist ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     "q_dedup_embedding" ->
       s"""WITH ${Similarity.normCte},
          |${Similarity.blocksCteSql(EmbedBlockBits)},
@@ -591,6 +650,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_simhash_hamming" -> (qSimhashHamming _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _)

@@ -76,6 +76,25 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash hamming: banded join finds EXACTLY the all-pairs result") {
+    // ground truth: all-pairs hamming over the per-doc simhashes (which
+    // are themselves gated by the q_dedup_simhash oracle)
+    val hashes = Dedup.qDedupSimhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash56"))
+    val truth = (for {
+      (ida, sa) <- hashes; (idb, sb) <- hashes if ida < idb
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= Dedup.HamMaxDist
+    } yield (ida, idb, ham)).toSet
+    val got = Dedup.qSimhashHamming(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    // ⊇ is the pigeonhole recall guarantee (≤ bands−1 bits differ → some
+    // band matches exactly); ⊆ is the verify filter — so exact equality
+    assert(got == truth,
+      s"missed ${truth -- got}; spurious ${got -- truth}")
+    assert(truth.nonEmpty, "threshold finds no pairs — test is vacuous")
+  }
+
   test("knn classify: Scala top-k vote recompute matches") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()
