@@ -110,6 +110,33 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** ANN recall evaluation — the QA loop an ANN library ships with: for
+    * each query, recall@[[TopK]] of the LSH and IVF approximate paths
+    * against the brute-force ground truth. Scale shape: all three inputs
+    * are already per-query top-k frames (O(queries × k) rows), so the
+    * semi-joins and aggregates here are tiny regardless of corpus size —
+    * the cost is the three underlying searches themselves.
+    */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val bf = qAnnBruteforce(s, d).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // reused by both semi-joins + the query spine
+    def hits(m: DataFrame, name: String): DataFrame =
+      bf.join(m.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    bf.select(col("query_id")).distinct()
+      .join(hits(qAnnLsh(s, d), "lsh_hits"), Seq("query_id"), "left")
+      .join(hits(qAnnIvf(s, d), "ivf_hits"), Seq("query_id"), "left")
+      .na.fill(0, Seq("lsh_hits", "ivf_hits"))
+      .withColumn("lsh_recall_x10000",
+        graft.text.TextOps.idiv(col("lsh_hits") * 10000L, lit(TopK)))
+      .withColumn("ivf_recall_x10000",
+        graft.text.TextOps.idiv(col("ivf_hits") * 10000L, lit(TopK)))
+      .select(col("query_id"), col("lsh_hits"), col("lsh_recall_x10000"),
+        col("ivf_hits"), col("ivf_recall_x10000"))
+      .orderBy(col("query_id"))
+  }
+
   /** Sign-sketch band keys for a double vector column: array of
     * "band:bits" strings. All plane dots run in ONE codegen expression
     * ([[graft.functions.HyperplaneBits]]); bands are 4-bit nibbles of the
@@ -318,7 +345,7 @@ object Similarity {
        |blocks AS (SELECT vec_id, CAST($packed AS BIGINT) AS block FROM bits)""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_ann_bruteforce" ->
       s"""WITH $normCte,
          |p AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
@@ -437,11 +464,38 @@ object Similarity {
          |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin
   )
 
+  /** The recall oracle composes the three search oracles verbatim as
+    * subqueries — the ground-truth SQL cannot drift from the gated
+    * per-method twins.
+    */
+  val oracle: Map[String, String] = oracleBase + ("q_ann_recall" ->
+    s"""WITH bf AS (SELECT query_id, neighbor_id
+       |            FROM (${oracleBase("q_ann_bruteforce")})),
+       |l AS (SELECT query_id, neighbor_id
+       |      FROM (${oracleBase("q_ann_lsh")})),
+       |iv AS (SELECT query_id, neighbor_id
+       |       FROM (${oracleBase("q_ann_ivf")})),
+       |lh AS (SELECT query_id, count(*) AS lsh_hits
+       |       FROM bf JOIN l USING (query_id, neighbor_id) GROUP BY 1),
+       |ih AS (SELECT query_id, count(*) AS ivf_hits
+       |       FROM bf JOIN iv USING (query_id, neighbor_id) GROUP BY 1),
+       |q AS (SELECT DISTINCT query_id FROM bf)
+       |SELECT q.query_id,
+       |  CAST(coalesce(lsh_hits, 0) AS BIGINT) AS lsh_hits,
+       |  CAST(coalesce(lsh_hits, 0) * 10000 // $TopK AS BIGINT)
+       |    AS lsh_recall_x10000,
+       |  CAST(coalesce(ivf_hits, 0) AS BIGINT) AS ivf_hits,
+       |  CAST(coalesce(ivf_hits, 0) * 10000 // $TopK AS BIGINT)
+       |    AS ivf_recall_x10000
+       |FROM q LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
+       |ORDER BY query_id""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embedding_quantize" -> (qEmbeddingQuantize _),
-    "q_knn_classify" -> (qKnnClassify _)
+    "q_knn_classify" -> (qKnnClassify _),
+    "q_ann_recall" -> (qAnnRecall _)
   )
 }

@@ -95,6 +95,33 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(truth.nonEmpty, "threshold finds no pairs — test is vacuous")
   }
 
+  test("ann recall: set-intersection recompute over the gated outputs") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val bf = pairs(Similarity.qAnnBruteforce(spark, sf)).groupBy(_._1)
+    val lsh = pairs(Similarity.qAnnLsh(spark, sf)).toSet
+    val ivf = pairs(Similarity.qAnnIvf(spark, sf)).toSet
+    val rows = Similarity.qAnnRecall(spark, sf).collect()
+    assert(rows.length == bf.size)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val truth = bf(q).toSet
+      val lh = truth.count(lsh)
+      val ih = truth.count(ivf)
+      assert(r.getAs[Long]("lsh_hits") == lh, s"lsh hits q$q")
+      assert(r.getAs[Long]("ivf_hits") == ih, s"ivf hits q$q")
+      assert(r.getAs[Long]("lsh_recall_x10000") ==
+        lh.toLong * 10000 / Similarity.TopK)
+      assert(r.getAs[Long]("ivf_recall_x10000") ==
+        ih.toLong * 10000 / Similarity.TopK)
+    }
+    // the approximate paths must actually find most of the truth, or the
+    // banding parameters have rotted
+    val macroRecall = rows.map(_.getAs[Long]("lsh_recall_x10000")).sum /
+      rows.length
+    assert(macroRecall >= 5000, s"LSH macro recall $macroRecall < 0.5")
+  }
+
   test("knn classify: Scala top-k vote recompute matches") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()

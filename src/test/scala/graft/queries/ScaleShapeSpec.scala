@@ -320,8 +320,8 @@ class ScaleShapeSpec extends SparkSpec {
     // Declared nested-loop baselines whose broadcast side is a sampled
     // set Catalyst can't bound (query vectors / IVF pivots / k-means
     // centroids — fixed-size by design, mod-sampled in the test data).
-    val bnljAllowed =
-      Set("q_ann_bruteforce", "q_ann_ivf", "q_kmeans_update", "q_knn_classify")
+    val bnljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_kmeans_update",
+      "q_knn_classify", "q_ann_recall")
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sf)
