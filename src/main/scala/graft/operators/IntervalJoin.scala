@@ -49,8 +49,12 @@ object IntervalJoin {
       // null time matches nothing; same as the pre-guard behavior); an
       // inverted interval (end < start) or one fanning out past
       // MaxFanout buckets raises a named error carrying the offending
-      // values, where bare sequence() would throw an opaque boundaries
-      // error or explode the output unboundedly
+      // values. Without the guard these are SILENT wrong-output modes,
+      // not errors: sequence(lo, hi) with lo > hi counts DOWN (the
+      // reversed bucket span would generate candidates for a
+      // semantically-empty interval, and the overlap filter never
+      // re-checks start <= end), and an over-wide span just explodes
+      // the output row count
       val guarded = when(col(s).isNull || col(e).isNull,
         lit(null).cast("array<long>"))
         .when(col(s) <= col(e) && hi - lo + 1 <= MaxFanout, sequence(lo, hi))

@@ -24,9 +24,15 @@ class RoundFourOpsSpec extends SparkSpec {
       val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1).toSeq
       val n = toks.size.toLong
       val meanX100 = toks.map(_.length.toLong).sum * 100 / n
-      val alpha = toks.count(_.exists(_.isLetter)).toLong * 10000 / n
+      // ASCII classes, matching the query/oracle regexes [a-zA-Z] and
+      // [^a-zA-Z0-9] exactly — Character.isLetter would diverge on any
+      // non-ASCII letter ('ü', '的': Unicode-alphabetic, regex-symbol)
+      def asciiAlpha(c: Char) =
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      def asciiAlnum(c: Char) = asciiAlpha(c) || (c >= '0' && c <= '9')
+      val alpha = toks.count(_.exists(asciiAlpha)).toLong * 10000 / n
       val symbol = toks.count(t =>
-        t.nonEmpty && t.forall(c => !c.isLetterOrDigit)).toLong * 10000 / n
+        t.nonEmpty && t.forall(c => !asciiAlnum(c))).toLong * 10000 / n
       val stopHits = toks.count(stops)
       assert(r.getAs[Int]("n_tokens").toLong == n)
       assert(r.getAs[Long]("mean_len_x100") == meanX100)
