@@ -251,6 +251,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Dedup quality evaluation — recall/precision of the MinHash-LSH pair
+    * list ([[qDedupMinhash]], estimated Jaccard ≥ 1/2) against the exact
+    * shingle-Jaccard truth ([[qDedupNgram]], true Jaccard ≥ [[JaccardT]]).
+    * The QA loop run after every banding-parameter change. Both inputs are
+    * already-thresholded pair frames (tiny at any corpus size), so the
+    * eval is one join + one single-row aggregate; the cost is the two
+    * underlying dedups.
+    */
+  def qDedupRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = qDedupNgram(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // spine for both the count and the overlap join
+    val est = qDedupMinhash(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val both = exact.join(est, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(est.agg(count(lit(1)).as("n_est")))
+      .crossJoin(both) // all single-row scalars
+      .select(col("n_exact"), col("n_est"), col("n_both"),
+        TextOps.idiv(col("n_both") * 10000L, col("n_exact"))
+          .as("recall_x10000"),
+        TextOps.idiv(col("n_both") * 10000L, col("n_est"))
+          .as("precision_x10000"))
+  }
+
   /** Near-dup CLUSTERS: connected components over the minhash candidate
     * pairs via iterative min-label propagation — the step that turns pair
     * lists into canonical keep/drop decisions in a real corpus dedup.
@@ -497,7 +522,7 @@ object Dedup {
        |                JOIN mh y ON cand.doc_b = y.doc_id)""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH t AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
@@ -643,8 +668,27 @@ object Dedup {
          |ORDER BY vec_a, vec_b""".stripMargin
   )
 
+  /** The recall oracle composes the exact and estimated pair oracles
+    * verbatim as subqueries — the truth SQL cannot drift from the gated
+    * per-method twins (same pattern as Similarity's q_ann_recall).
+    */
+  val oracle: Map[String, String] = oracleBase + ("q_dedup_recall" ->
+    s"""WITH ex AS (SELECT doc_a, doc_b
+       |            FROM (${oracleBase("q_dedup_ngram")})),
+       |es AS (SELECT doc_a, doc_b
+       |       FROM (${oracleBase("q_dedup_minhash")})),
+       |nb AS (SELECT count(*) AS n_both
+       |       FROM ex JOIN es USING (doc_a, doc_b)),
+       |ne AS (SELECT count(*) AS n_exact FROM ex),
+       |ns AS (SELECT count(*) AS n_est FROM es)
+       |SELECT n_exact, n_est, n_both,
+       |  CAST(n_both * 10000 // n_exact AS BIGINT) AS recall_x10000,
+       |  CAST(n_both * 10000 // n_est AS BIGINT) AS precision_x10000
+       |FROM ne CROSS JOIN ns CROSS JOIN nb""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_recall" -> (qDedupRecall _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_minhash" -> (qDedupMinhash _),

@@ -128,6 +128,24 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(macroRecall >= 5000, s"LSH macro recall $macroRecall < 0.5")
   }
 
+  test("dedup recall: set-intersection recompute over the gated pair lists") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = pairs(Dedup.qDedupNgram(spark, sf))
+    val est = pairs(Dedup.qDedupMinhash(spark, sf))
+    val both = (exact & est).size.toLong
+    val r = Dedup.qDedupRecall(spark, sf).collect() match {
+      case Array(only) => only
+      case rs => fail(s"want exactly one summary row, got ${rs.length}")
+    }
+    assert(r.getAs[Long]("n_exact") == exact.size.toLong)
+    assert(r.getAs[Long]("n_est") == est.size.toLong)
+    assert(r.getAs[Long]("n_both") == both)
+    assert(r.getAs[Long]("recall_x10000") == both * 10000 / exact.size)
+    assert(r.getAs[Long]("precision_x10000") == both * 10000 / est.size)
+    assert(exact.nonEmpty && est.nonEmpty, "degenerate eval — empty inputs")
+  }
+
   test("knn classify: Scala top-k vote recompute matches") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()
