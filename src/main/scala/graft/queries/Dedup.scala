@@ -266,13 +266,17 @@ object Dedup {
       .localCheckpoint()
     val both = exact.join(est, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("n_both"))
+    // greatest(n, 1) denominators, mirrored in the oracle: on a corpus
+    // with NO near-dup pairs Spark's idiv(0,0) folds floor(NaN) to 0
+    // while DuckDB's 0 // 0 is NULL — the guard makes both engines emit
+    // 0 for the empty-input ratios instead of diverging
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(est.agg(count(lit(1)).as("n_est")))
       .crossJoin(both) // all single-row scalars
       .select(col("n_exact"), col("n_est"), col("n_both"),
-        TextOps.idiv(col("n_both") * 10000L, col("n_exact"))
+        TextOps.idiv(col("n_both") * 10000L, greatest(col("n_exact"), lit(1L)))
           .as("recall_x10000"),
-        TextOps.idiv(col("n_both") * 10000L, col("n_est"))
+        TextOps.idiv(col("n_both") * 10000L, greatest(col("n_est"), lit(1L)))
           .as("precision_x10000"))
   }
 
@@ -682,8 +686,10 @@ object Dedup {
        |ne AS (SELECT count(*) AS n_exact FROM ex),
        |ns AS (SELECT count(*) AS n_est FROM es)
        |SELECT n_exact, n_est, n_both,
-       |  CAST(n_both * 10000 // n_exact AS BIGINT) AS recall_x10000,
-       |  CAST(n_both * 10000 // n_est AS BIGINT) AS precision_x10000
+       |  CAST(n_both * 10000 // greatest(n_exact, 1) AS BIGINT)
+       |    AS recall_x10000,
+       |  CAST(n_both * 10000 // greatest(n_est, 1) AS BIGINT)
+       |    AS precision_x10000
        |FROM ne CROSS JOIN ns CROSS JOIN nb""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

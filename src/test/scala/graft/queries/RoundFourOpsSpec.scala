@@ -133,6 +133,8 @@ class RoundFourOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val exact = pairs(Dedup.qDedupNgram(spark, sf))
     val est = pairs(Dedup.qDedupMinhash(spark, sf))
+    // guard BEFORE the ratio arithmetic below divides by these sizes
+    assert(exact.nonEmpty && est.nonEmpty, "degenerate eval — empty inputs")
     val both = (exact & est).size.toLong
     val r = Dedup.qDedupRecall(spark, sf).collect() match {
       case Array(only) => only
@@ -143,7 +145,6 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_both") == both)
     assert(r.getAs[Long]("recall_x10000") == both * 10000 / exact.size)
     assert(r.getAs[Long]("precision_x10000") == both * 10000 / est.size)
-    assert(exact.nonEmpty && est.nonEmpty, "degenerate eval — empty inputs")
   }
 
   test("knn classify: Scala top-k vote recompute matches") {
