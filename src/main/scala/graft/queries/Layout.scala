@@ -115,6 +115,34 @@ object Layout {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Shard count for the deterministic corpus shuffle. */
+  val NShards = 8L
+
+  /** Deterministic global shuffle + shard assignment — the
+    * shuffle-then-shard pass a training pipeline runs before writing
+    * fixed-count output shards: every document gets an md5-derived
+    * pseudorandom position in a full corpus permutation, and shards are
+    * dealt round-robin off that order (sizes exactly balanced ±1).
+    * Reproducible anywhere: the permutation is a pure function of doc
+    * ids — no rand(), no partitioning dependence. Scale shape: the
+    * position is [[GlobalRank.withRank]] over the hash (range-partitioned
+    * sort + broadcast offsets — no single-partition window), and the
+    * shard arithmetic is narrow.
+    */
+  def qShuffleShard(s: SparkSession, d: String): DataFrame = {
+    val key = graft.text.TextOps.hash56(
+      concat(lit("shuf:"), col("doc_id").cast("string")))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), key.as("shuffle_key"))
+    GlobalRank
+      .withRank(base, Seq(col("shuffle_key"), col("doc_id")), "shuffle_pos",
+        "n_total")
+      .withColumn("shard", (col("shuffle_pos") - 1) % NShards)
+      .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"),
+        col("shard"), col("n_total"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q_zorder_curve" ->
       s"""SELECT p_partkey, x, y, ${zvalueSql("x", "y")} AS zval
@@ -159,12 +187,29 @@ object Layout {
          |SELECT CAST(((rn - 1) * $EquidepthK) // n AS BIGINT) AS bucket,
          |  count(*) AS n_rows, min(cents) AS lo_cents,
          |  max(cents) AS hi_cents
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_shuffle_shard" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST('0x'||substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),1,14)
+         |         AS BIGINT) AS shuffle_key
+         |  FROM documents),
+         |r AS (SELECT doc_id, shuffle_key,
+         |        row_number() OVER (ORDER BY shuffle_key, doc_id)
+         |          AS shuffle_pos,
+         |        count(*) OVER () AS n_total
+         |      FROM t)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+         |  CAST((shuffle_pos - 1) % $NShards AS BIGINT) AS shard,
+         |  CAST(n_total AS BIGINT) AS n_total
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_curve" -> (qZorderCurve _),
     "q_equidepth_bins" -> (qEquidepthBins _),
-    "q_winsorize" -> (qWinsorize _)
+    "q_winsorize" -> (qWinsorize _),
+    "q_shuffle_shard" -> (qShuffleShard _)
   )
 }

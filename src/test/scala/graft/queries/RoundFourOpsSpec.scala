@@ -147,6 +147,32 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("precision_x10000") == both * 10000 / est.size)
   }
 
+  test("shuffle shard: true permutation, hash-ordered, shards balanced ±1") {
+    val rows = Layout.qShuffleShard(spark, sf).collect()
+    val n = rows.length
+    // positions are exactly 1..n (a permutation, no gaps or dups)
+    assert(rows.map(_.getAs[Long]("shuffle_pos")).sorted.toSeq ==
+      (1L to n.toLong))
+    assert(rows.forall(_.getAs[Long]("n_total") == n.toLong))
+    // position order IS (hash, id) order — recomputed in plain Scala
+    val expected = rows.map(r =>
+        (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id"))).sorted
+      .zipWithIndex.map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shuffle_pos") ==
+        expected(r.getAs[Long]("doc_id")), s"pos of doc ${r.get(0)}")
+      assert(r.getAs[Long]("shard") ==
+        (r.getAs[Long]("shuffle_pos") - 1) % Layout.NShards)
+    }
+    // round-robin deal → shard sizes exactly balanced (±1)
+    val sizes = rows.groupBy(_.getAs[Long]("shard")).values.map(_.length)
+    assert(sizes.size == Layout.NShards && sizes.max - sizes.min <= 1)
+    // the permutation actually shuffles: positions aren't id order
+    val byId = rows.sortBy(_.getAs[Long]("doc_id"))
+      .map(_.getAs[Long]("shuffle_pos"))
+    assert(byId.zip(byId.tail).exists { case (a, b) => a > b })
+  }
+
   test("knn classify: Scala top-k vote recompute matches") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()
