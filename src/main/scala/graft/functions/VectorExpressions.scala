@@ -26,11 +26,19 @@ case class DotProduct(left: Expression, right: Expression)
   // ExpectsInputTypes is private[sql] so no implicit-cast contract here.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // nullable even for non-null children: mismatched lengths yield null
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch → null, exactly like the composable
+    // aggregate(zip_with(a, b, _*_), 0d, _+_) form (zip_with pads the
+    // short side with null → null product → null sum). Truncating to
+    // min(n) would instead return a plausible-looking partial score for
+    // a corrupt vector — a silent wrong answer in similarity ranking.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -43,12 +51,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -156,9 +168,15 @@ case class ShingleHash56(child: Expression, k: Int, distinct: Boolean = true)
       md: java.security.MessageDigest): Long = {
     val sb = new java.lang.StringBuilder()
     var j = 0
+    var appended = 0
     while (j < k) {
-      if (j > 0) sb.append(' ')
-      sb.append(toks.getUTF8String(i + j).toString)
+      // skip null tokens like the concat_ws(' ', ...) stack this
+      // replaces (getUTF8String returns null there → NPE otherwise)
+      if (!toks.isNullAt(i + j)) {
+        if (appended > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        appended += 1
+      }
       j += 1
     }
     md.reset()
@@ -204,11 +222,16 @@ case class ShingleHash56(child: Expression, k: Int, distinct: Boolean = true)
       val arr = ctx.freshName("arr")
       val it = ctx.freshName("it")
       val x = ctx.freshName("x")
+      val app = ctx.freshName("appended")
       val windowHash =
         s"""StringBuilder $sb = new StringBuilder();
+           |  int $app = 0;
            |  for (int $j = 0; $j < $k; $j++) {
-           |    if ($j > 0) $sb.append(' ');
-           |    $sb.append($a.getUTF8String($i + $j).toString());
+           |    if (!$a.isNullAt($i + $j)) {
+           |      if ($app > 0) $sb.append(' ');
+           |      $sb.append($a.getUTF8String($i + $j).toString());
+           |      $app++;
+           |    }
            |  }
            |  $mdRef.reset();
            |  byte[] $d = $mdRef.digest($sb.toString().getBytes(java.nio.charset.StandardCharsets.UTF_8));""".stripMargin
@@ -327,22 +350,35 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
 case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
 
+  // bit p is 1L << p: a 65th plane would wrap (java shifts are mod 64)
+  // and silently OR plane p and p-64 into the same sketch bit
+  require(planes.nonEmpty && planes.length <= 64,
+    s"planes.length=${planes.length} must be in [1, 64]")
+  require(planes.map(_.length).distinct.size == 1,
+    "all hyperplanes must share one dimensionality")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_bits"
+  // nullable even for non-null children: a wrong-dimension vector → null
+  override def nullable: Boolean = true
+
+  private val dim = planes.head.length
 
   @transient private lazy val planeArr: Array[Array[Double]] =
     planes.map(_.toArray).toArray
 
   override def nullSafeEval(in: Any): Any = {
     val v = in.asInstanceOf[ArrayData]
+    // mismatch → null, like DotProduct: a truncated dot would emit a
+    // plausible sketch for a corrupt vector and silently degrade recall
+    if (v.numElements() != dim) return null
     var bits = 0L
     var p = 0
     while (p < planeArr.length) {
       val w = planeArr(p)
-      val n = math.min(v.numElements(), w.length)
       var s = 0.0
       var i = 0
-      while (i < n) { s += v.getDouble(i) * w(i); i += 1 }
+      while (i < dim) { s += v.getDouble(i) * w(i); i += 1 }
       if (s > 0) bits |= (1L << p)
       p += 1
     }
@@ -356,19 +392,21 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
       val bits = ctx.freshName("bits")
       val p = ctx.freshName("p")
       val w = ctx.freshName("w")
-      val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |long $bits = 0L;
-         |for (int $p = 0; $p < $planesRef.length; $p++) {
-         |  double[] $w = $planesRef[$p];
-         |  int $n = java.lang.Math.min($a.numElements(), $w.length);
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $w[$i]; }
-         |  if ($s > 0) $bits |= (1L << $p);
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $bits = 0L;
+         |  for (int $p = 0; $p < $planesRef.length; $p++) {
+         |    double[] $w = $planesRef[$p];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) { $s += $a.getDouble($i) * $w[$i]; }
+         |    if ($s > 0) $bits |= (1L << $p);
+         |  }
+         |  ${ev.value} = $bits;
          |}
-         |${ev.value} = $bits;
        """.stripMargin
     })
   }

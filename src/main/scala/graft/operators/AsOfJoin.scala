@@ -29,8 +29,15 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String],
       rightTiebreak: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{NumericType, StructType}
     val leftCols = left.columns.toSeq
+    // a non-numeric tiebreak would cast('long') to all-null — a silent
+    // no-op that reintroduces the nondeterminism the parameter exists to
+    // prevent. Fail at construction instead.
+    rightTiebreak.foreach { c =>
+      require(right.schema(c).dataType.isInstanceOf[NumericType],
+        s"rightTiebreak '$c' must be numeric, got ${right.schema(c).dataType}")
+    }
     val tb = rightTiebreak.map(c => col(c).cast("long"))
       .getOrElse(lit(0L))
     // Carry the matched right row as ONE struct: per-column carries with
@@ -45,7 +52,16 @@ object AsOfJoin {
       .withColumn("__tb", lit(0L))
       .select(Seq(col("__t"), col("__side"), col("__tb")) ++ leftCols.map(col)
         :+ lit(null).cast(rStructType).as("__r"): _*)
+    // join semantics: a null-keyed or null-timed right row matches
+    // NOTHING. Unfiltered, a null rightTime sorts FIRST under asc (Spark
+    // nulls-first) and becomes the carried match for every early left
+    // row, and null keys would pair up inside the window's null
+    // partition — both silent wrong-output modes of the window
+    // formulation that an equivalent SQL join doesn't have. (Null-keyed
+    // LEFT rows keep their partition, see only left rows after this
+    // filter, and correctly emit null asof_* columns.)
     val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tb", tb)

@@ -27,6 +27,11 @@ object BloomFilterJoin {
   def buildBits(keys: DataFrame, keyCol: String, numBits: Int,
       numHashes: Int): Array[Long] = {
     require(Integer.bitCount(numBits) == 1, s"numBits=$numBits not a power of 2")
+    // < 64 bits allocates a zero-length word array and crashes on the
+    // driver far from the bad argument; 0 hashes crashes mightContain's
+    // empty reduce
+    require(numBits >= 64, s"numBits=$numBits must be >= 64 (one word)")
+    require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
     val pos = explode(array((0 until numHashes).map(i =>
       pmod(xxhash64(lit(i), col(keyCol)), lit(numBits.toLong))): _*))
     val words = keys.select(pos.as("__pos"))
@@ -63,6 +68,15 @@ object BloomFilterJoin {
   def semiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, numBits: Int = 1 << 20,
       numHashes: Int = 5): DataFrame = {
+    // xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash differently)
+    // while the exact semi join below coerces and matches them — mismatched
+    // key types would drop matching probe rows at the prefilter as SILENT
+    // false negatives, violating the never-a-false-negative contract.
+    // Fail at construction; the caller casts one side explicitly.
+    require(probe.schema(probeKey).dataType == build.schema(buildKey).dataType,
+      s"bloom prefilter key types must match exactly: " +
+        s"$probeKey is ${probe.schema(probeKey).dataType}, " +
+        s"$buildKey is ${build.schema(buildKey).dataType}")
     // no distinct() before the build: bit_or dedups positions inherently,
     // and a pre-shuffle distinct would shuffle |build| keys where the
     // bit_or agg's map-side partials shuffle at most numBits/64 words

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Per-row bucket fanout cap, as in [[IntervalJoin.MaxFanout]]: one
+    * corrupt or unit-mismatched endpoint (micros where the bucket width is
+    * in seconds) would otherwise make sequence() build a ~10^9-element
+    * array and kill the job — fail loudly with the offending values.
+    */
+  val MaxFanout = 100000L
+
   /** @param points       rows carrying `pointTime`
     * @param intervals    rows carrying `startCol`/`endCol` (start <= end)
     * @param key          equality key column (same name both sides)
@@ -36,9 +43,22 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
       pointTime: String, startCol: String, endCol: String, bucket: Long,
       endInclusive: Boolean = false): DataFrame = {
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(startCol) / bucket).cast("long"),
-        floor(col(endCol) / bucket).cast("long"))))
+    require(bucket > 0, s"bucket=$bucket must be positive")
+    val (lo, hi) = (floor(col(startCol) / bucket).cast("long"),
+      floor(col(endCol) / bucket).cast("long"))
+    // same in-plan guards as IntervalJoin.overlap: null endpoints drop at
+    // the explode (a null time matches nothing); an inverted interval
+    // (sequence counts DOWN — silent wasted candidates) or an over-wide
+    // fanout raises a named error instead
+    val guarded = when(col(startCol).isNull || col(endCol).isNull,
+      lit(null).cast("array<long>"))
+      .when(col(startCol) <= col(endCol) && hi - lo + 1 <= MaxFanout,
+        sequence(lo, hi))
+      .otherwise(raise_error(concat(
+        lit(s"RangeJoin: invalid interval [$startCol,$endCol]=["),
+        col(startCol), lit(","), col(endCol),
+        lit(s"] (inverted, or fanout > $MaxFanout buckets of $bucket)"))))
+    val iv = intervals.withColumn("__bucket", explode(guarded))
     val pt = points.withColumn("__bucket",
       floor(col(pointTime) / bucket).cast("long"))
     val upper = if (endInclusive) col(pointTime) <= col(endCol)

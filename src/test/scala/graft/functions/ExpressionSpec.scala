@@ -47,7 +47,10 @@ class ExpressionSpec extends SparkSpec {
       (None, Some(Seq(1.0)))).toDF("a", "b")
     val out = df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
     assert(out(0).getDouble(0) == 0.0)
-    assert(out(1).getDouble(0) == 10.0) // min-length semantics
+    // dimension mismatch → null (like zip_with's null-padded product),
+    // NOT a truncated partial sum — a corrupt vector must not produce a
+    // plausible-looking similarity score
+    assert(out(1).isNullAt(0))
     assert(out(2).isNullAt(0))
   }
 
@@ -98,6 +101,23 @@ class ExpressionSpec extends SparkSpec {
     out.foreach(r =>
       assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet
         && r.getSeq[Long](0).size == r.getSeq[Long](1).size))
+  }
+
+  test("ShingleHash56 skips null tokens like the concat_ws stack it replaces") {
+    import spark.implicits._
+    import graft.text.TextOps
+    // ['a', null, 'b', 'c']: windows hash as concat_ws(' ', …) would
+    // join them — nulls dropped, no NPE
+    val df = Seq(Tuple1(Seq(Some("a"), None, Some("b"), Some("c"))))
+      .toDF("toks")
+    val out = df.select(
+      VectorFunctions.shingleHash56(col("toks"), k = 3).as("fast"),
+      transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => TextOps.hash56(concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))).as("slow")).collect()
+    assert(out(0).getSeq[Long](0).toSet == out(0).getSeq[Long](1).toSet)
   }
 
   test("ShingleHash56 positional mode matches per-window composable hashes") {

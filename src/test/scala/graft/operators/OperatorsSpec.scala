@@ -82,4 +82,64 @@ class OperatorsSpec extends SparkSpec {
       assert(got == naive(inc) && got.nonEmpty, s"endInclusive=$inc")
     }
   }
+
+  test("AsOfJoin: null-keyed/null-timed right rows match nothing; " +
+    "non-numeric tiebreak rejected") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 10L)).toDF("k", "t")
+      .withColumn("k", when(col("k") === 2L, lit(null).cast("long"))
+        .otherwise(col("k")))
+    // right: a null-time row on key 1 (sorts FIRST under asc — would be
+    // carried into every frame unfiltered) and a null-key early row
+    val right = Seq(
+      (Some(1L), Some(5L), "real"),
+      (Some(1L), None, "null-time"),
+      (None, Some(1L), "null-key")
+    ).map { case (k, t, v) => (k, t, v) }.toDF("k", "t", "v")
+    val out = AsOfJoin.lastBefore(left, right, "k", "t", "t", Seq("v"))
+      .orderBy(col("k")).collect()
+    // null-keyed LEFT row: no match (join semantics), not the null-key
+    // right row that shares its window partition
+    assert(out(0).isNullAt(0) && out(0).isNullAt(2), out(0).toString)
+    // key 1 matches the real t=5 row, never the null-time row
+    assert(out(1).getAs[String]("asof_v") == "real")
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoin.lastBefore(left, right, "k", "t", "t", Seq("v"),
+        rightTiebreak = Some("v"))
+    }
+    assert(err.getMessage.contains("must be numeric"))
+  }
+
+  test("BloomFilterJoin: mismatched key types and degenerate params rejected") {
+    import spark.implicits._
+    val ints = Seq(5, 6).toDF("k")
+    val longs = Seq(5L, 7L).toDF("k2")
+    // int vs bigint would hash differently under xxhash64 → silent false
+    // negatives; the operator must refuse instead
+    val err = intercept[IllegalArgumentException] {
+      BloomFilterJoin.semiJoin(longs, ints, "k2", "k")
+    }
+    assert(err.getMessage.contains("key types must match"))
+    assert(intercept[IllegalArgumentException] {
+      BloomFilterJoin.buildBits(longs, "k2", numBits = 32, numHashes = 5)
+    }.getMessage.contains(">= 64"))
+    assert(intercept[IllegalArgumentException] {
+      BloomFilterJoin.buildBits(longs, "k2", numBits = 64, numHashes = 0)
+    }.getMessage.contains(">= 1"))
+  }
+
+  test("RangeJoin: inverted interval raises; null endpoints match nothing") {
+    import spark.implicits._
+    val pts = Seq((1L, 11L, 5L)).toDF("k", "pt_id", "t")
+    val badIv = Seq((1L, 101L, 20L, 10L)).toDF("k", "iv_id", "st", "en")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, badIv, "k", "t", "st", "en", 10L)
+        .collect()
+    }
+    assert(e.getMessage.contains("invalid interval"), e.getMessage)
+    val nullIv = Seq((1L, 102L, Some(1L), Option.empty[Long]))
+      .toDF("k", "iv_id", "st", "en")
+    assert(RangeJoin.pointInInterval(pts, nullIv, "k", "t", "st", "en", 10L)
+      .count() == 0)
+  }
 }
