@@ -26,9 +26,16 @@ object CdcMaterialize {
         col(s"envelope.before.$keyField")).as("_key"),
       col("envelope.source.lsn").as("_lsn"),
       col("envelope.op").as("_op"),
-      col("envelope.after").as("_after"))
+      col("envelope.after").as("_after"),
+      col("envelope.ts_ms").as("_ts"),
+      md5(to_json(col("envelope.after"))).as("_fp"))
+    // ts_ms + payload-fingerprint tiebreaks: two envelopes tying on
+    // (lsn, op) — e.g. a RE-snapshot's second op='r' image, both with
+    // null lsn — would otherwise pick a partition-order-dependent winner.
+    // Spark desc is nulls-LAST, so any live lsn beats every snapshot row.
     val w = Window.partitionBy(col("_key"))
-      .orderBy(col("_lsn").desc, col("_op"))
+      .orderBy(col("_lsn").desc, col("_op"),
+        col("_ts").desc, col("_fp"))
     keyed.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col("_op") =!= "d")
       .select(col("_after.*"), col("_lsn").as("last_lsn"))

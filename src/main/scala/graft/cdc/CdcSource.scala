@@ -89,6 +89,12 @@ object CdcSource {
       fixedTsMs: Option[Long] = None): DataFrame = {
     val tsMs = fixedTsMs.map(lit(_).cast("long"))
       .getOrElse((unix_timestamp(current_timestamp()) * 1000).cast("long"))
+    // ignoreNullFields=false: Debezium emits EVERY column and block —
+    // "before": null, "lsn": null, and a NULL column as "email": null.
+    // Default to_json would drop those keys, so a null-valued column
+    // became indistinguishable from an absent one and downstream
+    // key-presence semantics (has_email_key, field_count) diverged from
+    // real connector output.
     rows.select(to_json(struct(
       lit(null).cast(StructType(rows.schema.fields)).as("before"),
       struct(rows.columns.map(col): _*).as("after"),
@@ -105,7 +111,7 @@ object CdcSource {
         lit(null).cast("long").as("lsn")).as("source"),
       lit("r").as("op"),
       tsMs.as("ts_ms")
-    )).as("value"))
+    ), Map("ignoreNullFields" -> "false")).as("value"))
   }
 
   /** S2 (JDBC variant): initial snapshot read straight from the source
@@ -179,7 +185,7 @@ object CdcSource {
         lsn.cast("long").as("lsn")).as("source"),
       lit(op).as("op"),
       tsMs.as("ts_ms")
-    )).as("value"))
+    ), Map("ignoreNullFields" -> "false")).as("value"))
   }
 
   /** S3: table include filter — restrict a multi-table envelope stream to one

@@ -86,8 +86,12 @@ object Enrich {
     * (see [[graft.functions.EnvelopeStats]]).
     */
   def dataQualityStruct(hasBefore: Column, hasAfter: Column,
-      afterKeyCount: Column): Column = {
-    val fieldCount = when(hasAfter, afterKeyCount).otherwise(0)
+      afterKeyCount: Column, afterSize: Column = lit(null)): Column = {
+    // python len(after): dict → key count; string/array → after_size
+    // (rows where len() would RAISE never reach this — they passthrough
+    // on stats.after_raises)
+    val fieldCount = when(hasAfter, coalesce(afterKeyCount, afterSize))
+      .otherwise(0)
     struct(
       hasBefore.as("has_before"),
       hasAfter.as("has_after"),
@@ -128,7 +132,8 @@ object Enrich {
       sourceMetadataStruct(env.getField("source"),
         col("stats.source_nonempty")).as("source_metadata"),
       dataQualityStruct(col("stats.has_before"), col("stats.has_after"),
-        col("stats.after_key_count")).as("data_quality"),
+        col("stats.after_key_count"), col("stats.after_size"))
+        .as("data_quality"),
       customerInsightsStruct(col("stats.has_email_key"),
         col("stats.email")).as("customer_insights"),
       processingMetadataStruct(df, cfg).as("processing_metadata")))
@@ -142,17 +147,34 @@ object Enrich {
     */
   def apply(df: DataFrame, cfg: EnrichConfig = EnrichConfig()): DataFrame = {
     val parsed = withEnrichment(CdcEnvelope.parse(df), cfg)
-    // Reference bug-compat: an `email` KEY present with ANY non-string value
-    // (JSON null, number, bool, object, array) makes the Python
-    // `"@" in email` raise TypeError, which the outer except turns into raw
-    // passthrough (py:85,104-107) — not an enriched record with null
-    // insights. `stats.email_nonstring` records exactly that JSON-type fact.
-    val emailTypeError = coalesce(col("stats.email_nonstring"), lit(false))
+    // Reference bug-compat — every path where the Python raises inside the
+    // try and the outer except returns the raw bytes (py:104-107):
+    //  - an `email` KEY with ANY non-string value ("@" in None TypeError,
+    //    py:85) — `stats.email_nonstring`;
+    //  - `after` as number/bool (len TypeError) or a string/array
+    //    containing "email" (after.get AttributeError) —
+    //    `stats.after_raises`;
+    //  - `source` present as anything but an object, null included
+    //    (source.get AttributeError at the final log line, py:101) —
+    //    `stats.source_raises`.
+    val pyRaises = coalesce(col("stats.email_nonstring"), lit(false)) ||
+      col("stats.after_raises") || col("stats.source_raises")
     parsed.withColumn("value_out",
-      when(col("envelope").isNull || emailTypeError,
+      when(col("envelope").isNull || pyRaises,
         col("value"))
-        .otherwise(to_json(struct(
-          col("envelope").as("original"),
-          col("enrichment")))))
+        // `original` is the INPUT BYTES spliced verbatim, not the typed
+        // struct re-serialized: the typed re-serialization dropped
+        // unknown keys and (under to_json's default ignoreNullFields)
+        // explicit JSON nulls — so "email": null in `after` vanished and
+        // consumers couldn't distinguish set-to-NULL from absent. The
+        // reference re-serializes the parsed dict (json.dumps), which
+        // also preserves every key and explicit null. The enrichment
+        // struct still uses to_json's null-dropping: there it is the
+        // faithful choice, mirroring python's conditionally-ABSENT
+        // sub-dicts (timestamps/source_metadata/customer_insights).
+        .otherwise(concat(
+          lit("{\"original\":"), col("value"),
+          lit(",\"enrichment\":"), to_json(col("enrichment")),
+          lit("}"))))
   }
 }

@@ -35,6 +35,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *     object, false for missing/null/`{}`, true otherwise;
   *   - trailing garbage after the root object marks the row invalid (py's
   *     `json.loads` raises on it).
+  *
+  * Exception-path facts (the reference's outer `except` turns each into
+  * raw passthrough — see `Enrich.apply`):
+  *   - `after_raises`: python raises before producing output — `after` is
+  *     a number/bool (`len(after)` TypeError at py:76/78, including falsy
+  *     0/false via the un-short-circuited `len(after) > 0`), or a
+  *     non-empty string CONTAINING "email" / an array containing the
+  *     string element "email" (the `in` test passes, then
+  *     `after.get("email")` AttributeError at py:83);
+  *   - `after_size`: python `len(after)` for the non-raising non-dict
+  *     sizeables — string length in chars, array element count (dynamic
+  *     `field_count` when after isn't an object); null otherwise;
+  *   - `source_raises`: the `source` KEY is present with a non-dict value
+  *     (including JSON null): `message.get("source", {})` returns it
+  *     verbatim and the end-of-function log line
+  *     `source.get('table', 'unknown')` (py:101) raises AttributeError
+  *     even for falsy values the `if source:` gate skipped.
   */
 case class EnvelopeStats(child: Expression) extends UnaryExpression {
 
@@ -62,21 +79,27 @@ object EnvelopeStats {
     StructField("has_email_key", BooleanType, nullable = true),
     StructField("email", StringType, nullable = true),
     StructField("email_nonstring", BooleanType, nullable = true),
-    StructField("source_nonempty", BooleanType, nullable = true)
+    StructField("source_nonempty", BooleanType, nullable = true),
+    StructField("after_size", IntegerType, nullable = true),
+    StructField("after_raises", BooleanType, nullable = false),
+    StructField("source_raises", BooleanType, nullable = false)
   ))
 
   private val factory = new JsonFactory()
 
   private def fresh(): GenericInternalRow = {
-    val r = new GenericInternalRow(8)
-    r.update(0, false) // is_object
-    r.update(1, false) // has_before
-    r.update(2, false) // has_after
-    r.update(3, null)  // after_key_count
-    r.update(4, null)  // has_email_key
-    r.update(5, null)  // email
-    r.update(6, null)  // email_nonstring
-    r.update(7, false) // source_nonempty (missing source == {} is falsy)
+    val r = new GenericInternalRow(11)
+    r.update(0, false)  // is_object
+    r.update(1, false)  // has_before
+    r.update(2, false)  // has_after
+    r.update(3, null)   // after_key_count
+    r.update(4, null)   // has_email_key
+    r.update(5, null)   // email
+    r.update(6, null)   // email_nonstring
+    r.update(7, false)  // source_nonempty (missing source == {} is falsy)
+    r.update(8, null)   // after_size
+    r.update(9, false)  // after_raises
+    r.update(10, false) // source_raises
     r
   }
 
@@ -102,6 +125,33 @@ object EnvelopeStats {
               // like Python's dict
               row.update(3, null); row.update(4, null)
               row.update(5, null); row.update(6, null)
+              row.update(8, null); row.update(9, false)
+              if (vt == JsonToken.VALUE_NUMBER_INT ||
+                  vt == JsonToken.VALUE_NUMBER_FLOAT ||
+                  vt == JsonToken.VALUE_TRUE || vt == JsonToken.VALUE_FALSE) {
+                // len(number/bool) raises TypeError — even for 0/false,
+                // via is_complete's un-short-circuited len(after) > 0
+                row.update(9, true)
+              } else if (vt == JsonToken.VALUE_STRING) {
+                val s0 = p.getText
+                row.update(8, s0.length)
+                // "email" in "..." is a substring test; the subsequent
+                // after.get("email") then raises AttributeError
+                if (s0.contains("email")) row.update(9, true)
+              } else if (vt == JsonToken.START_ARRAY) {
+                var cnt = 0
+                var hasEmailElem = false
+                while (p.nextToken() != JsonToken.END_ARRAY) {
+                  if (p.currentToken() == JsonToken.VALUE_STRING &&
+                      p.getText == "email") hasEmailElem = true
+                  p.skipChildren()
+                  cnt += 1
+                }
+                row.update(8, cnt)
+                // "email" in [...] is element membership; after.get then
+                // raises AttributeError
+                if (hasEmailElem) row.update(9, true)
+              }
               if (vt == JsonToken.START_OBJECT) {
                 // unique keys, like Python's len(json.loads(...)) — dup
                 // keys collapse (and the email value takes the LAST
@@ -133,6 +183,7 @@ object EnvelopeStats {
               } else p.skipChildren()
             case "source" =>
               if (vt == JsonToken.START_OBJECT) {
+                row.update(10, false) // dup keys: last occurrence wins
                 var cnt = 0
                 while (p.nextToken() == JsonToken.FIELD_NAME) {
                   p.nextToken()
@@ -142,8 +193,10 @@ object EnvelopeStats {
                 row.update(7, cnt > 0)
               } else if (vt == JsonToken.VALUE_NULL) {
                 row.update(7, false)
+                row.update(10, true) // None.get('table') at the log line
               } else {
                 row.update(7, null)
+                row.update(10, true) // <scalar/array>.get AttributeError
                 p.skipChildren()
               }
             case _ => p.skipChildren()

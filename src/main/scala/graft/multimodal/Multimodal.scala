@@ -63,7 +63,9 @@ object Multimodal {
       * and truncates payload proportionally (deterministic).
       */
     def resize(rec: MediaRecord, w: Int, h: Int): MediaRecord = {
-      val scale = if (rec.width * rec.height == 0) 1.0
+      // long arithmetic in the guard too: 65536×65536 overflows Int to
+      // exactly 0 and would silently no-op the resize
+      val scale = if (rec.width.toLong * rec.height == 0) 1.0
         else (w.toLong * h).toDouble / (rec.width.toLong * rec.height)
       val n = math.max(1, math.min(rec.content.length,
         math.round(rec.content.length * scale).toInt))
@@ -74,11 +76,16 @@ object Multimodal {
       * frame is a fixed-size byte slice.
       */
     def sampleFrames(rec: MediaRecord, everyK: Int, frameBytes: Int = 64): Seq[MediaRecord] = {
+      require(everyK >= 1, s"everyK=$everyK must be >= 1")
+      require(frameBytes >= 1, s"frameBytes=$frameBytes must be >= 1")
       if (rec.kind != "video" || rec.n_frames == 0) Seq(rec)
       else rec.content.grouped(frameBytes).zipWithIndex
         .filter(_._2 % everyK == 0)
         .map { case (frame, idx) =>
-          rec.copy(media_id = rec.media_id * 10000 + idx, content = frame,
+          // frame id = media_id in the high 32 bits: a dense multiplier
+          // (×10000) collided once a video exceeded 10000 frames —
+          // frame (1, 10000) == frame (2, 0)
+          rec.copy(media_id = (rec.media_id << 32) + idx, content = frame,
             n_frames = 1)
         }.toSeq
     }

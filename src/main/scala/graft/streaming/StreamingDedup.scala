@@ -75,9 +75,13 @@ object StreamingDedup {
       index.select(col("band_key"), col("doc_id").as("dup_of"),
         col("sig").as("sig_b")),
       Seq("band_key"))
-      // a replayed batch (at-least-once) finds its own rows already in the
-      // index; a doc must never be reported as a duplicate of itself
-      .filter(col("doc_id") =!= col("dup_of"))
+      // dup_of < doc_id enforces the earlier-doc-wins invariant under
+      // at-least-once REPLAY too: a replayed batch finds its own rows in
+      // the index in BOTH directions (and itself, ==), and `=!=` alone
+      // would emit a (doc, LATER-doc) verdict no first run can produce.
+      // Doc ids are arrival-ordered — the same assumption the in-batch
+      // pairing below already makes.
+      .filter(col("dup_of") < col("doc_id"))
     val inBatch = bands.join(
       bands.select(col("band_key"), col("doc_id").as("dup_of"),
         col("sig").as("sig_b")),
@@ -89,8 +93,12 @@ object StreamingDedup {
       .withColumn("matched", matchedSlots(col("sig"), col("sig_b")))
       .filter(col("matched") >= TextOps.MinhashParams.size / 2)
       .select(col("doc_id"), col("dup_of"), col("matched"))
+    // partitionBy(band_key): the candidate join equi-joins on band_key,
+    // so dynamic partition pruning reads only the band directories the
+    // batch actually touches — O(batch·bands) files per trigger, not a
+    // rescan of the whole accumulated corpus index
     bands.select(col("band_key"), col("doc_id"), col("sig"))
-      .write.mode("append").parquet(indexPath)
+      .write.mode("append").partitionBy("band_key").parquet(indexPath)
     verdicts
   }
 

@@ -175,4 +175,51 @@ class EnrichSpec extends SparkSpec {
     assert(out.contains("\"operation\":{\"code\":\"c\",\"label\":\"CREATE\",\"is_mutation\":true}"))
     assert(out.contains("\"processing_time_iso\":\"2026-01-01T00:00:00\""))
   }
+
+  test("original preserves the input bytes: explicit nulls and unknown keys") {
+    // "email": null must SURVIVE into original (set-to-NULL vs absent is
+    // real data); unknown keys too — the input is spliced verbatim
+    val in = """{"after":{"id":1,"custom_tag":"x"},"op":"c","ts_ms":5}"""
+    val out = one(in).getString(one(in).fieldIndex("value_out"))
+    assert(out.startsWith("{\"original\":" + in + ",\"enrichment\":"))
+  }
+
+  test("python-raise paths pass the raw bytes through (P18 parity)") {
+    // each reaches a line that raises in the reference → except → raw
+    val raises = Seq(
+      """{"op":"c","after":7,"ts_ms":5}""",            // len(7) TypeError
+      """{"op":"c","after":0}""",                      // len(0) in is_complete
+      """{"op":"c","after":true}""",                   // len(True) TypeError
+      """{"op":"c","after":"my email addr"}""",        // "email" in str → .get AttributeError
+      """{"op":"c","after":["email","x"]}""",          // "email" in list → .get AttributeError
+      """{"op":"c","after":{"id":1},"source":null}""", // None.get at log line
+      """{"op":"c","after":{"id":1},"source":"abc"}""",// str.get at log line
+      """{"op":"c","after":{"id":1},"source":[1]}""")  // list.get at log line
+    raises.foreach { in =>
+      assert(one(in).getString(one(in).fieldIndex("value_out")) == in, in)
+    }
+  }
+
+  test("len()-able non-dict after enriches with python len semantics") {
+    // after = string without "email": len(str) = chars → field_count;
+    // no customer_insights (the email branch is never taken)
+    val s = one("""{"op":"c","after":"abcde","ts_ms":5}""")
+    val dq = s.getStruct(s.fieldIndex("enrichment"))
+      .getStruct(s.getStruct(s.fieldIndex("enrichment")).fieldIndex("data_quality"))
+    assert(dq.getInt(2) == 5 && dq.getBoolean(3), "field_count=len('abcde')")
+    assert(s.getString(s.fieldIndex("value_out")).contains("\"enrichment\""))
+    // after = array without "email" element: len(list) = element count
+    val a = one("""{"op":"c","after":[1,2,3],"ts_ms":5}""")
+    val adq = a.getStruct(a.fieldIndex("enrichment"))
+      .getStruct(a.getStruct(a.fieldIndex("enrichment")).fieldIndex("data_quality"))
+    assert(adq.getInt(2) == 3 && adq.getBoolean(3), "field_count=len([1,2,3])")
+    // empty string/array: falsy → field_count 0, is_complete false, enriched
+    for (in <- Seq("""{"op":"c","after":""}""", """{"op":"c","after":[]}""")) {
+      val r = one(in)
+      val e = r.getStruct(r.fieldIndex("enrichment"))
+      val d = e.getStruct(e.fieldIndex("data_quality"))
+      assert(d.getInt(2) == 0 && !d.getBoolean(3), in)
+      assert(r.getString(r.fieldIndex("value_out")).contains("\"enrichment\""), in)
+    }
+  }
 }
