@@ -405,6 +405,11 @@ object Dedup {
     */
   val EmbedBlockBits = 6
 
+  /** Cosine threshold shared by every embedding near-dup operator
+    * (pair gates + semantic dedup); inlined as `0.4` in the oracles.
+    */
+  val EmbedCosT = 0.4
+
   /** Embedding-cosine near-dup pairs (threshold 0.4), exact WITHIN
     * hyperplane super-blocks — the bounded exact baseline. A true
     * all-pairs crossJoin is O(n²) and dies at corpus scale, so the exact
@@ -434,7 +439,7 @@ object Dedup {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= EmbedCosT)
       .select(col("vec_a"), col("vec_b"), round(col("cos") * 10000).cast("long").as("cos_x10000"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -476,10 +481,91 @@ object Dedup {
     cands.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cos",
         VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= EmbedCosT)
       .select(col("vec_a"), col("vec_b"),
         round(col("cos") * 10000).cast("long").as("cos_x10000"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Semantic dedup (SemDeDup-shaped): assign every embedding to its
+    * nearest coarse-quantizer cell (the same deterministic pivot scheme
+    * [[Similarity.qAnnIvf]] uses), then within each cell drop any vector
+    * that has an EARLIER near-duplicate (cosine ≥ [[EmbedCosT]]) — the
+    * cluster-then-prune pass a corpus pipeline runs to remove
+    * semantically-redundant documents that no lexical dedup catches.
+    * Keep-earliest gives a deterministic canonical per duplicate set.
+    *
+    * Scale shape: cell assignment is a broadcast nested loop against the
+    * bounded pivot set folded map-side (one row per vector reaches the
+    * shuffle); the prune join is an EQUI-join on the cell key — exact
+    * cosine only within cells, no corpus×corpus product. Cross-cell
+    * duplicate pairs are the recall tradeoff, exactly as in the
+    * published algorithm (within-cluster pruning only).
+    */
+  def qSemdedup(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: the cell frame feeds both sides of the pair join and
+    // the verdict projection
+    val cells = Similarity.nearestCells(Similarity.assignedPivots(s, d))
+      .localCheckpoint()
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("norm_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("norm_b"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= EmbedCosT)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"),
+        count(lit(1)).as("n_earlier_dups"))
+    cells.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("is_kept"),
+        // -1 sentinel, not NULL: a nullable int64 turns into float64+NaN
+        // on the pandas side of the gate
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cross-corpus overlap audit: for every pair of document sources, the
+    * shared distinct-shingle count plus Jaccard and containment ratios —
+    * the "how much does source A duplicate source B" matrix a pipeline
+    * consults before fixing mixture weights (high containment means the
+    * smaller corpus is mostly inside the bigger one and adds little).
+    *
+    * Scale shape: one distinct over slim (source, shingle-hash) pairs —
+    * the corpus's only wide shuffle, 16 bytes/row; the pair join is an
+    * equi-join on the hash whose per-key fanout is bounded by the source
+    * count (single digits), and every aggregate combines map-side. At
+    * 100 TB add a stop-shingle doc-frequency cap exactly as in the
+    * lexical dedup family.
+    */
+  def qCorpusOverlap(s: SparkSession, d: String): DataFrame = {
+    // shingleHash56: the one-pass codegen expression — no shingle-string
+    // explode+re-hash (the composable form measured ~2× slower here)
+    val srcShingles = Tables.documents(s, d)
+      .select(col("source"),
+        explode(VectorFunctions.shingleHash56(
+          TextOps.tokens(col("text")))).as("h"))
+      .distinct()
+      .localCheckpoint() // feeds the totals AND both pair-join sides
+    val totals = srcShingles.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    srcShingles.select(col("source").as("source_a"), col("h"))
+      .join(srcShingles.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(totals.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(totals.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("common"), col("na"), col("nb"),
+        TextOps.idiv(col("common") * 10000L,
+          col("na") + col("nb") - col("common")).as("jaccard_x10000"),
+        TextOps.idiv(col("common") * 10000L,
+          least(col("na"), col("nb"))).as("containment_x10000"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   // ---------------------------------------------------------------------
@@ -669,7 +755,59 @@ object Dedup {
          |                JOIN n b ON cand.vec_b = b.vec_id)
          |SELECT vec_a, vec_b, CAST(round(cos*10000) AS BIGINT) AS cos_x10000
          |FROM p WHERE cos >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH ${Similarity.normCte},
+         |piv AS (SELECT vec_id AS pivot_id, v AS pv, norm AS pnorm
+         |        FROM n WHERE vec_id % ${Similarity.PivotMod} = 0),
+         |a AS (SELECT c.vec_id, p.pivot_id,
+         |        list_aggregate(list_transform(range(1, 65),
+         |          i -> c.v[i]*p.pv[i]), 'sum') / (c.norm*p.pnorm) AS pcos
+         |      FROM n c CROSS JOIN piv p),
+         |cell AS (SELECT vec_id, pivot_id AS cell FROM
+         |         (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY pcos DESC, pivot_id) AS prn FROM a)
+         |         WHERE prn = 1),
+         |pr AS (SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b,
+         |         list_aggregate(list_transform(range(1, 65),
+         |           i -> va.v[i]*vb.v[i]), 'sum') / (va.norm*vb.norm) AS cos
+         |       FROM cell ca JOIN cell cb
+         |         ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         |         JOIN n va ON va.vec_id = ca.vec_id
+         |         JOIN n vb ON vb.vec_id = cb.vec_id),
+         |dup AS (SELECT vec_b AS vec_id, min(vec_a) AS dup_of,
+         |          count(*) AS n_earlier_dups
+         |        FROM pr WHERE cos >= 0.4 GROUP BY 1)
+         |SELECT c.vec_id, c.cell,
+         |  dup.vec_id IS NULL AS is_kept,
+         |  CAST(coalesce(dup.dup_of, -1) AS BIGINT) AS dup_of,
+         |  CAST(coalesce(dup.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups
+         |FROM cell c LEFT JOIN dup ON c.vec_id = dup.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
+
+    "q_corpus_overlap" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |sh AS (SELECT DISTINCT source, h FROM (
+         |         SELECT source, unnest(list_transform(
+         |           range(1, greatest(len(toks)-2, 0)+1),
+         |           i -> ${h56("toks[i]||' '||toks[i+1]||' '||toks[i+2]")})) AS h
+         |         FROM t)),
+         |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         count(*) AS common
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(common AS BIGINT) AS common,
+         |  CAST(ta.n AS BIGINT) AS na, CAST(tb.n AS BIGINT) AS nb,
+         |  CAST(common*10000 // (ta.n + tb.n - common) AS BIGINT)
+         |    AS jaccard_x10000,
+         |  CAST(common*10000 // least(ta.n, tb.n) AS BIGINT)
+         |    AS containment_x10000
+         |FROM pr JOIN tot ta ON pr.source_a = ta.source
+         |        JOIN tot tb ON pr.source_b = tb.source
+         |ORDER BY source_a, source_b""".stripMargin
   )
 
   /** The recall oracle composes the exact and estimated pair oracles
@@ -703,6 +841,8 @@ object Dedup {
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
-    "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _)
+    "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
+    "q_semdedup" -> (qSemdedup _),
+    "q_corpus_overlap" -> (qCorpusOverlap _)
   )
 }

@@ -193,6 +193,34 @@ object Similarity {
   val PivotMod = 61
   val NProbe = 2
 
+  /** Every vector crossed with the broadcast pivot set, pivot cosine
+    * attached — the coarse-quantizer assignment frame shared by
+    * [[qAnnIvf]] and the semantic dedup gate ([[Dedup.qSemdedup]]).
+    * Pivots are tiny by construction, so the crossJoin is a broadcast
+    * nested loop over a bounded side, not a corpus×corpus product.
+    */
+  private[queries] def assignedPivots(s: SparkSession, d: String): DataFrame = {
+    val vecs = vecsWithNorm(s, d).localCheckpoint()
+    val pivots = vecs.filter(col("vec_id") % PivotMod === 0)
+      .select(col("vec_id").as("pivot_id"), col("v").as("pv"),
+        col("norm").as("pnorm"))
+    vecs.crossJoin(broadcast(pivots))
+      .withColumn("pcos",
+        VectorFunctions.dot(col("v"), col("pv")) / (col("norm") * col("pnorm")))
+  }
+
+  /** Nearest-cell reduction of [[assignedPivots]] → (vec_id, cell, v,
+    * norm). Nearest pivot without a corpus-wide window: max_by over
+    * (pcos, -pivot_id) == row_number()=1 under (pcos DESC, pivot_id) —
+    * the tiebreak key is unique, and the aggregate combines map-side.
+    */
+  private[queries] def nearestCells(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("pivot_id"),
+          struct(col("pcos"), (-col("pivot_id")).as("nb"))).as("cell"),
+        first(col("v")).as("v"), first(col("norm")).as("norm"))
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest pivot
     * cell, probe the [[NProbe]] nearest cells per query, exact cosine +
     * top-k only within probed cells. The third classic ANN shape beside
@@ -207,23 +235,10 @@ object Similarity {
     * product anywhere.
     */
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val vecs = vecsWithNorm(s, d).localCheckpoint()
-    val pivots = vecs.filter(col("vec_id") % PivotMod === 0)
-      .select(col("vec_id").as("pivot_id"), col("v").as("pv"),
-        col("norm").as("pnorm"))
-    val assigned = vecs.crossJoin(broadcast(pivots))
-      .withColumn("pcos",
-        VectorFunctions.dot(col("v"), col("pv")) / (col("norm") * col("pnorm")))
-    // nearest pivot without a corpus-wide window: max_by over (pcos,
-    // -pivot_id) == row_number()=1 under (pcos DESC, pivot_id) — the
-    // tiebreak key is unique, and the aggregate combines map-side
-    val cells = assigned.groupBy(col("vec_id"))
-      .agg(
-        max_by(col("pivot_id"),
-          struct(col("pcos"), (-col("pivot_id")).as("nb"))).as("cell"),
-        first(col("v")).as("cv"), first(col("norm")).as("cnorm"))
+    val assigned = assignedPivots(s, d)
+    val cells = nearestCells(assigned)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("cv"), col("cnorm"))
+        col("v").as("cv"), col("norm").as("cnorm"))
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("pcos").desc, col("pivot_id"))
     val probes = assigned.filter(isQuery(col("vec_id")))

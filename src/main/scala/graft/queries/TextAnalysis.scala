@@ -354,6 +354,71 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-feature range for the classifier weights: 2001 buckets mapped
+    * to integer weights in [-1000, 1000].
+    */
+  val ClassifierBuckets = 2001L
+
+  /** Classifier-based quality filtering — the fasttext-shaped linear pass
+    * a production corpus runs after the rule-based filters (the
+    * GPT-3/LLaMA "quality classifier" stage): score(doc) = mean over
+    * token occurrences of a per-token weight, keep iff score ≥ 0. The
+    * feature-hashing trick is real (token → hash bucket → weight, no
+    * vocabulary table shipped anywhere); the weight VALUES are a
+    * deterministic stand-in derived from the same engine-agnostic md5
+    * hash both engines compute, standing in for trained parameters the
+    * same way the ANN hyperplanes stand in for a trained quantizer.
+    *
+    * Scale shape: pure narrow scan + one doc-keyed aggregate (map-side
+    * combined) — no vocabulary broadcast, no join: the "model" is O(1)
+    * code, which is exactly why production filters hash features instead
+    * of joining an embedding table. Integer weights make the mean exact.
+    */
+  def qClassifierFilter(s: SparkSession, d: String): DataFrame = {
+    val weight = TextOps.hash56(col("token")) % ClassifierBuckets - 1000L
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), weight.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
+      // sum_w can be negative: truncate toward zero like DuckDB `//` does
+      // for signed dividends (floor-idiv would round -0.4 down to -1)
+      .withColumn("score_x1000",
+        (col("sum_w") * 1000L / col("n_tokens")).cast("long"))
+      .withColumn("verdict",
+        when(col("score_x1000") >= 0, "keep").otherwise("drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-k for the BPE pair-count table. */
+  val BpePairTopK = 50
+
+  /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer
+    * training: count adjacent symbol pairs (here: character bigrams
+    * within whitespace tokens, the iteration-0 alphabet) across the
+    * corpus and surface the top merge candidates. A full BPE trainer
+    * runs this repeatedly with merged symbols; one distributed iteration
+    * is the primitive that makes corpus-scale training feasible.
+    *
+    * Scale shape: narrow explode → one pair-keyed aggregate whose
+    * partials combine map-side (a shard's repeats of "th" collapse to
+    * one row before the shuffle); the top-k is TakeOrderedAndProject,
+    * never a global sort of the pair space.
+    */
+  def qBpePairs(s: SparkSession, d: String): DataFrame = {
+    val pairs = transform(
+      sequence(lit(1), length(col("token")) - 1),
+      i => col("token").substr(i, lit(2)))
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2) // guards sequence(1,0) descending
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpePairTopK)
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles. NOTE: DuckDB lists are 1-indexed; Spark arrays 0-indexed.
   // hash56 twin: CAST('0x'||substr(md5(x),1,14) AS BIGINT).
@@ -520,6 +585,32 @@ object TextAnalysis {
         |FROM b LEFT JOIN tg ON b.doc_id = tg.doc_id
         |ORDER BY b.doc_id""".stripMargin,
 
+    "q_classifier_filter" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |           FROM documents),
+         |w AS (SELECT doc_id,
+         |        CAST('0x'||substr(md5(token),1,14) AS BIGINT)
+         |          % $ClassifierBuckets - 1000 AS w
+         |      FROM t),
+         |a AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS sum_w
+         |      FROM w GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(sum_w AS BIGINT) AS sum_w,
+         |  CAST(sum_w * 1000 // n_tokens AS BIGINT) AS score_x1000,
+         |  CASE WHEN sum_w * 1000 // n_tokens >= 0 THEN 'keep'
+         |       ELSE 'drop' END AS verdict
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |           FROM documents),
+         |p AS (SELECT unnest(list_transform(range(1, length(token)),
+         |        i -> token[i:i+1])) AS pair
+         |      FROM t WHERE length(token) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT $BpePairTopK""".stripMargin,
+
     "q_doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -544,6 +635,8 @@ object TextAnalysis {
     "q_repetition" -> (qRepetition _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_oov_rate" -> (qOovRate _),
-    "q_lm_score" -> (qLmScore _)
+    "q_lm_score" -> (qLmScore _),
+    "q_classifier_filter" -> (qClassifierFilter _),
+    "q_bpe_pairs" -> (qBpePairs _)
   )
 }

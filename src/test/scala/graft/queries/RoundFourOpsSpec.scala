@@ -201,4 +201,124 @@ class RoundFourOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("correct") == (predLabel == qLabel))
     }
   }
+
+  /** Plain-Scala twin of [[graft.text.TextOps.hash56]]. */
+  private def h56(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 14), 16)
+  }
+
+  test("classifier filter: hashed-weight recompute matches; both verdicts occur") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.qClassifierFilter(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1).toSeq
+      val sumW = toks.map(t =>
+        h56(t) % TextAnalysis.ClassifierBuckets - 1000L).sum
+      // truncate toward zero, like the query's double-division cast and
+      // DuckDB's signed //
+      val score = (sumW * 1000.0 / toks.size).toLong
+      assert(r.getAs[Long]("n_tokens") == toks.size.toLong)
+      assert(r.getAs[Long]("sum_w") == sumW, s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("score_x1000") == score)
+      assert(r.getAs[String]("verdict") == (if (score >= 0) "keep" else "drop"))
+    }
+    // a filter that keeps (or drops) everything is vacuous
+    assert(rows.exists(_.getAs[String]("verdict") == "keep"), "none kept")
+    assert(rows.exists(_.getAs[String]("verdict") == "drop"), "none dropped")
+  }
+
+  test("bpe pairs: full pair-count recompute matches the top-k exactly") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; tok <- t.split(" ", -1) if tok.length >= 2;
+         i <- 0 until tok.length - 1) {
+      val p = tok.substring(i, i + 2)
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextAnalysis.BpePairTopK)
+    val rows = TextAnalysis.qBpePairs(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"))).toSeq
+    assert(rows == expect)
+  }
+
+  test("semdedup: cell-assignment + keep-earliest recompute matches") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def norm(v: Array[Double]) = math.sqrt(dot(v, v))
+    val pivots = vecs.filter(_._1 % Similarity.PivotMod == 0)
+    val cellOf = vecs.map { case (id, v) =>
+      val best = pivots.map { case (pid, pv) =>
+        (pid, dot(v, pv) / (norm(v) * norm(pv)))
+      }.minBy { case (pid, pcos) => (-pcos, pid) }
+      id -> best._1
+    }.toMap
+    val byCell = vecs.groupBy { case (id, _) => cellOf(id) }
+    val earlier = vecs.map { case (id, v) =>
+      val dups = byCell(cellOf(id))
+        .filter { case (oid, ov) =>
+          oid < id &&
+            dot(v, ov) / (norm(v) * norm(ov)) >= Dedup.EmbedCosT
+        }.map(_._1)
+      id -> dups
+    }.toMap
+    val rows = Dedup.qSemdedup(spark, sf).collect()
+    assert(rows.length == vecs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val dups = earlier(id)
+      assert(r.getAs[Long]("cell") == cellOf(id), s"cell v$id")
+      assert(r.getAs[Boolean]("is_kept") == dups.isEmpty, s"kept v$id")
+      assert(r.getAs[Long]("dup_of") ==
+        (if (dups.isEmpty) -1L else dups.min), s"dup_of v$id")
+      assert(r.getAs[Long]("n_earlier_dups") == dups.length.toLong)
+    }
+    // the pass must actually prune something, and not everything
+    assert(rows.exists(!_.getAs[Boolean]("is_kept")), "nothing pruned")
+    assert(rows.count(_.getAs[Boolean]("is_kept")) > rows.length / 2,
+      "over-pruning: most of the corpus dropped")
+  }
+
+  test("corpus overlap: per-source shingle-set recompute matches") {
+    val bySource = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        val hs = rs.flatMap { r =>
+          val toks = r.getString(1).split(" ", -1)
+          (0 to toks.length - 3).map(i =>
+            h56(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"))
+        }.toSet
+        src -> hs
+      }
+    val rows = Dedup.qCorpusOverlap(spark, sf).collect()
+    val sources = bySource.keys.toSeq.sorted
+    val expectPairs = for {
+      a <- sources; b <- sources if a < b
+      common = (bySource(a) & bySource(b)).size if common > 0
+    } yield (a, b)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      expectPairs)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val (sa, sb) = (bySource(a), bySource(b))
+      val common = (sa & sb).size.toLong
+      assert(r.getAs[Long]("common") == common, s"$a/$b")
+      assert(r.getAs[Long]("na") == sa.size.toLong)
+      assert(r.getAs[Long]("nb") == sb.size.toLong)
+      assert(r.getAs[Long]("jaccard_x10000") ==
+        common * 10000 / (sa.size + sb.size - common))
+      assert(r.getAs[Long]("containment_x10000") ==
+        common * 10000 / math.min(sa.size, sb.size))
+    }
+  }
 }

@@ -321,7 +321,9 @@ class ScaleShapeSpec extends SparkSpec {
     // set Catalyst can't bound (query vectors / IVF pivots / k-means
     // centroids — fixed-size by design, mod-sampled in the test data).
     val bnljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_kmeans_update",
-      "q_knn_classify", "q_ann_recall")
+      "q_knn_classify", "q_ann_recall",
+      // pivot assignment = crossJoin against the bounded broadcast pivot set
+      "q_semdedup")
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sf)
