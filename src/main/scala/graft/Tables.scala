@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -29,15 +29,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as raw int64 nanos (legacy conf) and convert
-    * with exact integer division (`div`, not `/` — 1.7e18 ns exceeds double
-    * precision) to µs, matching engines that truncate ns → µs on read.
+  /** `events.ts` arrives in whichever physical type the data generator
+    * used — seen in the wild as parquet TIMESTAMP(NANOS) (which Spark 4
+    * refuses to read as a timestamp) and as TIMESTAMP(MICROS) without the
+    * UTC-adjust flag (read as TIMESTAMP_NTZ). Normalize both to the
+    * session-zone TIMESTAMP the rest of the engine (and the UTC-pinned
+    * verify/bench sessions) assume:
+    *  - int64 nanos (legacy conf): exact integer division (`div`, not
+    *    `/` — 1.7e18 ns exceeds double precision) to µs, matching engines
+    *    that truncate ns → µs on read;
+    *  - TIMESTAMP_NTZ: cast to TIMESTAMP, value-preserving under the
+    *    UTC session zone both runner mains pin.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already session-zone TIMESTAMP
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
