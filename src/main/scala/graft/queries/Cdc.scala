@@ -68,7 +68,7 @@ object Cdc {
     * (upper-cased name, lsn=id+10M), delete every 7th (lsn=id+20M) —
     * serialized through the full JSON envelope round-trip and parsed back.
     */
-  private def changeMix(s: SparkSession, d: String): DataFrame = {
+  private def changeMixRaw(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).select(
       col("c_custkey").cast("int").as("id"),
       col("c_name").as("name"),
@@ -83,7 +83,37 @@ object Cdc {
         .withColumn("name", upper(col("name"))),
       "u", col("id") + 10000000L)
     val dels = mk(cust.filter(col("id") % 7 === 0), "d", col("id") + 20000000L)
-    CdcEnvelope.parse(snaps.unionByName(upds).unionByName(dels))
+    snaps.unionByName(upds).unionByName(dels)
+  }
+
+  private def changeMix(s: SparkSession, d: String): DataFrame =
+    CdcEnvelope.parse(changeMixRaw(s, d))
+
+  /** The DataSource V2 CDC table (`format("graft-cdc")`,
+    * [[graft.sources.CdcTableProvider]]) inside the hash gate: the
+    * deterministic change mix is written out as a JSON-lines log
+    * directory, read BACK through the V2 scan — file listing, one
+    * input partition per log file, Jackson parse of the pruned envelope
+    * schema — and folded per op-code into facts the DuckDB oracle
+    * recomputes closed-form from `customer` (counts, key sums per image
+    * side, max lsn). `sum_before_ids` is non-null only for deletes and
+    * `sum_after_ids` only for r/u, so image placement (deletes carry
+    * `before`, the rest carry `after`) is hash-checked too.
+    */
+  def qCdcDsv2Scan(s: SparkSession, d: String): DataFrame = {
+    // fixed per-sf path + overwrite: reruns in one JVM/round reuse the
+    // directory instead of accumulating temp copies
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dsv2_scan_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+    changeMixRaw(s, d).write.mode("overwrite").text(dir)
+    s.read.format("graft-cdc").load(dir)
+      .groupBy(col("op"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("after.id")).as("sum_after_ids"),
+        sum(col("before.id")).as("sum_before_ids"),
+        max(col("source.lsn")).as("max_lsn"))
+      .orderBy(col("op"))
   }
 
   def qCdcLatestState(s: SparkSession, d: String): DataFrame =
@@ -242,6 +272,27 @@ object Cdc {
   }
 
   val oracle: Map[String, String] = Map(
+    // closed-form from the change-mix mod rules: snapshots carry after
+    // (lsn=id), updates carry after (lsn=id+10M), deletes carry before
+    // (lsn=id+20M)
+    "q_cdc_dsv2_scan" ->
+      """SELECT * FROM (
+        |  SELECT 'd' AS op, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(NULL AS BIGINT) AS sum_after_ids,
+        |    CAST(sum(c_custkey) AS BIGINT) AS sum_before_ids,
+        |    CAST(max(c_custkey) + 20000000 AS BIGINT) AS max_lsn
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'r', CAST(count(*) AS BIGINT),
+        |    CAST(sum(c_custkey) AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(max(c_custkey) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'u', CAST(count(*) AS BIGINT),
+        |    CAST(sum(c_custkey) AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(max(c_custkey) + 10000000 AS BIGINT)
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |ORDER BY op""".stripMargin,
     "q_cdc_multi_table" ->
       """SELECT * FROM (
         |  SELECT 'customers' AS source_table,
@@ -342,6 +393,7 @@ object Cdc {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_dsv2_scan" -> (qCdcDsv2Scan _),
     "q_cdc_multi_table" -> (qCdcMultiTable _),
     "q_cdc_enrich" -> (qCdcEnrich _),
     "q_cdc_latest_state" -> (qCdcLatestState _),

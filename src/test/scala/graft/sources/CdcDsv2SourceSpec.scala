@@ -1,0 +1,149 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.CdcEnvelope
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** DataSource V2 CDC table (`format("graft-cdc")`): batch parity with the
+  * `read.text` + `CdcEnvelope.parse` path, parser-level column pruning,
+  * PERMISSIVE malformed-line semantics, offset-tracked streaming tail with
+  * checkpoint resume, and loud failure on out-of-order file names.
+  */
+class CdcDsv2SourceSpec extends SparkSpec {
+
+  private val good =
+    """{"before":null,"after":{"id":7,"name":"Kay","email":"kay@k.org","created_at":1},"source":{"version":"v","connector":"postgresql","name":"dbserver1","ts_ms":5,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":1,"lsn":2},"op":"c","ts_ms":1763741884346}"""
+  private val del =
+    """{"before":{"id":8,"name":"Del","email":null,"created_at":2},"after":null,"source":{"version":"v","connector":"postgresql","name":"dbserver1","ts_ms":6,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":2,"lsn":3},"op":"d","ts_ms":1763741884347}"""
+  private val bad = "not-json{{{"
+
+  private def writeFile(dir: String, name: String, lines: String*): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, name),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  test("batch read matches read.text + CdcEnvelope.parse on every field") {
+    val dir = tmpDir("dsv2_parity")
+    writeFile(dir, "00000.jsonl", good, del)
+    writeFile(dir, "00001.jsonl", bad)
+
+    val v2 = spark.read.format("graft-cdc").load(dir)
+      .select("value", "before", "after", "source", "op", "ts_ms")
+    val baseline = CdcEnvelope.parse(spark.read.text(dir)
+        .withColumnRenamed("value", "raw").withColumn("value", col("raw")))
+      .select(col("value"), col("envelope.before").as("before"),
+        col("envelope.after").as("after"), col("envelope.source").as("source"),
+        col("envelope.op").as("op"), col("envelope.ts_ms").as("ts_ms"))
+
+    assert(v2.schema == baseline.schema)
+    assert(v2.collect().map(_.toString).sorted.toSeq ==
+      baseline.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("malformed line: raw value preserved, typed fields all null") {
+    val dir = tmpDir("dsv2_bad")
+    writeFile(dir, "00000.jsonl", bad)
+    val rows = spark.read.format("graft-cdc").load(dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("value") == bad)
+    assert(r.isNullAt(r.fieldIndex("op")) && r.isNullAt(r.fieldIndex("after")))
+  }
+
+  test("column pruning reaches the scan: select(op) drops value and payloads") {
+    val dir = tmpDir("dsv2_prune")
+    writeFile(dir, "00000.jsonl", good)
+    val df = spark.read.format("graft-cdc").load(dir).select("op")
+    val scanSchemas = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema()
+    }
+    assert(scanSchemas.nonEmpty)
+    val read: StructType = scanSchemas.head
+    assert(read.fieldNames.toSeq == Seq("op"), read.treeString)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
+  test("nested pruning: select(after.id) narrows the payload struct") {
+    val dir = tmpDir("dsv2_nested")
+    writeFile(dir, "00000.jsonl", good, del)
+    val df = spark.read.format("graft-cdc").load(dir)
+      .select(col("after.id").as("id"))
+    val read = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema()
+    }.head
+    assert(!read.fieldNames.contains("value"), read.treeString)
+    val after = read("after").dataType.asInstanceOf[StructType]
+    assert(after.fieldNames.toSeq == Seq("id"), read.treeString)
+    assert(df.collect().map(r => Option(r.get(0))).toSet ==
+      Set(Some(7), None)) // delete carries no after image
+  }
+
+  test("empty and absent directories read as zero rows") {
+    val dir = tmpDir("dsv2_empty")
+    assert(spark.read.format("graft-cdc").load(dir).count() == 0)
+    assert(spark.read.format("graft-cdc").load(dir + "/nope").count() == 0)
+  }
+
+  test("payloadDdl option switches the per-table image schema") {
+    val dir = tmpDir("dsv2_ddl")
+    writeFile(dir, "00000.jsonl",
+      """{"before":null,"after":{"sku":"A-1","qty":3},"source":{"version":"v","connector":"postgresql","name":"dbserver1","ts_ms":5,"snapshot":"false","db":"inventory","schema":"public","table":"parts","txId":1,"lsn":9},"op":"c","ts_ms":1}""")
+    val df = spark.read.format("graft-cdc")
+      .option("payloadDdl", "sku STRING, qty INT").load(dir)
+    val r = df.select("after.sku", "after.qty", "source.table").collect()(0)
+    assert((r.getString(0), r.getInt(1), r.getString(2)) == ("A-1", 3, "parts"))
+  }
+
+  test("micro-batch tail: new files arrive as new batches; checkpoint resume " +
+      "replays nothing") {
+    val dir = tmpDir("dsv2_stream")
+    val cp = tmpDir("dsv2_stream_cp")
+    val out = tmpDir("dsv2_stream_out")
+    writeFile(dir, "00000.jsonl", good)
+
+    // parquet sink: supports checkpoint recovery (memory sink does not),
+    // and its _spark_metadata commit log makes the output exactly-once —
+    // which is precisely what the replay assertion below checks
+    def start() = spark.readStream.format("graft-cdc").load(dir)
+      .select(col("op"), col("after.id").as("id"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    def sunk() = spark.read.parquet(out).collect().map(_.getString(0)).sorted.toSeq
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(sunk() == Seq("c"))
+      writeFile(dir, "00001.jsonl", del, good)
+      q1.processAllAvailable()
+      assert(sunk() == Seq("c", "c", "d"))
+    } finally q1.stop()
+
+    // restart from the checkpoint: the new file flows, committed offsets
+    // must NOT replay (exactly-once across restart)
+    writeFile(dir, "00002.jsonl", del)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(sunk() == Seq("c", "c", "d", "d"))
+    } finally q2.stop()
+  }
+
+  test("out-of-order file name fails loudly instead of silently skipping") {
+    val dir = tmpDir("dsv2_ooo")
+    writeFile(dir, "00001.jsonl", good)
+    val schema = CdcDataSource.schemaFor(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    val stream = new CdcMicroBatchStream(dir, schema, "UTC")
+    val committed = stream.latestOffset() // prefix = ["00001.jsonl"]
+    // a file sorting BEFORE the committed boundary materializes late
+    writeFile(dir, "00000.jsonl", del)
+    val e = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(committed, stream.latestOffset())
+    }
+    assert(e.getMessage.contains("committed file prefix changed"))
+  }
+}
