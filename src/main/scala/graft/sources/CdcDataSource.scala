@@ -12,9 +12,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -110,36 +110,62 @@ class CdcTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class CdcScanBuilder(full: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   // Spark hands back a (possibly nested-pruned) subset of `full`; it
   // becomes the parser schema, so unrequested fields are never built
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Push row-skip predicates into the Jackson parse (JacksonParser's
+    * native filter support): a line failing a pushed filter never
+    * materializes a row. EVERY filter is also returned as residual —
+    * Spark re-applies them post-scan — so pushdown can only skip work,
+    * never change results. Pushable = null-intolerant comparisons
+    * (false on a null input, matching the residual's treatment of the
+    * PERMISSIVE all-null row for malformed lines) over TOP-LEVEL parsed
+    * fields (JsonFilters' reference model; `value` is never parsed).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val topLevel = full.fieldNames.toSet - "value"
+    def pushable(f: Filter): Boolean = (f match {
+      case _: EqualTo | _: In | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: StringStartsWith |
+           _: StringEndsWith | _: StringContains => true
+      case _ => false
+    }) && f.references.forall(topLevel.contains)
+    pushed = filters.filter(pushable)
+    filters // all residual: correctness never depends on the parser skip
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
     // capture session TZ on the driver at plan time; readers are remote
     val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
-    new CdcScan(path, required, tz)
+    new CdcScan(path, required, tz, pushed.toSeq)
   }
 }
 
-class CdcScan(path: String, required: StructType, timeZoneId: String)
-    extends Scan {
+class CdcScan(path: String, required: StructType, timeZoneId: String,
+    pushed: Seq[Filter]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-cdc path=$path readSchema=${required.simpleString}"
-  override def toBatch: Batch = new CdcBatch(path, required, timeZoneId)
+    s"graft-cdc path=$path readSchema=${required.simpleString} " +
+      s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
+  override def toBatch: Batch = new CdcBatch(path, required, timeZoneId, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(path, required, timeZoneId)
+    new CdcMicroBatchStream(path, required, timeZoneId, pushed)
 }
 
-class CdcBatch(dir: String, required: StructType, timeZoneId: String)
-    extends Batch {
+class CdcBatch(dir: String, required: StructType, timeZoneId: String,
+    pushed: Seq[Filter]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     CdcDataSource.listFiles(dir)
       .map(f => CdcInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(required.json, timeZoneId)
+    new CdcReaderFactory(required.json, timeZoneId, pushed)
 }
 
 /** One partition per log file — the rolled-log's natural parallel unit. */
@@ -148,23 +174,28 @@ case class CdcInputPartition(file: String) extends InputPartition
 /** Schema travels as its JSON form: self-contained serialization, rebuilt
   * once per reader on the executor.
   */
-class CdcReaderFactory(requiredJson: String, timeZoneId: String)
-    extends PartitionReaderFactory {
+class CdcReaderFactory(requiredJson: String, timeZoneId: String,
+    pushed: Seq[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(
       partition.asInstanceOf[CdcInputPartition].file,
-      DataType.fromJson(requiredJson).asInstanceOf[StructType], timeZoneId)
+      DataType.fromJson(requiredJson).asInstanceOf[StructType], timeZoneId,
+      pushed)
 }
 
-class CdcPartitionReader(file: String, required: StructType, timeZoneId: String)
-    extends PartitionReader[InternalRow] {
+class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
+    pushed: Seq[Filter]) extends PartitionReader[InternalRow] {
   private val valueIdx = required.fieldNames.indexOf("value")
   /** Envelope fields actually requested — the parser materializes ONLY
     * these (column pruning reaching the tokenizer).
     */
   private val jsonSchema = StructType(required.filterNot(_.name == "value"))
+  // filters may reference only fields present in jsonSchema (Spark keeps
+  // filter columns in the required schema for the residual evaluation)
   private val parse =
-    GraftSqlJsonBridge.permissiveLineParser(jsonSchema, timeZoneId)
+    GraftSqlJsonBridge.permissiveLineParser(jsonSchema, timeZoneId,
+      pushed.filter(_.references.forall(jsonSchema.fieldNames.contains)))
+  private val skipOnEmpty = pushed.nonEmpty
   private val reader = {
     val p = new Path(file)
     // executor-side: default Hadoop conf (local/HDFS-from-classpath); the
@@ -180,15 +211,22 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String)
     val line = reader.readLine()
     if (line == null) false
     else if (line.isEmpty) next() // blank separator lines carry no record
-    else { current = assemble(line); true }
+    else assemble(line) match {
+      case Some(row) => current = row; true
+      case None => next() // well-formed line skipped by a pushed filter
+    }
   }
 
-  private def assemble(line: String): InternalRow = {
+  private def assemble(line: String): Option[InternalRow] = {
     val parsed =
       if (jsonSchema.isEmpty) None
       else {
         val it = parse(line)
-        if (it.hasNext) Some(it.next()) else None
+        if (it.hasNext) Some(it.next())
+        else if (skipOnEmpty) return None
+        // no pushed filters: an empty parse (e.g. a literal `null` root)
+        // still emits the raw line with a null typed view, like from_json
+        else None
       }
     val out = new GenericInternalRow(required.length)
     var i = 0
@@ -202,7 +240,7 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String)
       }
       i += 1
     }
-    out
+    Some(out)
   }
 
   override def get(): InternalRow = current
@@ -232,8 +270,8 @@ object CdcOffset {
   }
 }
 
-class CdcMicroBatchStream(dir: String, required: StructType, timeZoneId: String)
-    extends MicroBatchStream {
+class CdcMicroBatchStream(dir: String, required: StructType,
+    timeZoneId: String, pushed: Seq[Filter] = Nil) extends MicroBatchStream {
   override def initialOffset(): Offset = CdcOffset(0, "")
 
   override def latestOffset(): Offset = {
@@ -258,7 +296,7 @@ class CdcMicroBatchStream(dir: String, required: StructType, timeZoneId: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(required.json, timeZoneId)
+    new CdcReaderFactory(required.json, timeZoneId, pushed)
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -24,9 +24,17 @@ object GraftSqlJsonBridge {
     * @param schema     struct to materialize (may be a nested-pruned subset
     *                   of the full envelope — only these fields are built)
     * @param timeZoneId session time zone, for temporal-type parsing
+    * @param filters    row-skip predicates applied DURING parsing
+    *                   (JacksonParser's native filter support): a
+    *                   well-formed line failing them returns an EMPTY
+    *                   iterator — cheaper than materializing the row. A
+    *                   malformed line still yields the one all-null
+    *                   PERMISSIVE row (filters never see it).
     */
   def permissiveLineParser(
-      schema: StructType, timeZoneId: String): String => Iterator[InternalRow] = {
+      schema: StructType, timeZoneId: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : String => Iterator[InternalRow] = {
     if (schema.isEmpty) {
       // count(*)-style scans: no fields to parse, one empty row per line
       val row = new GenericInternalRow(0)
@@ -37,7 +45,8 @@ object GraftSqlJsonBridge {
       // envelope contract (raw value passes through, typed view is null)
       val opts = new JSONOptions(
         Map.empty[String, String], timeZoneId, "_graft_corrupt_record")
-      val parser = new JacksonParser(schema, opts, allowArrayAsStructs = false)
+      val parser =
+        new JacksonParser(schema, opts, allowArrayAsStructs = false, filters)
       val safe = new FailureSafeParser[String](
         (s: String) => parser.parse(s, CreateJacksonParser.string,
           UTF8String.fromString),

@@ -131,6 +131,37 @@ class CdcDsv2SourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("filter pushdown: null-intolerant top-level predicates reach the " +
+      "parser, results identical to residual-only") {
+    val dir = tmpDir("dsv2_filter")
+    writeFile(dir, "00000.jsonl", good, del, bad)
+    val df = spark.read.format("graft-cdc").load(dir)
+
+    // pushed EqualTo(op, c): skips del at parse; bad parses to the
+    // PERMISSIVE null row and the residual filter drops it — 1 survivor
+    val eq = df.filter(col("op") === "c")
+    assert(eq.count() == 1)
+    assert(eq.select("after.id").collect()(0).getInt(0) == 7)
+    // the scan advertises the push (description carries PushedFilters)
+    val desc = eq.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.head
+    assert(desc.contains("PushedFilters=[") && desc.contains("op"), desc)
+
+    // IsNotNull is NOT pushable (null-row semantics differ); residual
+    // evaluation still gives the right answer — malformed line dropped
+    assert(df.filter(col("op").isNotNull).count() == 2)
+    // filters on the unparsed raw `value` column are never pushed
+    val onValue = df.filter(col("value").startsWith("not-json"))
+    assert(onValue.count() == 1)
+    val vDesc = onValue.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.head
+    assert(vDesc.contains("PushedFilters=[]"), vDesc)
+    // nested references (source.table) stay residual-only, still correct
+    assert(df.filter(col("source.table") === "customers").count() == 2)
+  }
+
   test("out-of-order file name fails loudly instead of silently skipping") {
     val dir = tmpDir("dsv2_ooo")
     writeFile(dir, "00001.jsonl", good)
