@@ -10,7 +10,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{GraftSqlJsonBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -100,13 +101,17 @@ object CdcDataSource {
 }
 
 class CdcTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-cdc:${CdcDataSource.pathOf(options)}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new CdcScanBuilder(tableSchema, CdcDataSource.pathOf(options))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CdcWriteBuilder(CdcDataSource.pathOf(options), info)
 }
 
 class CdcScanBuilder(full: StructType, path: String)

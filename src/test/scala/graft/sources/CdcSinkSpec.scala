@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** V2 write path (`write/writeStream.format("graft-cdc")`): batch and
+  * streaming commits, name-contract round-trips (sink output is valid
+  * tail input), truncate-on-overwrite, idempotent epoch republish, and
+  * the single-string-column input contract.
+  */
+class CdcSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val env =
+    """{"before":null,"after":{"id":%d,"name":"N%d","email":"n%d@x.org","created_at":1},"source":{"version":"v","connector":"postgresql","name":"dbserver1","ts_ms":5,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":1,"lsn":%d},"op":"c","ts_ms":1}"""
+  private def lines(ids: Int*) = ids.map(i => env.format(i, i, i, i))
+
+  private def names(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted
+
+  test("batch write commits zero-padded monotone names the source can read") {
+    val dir = tmpDir("sink_batch")
+    lines(1, 2, 3).toDF("value").repartition(2)
+      .write.format("graft-cdc").mode("append").save(dir)
+    val fs = names(dir)
+    assert(fs.nonEmpty && fs.forall(_.matches("b\\d{12}-p\\d{5}\\.jsonl")), fs)
+    // no temp debris
+    assert(new java.io.File(dir).listFiles().forall(f =>
+      !f.getName.startsWith("._tmp")), "temp files left behind")
+    // round-trip through the V2 SOURCE: sink output is valid tail input
+    val back = spark.read.format("graft-cdc").load(dir)
+    assert(back.select("after.id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3))
+
+    // a second append commits under a LATER sequence — names stay monotone
+    lines(4).toDF("value").coalesce(1)
+      .write.format("graft-cdc").mode("append").save(dir)
+    val fs2 = names(dir)
+    assert(fs2.length > fs.length && fs2.sorted == fs2, fs2)
+    assert(fs2.filterNot(fs.contains).forall(_ > fs.max), fs2)
+    assert(spark.read.format("graft-cdc").load(dir).count() == 4)
+  }
+
+  test("overwrite truncates previously committed files") {
+    val dir = tmpDir("sink_trunc")
+    lines(1, 2).toDF("value").write.format("graft-cdc").mode("append").save(dir)
+    lines(9).toDF("value").coalesce(1)
+      .write.format("graft-cdc").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-cdc").load(dir)
+    assert(back.select("after.id").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("input contract: multi-column or non-string input is rejected") {
+    val dir = tmpDir("sink_badschema")
+    val e = intercept[Exception] {
+      Seq((1, "x")).toDF("a", "b").write.format("graft-cdc")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("one STRING column"), e.getMessage)
+  }
+
+  test("streaming sink: epoch-named files, tailable by the source, " +
+      "idempotent republish") {
+    val srcDir = tmpDir("sink_stream_src")
+    val outDir = tmpDir("sink_stream_out")
+    val cp = tmpDir("sink_stream_cp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(srcDir, "00000.jsonl"),
+      lines(7, 8).mkString("\n").getBytes("UTF-8"))
+
+    // the full loop: graft-cdc SOURCE tail → transform → graft-cdc SINK
+    val q = spark.readStream.format("graft-cdc").load(srcDir)
+      .select(col("value"))
+      .writeStream.format("graft-cdc").option("path", outDir)
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, "00001.jsonl"),
+        lines(9).mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val fs = names(outDir)
+    assert(fs.nonEmpty && fs.forall(_.matches("e\\d{12}-p\\d{5}\\.jsonl")), fs)
+    assert(fs.sorted == fs)
+    // the sink's output dir is itself a valid graft-cdc source dir
+    val back = spark.read.format("graft-cdc").load(outDir)
+    assert(back.select("after.id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(7, 8, 9))
+
+    // idempotent epoch republish: re-commit the same deterministic names
+    // (what a recovered epoch does) must not duplicate rows
+    val before = spark.read.format("graft-cdc").load(outDir).count()
+    val w = new CdcLineWriter(outDir, fs.head)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(lines(7).head)))
+    val msg = w.commit()
+    CdcSinkFiles.publish(outDir, Array(msg))
+    val after = spark.read.format("graft-cdc").load(outDir)
+    assert(after.count() == before - 1) // epoch 0 had 2 rows, republished with 1
+    assert(names(outDir) == fs) // same names, no extras
+  }
+}
