@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
@@ -77,6 +77,23 @@ object CdcDataSource {
     p
   }
 
+  /** Snapshot of the session's effective Hadoop conf as a plain map —
+    * the serializable form shipped to executor-side readers/writers.
+    * Rebuilding from `new Configuration()` on the executor would drop
+    * session-scoped filesystem settings (object-store credentials,
+    * endpoints, replication overrides), which only shows up off-laptop.
+    */
+  def hadoopConfMap(): Map[String, String] = {
+    val c = SparkSession.active.sessionState.newHadoopConf()
+    c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  def confFrom(m: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Driver-side listing: data files under `dir`, sorted by NAME. The
     * micro-batch offset is a count into this ordering, so file names must
     * be lexicographically monotone across log rolls (zero-padded counters,
@@ -85,7 +102,10 @@ object CdcDataSource {
     * Hidden/marker files (`_SUCCESS`, `.crc`, …) are skipped, matching
     * Spark's file-source convention.
     */
-  def listFiles(dir: String): Seq[String] = {
+  def listFiles(dir: String): Seq[String] = listWithSizes(dir).map(_._1)
+
+  /** Listing with byte sizes, for [[CdcScan.estimateStatistics]]. */
+  def listWithSizes(dir: String): Seq[(String, Long)] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(hconf)
@@ -95,8 +115,8 @@ object CdcDataSource {
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-      .map(_.getPath.toString)
-      .sorted
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
   }
 }
 
@@ -154,7 +174,8 @@ class CdcScanBuilder(full: StructType, path: String)
 }
 
 class CdcScan(path: String, required: StructType, timeZoneId: String,
-    pushed: Seq[Filter]) extends Scan {
+    pushed: Seq[Filter])
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-cdc path=$path readSchema=${required.simpleString} " +
@@ -162,6 +183,20 @@ class CdcScan(path: String, required: StructType, timeZoneId: String,
   override def toBatch: Batch = new CdcBatch(path, required, timeZoneId, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(path, required, timeZoneId, pushed)
+
+  /** True on-disk bytes from the listing, so Catalyst sizes the relation
+    * honestly (a small envelope table becomes broadcast-joinable instead
+    * of defaulting to the "unknown = huge" conservative estimate).
+    */
+  override def estimateStatistics(): Statistics = {
+    val bytes = CdcDataSource.listWithSizes(path).map(_._2).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 }
 
 class CdcBatch(dir: String, required: StructType, timeZoneId: String,
@@ -170,7 +205,8 @@ class CdcBatch(dir: String, required: StructType, timeZoneId: String,
     CdcDataSource.listFiles(dir)
       .map(f => CdcInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(required.json, timeZoneId, pushed)
+    new CdcReaderFactory(required.json, timeZoneId, pushed,
+      CdcDataSource.hadoopConfMap())
 }
 
 /** One partition per log file — the rolled-log's natural parallel unit. */
@@ -180,16 +216,18 @@ case class CdcInputPartition(file: String) extends InputPartition
   * once per reader on the executor.
   */
 class CdcReaderFactory(requiredJson: String, timeZoneId: String,
-    pushed: Seq[Filter]) extends PartitionReaderFactory {
+    pushed: Seq[Filter], hadoopConf: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(
       partition.asInstanceOf[CdcInputPartition].file,
       DataType.fromJson(requiredJson).asInstanceOf[StructType], timeZoneId,
-      pushed)
+      pushed, hadoopConf)
 }
 
 class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
-    pushed: Seq[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Seq[Filter], hadoopConf: Map[String, String])
+    extends PartitionReader[InternalRow] {
   private val valueIdx = required.fieldNames.indexOf("value")
   /** Envelope fields actually requested — the parser materializes ONLY
     * these (column pruning reaching the tokenizer).
@@ -203,9 +241,8 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
   private val skipOnEmpty = pushed.nonEmpty
   private val reader = {
     val p = new Path(file)
-    // executor-side: default Hadoop conf (local/HDFS-from-classpath); the
-    // listing on the driver used the full session conf
-    val in = p.getFileSystem(new Configuration()).open(p)
+    // executor-side: the driver's session Hadoop conf, shipped as a map
+    val in = p.getFileSystem(CdcDataSource.confFrom(hadoopConf)).open(p)
     new java.io.BufferedReader(
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -301,7 +338,8 @@ class CdcMicroBatchStream(dir: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(required.json, timeZoneId, pushed)
+    new CdcReaderFactory(required.json, timeZoneId, pushed,
+      CdcDataSource.hadoopConfMap())
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -47,15 +47,22 @@ class CdcWrite(dir: String, schema: StructType, truncate: Boolean)
   require(schema.length == 1 && schema.head.dataType == StringType,
     s"graft-cdc sink expects exactly one STRING column (the serialized " +
       s"envelope line); got ${schema.simpleString}")
-  override def toBatch: BatchWrite = new CdcBatchWrite(dir, truncate)
-  override def toStreaming: StreamingWrite = new CdcStreamingWrite(dir)
+  // capture the session Hadoop conf on the driver; factories ship it to
+  // executor-side writers (same rationale as the read path)
+  private val confMap = CdcDataSource.hadoopConfMap()
+  override def toBatch: BatchWrite = new CdcBatchWrite(dir, truncate, confMap)
+  override def toStreaming: StreamingWrite = new CdcStreamingWrite(dir, confMap)
 }
 
 case class CdcCommitMessage(tmpPath: String, finalName: String, rows: Long)
     extends WriterCommitMessage
 
 object CdcSinkFiles {
-  def fs(dir: String): FileSystem = new Path(dir).getFileSystem(new Configuration())
+  /** Driver-side FS handle: the session's Hadoop conf (commit/publish,
+    * truncate, and sequence discovery all run on the driver).
+    */
+  def fs(dir: String): FileSystem = new Path(dir).getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   /** Driver-side publish: delete-then-rename each temp to its final name,
     * in name order. Delete-first makes replayed streaming epochs (same
@@ -78,7 +85,8 @@ object CdcSinkFiles {
   def discard(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: CdcCommitMessage => m }.foreach { m =>
       val p = new Path(m.tmpPath)
-      val f = p.getFileSystem(new Configuration())
+      val f = p.getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
       if (f.exists(p)) f.delete(p, false)
     }
 
@@ -92,7 +100,8 @@ object CdcSinkFiles {
   }
 }
 
-class CdcBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
+class CdcBatchWrite(dir: String, truncate: Boolean,
+    confMap: Map[String, String]) extends BatchWrite {
   // one batch = one commit sequence; files of earlier commits into the
   // same dir sort first because the sequence is the max existing +1
   private val seq: Long = {
@@ -102,7 +111,7 @@ class CdcBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
     existing.maxOption.map(_ + 1).getOrElse(0L)
   }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new CdcWriterFactory(dir, f"b$seq%012d")
+    new CdcWriterFactory(dir, f"b$seq%012d", confMap)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncate) {
       val f = CdcSinkFiles.fs(dir)
@@ -114,24 +123,27 @@ class CdcBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
     CdcSinkFiles.discard(messages)
 }
 
-class CdcStreamingWrite(dir: String) extends StreamingWrite {
+class CdcStreamingWrite(dir: String, confMap: Map[String, String])
+    extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new CdcStreamingWriterFactory(dir)
+    new CdcStreamingWriterFactory(dir, confMap)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CdcSinkFiles.publish(dir, messages)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CdcSinkFiles.discard(messages)
 }
 
-class CdcWriterFactory(dir: String, prefix: String) extends DataWriterFactory {
+class CdcWriterFactory(dir: String, prefix: String,
+    confMap: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CdcLineWriter(dir, f"$prefix-p$partitionId%05d.jsonl")
+    new CdcLineWriter(dir, f"$prefix-p$partitionId%05d.jsonl", confMap)
 }
 
-class CdcStreamingWriterFactory(dir: String) extends StreamingDataWriterFactory {
+class CdcStreamingWriterFactory(dir: String, confMap: Map[String, String])
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new CdcLineWriter(dir, f"e$epochId%012d-p$partitionId%05d.jsonl")
+    new CdcLineWriter(dir, f"e$epochId%012d-p$partitionId%05d.jsonl", confMap)
 }
 
 /** Executor-side line writer: hidden temp file, renamed by the driver's
@@ -139,11 +151,14 @@ class CdcStreamingWriterFactory(dir: String) extends StreamingDataWriterFactory 
   * partition), the temp name is not (speculative duplicates of one task
   * must not collide).
   */
-class CdcLineWriter(dir: String, finalName: String)
+class CdcLineWriter(dir: String, finalName: String,
+    confMap: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
   private val tmp = new Path(dir,
     s"._tmp_${finalName}_${UUID.randomUUID().toString.take(8)}")
-  private val f = tmp.getFileSystem(new Configuration())
+  private val f = tmp.getFileSystem(
+    if (confMap.isEmpty) new Configuration()
+    else CdcDataSource.confFrom(confMap))
   f.mkdirs(new Path(dir))
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     f.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))

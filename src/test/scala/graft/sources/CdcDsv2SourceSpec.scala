@@ -162,6 +162,18 @@ class CdcDsv2SourceSpec extends SparkSpec {
     assert(df.filter(col("source.table") === "customers").count() == 2)
   }
 
+  test("scan reports on-disk size, so the planner sees a small table as " +
+      "small (broadcastable), not unknown-huge") {
+    val dir = tmpDir("dsv2_stats")
+    writeFile(dir, "00000.jsonl", good, del)
+    val bytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "00000.jsonl"))
+    val sized = spark.read.format("graft-cdc").load(dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sized <= BigInt(bytes) * 16 && sized >= BigInt(1),
+      s"stats sizeInBytes=$sized for $bytes on-disk bytes")
+  }
+
   test("out-of-order file name fails loudly instead of silently skipping") {
     val dir = tmpDir("dsv2_ooo")
     writeFile(dir, "00001.jsonl", good)
