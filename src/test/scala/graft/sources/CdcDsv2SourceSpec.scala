@@ -174,6 +174,19 @@ class CdcDsv2SourceSpec extends SparkSpec {
       s"stats sizeInBytes=$sized for $bytes on-disk bytes")
   }
 
+  test("SQL DDL surface: CREATE TABLE USING graft-cdc is queryable") {
+    val dir = tmpDir("dsv2_sql")
+    writeFile(dir, "00000.jsonl", good, del)
+    spark.sql(
+      s"CREATE TABLE cdc_sql_log USING `graft-cdc` OPTIONS (path '$dir')")
+    try {
+      val rows = spark.sql(
+        "SELECT op, after.id FROM cdc_sql_log WHERE op = 'c'").collect()
+      assert(rows.length == 1 && rows(0).getString(0) == "c" &&
+        rows(0).getInt(1) == 7)
+    } finally spark.sql("DROP TABLE cdc_sql_log")
+  }
+
   test("out-of-order file name fails loudly instead of silently skipping") {
     val dir = tmpDir("dsv2_ooo")
     writeFile(dir, "00001.jsonl", good)
