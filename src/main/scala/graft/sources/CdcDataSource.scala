@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -128,13 +128,20 @@ class CdcTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new CdcScanBuilder(tableSchema, CdcDataSource.pathOf(options))
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // runtime read options (readStream.option) override table options
+    val maxFiles = Option(opts.get("maxFilesPerTrigger"))
+      .orElse(Option(options.get("maxFilesPerTrigger"))).map(_.toInt)
+    maxFiles.foreach(n => require(n > 0,
+      s"graft-cdc: maxFilesPerTrigger must be positive, got $n"))
+    new CdcScanBuilder(tableSchema, CdcDataSource.pathOf(options), maxFiles)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CdcWriteBuilder(CdcDataSource.pathOf(options), info)
 }
 
-class CdcScanBuilder(full: StructType, path: String)
+class CdcScanBuilder(full: StructType, path: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
@@ -169,12 +176,12 @@ class CdcScanBuilder(full: StructType, path: String)
   override def build(): Scan = {
     // capture session TZ on the driver at plan time; readers are remote
     val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
-    new CdcScan(path, required, tz, pushed.toSeq)
+    new CdcScan(path, required, tz, pushed.toSeq, maxFilesPerTrigger)
   }
 }
 
 class CdcScan(path: String, required: StructType, timeZoneId: String,
-    pushed: Seq[Filter])
+    pushed: Seq[Filter], maxFilesPerTrigger: Option[Int] = None)
     extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -182,7 +189,8 @@ class CdcScan(path: String, required: StructType, timeZoneId: String,
       s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = new CdcBatch(path, required, timeZoneId, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(path, required, timeZoneId, pushed)
+    new CdcMicroBatchStream(path, required, timeZoneId, pushed,
+      maxFilesPerTrigger)
 
   /** True on-disk bytes from the listing, so Catalyst sizes the relation
     * honestly (a small envelope table becomes broadcast-joinable instead
@@ -313,13 +321,39 @@ object CdcOffset {
 }
 
 class CdcMicroBatchStream(dir: String, required: StructType,
-    timeZoneId: String, pushed: Seq[Filter] = Nil) extends MicroBatchStream {
+    timeZoneId: String, pushed: Seq[Filter] = Nil,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = CdcOffset(0, "")
 
   override def latestOffset(): Offset = {
     val files = CdcDataSource.listFiles(dir)
     CdcOffset(files.length, files.lastOption.getOrElse(""))
   }
+
+  /** Admission control: bound each micro-batch to `maxFilesPerTrigger`
+    * new files. Without a cap, a stream recovering from downtime would
+    * take EVERY backlogged file in one batch — at scale, an unbounded
+    * batch is an OOM/straggler machine, and steady small batches keep
+    * end-to-end latency predictable.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcOffset]
+    val files = CdcDataSource.listFiles(dir)
+    val cap = limit match {
+      case m: ReadMaxFiles => math.min(files.length, s.fileCount + m.maxFiles)
+      case _ => files.length
+    }
+    CdcOffset(cap, if (cap == 0) "" else files(cap - 1))
+  }
+
+  /** True head of the log (progress reporting shows real backlog even
+    * while admission control paces consumption).
+    */
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset]

@@ -174,6 +174,41 @@ class CdcDsv2SourceSpec extends SparkSpec {
       s"stats sizeInBytes=$sized for $bytes on-disk bytes")
   }
 
+  test("admission control: maxFilesPerTrigger paces the tail, backlog " +
+      "still fully drains") {
+    val dir = tmpDir("dsv2_pace")
+    (0 until 5).foreach(i => writeFile(dir, f"$i%05d.jsonl", good))
+
+    // unit-level: the capped latestOffset advances one file per call
+    val schema = CdcDataSource.schemaFor(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    val stream = new CdcMicroBatchStream(dir, schema, "UTC",
+      maxFilesPerTrigger = Some(2))
+    val step1 = stream.latestOffset(CdcOffset(0, ""),
+      stream.getDefaultReadLimit).asInstanceOf[CdcOffset]
+    assert(step1.fileCount == 2)
+    val step2 = stream.latestOffset(step1,
+      stream.getDefaultReadLimit).asInstanceOf[CdcOffset]
+    assert(step2.fileCount == 4)
+    // progress reporting still sees the true head of the log
+    assert(stream.reportLatestOffset().asInstanceOf[CdcOffset].fileCount == 5)
+
+    // e2e: the paced stream drains the whole backlog across batches
+    val q = spark.readStream.format("graft-cdc")
+      .option("maxFilesPerTrigger", 2).load(dir)
+      .select("after.id")
+      .writeStream.format("memory").queryName("dsv2_paced")
+      .option("checkpointLocation", tmpDir("dsv2_pace_cp")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dsv2_paced").count() == 5)
+      // at least ceil(5/2)=3 batches ran — pacing actually split the work
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("SQL DDL surface: CREATE TABLE USING graft-cdc is queryable") {
     val dir = tmpDir("dsv2_sql")
     writeFile(dir, "00000.jsonl", good, del)
@@ -185,6 +220,48 @@ class CdcDsv2SourceSpec extends SparkSpec {
       assert(rows.length == 1 && rows(0).getString(0) == "c" &&
         rows(0).getInt(1) == 7)
     } finally spark.sql("DROP TABLE cdc_sql_log")
+  }
+
+  test("property: arbitrary line mixes (valid/corrupt/unicode/extremes) " +
+      "read identically through V2 scan and read.text + parse") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    val envLine: Gen[String] = for {
+      id <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      name <- Gen.oneOf("Ann", "寿司", "O'Hara \\\" quote", "", "𝔘nicode")
+      email <- Gen.oneOf("a@b.co", "", "no-at", "a@b@c")
+      op <- Gen.oneOf("c", "u", "d", "r", "zz")
+      ts <- Gen.chooseNum(0L, Long.MaxValue)
+      lsn <- Gen.option(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield {
+      val esc = (s: String) => s.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"before":null,"after":{"id":$id,"name":"${esc(name)}","email":"${esc(email)}","created_at":1},""" +
+        s""""source":{"version":"v","connector":"postgresql","name":"d","ts_ms":5,"snapshot":"false",""" +
+        s""""db":"i","schema":"p","table":"customers","txId":1,"lsn":${lsn.map(_.toString).getOrElse("null")}},""" +
+        s""""op":"$op","ts_ms":$ts}"""
+    }
+    val junk: Gen[String] = Gen.oneOf(
+      Gen.const("not-json{{{"), Gen.const("[1,2]"), Gen.const("42"),
+      Gen.const("\"s\""), Gen.const("{\"after\":\"not-a-struct\"}"),
+      Gen.const("{\"op\":17}"), Gen.alphaNumStr.map(s => s"{$s"))
+    val lineGen = Gen.frequency(3 -> envLine, 1 -> junk)
+
+    (0 until 6).foreach { i =>
+      val sample = Gen.listOfN(25, lineGen)
+        .apply(Gen.Parameters.default, Seed(7000L + i)).get
+        .filter(_.nonEmpty)
+      val dir = tmpDir(s"dsv2_prop_$i")
+      writeFile(dir, "00000.jsonl", sample: _*)
+      val v2 = spark.read.format("graft-cdc").load(dir)
+        .selectExpr("value", "before", "after", "source", "op", "ts_ms")
+        .collect().map(_.toString).sorted.toSeq
+      val baseline = CdcEnvelope.parse(spark.read.text(dir))
+        .selectExpr("value", "envelope.before", "envelope.after",
+          "envelope.source", "envelope.op", "envelope.ts_ms")
+        .collect().map(_.toString).sorted.toSeq
+      assert(v2 == baseline, s"divergence at seed ${7000L + i}")
+    }
   }
 
   test("out-of-order file name fails loudly instead of silently skipping") {
