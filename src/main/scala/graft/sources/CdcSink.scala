@@ -31,30 +31,59 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * monotone-name check on the reading side still holds because renames
   * happen in name order.
   *
-  * Input contract: exactly ONE string column (the serialized envelope —
-  * what [[graft.cdc.CdcPipeline.routedValues]]' `value` or any
-  * `to_json` projection produces).
+  * Input contract: ONE string column (the serialized envelope — what any
+  * `to_json` projection produces); or, with the `partitionColumn` option,
+  * TWO string columns (routing key + payload, the
+  * [[graft.cdc.CdcPipeline.routedValues]] shape) fanned out into one
+  * tailable subdirectory per key — see [[CdcWrite]].
   */
 class CdcWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new CdcWrite(dir, info.schema(), doTruncate)
+  override def build(): Write = {
+    val partCol = Option(info.options.get("partitionColumn"))
+    new CdcWrite(dir, info.schema(), doTruncate, partCol)
+  }
 }
 
-class CdcWrite(dir: String, schema: StructType, truncate: Boolean)
-    extends Write {
-  require(schema.length == 1 && schema.head.dataType == StringType,
-    s"graft-cdc sink expects exactly one STRING column (the serialized " +
-      s"envelope line); got ${schema.simpleString}")
+/** @param partitionColumn when set (e.g. `source_table`, what
+  *   [[graft.cdc.CdcPipeline.routedValues]] emits), rows fan out into
+  *   one SUBDIRECTORY per value — the reference's one-topic-per-table
+  *   layout (`docs/setup-guide.md:33-35`) — and each subdirectory is
+  *   itself a valid `graft-cdc` tail source (same monotone names). The
+  *   input then needs exactly two string columns: the partition column
+  *   and the payload line.
+  */
+class CdcWrite(dir: String, schema: StructType, truncate: Boolean,
+    partitionColumn: Option[String] = None) extends Write {
+  partitionColumn match {
+    case None =>
+      require(schema.length == 1 && schema.head.dataType == StringType,
+        s"graft-cdc sink expects exactly one STRING column (the serialized " +
+          s"envelope line); got ${schema.simpleString}")
+    case Some(pc) =>
+      require(schema.length == 2 &&
+          schema.fields.forall(_.dataType == StringType) &&
+          schema.fieldNames.contains(pc),
+        s"graft-cdc sink with partitionColumn='$pc' expects exactly two " +
+          s"STRING columns, one named '$pc'; got ${schema.simpleString}")
+  }
+  // payload = the non-partition column (position-independent)
+  private val partIdx = partitionColumn.map(schema.fieldNames.indexOf(_))
+  private val valueIdx = partIdx.map(i => 1 - i).getOrElse(0)
   // capture the session Hadoop conf on the driver; factories ship it to
   // executor-side writers (same rationale as the read path)
   private val confMap = CdcDataSource.hadoopConfMap()
-  override def toBatch: BatchWrite = new CdcBatchWrite(dir, truncate, confMap)
-  override def toStreaming: StreamingWrite = new CdcStreamingWrite(dir, confMap)
+  override def toBatch: BatchWrite =
+    new CdcBatchWrite(dir, truncate, confMap, valueIdx, partIdx)
+  override def toStreaming: StreamingWrite =
+    new CdcStreamingWrite(dir, confMap, valueIdx, partIdx)
 }
 
-case class CdcCommitMessage(tmpPath: String, finalName: String, rows: Long)
+case class CdcFilePart(tmpPath: String, finalName: String, rows: Long)
+
+case class CdcCommitMessage(parts: Seq[CdcFilePart])
     extends WriterCommitMessage
 
 object CdcSinkFiles {
@@ -66,15 +95,18 @@ object CdcSinkFiles {
 
   /** Driver-side publish: delete-then-rename each temp to its final name,
     * in name order. Delete-first makes replayed streaming epochs (same
-    * deterministic names) idempotent.
+    * deterministic names) idempotent. Final names may carry one
+    * subdirectory level (per-table fan-out).
     */
   def publish(dir: String, messages: Array[WriterCommitMessage]): Unit = {
     val f = fs(dir)
     f.mkdirs(new Path(dir))
     messages.collect { case m: CdcCommitMessage => m }
+      .flatMap(_.parts)
       .sortBy(_.finalName)
       .foreach { m =>
         val dst = new Path(dir, m.finalName)
+        f.mkdirs(dst.getParent)
         if (f.exists(dst)) f.delete(dst, false)
         if (!f.rename(new Path(m.tmpPath), dst))
           throw new java.io.IOException(
@@ -83,14 +115,17 @@ object CdcSinkFiles {
   }
 
   def discard(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: CdcCommitMessage => m }.foreach { m =>
-      val p = new Path(m.tmpPath)
-      val f = p.getFileSystem(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-      if (f.exists(p)) f.delete(p, false)
-    }
+    messages.collect { case m: CdcCommitMessage => m }
+      .flatMap(_.parts).foreach { m =>
+        val p = new Path(m.tmpPath)
+        val f = p.getFileSystem(
+          org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+        if (f.exists(p)) f.delete(p, false)
+      }
 
-  /** Existing committed data files (the reader's listing rules). */
+  /** Committed non-hidden entries at the top level (files AND fan-out
+    * subdirectories).
+    */
   def committed(dir: String): Seq[Path] = {
     val f = fs(dir)
     val p = new Path(dir)
@@ -98,24 +133,40 @@ object CdcSinkFiles {
     else f.listStatus(p).toSeq.map(_.getPath)
       .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
   }
+
+  /** Data-file NAMES one level deep (top-level files plus the files of
+    * fan-out subdirectories) — the namespace the batch commit sequence
+    * must be monotone over.
+    */
+  def committedNames(dir: String): Seq[String] = {
+    val f = fs(dir)
+    committed(dir).flatMap { q =>
+      if (f.getFileStatus(q).isFile) Seq(q.getName)
+      else f.listStatus(q).toSeq.filter(_.isFile).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    }
+  }
 }
 
 class CdcBatchWrite(dir: String, truncate: Boolean,
-    confMap: Map[String, String]) extends BatchWrite {
+    confMap: Map[String, String], valueIdx: Int, partIdx: Option[Int])
+    extends BatchWrite {
   // one batch = one commit sequence; files of earlier commits into the
   // same dir sort first because the sequence is the max existing +1
+  // (scanned one subdirectory deep so fan-out commits count too)
   private val seq: Long = {
-    val existing = CdcSinkFiles.committed(dir).map(_.getName)
+    val existing = CdcSinkFiles.committedNames(dir)
       .filter(_.startsWith("b")).map(_.takeWhile(_ != '-').drop(1))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
     existing.maxOption.map(_ + 1).getOrElse(0L)
   }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new CdcWriterFactory(dir, f"b$seq%012d", confMap)
+    new CdcWriterFactory(dir, f"b$seq%012d", confMap, valueIdx, partIdx)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncate) {
       val f = CdcSinkFiles.fs(dir)
-      CdcSinkFiles.committed(dir).foreach(p => f.delete(p, false))
+      // recursive: fan-out subdirectories are committed data too
+      CdcSinkFiles.committed(dir).foreach(p => f.delete(p, true))
     }
     CdcSinkFiles.publish(dir, messages)
   }
@@ -123,10 +174,10 @@ class CdcBatchWrite(dir: String, truncate: Boolean,
     CdcSinkFiles.discard(messages)
 }
 
-class CdcStreamingWrite(dir: String, confMap: Map[String, String])
-    extends StreamingWrite {
+class CdcStreamingWrite(dir: String, confMap: Map[String, String],
+    valueIdx: Int, partIdx: Option[Int]) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new CdcStreamingWriterFactory(dir, confMap)
+    new CdcStreamingWriterFactory(dir, confMap, valueIdx, partIdx)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CdcSinkFiles.publish(dir, messages)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -134,48 +185,83 @@ class CdcStreamingWrite(dir: String, confMap: Map[String, String])
 }
 
 class CdcWriterFactory(dir: String, prefix: String,
-    confMap: Map[String, String]) extends DataWriterFactory {
+    confMap: Map[String, String], valueIdx: Int, partIdx: Option[Int])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CdcLineWriter(dir, f"$prefix-p$partitionId%05d.jsonl", confMap)
+    new CdcLineWriter(dir, f"$prefix-p$partitionId%05d.jsonl", confMap,
+      valueIdx, partIdx)
 }
 
-class CdcStreamingWriterFactory(dir: String, confMap: Map[String, String])
-    extends StreamingDataWriterFactory {
+class CdcStreamingWriterFactory(dir: String, confMap: Map[String, String],
+    valueIdx: Int, partIdx: Option[Int]) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new CdcLineWriter(dir, f"e$epochId%012d-p$partitionId%05d.jsonl", confMap)
+    new CdcLineWriter(dir, f"e$epochId%012d-p$partitionId%05d.jsonl", confMap,
+      valueIdx, partIdx)
 }
 
-/** Executor-side line writer: hidden temp file, renamed by the driver's
-  * commit. The final name is deterministic (commit-seq/epoch +
-  * partition), the temp name is not (speculative duplicates of one task
-  * must not collide).
+/** Executor-side line writer: hidden temp file(s), renamed by the
+  * driver's commit. The final name is deterministic (commit-seq/epoch +
+  * partition, plus the fan-out subdirectory when `partIdx` is set), the
+  * temp name is not (speculative duplicates of one task must not
+  * collide). With fan-out, one temp file is kept open per routing key
+  * seen by this task — bounded by the table count, the same working set
+  * as any partitioned file sink.
   */
-class CdcLineWriter(dir: String, finalName: String,
-    confMap: Map[String, String] = Map.empty)
+class CdcLineWriter(dir: String, finalBase: String,
+    confMap: Map[String, String] = Map.empty,
+    valueIdx: Int = 0, partIdx: Option[Int] = None)
     extends DataWriter[InternalRow] {
-  private val tmp = new Path(dir,
-    s"._tmp_${finalName}_${UUID.randomUUID().toString.take(8)}")
-  private val f = tmp.getFileSystem(
+  private val f = new Path(dir).getFileSystem(
     if (confMap.isEmpty) new Configuration()
     else CdcDataSource.confFrom(confMap))
-  f.mkdirs(new Path(dir))
-  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    f.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
-  private var rows = 0L
+
+  private final class Part(subdir: Option[String]) {
+    val finalName: String = subdir.map(s => s"$s/$finalBase").getOrElse(finalBase)
+    val tmp = new Path(dir, subdir.map(_ + "/").getOrElse("") +
+      s"._tmp_${finalBase}_${UUID.randomUUID().toString.take(8)}")
+    f.mkdirs(tmp.getParent)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      f.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    var rows = 0L
+  }
+  private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
+
+  /** Routing keys become directory names: anything outside a safe
+    * charset is replaced, and a key that would be hidden from the
+    * reader's listing (leading `.`/`_`) or empty is folded into
+    * `unrouted` — fan-out must never produce an untailable directory.
+    */
+  private def sanitize(raw: String): String = {
+    // leading dots/underscores stripped: the reader's listing hides such
+    // names, and `..` must never escape the sink directory
+    val s = raw.replaceAll("[^A-Za-z0-9._-]", "_")
+      .dropWhile(c => c == '.' || c == '_')
+    if (s.isEmpty) "unrouted" else s
+  }
 
   override def write(record: InternalRow): Unit = {
-    out.write(record.getUTF8String(0).toString)
-    out.write('\n')
-    rows += 1
+    if (record.isNullAt(valueIdx)) return // no payload, nothing to log
+    val key = partIdx match {
+      case None => ""
+      case Some(i) =>
+        if (record.isNullAt(i)) "unrouted"
+        else sanitize(record.getUTF8String(i).toString)
+    }
+    val p = parts.getOrElseUpdate(key,
+      new Part(if (partIdx.isEmpty) None else Some(key)))
+    p.out.write(record.getUTF8String(valueIdx).toString)
+    p.out.write('\n')
+    p.rows += 1
   }
   override def commit(): WriterCommitMessage = {
-    out.close()
-    CdcCommitMessage(tmp.toString, finalName, rows)
+    parts.values.foreach(_.out.close())
+    CdcCommitMessage(parts.values
+      .map(p => CdcFilePart(p.tmp.toString, p.finalName, p.rows)).toSeq)
   }
-  override def abort(): Unit = {
-    out.close()
-    if (f.exists(tmp)) f.delete(tmp, false)
+  override def abort(): Unit = parts.values.foreach { p =>
+    p.out.close()
+    if (f.exists(p.tmp)) f.delete(p.tmp, false)
   }
   override def close(): Unit = ()
 }

@@ -60,6 +60,68 @@ class CdcSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("one STRING column"), e.getMessage)
   }
 
+  test("partitionColumn fan-out: one tailable subdirectory per routing key") {
+    val dir = tmpDir("sink_fanout")
+    Seq(
+      ("customers", lines(1).head),
+      ("orders", lines(2).head),
+      ("customers", lines(3).head),
+      (null.asInstanceOf[String], lines(4).head),   // unroutable
+      ("../weird key!", lines(5).head))             // hostile key
+      .toDF("source_table", "value")
+      .coalesce(1)
+      .write.format("graft-cdc").option("partitionColumn", "source_table")
+      .mode("append").save(dir)
+
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(subdirs.contains("customers") && subdirs.contains("orders"), subdirs)
+    // hostile key sanitized into a READABLE directory (never hidden/escaping)
+    assert(subdirs.forall(d => !d.startsWith(".") && !d.contains("/")), subdirs)
+
+    // every subdirectory is independently tailable by the V2 source
+    val cust = spark.read.format("graft-cdc").load(s"$dir/customers")
+    assert(cust.select("after.id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 3))
+    assert(spark.read.format("graft-cdc").load(s"$dir/orders").count() == 1)
+    // null key routed, not dropped
+    val all = subdirs.map(d =>
+      spark.read.format("graft-cdc").load(s"$dir/$d").count()).sum
+    assert(all == 5, s"rows across subdirs=$all")
+  }
+
+  test("streaming fan-out closes the reference loop: tail -> enrich/route " +
+      "-> per-table tailable logs") {
+    val srcDir = tmpDir("fanout_src")
+    val outDir = tmpDir("fanout_out")
+    val cp = tmpDir("fanout_cp")
+    // two-table change mix, one transport stream (the reference's
+    // one-connector/many-topics shape)
+    val custLine = lines(1).head
+    val ordLine = lines(2).head.replace("\"table\":\"customers\"",
+      "\"table\":\"orders\"")
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "00000.jsonl"),
+      s"$custLine\n$ordLine\nnot-json{{{".getBytes("UTF-8"))
+
+    val routed = graft.cdc.CdcPipeline.routedValues(
+      spark.readStream.format("graft-cdc").load(srcDir).select("value"),
+      graft.cdc.EnrichConfig(processingTimeIso = Some("t")))
+    val q = routed.writeStream.format("graft-cdc")
+      .option("path", outDir).option("partitionColumn", "source_table")
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val subdirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(subdirs == Seq("customers", "orders", "unrouted"), subdirs)
+    // enriched output in the customers log still carries the original id
+    val cust = spark.read.json(
+      spark.read.format("graft-cdc").load(s"$outDir/customers")
+        .select("value").as[String])
+    assert(cust.select("original.after.id").collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+  }
+
   test("streaming sink: epoch-named files, tailable by the source, " +
       "idempotent republish") {
     val srcDir = tmpDir("sink_stream_src")
