@@ -260,7 +260,9 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
   final override def next(): Boolean = {
     val line = reader.readLine()
     if (line == null) false
-    else if (line.isEmpty) next() // blank separator lines carry no record
+    // blank lines flow through like any other: the read.text +
+    // CdcEnvelope.parse baseline emits them as empty-value/null-envelope
+    // rows (the P18 byte-faithful contract), and parity is the contract
     else assemble(line) match {
       case Some(row) => current = row; true
       case None => next() // well-formed line skipped by a pushed filter
@@ -324,10 +326,31 @@ class CdcMicroBatchStream(dir: String, required: StructType,
     timeZoneId: String, pushed: Seq[Filter] = Nil,
     maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
+  // driver-side one-time captures: the conf snapshot and directory
+  // listing are per-trigger costs otherwise (3 LISTs per micro-batch is
+  // the dominant object-store expense of a file-tailing source)
+  private lazy val confMap = CdcDataSource.hadoopConfMap()
+  @volatile private var cachedListing: Seq[String] = null
+
+  /** Fresh listing, cached for reuse within the trigger; a cached
+    * listing is reused only when it already covers `minLength` files
+    * (boundary validation still runs against whatever is returned, so a
+    * stale cache can fail loud but never silently misread).
+    */
+  private def listing(minLength: Int = Int.MaxValue): Seq[String] = {
+    val c = cachedListing
+    if (c != null && c.length >= minLength) c
+    else {
+      val fresh = CdcDataSource.listFiles(dir)
+      cachedListing = fresh
+      fresh
+    }
+  }
+
   override def initialOffset(): Offset = CdcOffset(0, "")
 
   override def latestOffset(): Offset = {
-    val files = CdcDataSource.listFiles(dir)
+    val files = listing()
     CdcOffset(files.length, files.lastOption.getOrElse(""))
   }
 
@@ -342,7 +365,10 @@ class CdcMicroBatchStream(dir: String, required: StructType,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset]
-    val files = CdcDataSource.listFiles(dir)
+    // head of each trigger: always a FRESH listing (cache refreshed here,
+    // reused by reportLatestOffset/planInputPartitions in the same trigger)
+    cachedListing = null
+    val files = listing()
     val cap = limit match {
       case m: ReadMaxFiles => math.min(files.length, s.fileCount + m.maxFiles)
       case _ => files.length
@@ -351,29 +377,40 @@ class CdcMicroBatchStream(dir: String, required: StructType,
   }
 
   /** True head of the log (progress reporting shows real backlog even
-    * while admission control paces consumption).
+    * while admission control paces consumption). Reuses the trigger's
+    * cached listing.
     */
-  override def reportLatestOffset(): Offset = latestOffset()
+  override def reportLatestOffset(): Offset = {
+    val files = listing(minLength = 0)
+    CdcOffset(files.length, files.lastOption.getOrElse(""))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset]
     val e = end.asInstanceOf[CdcOffset]
-    val files = CdcDataSource.listFiles(dir)
-    if (s.fileCount > 0) {
-      require(files.length >= s.fileCount && files(s.fileCount - 1) == s.lastFile,
+    val files = listing(minLength = e.fileCount)
+    // BOTH boundaries are validated against the current listing. The end
+    // check matters most on checkpoint recovery: the WAL replays an
+    // offset resolved before a crash, and a file that materialized out
+    // of order in between would otherwise silently substitute different
+    // files into the recovered batch — corrupt output first, loud error
+    // only a batch later.
+    def check(count: Int, boundary: String): Unit = if (count > 0) {
+      require(files.length >= count && files(count - 1) == boundary,
         s"graft-cdc: committed file prefix changed under the stream — " +
-          s"expected file #${s.fileCount} to be '${s.lastFile}' but the " +
-          s"sorted listing has '${files.lift(s.fileCount - 1).getOrElse("<missing>")}'. " +
+          s"expected file #$count to be '$boundary' but the " +
+          s"sorted listing has '${files.lift(count - 1).getOrElse("<missing>")}'. " +
           "Log files must be named lexicographically monotone (zero-padded " +
           "counters); an out-of-order or deleted file would silently lose data.")
     }
+    check(s.fileCount, s.lastFile)
+    check(e.fileCount, e.lastFile)
     files.slice(s.fileCount, e.fileCount)
       .map(f => CdcInputPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(required.json, timeZoneId, pushed,
-      CdcDataSource.hadoopConfMap())
+    new CdcReaderFactory(required.json, timeZoneId, pushed, confMap)
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -93,12 +93,18 @@ object CdcSinkFiles {
   def fs(dir: String): FileSystem = new Path(dir).getFileSystem(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
-  /** Driver-side publish: delete-then-rename each temp to its final name,
-    * in name order. Delete-first makes replayed streaming epochs (same
-    * deterministic names) idempotent. Final names may carry one
-    * subdirectory level (per-table fan-out).
+  /** Driver-side publish: rename each temp to its final name, in name
+    * order. Final names may carry one subdirectory level (per-table
+    * fan-out).
+    *
+    * `overwrite` is set ONLY by streaming commits: a replayed epoch
+    * redelivers the same deterministic names and must land idempotently.
+    * Batch commits pass false, so two concurrent batch writers racing to
+    * the same sequence DETECT the conflict (IOException on the existing
+    * destination) instead of silently clobbering each other's rows.
     */
-  def publish(dir: String, messages: Array[WriterCommitMessage]): Unit = {
+  def publish(dir: String, messages: Array[WriterCommitMessage],
+      overwrite: Boolean): Unit = {
     val f = fs(dir)
     f.mkdirs(new Path(dir))
     messages.collect { case m: CdcCommitMessage => m }
@@ -107,7 +113,13 @@ object CdcSinkFiles {
       .foreach { m =>
         val dst = new Path(dir, m.finalName)
         f.mkdirs(dst.getParent)
-        if (f.exists(dst)) f.delete(dst, false)
+        if (f.exists(dst)) {
+          if (overwrite) f.delete(dst, false)
+          else throw new java.io.IOException(
+            s"graft-cdc sink: $dst already exists — concurrent writers " +
+              "into one log directory are not coordinated; use separate " +
+              "directories or a single writer")
+        }
         if (!f.rename(new Path(m.tmpPath), dst))
           throw new java.io.IOException(
             s"graft-cdc sink: rename ${m.tmpPath} -> $dst failed")
@@ -123,15 +135,37 @@ object CdcSinkFiles {
         if (f.exists(p)) f.delete(p, false)
       }
 
-  /** Committed non-hidden entries at the top level (files AND fan-out
-    * subdirectories).
+  private def hiddenName(n: String): Boolean =
+    n.startsWith("_") || n.startsWith(".")
+
+  /** Committed entries at the top level: non-hidden files plus ALL
+    * directories (fan-out keys like `_unrouted` legitimately start with
+    * an underscore; [[CdcLineWriter.sanitize]] guarantees no directory
+    * ever starts with a dot, so nothing here collides with temp names).
     */
   def committed(dir: String): Seq[Path] = {
     val f = fs(dir)
     val p = new Path(dir)
     if (!f.exists(p)) Nil
-    else f.listStatus(p).toSeq.map(_.getPath)
-      .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory || !hiddenName(st.getPath.getName))
+      .map(_.getPath)
+  }
+
+  /** Truncate = delete committed DATA while preserving the in-flight
+    * hidden temporaries of the batch being committed (a truncate runs
+    * inside commit(), AFTER tasks wrote their temps — deleting fan-out
+    * subdirectories recursively would destroy the very files publish is
+    * about to rename).
+    */
+  def clearCommitted(dir: String): Unit = {
+    val f = fs(dir)
+    committed(dir).foreach { q =>
+      if (f.getFileStatus(q).isFile) f.delete(q, false)
+      else f.listStatus(q).toSeq
+        .filter(st => st.isFile && !hiddenName(st.getPath.getName))
+        .foreach(st => f.delete(st.getPath, false))
+    }
   }
 
   /** Data-file NAMES one level deep (top-level files plus the files of
@@ -143,7 +177,7 @@ object CdcSinkFiles {
     committed(dir).flatMap { q =>
       if (f.getFileStatus(q).isFile) Seq(q.getName)
       else f.listStatus(q).toSeq.filter(_.isFile).map(_.getPath.getName)
-        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .filterNot(hiddenName)
     }
   }
 }
@@ -155,20 +189,29 @@ class CdcBatchWrite(dir: String, truncate: Boolean,
   // same dir sort first because the sequence is the max existing +1
   // (scanned one subdirectory deep so fan-out commits count too)
   private val seq: Long = {
-    val existing = CdcSinkFiles.committedNames(dir)
+    val names = CdcSinkFiles.committedNames(dir)
+    val existing = names
       .filter(_.startsWith("b")).map(_.takeWhile(_ != '-').drop(1))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
-    existing.maxOption.map(_ + 1).getOrElse(0L)
+    val next = existing.maxOption.map(_ + 1).getOrElse(0L)
+    // batch names (b…) sort BEFORE streaming epoch names (e…): appending
+    // a batch into a streaming-written log would materialize files behind
+    // any tailer's committed boundary — permanent wedge. Refuse loudly.
+    if (!truncate && names.exists(_ > f"b$next%012d"))
+      throw new IllegalStateException(
+        s"graft-cdc sink: batch append into '$dir' would commit names " +
+          s"sorting before existing files (${names.max}); a tailing " +
+          "reader's committed boundary would be violated. Write to a " +
+          "fresh directory, or use mode(\"overwrite\").")
+    next
   }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new CdcWriterFactory(dir, f"b$seq%012d", confMap, valueIdx, partIdx)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncate) {
-      val f = CdcSinkFiles.fs(dir)
-      // recursive: fan-out subdirectories are committed data too
-      CdcSinkFiles.committed(dir).foreach(p => f.delete(p, true))
-    }
-    CdcSinkFiles.publish(dir, messages)
+    // clearCommitted, not a recursive delete: the new batch's hidden
+    // temps already sit INSIDE fan-out subdirectories at this point
+    if (truncate) CdcSinkFiles.clearCommitted(dir)
+    CdcSinkFiles.publish(dir, messages, overwrite = false)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     CdcSinkFiles.discard(messages)
@@ -179,7 +222,7 @@ class CdcStreamingWrite(dir: String, confMap: Map[String, String],
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new CdcStreamingWriterFactory(dir, confMap, valueIdx, partIdx)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    CdcSinkFiles.publish(dir, messages)
+    CdcSinkFiles.publish(dir, messages, overwrite = true)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CdcSinkFiles.discard(messages)
 }
@@ -227,17 +270,25 @@ class CdcLineWriter(dir: String, finalBase: String,
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
 
-  /** Routing keys become directory names: anything outside a safe
-    * charset is replaced, and a key that would be hidden from the
-    * reader's listing (leading `.`/`_`) or empty is folded into
-    * `unrouted` — fan-out must never produce an untailable directory.
+  /** Routing keys become directory names. A key that is already safe
+    * (charset-clean, no leading dot) is used VERBATIM — `_unrouted`
+    * stays `_unrouted`. Anything else is rewritten (unsafe chars and
+    * leading dots replaced — `..` must never escape the sink dir, and
+    * dot-prefixed names would collide with hidden temp conventions) and
+    * suffixed with a short hash of the RAW key, so two distinct keys
+    * can never silently merge into one log (`order items` vs
+    * `order_items`).
     */
   private def sanitize(raw: String): String = {
-    // leading dots/underscores stripped: the reader's listing hides such
-    // names, and `..` must never escape the sink directory
-    val s = raw.replaceAll("[^A-Za-z0-9._-]", "_")
-      .dropWhile(c => c == '.' || c == '_')
-    if (s.isEmpty) "unrouted" else s
+    val s0 = raw.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^\\.+", "_")
+    val safe = if (s0.isEmpty) "unrouted" else s0
+    if (safe == raw) safe
+    else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      s"$safe-$h"
+    }
   }
 
   override def write(record: InternalRow): Unit = {

@@ -244,13 +244,13 @@ class CdcDsv2SourceSpec extends SparkSpec {
     val junk: Gen[String] = Gen.oneOf(
       Gen.const("not-json{{{"), Gen.const("[1,2]"), Gen.const("42"),
       Gen.const("\"s\""), Gen.const("{\"after\":\"not-a-struct\"}"),
-      Gen.const("{\"op\":17}"), Gen.alphaNumStr.map(s => s"{$s"))
+      Gen.const("{\"op\":17}"), Gen.const(""), // blank separator lines too
+      Gen.alphaNumStr.map(s => s"{$s"))
     val lineGen = Gen.frequency(3 -> envLine, 1 -> junk)
 
     (0 until 6).foreach { i =>
       val sample = Gen.listOfN(25, lineGen)
         .apply(Gen.Parameters.default, Seed(7000L + i)).get
-        .filter(_.nonEmpty)
       val dir = tmpDir(s"dsv2_prop_$i")
       writeFile(dir, "00000.jsonl", sample: _*)
       val v2 = spark.read.format("graft-cdc").load(dir)

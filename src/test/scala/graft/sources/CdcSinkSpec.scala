@@ -113,13 +113,71 @@ class CdcSinkSpec extends SparkSpec {
 
     val subdirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
       .map(_.getName).sorted.toSeq
-    assert(subdirs == Seq("customers", "orders", "unrouted"), subdirs)
+    // "_unrouted" is charset-safe, so the routedValues contract name is
+    // used verbatim — consumers find the passthrough log where the
+    // pipeline documents it
+    assert(subdirs == Seq("_unrouted", "customers", "orders"), subdirs)
     // enriched output in the customers log still carries the original id
     val cust = spark.read.json(
       spark.read.format("graft-cdc").load(s"$outDir/customers")
         .select("value").as[String])
     assert(cust.select("original.after.id").collect().map(_.getLong(0))
       .toSeq == Seq(1L))
+  }
+
+  test("overwrite + partitionColumn replaces old fan-out data and keeps " +
+      "the new batch intact") {
+    val dir = tmpDir("sink_fanout_ow")
+    Seq(("customers", lines(1).head), ("orders", lines(2).head))
+      .toDF("source_table", "value").coalesce(1)
+      .write.format("graft-cdc").option("partitionColumn", "source_table")
+      .mode("append").save(dir)
+    Seq(("customers", lines(9).head))
+      .toDF("source_table", "value").coalesce(1)
+      .write.format("graft-cdc").option("partitionColumn", "source_table")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("graft-cdc").load(s"$dir/customers")
+      .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(9))
+    assert(spark.read.format("graft-cdc").load(s"$dir/orders").count() == 0)
+  }
+
+  test("distinct routing keys never merge: sanitized names carry a hash " +
+      "of the raw key") {
+    val dir = tmpDir("sink_collide")
+    Seq(("order items", lines(1).head), ("order_items", lines(2).head))
+      .toDF("source_table", "value").coalesce(1)
+      .write.format("graft-cdc").option("partitionColumn", "source_table")
+      .mode("append").save(dir)
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq
+    assert(subdirs.length == 2 && subdirs.distinct.length == 2, subdirs)
+    assert(subdirs.contains("order_items"), subdirs) // safe key verbatim
+  }
+
+  test("batch append into a streaming-written log is refused (names would " +
+      "sort behind the tail boundary)") {
+    val dir = tmpDir("sink_mix")
+    val cp = tmpDir("sink_mix_cp")
+    val src = tmpDir("sink_mix_src")
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "00000.jsonl"),
+      lines(1).head.getBytes("UTF-8"))
+    val q = spark.readStream.format("graft-cdc").load(src).select("value")
+      .writeStream.format("graft-cdc").option("path", dir)
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val e = intercept[Exception] {
+      lines(2).toDF("value").coalesce(1)
+        .write.format("graft-cdc").mode("append").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("batch append")), msgs(e).mkString("|"))
+    // overwrite is the sanctioned way to repurpose the directory
+    lines(3).toDF("value").coalesce(1)
+      .write.format("graft-cdc").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-cdc").load(dir)
+      .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
   test("streaming sink: epoch-named files, tailable by the source, " +
@@ -159,7 +217,7 @@ class CdcSinkSpec extends SparkSpec {
     w.write(org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString(lines(7).head)))
     val msg = w.commit()
-    CdcSinkFiles.publish(outDir, Array(msg))
+    CdcSinkFiles.publish(outDir, Array(msg), overwrite = true)
     val after = spark.read.format("graft-cdc").load(outDir)
     assert(after.count() == before - 1) // epoch 0 had 2 rows, republished with 1
     assert(names(outDir) == fs) // same names, no extras
