@@ -81,6 +81,36 @@ object CdcPipeline {
       .start()
   }
 
+  /** V2-transport variant of [[start]]: both ends ride the `graft-cdc`
+    * DataSource V2 table ([[graft.sources.CdcTableProvider]]) instead of
+    * text source/sink. What that buys over the text transport:
+    * admission-controlled tailing (`maxFilesPerTrigger` bounds recovery
+    * batches), a loud failure on out-of-order input files (the text
+    * source silently skips them), and fan-out into per-table
+    * subdirectories that are THEMSELVES tailable `graft-cdc` logs under
+    * rename-committed monotone names — so each table's output feeds the
+    * next pipeline stage directly, the reference's topic-chaining shape
+    * (`docs/architecture.md:30-41`).
+    */
+  def startV2(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, cfg: EnrichConfig = EnrichConfig(),
+      availableNow: Boolean = true,
+      fanOutByTable: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    var reader = spark.readStream.format("graft-cdc")
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val in = reader.load(inDir).select("value")
+    val values =
+      if (fanOutByTable) routedValues(in, cfg) else enrichedValues(in, cfg)
+    var writer = values.writeStream
+      .format("graft-cdc")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+    if (fanOutByTable) writer = writer.option("partitionColumn", "source_table")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Batch twin (snapshot mode, SURVEY.md §2.1 S2): same transform, bounded
     * input — how Debezium replays pre-existing rows through the same path.
     */

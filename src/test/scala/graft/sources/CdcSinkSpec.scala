@@ -125,6 +125,34 @@ class CdcSinkSpec extends SparkSpec {
       .toSeq == Seq(1L))
   }
 
+  test("startV2: the official V2-transport pipeline — paced tail, enrich, " +
+      "fan-out, chainable per-table logs") {
+    val srcDir = tmpDir("v2pipe_src")
+    val outDir = tmpDir("v2pipe_out")
+    val cp = tmpDir("v2pipe_cp")
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "00000.jsonl"),
+      (lines(1) ++ Seq("junk{{{")).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "00001.jsonl"),
+      lines(2).mkString("\n").getBytes("UTF-8"))
+
+    val q = graft.cdc.CdcPipeline.startV2(spark, srcDir, outDir, cp,
+      graft.cdc.EnrichConfig(processingTimeIso = Some("t")),
+      fanOutByTable = true, maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(60000) finally q.stop()
+
+    // per-table log holds the enriched records; the junk line went to
+    // _unrouted byte-unchanged (P18)
+    val cust = spark.read.format("graft-cdc").load(s"$outDir/customers")
+      .select("value").as[String].collect()
+    assert(cust.length == 2)
+    val unrouted = spark.read.format("graft-cdc").load(s"$outDir/_unrouted")
+      .select("value").as[String].collect()
+    assert(unrouted.toSeq == Seq("junk{{{"))
+    // chainable: the per-table log tails straight into another V2 read
+    assert(spark.readStream.format("graft-cdc").load(s"$outDir/customers")
+      .isStreaming)
+  }
+
   test("overwrite + partitionColumn replaces old fan-out data and keeps " +
       "the new batch intact") {
     val dir = tmpDir("sink_fanout_ow")
