@@ -101,10 +101,13 @@ object Cdc {
     * `before`, the rest carry `after`) is hash-checked too.
     */
   def qCdcDsv2Scan(s: SparkSession, d: String): DataFrame = {
-    // fixed per-sf path + overwrite: reruns in one JVM/round reuse the
-    // directory instead of accumulating temp copies
+    // fixed per-(user, sf-path) dir + overwrite: reruns in one JVM/round
+    // reuse the directory instead of accumulating temp copies, and the
+    // full path (not a 32-bit hash) keys it so concurrent runs over
+    // different data can never overwrite each other's input mid-read
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_dsv2_scan_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      "graft_dsv2_scan_" + sys.props.getOrElse("user.name", "u") + "_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
     changeMixRaw(s, d).write.mode("overwrite").text(dir)
     s.read.format("graft-cdc").load(dir)
       .groupBy(col("op"))

@@ -183,11 +183,18 @@ class CdcScanBuilder(full: StructType, path: String,
 class CdcScan(path: String, required: StructType, timeZoneId: String,
     pushed: Seq[Filter], maxFilesPerTrigger: Option[Int] = None)
     extends Scan with SupportsReportStatistics {
+  // ONE listing snapshot per scan, shared by estimateStatistics (which
+  // the optimizer may consult more than once) and batch planning — both
+  // for LIST cost and so stats and partitions describe the same files
+  private lazy val snapshot: Seq[(String, Long)] =
+    CdcDataSource.listWithSizes(path)
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-cdc path=$path readSchema=${required.simpleString} " +
       s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
-  override def toBatch: Batch = new CdcBatch(path, required, timeZoneId, pushed)
+  override def toBatch: Batch =
+    new CdcBatch(snapshot.map(_._1), required, timeZoneId, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(path, required, timeZoneId, pushed,
       maxFilesPerTrigger)
@@ -197,7 +204,7 @@ class CdcScan(path: String, required: StructType, timeZoneId: String,
     * of defaulting to the "unknown = huge" conservative estimate).
     */
   override def estimateStatistics(): Statistics = {
-    val bytes = CdcDataSource.listWithSizes(path).map(_._2).sum
+    val bytes = snapshot.map(_._2).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -207,11 +214,10 @@ class CdcScan(path: String, required: StructType, timeZoneId: String,
   }
 }
 
-class CdcBatch(dir: String, required: StructType, timeZoneId: String,
+class CdcBatch(files: Seq[String], required: StructType, timeZoneId: String,
     pushed: Seq[Filter]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    CdcDataSource.listFiles(dir)
-      .map(f => CdcInputPartition(f): InputPartition).toArray
+    files.map(f => CdcInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(required.json, timeZoneId, pushed,
       CdcDataSource.hadoopConfMap())
@@ -250,7 +256,14 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
   private val reader = {
     val p = new Path(file)
     // executor-side: the driver's session Hadoop conf, shipped as a map
-    val in = p.getFileSystem(CdcDataSource.confFrom(hadoopConf)).open(p)
+    val conf = CdcDataSource.confFrom(hadoopConf)
+    val raw = p.getFileSystem(conf).open(p)
+    // rolled logs are routinely compressed (.gz etc.); read.text handles
+    // them via the Hadoop codec factory, so parity requires we do too
+    val codec =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
+    val in: java.io.InputStream =
+      if (codec == null) raw else codec.createInputStream(raw)
     new java.io.BufferedReader(
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -299,18 +312,25 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
   override def close(): Unit = reader.close()
 }
 
-/** Stream position = committed prefix of the name-sorted file list. The
-  * boundary file name rides along so a violation of the name-monotone
-  * precondition is DETECTED (a new file sorting before the boundary would
-  * otherwise be silently skipped — the classic tailing-source data-loss
-  * bug) instead of corrupting the stream.
+/** Stream position = committed prefix of the name-sorted file list. Two
+  * integrity witnesses ride along so violations of the name-monotone
+  * precondition are DETECTED instead of corrupting the stream: the
+  * boundary file name (catches a file sorting before/after the
+  * boundary), and an order-sensitive hash over EVERY name in the prefix
+  * (catches a delete+insert INSIDE the committed range, which keeps the
+  * count and boundary identical while substituting files — the one
+  * corruption a boundary check alone cannot see). Offsets from older
+  * checkpoints without the hash still deserialize (the hash check is
+  * skipped for them).
   */
-case class CdcOffset(fileCount: Int, lastFile: String) extends Offset {
+case class CdcOffset(fileCount: Int, lastFile: String,
+    prefixHash: Option[Long] = None) extends Offset {
   override def json(): String = {
     val m = new ObjectMapper()
     val node = m.createObjectNode()
     node.put("fileCount", fileCount)
     node.put("lastFile", lastFile)
+    prefixHash.foreach(h => node.put("prefixHash", h))
     m.writeValueAsString(node)
   }
 }
@@ -318,8 +338,16 @@ case class CdcOffset(fileCount: Int, lastFile: String) extends Offset {
 object CdcOffset {
   def fromJson(json: String): CdcOffset = {
     val node = new ObjectMapper().readTree(json)
-    CdcOffset(node.get("fileCount").asInt(), node.get("lastFile").asText())
+    CdcOffset(node.get("fileCount").asInt(), node.get("lastFile").asText(),
+      Option(node.get("prefixHash")).map(_.asLong()))
   }
+
+  /** Order-sensitive FNV-style fold over file names (String.hashCode is
+    * specified, so this is stable across JVMs and restarts).
+    */
+  def hashNames(names: Seq[String]): Long =
+    names.foldLeft(-3750763034362895579L)(
+      (h, n) => (h ^ n.hashCode.toLong) * 1099511628211L)
 }
 
 class CdcMicroBatchStream(dir: String, required: StructType,
@@ -347,11 +375,12 @@ class CdcMicroBatchStream(dir: String, required: StructType,
     }
   }
 
-  override def initialOffset(): Offset = CdcOffset(0, "")
+  override def initialOffset(): Offset = CdcOffset(0, "", Some(CdcOffset.hashNames(Nil)))
 
   override def latestOffset(): Offset = {
     val files = listing()
-    CdcOffset(files.length, files.lastOption.getOrElse(""))
+    CdcOffset(files.length, files.lastOption.getOrElse(""),
+      Some(CdcOffset.hashNames(files)))
   }
 
   /** Admission control: bound each micro-batch to `maxFilesPerTrigger`
@@ -373,7 +402,8 @@ class CdcMicroBatchStream(dir: String, required: StructType,
       case m: ReadMaxFiles => math.min(files.length, s.fileCount + m.maxFiles)
       case _ => files.length
     }
-    CdcOffset(cap, if (cap == 0) "" else files(cap - 1))
+    CdcOffset(cap, if (cap == 0) "" else files(cap - 1),
+      Some(CdcOffset.hashNames(files.take(cap))))
   }
 
   /** True head of the log (progress reporting shows real backlog even
@@ -395,16 +425,26 @@ class CdcMicroBatchStream(dir: String, required: StructType,
     // of order in between would otherwise silently substitute different
     // files into the recovered batch — corrupt output first, loud error
     // only a batch later.
-    def check(count: Int, boundary: String): Unit = if (count > 0) {
-      require(files.length >= count && files(count - 1) == boundary,
+    def check(o: CdcOffset): Unit = if (o.fileCount > 0) {
+      require(files.length >= o.fileCount && files(o.fileCount - 1) == o.lastFile,
         s"graft-cdc: committed file prefix changed under the stream — " +
-          s"expected file #$count to be '$boundary' but the " +
-          s"sorted listing has '${files.lift(count - 1).getOrElse("<missing>")}'. " +
+          s"expected file #${o.fileCount} to be '${o.lastFile}' but the " +
+          s"sorted listing has '${files.lift(o.fileCount - 1).getOrElse("<missing>")}'. " +
           "Log files must be named lexicographically monotone (zero-padded " +
           "counters); an out-of-order or deleted file would silently lose data.")
+      // membership witness: a delete+insert INSIDE the range keeps count
+      // and boundary intact — only the prefix hash can catch it
+      o.prefixHash.foreach { h =>
+        require(CdcOffset.hashNames(files.take(o.fileCount)) == h,
+          s"graft-cdc: file membership changed inside the committed range " +
+            s"(prefix of ${o.fileCount} files no longer matches the offset's " +
+            "witness hash). A file was deleted and another inserted between " +
+            "offset resolution and planning — reading on would silently " +
+            "substitute data.")
+      }
     }
-    check(s.fileCount, s.lastFile)
-    check(e.fileCount, e.lastFile)
+    check(s)
+    check(e)
     files.slice(s.fileCount, e.fileCount)
       .map(f => CdcInputPartition(f): InputPartition).toArray
   }

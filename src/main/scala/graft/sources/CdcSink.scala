@@ -22,11 +22,12 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   * Commit protocol: task writers write to hidden `._tmp_*` files (hidden
   * names are invisible to the reader's listing); the DRIVER's commit
-  * renames them to their final names only after every task succeeded, and
-  * deletes any existing destination first so a re-executed streaming
-  * epoch lands idempotently (at-least-once commit + deterministic names +
-  * overwrite = exactly-once content for replayed epochs). Abort deletes
-  * the temporaries. A crash mid-rename leaves earlier files visible —
+  * renames them to their final names only after every task succeeded.
+  * STREAMING commits overwrite an existing destination (a re-executed
+  * epoch republishes its deterministic names idempotently) and sweep any
+  * stale parts a differently-partitioned failed attempt of the same epoch
+  * left behind; BATCH commits treat an existing destination as a detected
+  * conflict. Abort deletes the temporaries. A crash mid-rename leaves earlier files visible —
   * the same non-atomicity window as Hadoop's v2 file committer; the
   * monotone-name check on the reading side still holds because renames
   * happen in name order.
@@ -77,8 +78,15 @@ class CdcWrite(dir: String, schema: StructType, truncate: Boolean,
   private val confMap = CdcDataSource.hadoopConfMap()
   override def toBatch: BatchWrite =
     new CdcBatchWrite(dir, truncate, confMap, valueIdx, partIdx)
-  override def toStreaming: StreamingWrite =
+  override def toStreaming: StreamingWrite = {
+    // SupportsTruncate exists for batch overwrite; accepting complete
+    // output mode here would re-publish the FULL result every epoch into
+    // an append-only log — every row duplicated once per trigger
+    if (truncate) throw new UnsupportedOperationException(
+      "graft-cdc sink: complete output mode is not supported — the log is " +
+        "append-only; use append (or update via foreachBatch upsert)")
     new CdcStreamingWrite(dir, confMap, valueIdx, partIdx)
+  }
 }
 
 case class CdcFilePart(tmpPath: String, finalName: String, rows: Long)
@@ -172,12 +180,20 @@ object CdcSinkFiles {
     * fan-out subdirectories) — the namespace the batch commit sequence
     * must be monotone over.
     */
-  def committedNames(dir: String): Seq[String] = {
+  def committedNames(dir: String): Seq[String] = dataFiles(dir).map {
+    case (_, rel) => rel.substring(rel.lastIndexOf('/') + 1)
+  }
+
+  /** Committed data files one level deep, as (absolute path, name
+    * relative to `dir`) — the sink's full publish namespace.
+    */
+  def dataFiles(dir: String): Seq[(Path, String)] = {
     val f = fs(dir)
     committed(dir).flatMap { q =>
-      if (f.getFileStatus(q).isFile) Seq(q.getName)
-      else f.listStatus(q).toSeq.filter(_.isFile).map(_.getPath.getName)
-        .filterNot(hiddenName)
+      if (f.getFileStatus(q).isFile) Seq((q, q.getName))
+      else f.listStatus(q).toSeq.filter(_.isFile)
+        .filterNot(st => hiddenName(st.getPath.getName))
+        .map(st => (st.getPath, s"${q.getName}/${st.getPath.getName}"))
     }
   }
 }
@@ -219,10 +235,41 @@ class CdcBatchWrite(dir: String, truncate: Boolean,
 
 class CdcStreamingWrite(dir: String, confMap: Map[String, String],
     valueIdx: Int, partIdx: Option[Int]) extends StreamingWrite {
+  /** Highest epoch already committed in the directory, captured at query
+    * start. A legitimate crash-replay recommits exactly this epoch (the
+    * sink published, the engine's WAL didn't); anything LOWER means a
+    * fresh checkpoint restarted epoch numbering over an existing log,
+    * where overwrite would destroy committed data that tailers past
+    * their boundary will never re-read — refuse loudly instead.
+    */
+  private val replayFloor: Long = CdcSinkFiles.committedNames(dir)
+    .filter(n => n.startsWith("e") && n.contains('-'))
+    .flatMap(n => scala.util.Try(n.takeWhile(_ != '-').drop(1).toLong).toOption)
+    .maxOption.getOrElse(-1L)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new CdcStreamingWriterFactory(dir, confMap, valueIdx, partIdx)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    if (epochId < replayFloor) throw new IllegalStateException(
+      s"graft-cdc sink: epoch $epochId would overwrite already-committed " +
+        s"epoch files (directory has commits up to epoch $replayFloor) — " +
+        "a query with a FRESH checkpoint is writing into an existing log. " +
+        "Point it at a fresh directory, or resume from the original checkpoint.")
     CdcSinkFiles.publish(dir, messages, overwrite = true)
+    // a failed attempt of this epoch may have committed MORE parts than
+    // this replay produced (different partitioning after restart); any
+    // same-epoch file not republished is stale and would duplicate rows
+    val published = messages.collect { case m: CdcCommitMessage => m }
+      .flatMap(_.parts).map(_.finalName).toSet
+    val prefix = f"e$epochId%012d-"
+    val f = CdcSinkFiles.fs(dir)
+    CdcSinkFiles.dataFiles(dir).foreach { case (path, relName) =>
+      if (relName.substring(relName.lastIndexOf('/') + 1).startsWith(prefix) &&
+          !published.contains(relName))
+        f.delete(path, false)
+    }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CdcSinkFiles.discard(messages)
 }
@@ -281,7 +328,9 @@ class CdcLineWriter(dir: String, finalBase: String,
     */
   private def sanitize(raw: String): String = {
     val s0 = raw.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^\\.+", "_")
-    val safe = if (s0.isEmpty) "unrouted" else s0
+    // empty keys fold into the reserved convention bucket (hash-suffixed
+    // below, since raw != safe, so they cannot shadow real null-key rows)
+    val safe = if (s0.isEmpty) "_unrouted" else s0
     if (safe == raw) safe
     else {
       val h = java.security.MessageDigest.getInstance("MD5")
@@ -292,11 +341,20 @@ class CdcLineWriter(dir: String, finalBase: String,
   }
 
   override def write(record: InternalRow): Unit = {
-    if (record.isNullAt(valueIdx)) return // no payload, nothing to log
+    // a JSON-lines log cannot represent a null payload, and silently
+    // dropping CDC records is the worst failure mode — fail the task
+    // (the built-in text sink throws on null too); encode tombstones
+    // upstream if they must flow
+    if (record.isNullAt(valueIdx)) throw new IllegalArgumentException(
+      "graft-cdc sink: null payload value — encode or filter null " +
+        "(tombstone) records before the sink; refusing to drop silently")
     val key = partIdx match {
       case None => ""
       case Some(i) =>
-        if (record.isNullAt(i)) "unrouted"
+        // null key joins the documented "_unrouted" convention bucket
+        // (what routedValues emits for unroutable records); that name is
+        // reserved — see sanitize
+        if (record.isNullAt(i)) "_unrouted"
         else sanitize(record.getUTF8String(i).toString)
     }
     val p = parts.getOrElseUpdate(key,

@@ -264,6 +264,47 @@ class CdcDsv2SourceSpec extends SparkSpec {
     }
   }
 
+  test("delete+insert inside the committed range is caught by the offset's " +
+      "membership hash (count and boundary alone would pass)") {
+    val dir = tmpDir("dsv2_substitute")
+    writeFile(dir, "00001.jsonl", good)
+    writeFile(dir, "00002.jsonl", good)
+    writeFile(dir, "00004.jsonl", del)
+    val schema = CdcDataSource.schemaFor(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    val stream = new CdcMicroBatchStream(dir, schema, "UTC")
+    val committed = stream.latestOffset() // prefix of 3, boundary 00004
+    // within one trigger the cached listing makes plan == resolved offset
+    // by construction; the hazard is CHECKPOINT RECOVERY, where a fresh
+    // stream instance replays the WAL offset against a changed directory.
+    // Retention deletes 00002 while late 00003 lands: SAME count, SAME
+    // boundary — only the membership witness can see the substitution.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "00002.jsonl"))
+    writeFile(dir, "00003.jsonl", good)
+    val recovered = new CdcMicroBatchStream(dir, schema, "UTC")
+    val replayed = recovered.deserializeOffset(committed.json())
+    val e = intercept[IllegalArgumentException] {
+      recovered.planInputPartitions(recovered.initialOffset(), replayed)
+    }
+    assert(e.getMessage.contains("membership changed"), e.getMessage)
+  }
+
+  test("compressed log files (.gz) read with full read.text parity") {
+    val dir = tmpDir("dsv2_gzip")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "00000.jsonl.gz")))
+    out.write(s"$good\n$del\n$bad".getBytes("UTF-8"))
+    out.close()
+    val v2 = spark.read.format("graft-cdc").load(dir)
+      .select("value", "op").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).sorted.toSeq
+    val baseline = CdcEnvelope.parse(spark.read.text(dir))
+      .select(col("value"), col("envelope.op")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).sorted.toSeq
+    assert(v2 == baseline && v2.length == 3, v2.mkString("\n"))
+  }
+
   test("out-of-order file name fails loudly instead of silently skipping") {
     val dir = tmpDir("dsv2_ooo")
     writeFile(dir, "00001.jsonl", good)

@@ -208,6 +208,89 @@ class CdcSinkSpec extends SparkSpec {
       .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("complete output mode is refused: an append-only log cannot " +
+      "republish the full result per epoch") {
+    val dir = tmpDir("sink_complete")
+    val e = intercept[Exception] {
+      val q = spark.readStream
+        .format("rate").option("rowsPerSecond", 1).load()
+        .groupBy().count().select(col("count").cast("string").as("value"))
+        .writeStream.format("graft-cdc").outputMode("complete")
+        .option("path", dir)
+        .option("checkpointLocation", tmpDir("sink_complete_cp")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("complete output mode")),
+      msgs(e).mkString("|"))
+  }
+
+  test("fresh checkpoint into an existing log is refused before a " +
+      "restarted epoch clobbers committed data") {
+    val dir = tmpDir("sink_freshcp")
+    def part(epoch: Long, line: String): CdcCommitMessage = {
+      val w = new CdcLineWriter(dir, f"e$epoch%012d-p${0}%05d.jsonl")
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(line)))
+      w.commit().asInstanceOf[CdcCommitMessage]
+    }
+    // an earlier query committed up to epoch 5
+    val w0 = new CdcStreamingWrite(dir, Map.empty, 0, None)
+    w0.commit(5L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      part(5L, lines(1).head)))
+    // a NEW query over a fresh checkpoint restarts epoch numbering: its
+    // CdcStreamingWrite (built at query start) sees the floor and refuses
+    val w1 = new CdcStreamingWrite(dir, Map.empty, 0, None)
+    val before = names(dir)
+    val e = intercept[IllegalStateException] {
+      w1.commit(0L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+        part(0L, lines(9).head)))
+    }
+    assert(e.getMessage.contains("FRESH checkpoint"), e.getMessage)
+    assert(names(dir) == before, "committed files must be untouched")
+    // crash-replay of the floor epoch itself stays allowed (idempotent)
+    w1.commit(5L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      part(5L, lines(2).head)))
+    assert(spark.read.format("graft-cdc").load(dir)
+      .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("stale parts of a replayed epoch are swept: republish with fewer " +
+      "partitions leaves no duplicates") {
+    val dir = tmpDir("sink_stale")
+    // simulate epoch 3 attempt 1 with two partitions
+    def writePart(part: Int, line: String): CdcCommitMessage = {
+      val w = new CdcLineWriter(dir, f"e${3L}%012d-p$part%05d.jsonl")
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(line)))
+      w.commit().asInstanceOf[CdcCommitMessage]
+    }
+    CdcSinkFiles.publish(dir,
+      Array(writePart(0, lines(1).head), writePart(1, lines(2).head)),
+      overwrite = true)
+    assert(names(dir).length == 2)
+    // replayed attempt produces ONE partition; the streaming commit path
+    // must sweep the stale p00001 from the dead attempt
+    val sw = new CdcStreamingWrite(dir, Map.empty, 0, None)
+    sw.commit(3L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      writePart(0, lines(9).head)))
+    assert(names(dir) == Seq(f"e${3L}%012d-p${0}%05d.jsonl"), names(dir))
+    assert(spark.read.format("graft-cdc").load(dir)
+      .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("null payload rows fail the write instead of silently vanishing") {
+    val dir = tmpDir("sink_nullval")
+    val e = intercept[Exception] {
+      Seq(Some(lines(1).head), None).toDF("value")
+        .coalesce(1).write.format("graft-cdc").mode("append").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null payload")), msgs(e).mkString("|"))
+  }
+
   test("streaming sink: epoch-named files, tailable by the source, " +
       "idempotent republish") {
     val srcDir = tmpDir("sink_stream_src")
