@@ -11,26 +11,43 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * signatures, same banding — shared helpers, so batch and streaming can
   * never drift).
   *
-  * Shape: an append-only parquet LSH index holds one row per (band_key,
-  * doc_id, sig) for every document ever admitted. Each micro-batch
-  * (foreachBatch):
+  * Shape: an LSH index holds one row per (band_key, doc_id, sig) for
+  * every document ever admitted. Each micro-batch (foreachBatch):
   *
   *   1. computes signatures + band keys for the arriving docs (narrow,
   *      codegen — the same one-pass [[VectorFunctions.minhashSig]]);
   *   2. candidate-joins arriving bands against the index AND against the
-  *      batch itself (equality on band_key — O(batch·bands) work, never a
-  *      scan of the corpus);
-  *   3. verifies candidates by exact signature-slot agreement (≥ half);
-  *   4. appends the batch's bands to the index and the verdicts to the
-  *      output.
+  *      batch itself (equality on (band_bucket, band_key) — O(batch·bands)
+  *      join work, never a scan of the corpus);
+  *   3. verifies candidates by exact signature-slot agreement (≥ half),
+  *      deterministically (max matched per pair, so an upstream doc-id
+  *      reuse cannot make verdicts flip between runs);
+  *   4. writes the batch's bands to the index under
+  *      `batch_id=<id>/band_bucket=<b>/` — ONE overwritten subdirectory
+  *      per micro-batch, so an at-least-once replay republishes the same
+  *      rows instead of appending duplicates (idempotent index), and the
+  *      join's bucket values prune the scan to touched buckets.
   *
-  * At 100 TB the index is the only large state; it is partitioned parquet
-  * keyed by band_key — the candidate join prunes to matching band files
-  * and never rewrites history (append-only, idempotent per batch id via
-  * overwrite-by-batch directory naming if exactly-once is needed; the
-  * at-least-once default matches the CDC sink's contract).
+  * Replay safety does NOT assume arrival-ordered doc ids: a replayed
+  * batch finds its own rows already in the index, so the index side is
+  * anti-joined against the batch's ids (a broadcast of one small id
+  * column) — cross-batch verdicts are emitted as (arriving, indexed) in
+  * whatever id order they come.
+  *
+  * At 100 TB the index is the only large state. `band_bucket` (a bounded
+  * hash of band_key, [[IndexBuckets]] values) keeps the directory count
+  * per batch bounded — partitioning by raw band_key would create one
+  * near-empty directory per distinct band, and per-trigger listing cost
+  * is driven by directory count, which partition pruning does not reduce.
+  * Listing still grows with batch count (one subdirectory per batch);
+  * long-running deployments should fold old `batch_id=*` directories
+  * into a compacted base the same way any streaming file sink is
+  * maintained.
   */
 object StreamingDedup {
+
+  /** Bounded partition fan-out for the on-disk index. */
+  val IndexBuckets = 64
 
   /** Signature column for a `text` column — batch/stream shared. */
   def signature(text: Column): Column =
@@ -45,11 +62,15 @@ object StreamingDedup {
   def matchedSlots(a: Column, b: Column): Column =
     TextOps.minhashMatchedSlots(a, b)
 
+  private def bandBucket(bandKey: Column): Column =
+    pmod(xxhash64(bandKey), lit(IndexBuckets)).cast("int")
+
   private def emptyIndex(batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     batch.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       StructType(Seq(
+        StructField("band_bucket", IntegerType),
         StructField("band_key", StringType),
         StructField("doc_id", LongType),
         StructField("sig", ArrayType(LongType)))))
@@ -57,48 +78,65 @@ object StreamingDedup {
 
   /** One increment: near-dup verdicts for `batch` (doc_id, text) against
     * the index at `indexPath` plus earlier docs of the same batch, and the
-    * index append. Returns the verdict frame (doc_id, dup_of, matched).
+    * idempotent index write for `batchId`. Returns the verdict frame
+    * (doc_id, dup_of, matched).
     */
-  def increment(batch: DataFrame, indexPath: String): DataFrame = {
+  def increment(batch: DataFrame, indexPath: String, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val sigs = batch
       .select(col("doc_id"), signature(col("text")).as("sig"))
       .localCheckpoint()
     val bands = sigs
-      .select(col("doc_id"), col("sig"), explode(bandKeys(col("sig"))).as("band_key"))
+      .select(col("doc_id"), col("sig"),
+        explode(bandKeys(col("sig"))).as("band_key"))
+      .withColumn("band_bucket", bandBucket(col("band_key")))
+    // existence probed explicitly: ONLY a missing index means "empty".
+    // Any other read failure (corrupt footer, wrong path contents) must
+    // fail the batch loudly — a blanket exception fallback would skip
+    // cross-batch dedup for the batch while still admitting its docs,
+    // losing verdicts permanently with no error anywhere.
+    val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+    val idxFs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val indexAbsent =
+      !idxFs.exists(idxPath) || idxFs.listStatus(idxPath).isEmpty
     val index =
-      try spark.read.parquet(indexPath)
-      catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex(batch) }
-    // candidates: arriving docs vs the corpus index, plus in-batch pairs
-    // (later doc is the "arriving" side so the earlier one is its dup_of)
-    val vsIndex = bands.join(
-      index.select(col("band_key"), col("doc_id").as("dup_of"),
-        col("sig").as("sig_b")),
-      Seq("band_key"))
-      // dup_of < doc_id enforces the earlier-doc-wins invariant under
-      // at-least-once REPLAY too: a replayed batch finds its own rows in
-      // the index in BOTH directions (and itself, ==), and `=!=` alone
-      // would emit a (doc, LATER-doc) verdict no first run can produce.
-      // Doc ids are arrival-ordered — the same assumption the in-batch
-      // pairing below already makes.
-      .filter(col("dup_of") < col("doc_id"))
-    val inBatch = bands.join(
-      bands.select(col("band_key"), col("doc_id").as("dup_of"),
-        col("sig").as("sig_b")),
-      Seq("band_key"))
+      if (indexAbsent) emptyIndex(batch)
+      else spark.read.parquet(indexPath)
+        .select(col("band_bucket"), col("band_key"), col("doc_id"), col("sig"))
+    // a replayed batch finds ITS OWN rows in the index (the index write
+    // commits before the verdict write): exclude them by id — robust in
+    // any doc-id order, unlike an id-inequality filter
+    val others = index.join(
+      broadcast(sigs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    def candidateSide(df: DataFrame): DataFrame = df.select(
+      col("band_bucket"), col("band_key"),
+      col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+    // cross-batch: (arriving, indexed) in whatever id order; in-batch:
+    // later id wins so exactly one orientation is emitted
+    val vsIndex = bands.join(candidateSide(others),
+      Seq("band_bucket", "band_key"))
+    val inBatch = bands.join(candidateSide(bands),
+      Seq("band_bucket", "band_key"))
       .filter(col("doc_id") > col("dup_of"))
     val verdicts = vsIndex.unionByName(inBatch)
-      .select(col("doc_id"), col("dup_of"), col("sig"), col("sig_b"))
-      .dropDuplicates("doc_id", "dup_of")
       .withColumn("matched", matchedSlots(col("sig"), col("sig_b")))
+      // max per pair (not an arbitrary dropDuplicates survivor): if an
+      // id was ever re-admitted with different text, the verdict is
+      // still deterministic across runs
+      .groupBy(col("doc_id"), col("dup_of"))
+      .agg(max(col("matched")).as("matched"))
       .filter(col("matched") >= TextOps.MinhashParams.size / 2)
       .select(col("doc_id"), col("dup_of"), col("matched"))
-    // partitionBy(band_key): the candidate join equi-joins on band_key,
-    // so dynamic partition pruning reads only the band directories the
-    // batch actually touches — O(batch·bands) files per trigger, not a
-    // rescan of the whole accumulated corpus index
-    bands.select(col("band_key"), col("doc_id"), col("sig"))
-      .write.mode("append").partitionBy("band_key").parquet(indexPath)
+      // MATERIALIZE before the index write below: on a replay, that
+      // write overwrites files the verdict plan reads — a lazy verdict
+      // frame would execute against deleted files and fail the batch
+      // forever. Verdict pairs are tiny; the checkpoint pins them.
+      .localCheckpoint()
+    // one subdirectory per micro-batch, overwritten: replaying the batch
+    // republishes identical rows (idempotent) instead of appending dupes
+    bands.select(col("band_bucket"), col("band_key"), col("doc_id"), col("sig"))
+      .write.mode("overwrite").partitionBy("band_bucket")
+      .parquet(s"$indexPath/batch_id=$batchId")
     verdicts
   }
 
@@ -108,7 +146,7 @@ object StreamingDedup {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        increment(batch, indexPath)
+        increment(batch, indexPath, batchId)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outPath)
         ()

@@ -90,6 +90,58 @@ class StreamingDedupSpec extends SparkSpec {
     assert(v.contains((11L, 10L, graft.text.TextOps.MinhashParams.size.toLong)), v.toSeq)
   }
 
+  test("out-of-id-order arrival: a later batch with a SMALLER doc id still " +
+      "matches the indexed doc") {
+    import spark.implicits._
+    val in = tmpDir("sdedup4-in"); val index = tmpDir("sdedup4-idx")
+    val out = tmpDir("sdedup4-out"); val ck = tmpDir("sdedup4-ck")
+    writeDocs(in, Seq(Doc(100L, base))) // big id admitted first
+    val schema = Seq.empty[Doc].toDF().schema
+    val q = StreamingDedup.run(
+      spark.readStream.schema(schema).parquet(in), index, out, ck)
+    try {
+      q.processAllAvailable()
+      writeDocs(in, Seq(Doc(5L, base))) // backfill with a smaller id
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(v.contains((5L, 100L)),
+      s"smaller-id arrival must still match the index: $v")
+  }
+
+  test("replayed batch id republishes the same index rows — no duplicates, " +
+      "no self-verdicts") {
+    import spark.implicits._
+    val index = tmpDir("sdedup5-idx")
+    val batch = Seq(Doc(1L, base), Doc(2L, variant("dusk"))).toDF()
+    val v1 = StreamingDedup.increment(batch, index, batchId = 0L).collect()
+    // simulate at-least-once replay of the SAME batch id (verdict write
+    // failed after the index write committed)
+    val v2 = StreamingDedup.increment(batch, index, batchId = 0L).collect()
+    val idx = spark.read.parquet(index)
+    assert(idx.count() == 2L * graft.text.TextOps.LshBands,
+      "replay must overwrite its batch directory, not append")
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(pairs(v1) == Set((2L, 1L)))
+    assert(pairs(v2) == Set((2L, 1L)),
+      s"replay must emit the first run's verdicts, got ${pairs(v2)}")
+  }
+
+  test("a corrupt index fails the batch loudly instead of silently " +
+      "skipping cross-batch dedup") {
+    import spark.implicits._
+    val index = tmpDir("sdedup6-idx")
+    // an existing-but-unreadable index: not the missing-dir case
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(index, "batch_id=0"), "garbage".getBytes)
+    intercept[Exception] {
+      StreamingDedup.increment(
+        Seq(Doc(1L, base)).toDF(), index, batchId = 1L).collect()
+    }
+  }
+
   test("restart: index and checkpoint survive, dups flagged against pre-restart docs") {
     import spark.implicits._
     val in = tmpDir("sdedup3-in"); val index = tmpDir("sdedup3-idx")
