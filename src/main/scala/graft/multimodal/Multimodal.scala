@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Canonical stub "frame" size in bytes — shared with the frames gate
+    * query (`graft.queries.Media`) so the sampling operator and the
+    * oracle always slice at the same boundary.
+    */
+  val FrameBytes = 64
+
   /** One media object: opaque payload + typed metadata. */
   case class MediaRecord(
       media_id: Long,
@@ -60,33 +66,60 @@ object Multimodal {
     }
 
     /** STUB resize: a real one re-encodes pixels; the fake scales metadata
-      * and truncates payload proportionally (deterministic).
+      * and truncates payload proportionally (deterministic). Pixel
+      * dimensions only exist for images and video — other kinds pass
+      * through untouched so their metadata contract (width/height = 0
+      * for audio) is never contradicted.
       */
     def resize(rec: MediaRecord, w: Int, h: Int): MediaRecord = {
+      if (rec.kind != "image" && rec.kind != "video") return rec
       // long arithmetic in the guard too: 65536×65536 overflows Int to
       // exactly 0 and would silently no-op the resize
       val scale = if (rec.width.toLong * rec.height == 0) 1.0
         else (w.toLong * h).toDouble / (rec.width.toLong * rec.height)
-      val n = math.max(1, math.min(rec.content.length,
-        math.round(rec.content.length * scale).toInt))
+      // clamp in LONG: a large upscale's round() exceeds Int.MaxValue,
+      // and .toInt-before-min would wrap negative and truncate the
+      // payload to 1 byte instead of keeping all of it
+      val n = math.max(1L, math.min(rec.content.length.toLong,
+        math.round(rec.content.length * scale))).toInt
       rec.copy(content = rec.content.take(n), width = w, height = h)
     }
 
-    /** STUB frame sampling: every k-th "frame" of a video payload, where a
-      * frame is a fixed-size byte slice.
+    /** Frame-id packing: media id in the high bits, frame index in the
+      * low 32. Requires media ids below 2^31 (positive int range) so the
+      * shift can neither sign-flip nor collide two media ids — validated
+      * loudly rather than silently corrupting ids at the claimed corpus
+      * scale.
       */
-    def sampleFrames(rec: MediaRecord, everyK: Int, frameBytes: Int = 64): Seq[MediaRecord] = {
+    def frameId(mediaId: Long, idx: Int): Long = {
+      require(mediaId >= 0 && mediaId < (1L << 31),
+        s"media_id=$mediaId outside [0, 2^31): frame-id packing would " +
+          "collide or sign-flip; re-key media ids before frame sampling")
+      (mediaId << 32) + idx
+    }
+
+    /** STUB frame sampling: every k-th "frame" of a video payload, where a
+      * frame is a fixed-size byte slice. Emitted frames carry
+      * kind="frame": re-applying sampleFrames is then a passthrough
+      * (re-slicing would double-shift the id and lose the media id), and
+      * frame ids can never be confused with the unmodified ids of
+      * non-video records in the same output.
+      */
+    def sampleFrames(rec: MediaRecord, everyK: Int,
+        frameBytes: Int = FrameBytes): Seq[MediaRecord] = {
       require(everyK >= 1, s"everyK=$everyK must be >= 1")
       require(frameBytes >= 1, s"frameBytes=$frameBytes must be >= 1")
-      if (rec.kind != "video" || rec.n_frames == 0) Seq(rec)
+      // empty payload: nothing to slice, but the record must not vanish —
+      // every other non-sampleable input passes through
+      if (rec.kind != "video" || rec.n_frames == 0 || rec.content.isEmpty)
+        Seq(rec)
       else rec.content.grouped(frameBytes).zipWithIndex
         .filter(_._2 % everyK == 0)
         .map { case (frame, idx) =>
-          // frame id = media_id in the high 32 bits: a dense multiplier
-          // (×10000) collided once a video exceeded 10000 frames —
-          // frame (1, 10000) == frame (2, 0)
-          rec.copy(media_id = (rec.media_id << 32) + idx, content = frame,
-            n_frames = 1)
+          // high/low bit packing: a dense multiplier (×10000) collided
+          // once a video exceeded 10000 frames — frame (1,10000) == (2,0)
+          rec.copy(media_id = frameId(rec.media_id, idx), content = frame,
+            kind = "frame", n_frames = 1)
         }.toSeq
     }
   }
@@ -104,9 +137,11 @@ object Multimodal {
       // ASCII-sanitize before encoding so one payload byte == one source
       // character BY CONSTRUCTION — the DuckDB oracle recomputes the
       // histogram from character ordinals, which would silently diverge
-      // from UTF-8 bytes on any multi-byte character
-      encode(regexp_replace(col("text"), "[^\\x00-\\x7F]", "?"), "UTF-8")
-        .as("content"),
+      // from UTF-8 bytes on any multi-byte character. coalesce: a NULL
+      // text row must become an empty payload, not a null content array
+      // that NPEs inside the decode task
+      encode(regexp_replace(coalesce(col("text"), lit("")),
+        "[^\\x00-\\x7F]", "?"), "UTF-8").as("content"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 64 + 1).cast("int"))
         .otherwise(0).cast("int").as("width"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 48 + 1).cast("int"))
@@ -122,13 +157,20 @@ object Multimodal {
     */
   def extractFeatures(media: Dataset[MediaRecord],
       batchSize: Int = 64): Dataset[MediaFeatures] = {
+    // fail fast on the driver: Iterator.grouped would otherwise throw
+    // the same complaint from inside every executor task at action time
+    require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // real codecs would init once here, decode the batch, release
         batch.iterator.map { rec =>
-          MediaFeatures(rec.media_id, rec.kind, rec.content.length,
-            MediaCodec.decodeFeatures(rec.content))
+          // defensive: a record built outside mediaFromDocuments can
+          // carry a null payload; treat as empty rather than NPE the stage
+          val content =
+            if (rec.content == null) Array.emptyByteArray else rec.content
+          MediaFeatures(rec.media_id, rec.kind, content.length,
+            MediaCodec.decodeFeatures(content))
         }
       }
     }

@@ -20,8 +20,10 @@ object Media {
       .orderBy(col("media_id"), col("bin"))
   }
 
-  /** Frame size for the sampling operator (bytes). */
-  val FrameBytes = 64
+  /** Frame size for the sampling operator (bytes) — the canonical
+    * constant lives with the operator so gate and operator cannot drift.
+    */
+  val FrameBytes: Int = graft.multimodal.Multimodal.FrameBytes
 
   /** Frame sampling: every media blob sliced into fixed 64-byte frames
     * with per-frame checksums — the video-frame-extraction stand-in, and

@@ -55,6 +55,37 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.sampleFrames(image, 2) == Seq(image))
   }
 
+  test("hardening: resize overflow/kind guards, frame-id bounds, empty " +
+      "payload passthrough, fail-fast batch size") {
+    val img = mediaFromDocuments(docs).filter(_.kind == "image").head()
+    // huge upscale: the byte count must clamp to the full payload, not
+    // wrap negative and truncate to 1 byte
+    val up = MediaCodec.resize(img, 65535, 65535)
+    assert(up.content.length == img.content.length, up.content.length)
+    // audio has no pixel dimensions: resize is a passthrough, never
+    // stamping contradictory width/height metadata
+    val audio = mediaFromDocuments(docs).filter(_.kind == "audio").head()
+    assert(MediaCodec.resize(audio, 640, 480) == audio)
+    // an empty video payload passes through instead of vanishing
+    val emptyVid = Multimodal.MediaRecord(7L, "video",
+      Array.emptyByteArray, 0, 0, 0, 1)
+    assert(MediaCodec.sampleFrames(emptyVid, 2) == Seq(emptyVid))
+    // frames carry kind="frame": resampling is passthrough (no double id
+    // shift), and ids pack media id in the high bits
+    val video = mediaFromDocuments(docs).filter(_.kind == "video").head()
+    val frames = MediaCodec.sampleFrames(video, 1, frameBytes = 50)
+    assert(frames.forall(_.kind == "frame"))
+    assert(MediaCodec.sampleFrames(frames.head, 1) == Seq(frames.head))
+    assert(frames.head.media_id == (video.media_id << 32))
+    // media ids outside [0, 2^31) are refused, not silently corrupted
+    intercept[IllegalArgumentException] {
+      MediaCodec.frameId(1L << 31, 0)
+    }
+    intercept[IllegalArgumentException] {
+      extractFeatures(mediaFromDocuments(docs), batchSize = 0)
+    }
+  }
+
   test("decode pipeline is partition-parallel, no driver collect") {
     val m = mediaFromDocuments(docs).repartition(3)
     val out = extractFeatures(m)
