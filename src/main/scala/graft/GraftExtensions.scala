@@ -89,7 +89,15 @@ object GraftExtensions {
               // integral literals only — a fractional 8.9 must be
               // rejected, not silently truncated to 8
               case i: java.lang.Integer => i.intValue()
-              case l: java.lang.Long    => l.intValue()
+              case l: java.lang.Long    =>
+                // toIntExact: a bigint literal outside Int range must be
+                // rejected, not truncated into the valid window (2^32+1
+                // would otherwise silently become bits=1)
+                try java.lang.Math.toIntExact(l.longValue())
+                catch { case _: ArithmeticException =>
+                  throw new IllegalArgumentException(
+                    s"graft_zorder: bits=$l out of integer range")
+                }
               case s: java.lang.Short   => s.intValue()
               case y: java.lang.Byte    => y.intValue()
               case _ => throw new IllegalArgumentException(

@@ -85,7 +85,16 @@ object EnvelopeStats {
     StructField("source_raises", BooleanType, nullable = false)
   ))
 
-  private val factory = new JsonFactory()
+  // ALLOW_NON_NUMERIC_NUMBERS: Python's json.loads accepts the NaN /
+  // Infinity / -Infinity constants by default (parse_constant), and
+  // Spark's own from_json does too (allowNonNumericNumbers default
+  // true) — Jackson's default would reject such envelopes here, flipping
+  // them from enriched to raw passthrough against both references
+  private val factory = {
+    val f = new JsonFactory()
+    f.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS)
+    f
+  }
 
   private def fresh(): GenericInternalRow = {
     val r = new GenericInternalRow(11)
@@ -134,7 +143,9 @@ object EnvelopeStats {
                 row.update(9, true)
               } else if (vt == JsonToken.VALUE_STRING) {
                 val s0 = p.getText
-                row.update(8, s0.length)
+                // code POINTS, not UTF-16 code units: Python's len()
+                // counts an astral character once, String.length twice
+                row.update(8, s0.codePointCount(0, s0.length))
                 // "email" in "..." is a substring test; the subsequent
                 // after.get("email") then raises AttributeError
                 if (s0.contains("email")) row.update(9, true)

@@ -41,7 +41,14 @@ case class DotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      // null element → null result, like the composable form (a null
+      // product nulls the whole sum); reading the slot as 0.0 would
+      // return a plausible-looking partial score instead
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -57,9 +64,10 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })
@@ -80,6 +88,11 @@ case class DotProduct(left: Expression, right: Expression)
   */
 case class SimHash56(child: Expression, bits: Int = 56)
     extends UnaryExpression {
+
+  // bit j is 1L << j: java shifts are mod 64, so bits > 64 would wrap
+  // and OR distinct bit positions into the same fingerprint bit (the
+  // same bound HyperplaneBits enforces on its plane count)
+  require(bits >= 1 && bits <= 64, s"bits=$bits must be in [1, 64]")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
@@ -153,6 +166,10 @@ case class SimHash56(child: Expression, bits: Int = 56)
   */
 case class ShingleHash56(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression {
+
+  // k < 1 would hash zero-token windows: every document collapses to
+  // md5("") and all dedup candidates collide silently
+  require(k >= 1, s"k=$k must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hash"
@@ -298,12 +315,18 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i) % p
-      var j = 0
-      while (j < k) {
-        val v = (h * as(j) + bs(j)) % p
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      // skip null slots like the composable array_min(transform(...))
+      // (transform maps null→null, array_min ignores nulls); floorMod
+      // matches its pmod — java % is sign-preserving, and a negative
+      // input hash would otherwise beat every honest slot value
+      if (!arr.isNullAt(i)) {
+        val h = java.lang.Math.floorMod(arr.getLong(i), p)
+        var j = 0
+        while (j < k) {
+          val v = java.lang.Math.floorMod(h * as(j) + bs(j), p)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -326,9 +349,10 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
          |java.util.Arrays.fill($sig, ${p}L);
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $a.getLong($i) % ${p}L;
+         |  if ($a.isNullAt($i)) continue;
+         |  long $h = java.lang.Math.floorMod($a.getLong($i), ${p}L);
          |  for (int $j = 0; $j < $k; $j++) {
-         |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+         |    long $v = java.lang.Math.floorMod($h * $aRef[$j] + $bRef[$j], ${p}L);
          |    if ($v < $sig[$j]) $sig[$j] = $v;
          |  }
          |}
@@ -378,7 +402,13 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
       val w = planeArr(p)
       var s = 0.0
       var i = 0
-      while (i < dim) { s += v.getDouble(i) * w(i); i += 1 }
+      while (i < dim) {
+        // null element → null sketch, like DotProduct: reading 0.0 would
+        // emit a corrupt-but-plausible sketch and silently degrade recall
+        if (v.isNullAt(i)) return null
+        s += v.getDouble(i) * w(i)
+        i += 1
+      }
       if (s > 0) bits |= (1L << p)
       p += 1
     }
@@ -386,8 +416,8 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes",
-      planes.map(_.toArray).toArray, "double[][]")
+    // reuse planeArr — one conversion, one source of truth for the matrix
+    val planesRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
     nullSafeCodeGen(ctx, ev, a => {
       val bits = ctx.freshName("bits")
       val p = ctx.freshName("p")
@@ -399,13 +429,18 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
          |  ${ev.isNull} = true;
          |} else {
          |  long $bits = 0L;
-         |  for (int $p = 0; $p < $planesRef.length; $p++) {
-         |    double[] $w = $planesRef[$p];
-         |    double $s = 0.0;
-         |    for (int $i = 0; $i < $dim; $i++) { $s += $a.getDouble($i) * $w[$i]; }
-         |    if ($s > 0) $bits |= (1L << $p);
+         |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; }
          |  }
-         |  ${ev.value} = $bits;
+         |  if (!${ev.isNull}) {
+         |    for (int $p = 0; $p < $planesRef.length; $p++) {
+         |      double[] $w = $planesRef[$p];
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) { $s += $a.getDouble($i) * $w[$i]; }
+         |      if ($s > 0) $bits |= (1L << $p);
+         |    }
+         |    ${ev.value} = $bits;
+         |  }
          |}
        """.stripMargin
     })

@@ -132,6 +132,29 @@ class EnrichSpec extends SparkSpec {
     assert(dq.getInt(2) == 3)
   }
 
+  test("string-valued after counts CODE POINTS like Python len, not " +
+      "UTF-16 code units") {
+    // "ab😀": len() in Python is 3; String.length would say 4
+    val in =
+      """{"before":null,"after":"ab😀","source":{"version":"v","connector":"postgresql","name":"d","ts_ms":5,"snapshot":"false","db":"i","schema":"p","table":"t","txId":1,"lsn":2},"op":"c","ts_ms":1}"""
+    val row = one(in)
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val dq = e.getStruct(e.fieldIndex("data_quality"))
+    assert(dq.getInt(2) == 3, s"field_count=${dq.getInt(2)}")
+  }
+
+  test("NaN/Infinity constants parse like Python json.loads — enriched, " +
+      "not passthrough") {
+    val in =
+      """{"before":null,"after":{"x":NaN,"y":-Infinity},"source":{"version":"v","connector":"postgresql","name":"d","ts_ms":5,"snapshot":"false","db":"i","schema":"p","table":"t","txId":1,"lsn":2},"op":"c","ts_ms":1}"""
+    val row = one(in)
+    val e = row.getStruct(row.fieldIndex("enrichment"))
+    val dq = e.getStruct(e.fieldIndex("data_quality"))
+    assert(dq.getInt(2) == 2, s"field_count=${dq.getInt(2)}")
+    assert(row.getString(row.fieldIndex("value_out")) != in,
+      "a NaN-bearing envelope must enrich, not fall back to passthrough")
+  }
+
   test("email key with null value → raw passthrough (reference TypeError path)") {
     // py: '"@" in None' raises → outer except returns original bytes
     val in = """{"op":"c","ts_ms":5,"after":{"id":1,"email":null}}"""

@@ -145,6 +145,51 @@ class ExpressionSpec extends SparkSpec {
     out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("null array elements: DotProduct/HyperplaneBits null out, " +
+      "MinHashSig skips — matching each composable form") {
+    import spark.implicits._
+    // DotProduct: composable zip_with+aggregate yields NULL on a null
+    // element; the codegen'd expression must too, not a partial sum
+    val dots = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("a", "b")
+      .select(
+        VectorFunctions.dot(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("slow"))
+      .collect()(0)
+    assert(dots.isNullAt(0) && dots.isNullAt(1), dots)
+    // HyperplaneBits: null element → null sketch (not a corrupt one)
+    val planes = Seq(Seq(1.0, -1.0))
+    val hb = Seq(Seq[java.lang.Double](1.0, null))
+      .toDF("v").select(VectorFunctions.hyperplaneBits(col("v"), planes))
+      .collect()(0)
+    assert(hb.isNullAt(0))
+    // MinHashSig: array_min skips nulls, so a null slot contributes
+    // nothing; a lone null behaves like the empty set (all sentinel P)
+    val params = graft.text.TextOps.MinhashParams
+    val p = graft.text.TextOps.P
+    val sigRows = Seq(Seq[java.lang.Long](null), Seq.empty[java.lang.Long])
+      .toDF("hs").select(VectorFunctions.minhashSig(col("hs"), params, p))
+      .collect()
+    assert(sigRows(0).getSeq[Long](0) == sigRows(1).getSeq[Long](0))
+    // negative input hashes: floorMod (the composable pmod), never a
+    // sign-preserving % whose negative slots beat every honest value
+    val neg = Seq(Seq(-42L)).toDF("hs")
+      .select(VectorFunctions.minhashSig(col("hs"), params, p))
+      .collect()(0).getSeq[Long](0)
+    assert(neg.forall(v => v >= 0 && v < p), neg)
+  }
+
+  test("constructor validation: shingle k, simhash bits") {
+    val e = org.apache.spark.sql.GraftSqlBridge.expression(lit(1))
+    intercept[IllegalArgumentException] {
+      graft.functions.ShingleHash56(e, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.SimHash56(e, bits = 65)
+    }
+  }
+
   test("SimHash56: similar inputs give near fingerprints, empty gives 0") {
     import spark.implicits._
     val rng3 = new scala.util.Random(3)
