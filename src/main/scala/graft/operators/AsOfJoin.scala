@@ -29,17 +29,26 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String],
       rightTiebreak: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.types.{NumericType, StructType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StructType}
     val leftCols = left.columns.toSeq
-    // a non-numeric tiebreak would cast('long') to all-null — a silent
-    // no-op that reintroduces the nondeterminism the parameter exists to
-    // prevent. Fail at construction instead.
+    // INTEGRAL tiebreaks only: a fractional type's cast('long') truncates
+    // (0.4 and 0.9 both become 0), silently collapsing distinct tiebreak
+    // values and reintroducing the nondeterminism the parameter exists
+    // to prevent — the exact failure a plain NumericType check admits.
+    // Null tiebreak values coalesce to Long.MinValue so they order
+    // deterministically (any non-null tiebreak wins over null).
     rightTiebreak.foreach { c =>
-      require(right.schema(c).dataType.isInstanceOf[NumericType],
-        s"rightTiebreak '$c' must be numeric, got ${right.schema(c).dataType}")
+      val ok = right.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType if d.scale == 0 => true
+        case _ => false
+      }
+      require(ok, s"rightTiebreak '$c' must be an integral type " +
+        s"(fractional values would truncate and tie), got " +
+        s"${right.schema(c).dataType}")
     }
-    val tb = rightTiebreak.map(c => col(c).cast("long"))
-      .getOrElse(lit(0L))
+    val tb = rightTiebreak.map(c => coalesce(col(c).cast("long"),
+      lit(Long.MinValue))).getOrElse(lit(0L))
     // Carry the matched right row as ONE struct: per-column carries with
     // ignoreNulls would skip a genuinely-null value in the matched row
     // (falling back to an older row) and could mix columns from different

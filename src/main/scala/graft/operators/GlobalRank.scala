@@ -83,11 +83,19 @@ object GlobalRank {
     * `__offset` = sum of `partial` over all earlier partitions, guarded
     * by the id-space integrity check (see [[LocalBits]]).
     */
-  private def offsets(sorted: DataFrame, partial: Column): DataFrame =
+  private def offsets(sorted: DataFrame, partial: Column,
+      nonNullCountOf: Option[String] = None): DataFrame =
     sorted
       .groupBy(pid.as("__pid"))
       .agg(partial.as("__partial"), count(lit(1)).as("__cnt"),
-        max(local).as("__maxLocal"))
+        max(local).as("__maxLocal"),
+        // per-partition non-null count of the summed column — lets
+        // withPrefixSum distinguish "prior sum is genuinely 0" from "no
+        // non-null value seen yet" (where the reference window is NULL)
+        count(nonNullCountOf.map(col).getOrElse(lit(1))).as("__nn"))
+      .withColumn("__nnPrior",
+        coalesce(sum(col("__nn")).over(metaWindow
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__offset",
         when(col("__cnt") <= lit(1L << LocalBits) &&
             col("__maxLocal") + 1 === col("__cnt"),
@@ -109,7 +117,7 @@ object GlobalRank {
     val offs = offsets(sorted, count(lit(1)))
       .withColumn(nCol, sum(col("__cnt")).over(metaWindow
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .drop("__cnt", "__maxLocal", "__partial")
+      .drop("__cnt", "__maxLocal", "__partial", "__nn", "__nnPrior")
     sorted
       .withColumn("__pid", pid)
       .join(broadcast(offs), "__pid")
@@ -127,8 +135,8 @@ object GlobalRank {
   def withPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
       cumCol: String): DataFrame = {
     val sorted = sortedWithId(df, sortCols).localCheckpoint()
-    val offs = offsets(sorted, sum(col(valueCol)))
-      .select(col("__pid"), col("__offset"))
+    val offs = offsets(sorted, sum(col(valueCol)), Some(valueCol))
+      .select(col("__pid"), col("__offset"), col("__nnPrior"))
     sorted
       .withColumn("__pid", pid)
       .withColumn("__local", local)
@@ -136,7 +144,15 @@ object GlobalRank {
         Window.partitionBy(col("__pid")).orderBy(col("__local"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(offs), "__pid")
-      .withColumn(cumCol, col("__offset") + col("__lcum"))
-      .drop("__pid", "__local", "__mid", "__offset", "__lcum")
+      // null-skipping parity with the single-partition reference window:
+      // a null __lcum means this partition has seen no non-null value
+      // yet — the global running sum is then the prior partitions' sum,
+      // or NULL if no non-null value exists anywhere before this row.
+      // A bare __offset + __lcum would instead emit partition-placement-
+      // dependent nulls for those rows.
+      .withColumn(cumCol,
+        when(col("__lcum").isNotNull, col("__offset") + col("__lcum"))
+          .when(col("__nnPrior") > 0, col("__offset")))
+      .drop("__pid", "__local", "__mid", "__offset", "__lcum", "__nnPrior")
   }
 }

@@ -30,45 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Per-row bucket fanout cap: an interval spanning more than this many
-    * buckets (bucket chosen far below interval lengths, or a corrupt
-    * endpoint) would explode the output unboundedly — fail loudly with
-    * the offending span instead.
-    */
-  val MaxFanout = 100000L
+  /** Per-row bucket fanout cap — shared guard, see [[BucketedTime]]. */
+  val MaxFanout: Long = BucketedTime.MaxFanout
 
   def overlap(a: DataFrame, b: DataFrame, key: String,
       aStart: String, aEnd: String, bStart: String, bEnd: String,
       bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket=$bucket must be positive")
-    def exploded(df: DataFrame, s: String, e: String): DataFrame = {
-      val (lo, hi) =
-        (floor(col(s) / bucket).cast("long"), floor(col(e) / bucket).cast("long"))
-      // precondition guards, in-plan: a NULL endpoint yields a null
-      // sequence and the row drops at the explode (join semantics — a
-      // null time matches nothing; same as the pre-guard behavior); an
-      // inverted interval (end < start) or one fanning out past
-      // MaxFanout buckets raises a named error carrying the offending
-      // values. Without the guard these are SILENT wrong-output modes,
-      // not errors: sequence(lo, hi) with lo > hi counts DOWN (the
-      // reversed bucket span would generate candidates for a
-      // semantically-empty interval, and the overlap filter never
-      // re-checks start <= end), and an over-wide span just explodes
-      // the output row count
-      val guarded = when(col(s).isNull || col(e).isNull,
-        lit(null).cast("array<long>"))
-        .when(col(s) <= col(e) && hi - lo + 1 <= MaxFanout, sequence(lo, hi))
-        .otherwise(raise_error(concat(
-          lit(s"IntervalJoin: invalid interval [$s,$e]=["), col(s),
-          lit(","), col(e),
-          lit(s"] (inverted, or fanout > $MaxFanout buckets of $bucket)"))))
-      df.withColumn("__bucket", explode(guarded))
-    }
+    // guard semantics documented on BucketedTime.guardedBucketSeq
+    def exploded(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bucket", explode(BucketedTime.guardedBucketSeq(
+        "IntervalJoin", col(s), col(e), s, e, bucket)))
     exploded(a, aStart, aEnd)
       .join(exploded(b, bStart, bEnd), Seq(key, "__bucket"))
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
       .filter(col("__bucket") ===
-        floor(greatest(col(aStart), col(bStart)) / bucket).cast("long"))
+        BucketedTime.bucketOf(greatest(col(aStart), col(bStart)), bucket))
       .drop("__bucket")
   }
 }

@@ -26,12 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Per-row bucket fanout cap, as in [[IntervalJoin.MaxFanout]]: one
-    * corrupt or unit-mismatched endpoint (micros where the bucket width is
-    * in seconds) would otherwise make sequence() build a ~10^9-element
-    * array and kill the job — fail loudly with the offending values.
-    */
-  val MaxFanout = 100000L
+  /** Per-row bucket fanout cap — shared guard, see [[BucketedTime]]. */
+  val MaxFanout: Long = BucketedTime.MaxFanout
 
   /** @param points       rows carrying `pointTime`
     * @param intervals    rows carrying `startCol`/`endCol` (start <= end)
@@ -44,23 +40,12 @@ object RangeJoin {
       pointTime: String, startCol: String, endCol: String, bucket: Long,
       endInclusive: Boolean = false): DataFrame = {
     require(bucket > 0, s"bucket=$bucket must be positive")
-    val (lo, hi) = (floor(col(startCol) / bucket).cast("long"),
-      floor(col(endCol) / bucket).cast("long"))
-    // same in-plan guards as IntervalJoin.overlap: null endpoints drop at
-    // the explode (a null time matches nothing); an inverted interval
-    // (sequence counts DOWN — silent wasted candidates) or an over-wide
-    // fanout raises a named error instead
-    val guarded = when(col(startCol).isNull || col(endCol).isNull,
-      lit(null).cast("array<long>"))
-      .when(col(startCol) <= col(endCol) && hi - lo + 1 <= MaxFanout,
-        sequence(lo, hi))
-      .otherwise(raise_error(concat(
-        lit(s"RangeJoin: invalid interval [$startCol,$endCol]=["),
-        col(startCol), lit(","), col(endCol),
-        lit(s"] (inverted, or fanout > $MaxFanout buckets of $bucket)"))))
-    val iv = intervals.withColumn("__bucket", explode(guarded))
+    // guard semantics documented on BucketedTime.guardedBucketSeq
+    val iv = intervals.withColumn("__bucket",
+      explode(BucketedTime.guardedBucketSeq("RangeJoin",
+        col(startCol), col(endCol), startCol, endCol, bucket)))
     val pt = points.withColumn("__bucket",
-      floor(col(pointTime) / bucket).cast("long"))
+      BucketedTime.bucketOf(col(pointTime), bucket))
     val upper = if (endInclusive) col(pointTime) <= col(endCol)
       else col(pointTime) < col(endCol)
     pt.join(iv, Seq(key, "__bucket"))

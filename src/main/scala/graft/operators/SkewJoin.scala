@@ -28,8 +28,25 @@ object SkewJoin {
       leftKey: String, rightKey: String, factor: Int,
       saltSource: Option[String] = None): DataFrame = {
     require(factor > 0)
-    val basisCols = saltSource.map(c => Seq(col(leftKey), col(c)))
-      .getOrElse(left.columns.toSeq.map(col))
+    // the default all-columns basis must skip unhashable types: hash()
+    // rejects MapType (analysis error), so a stray map column would fail
+    // the whole join even though it is irrelevant to the salt
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val basisCols = saltSource.map(c => Seq(col(leftKey), col(c))).getOrElse {
+      val names = left.schema.fields.filter(f => hashable(f.dataType))
+        .map(_.name).toSeq
+      // a basis of just the key can't spread a hot key at all — the
+      // operator would silently degenerate to the unsalted join
+      require(names.exists(_ != leftKey),
+        "SkewJoin: no hashable non-key column for the default salt " +
+          "basis — pass saltSource explicitly")
+      names.map(col)
+    }
     val saltBasis = xxhash64(basisCols: _*)
     val l = left.withColumn("__salt", pmod(saltBasis, lit(factor)).cast("int"))
     // sequence(0, f-1) is already array<int>; explode must be top-level

@@ -107,7 +107,61 @@ class OperatorsSpec extends SparkSpec {
       AsOfJoin.lastBefore(left, right, "k", "t", "t", Seq("v"),
         rightTiebreak = Some("v"))
     }
-    assert(err.getMessage.contains("must be numeric"))
+    assert(err.getMessage.contains("must be an integral type"))
+  }
+
+  test("prefix sum with null values matches the global null-skipping " +
+      "window regardless of partition placement") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // nulls at the head, middle, and straddling partition boundaries
+    val vs: Seq[java.lang.Long] =
+      Seq(null, null, 5L, null, 3L, null, null, 2L, null, 1L)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val reference = df
+      .withColumn("cum", sum(col("v")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    for (parts <- Seq(2, 3, 7)) {
+      val got = graft.operators.GlobalRank
+        .withPrefixSum(df.repartition(parts), Seq(col("id")), "v", "cum")
+        .select("id", "cum").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == reference, s"parts=$parts: $got vs $reference")
+    }
+  }
+
+  test("AsOfJoin: fractional tiebreak types rejected (cast truncation " +
+      "would collapse distinct values)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 0.9)).toDF("k", "t", "score")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.lastBefore(left, right, "k", "t", "t", Seq("score"),
+        rightTiebreak = Some("score"))
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("SkewJoin: default salt basis skips unhashable map columns") {
+    import spark.implicits._
+    val left = Seq((1L, "a", Map("x" -> "y")), (1L, "b", Map("p" -> "q")))
+      .toDF("k", "payload", "attrs")
+    val right = Seq((1L, "r1")).toDF("rk", "rv")
+    // with a map column present, the default basis must still work...
+    val out = SkewJoin.salted(left, right, "k", "rk", 4)
+    assert(out.count() == 2)
+    // ...and salts must differ across the two distinct payload rows in
+    // at least one factor assignment (content-derived, not constant)
+    val onlyMap = Seq((1L, Map("x" -> "y"))).toDF("k", "attrs")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.salted(onlyMap, right, "k", "rk", 4)
+    }
+    assert(e.getMessage.contains("saltSource"), e.getMessage)
   }
 
   test("BloomFilterJoin: mismatched key types and degenerate params rejected") {
