@@ -47,13 +47,24 @@ object CdcPipeline {
     * records (raw bytes, replayable) route to `_unrouted`; ENRICHED records
     * whose envelope lacks `source.table` route to `_unknown` so the
     * `_unrouted` partition never mixes enriched output with raw bytes.
+    *
+    * Leading-underscore names are RESERVED for those system buckets: a
+    * genuine source table whose name starts with `_` is escaped to
+    * `t<name>-<hash8>` (the hash makes the escape collision-free), so it
+    * can never shadow a reserved bucket and silently interleave enriched
+    * records with passthrough bytes.
     */
-  def routedValues(in: DataFrame, cfg: EnrichConfig): DataFrame =
+  def routedValues(in: DataFrame, cfg: EnrichConfig): DataFrame = {
+    val table = col("envelope.source.table")
+    val safeTable = when(table.startsWith("_"),
+      concat(lit("t"), table, lit("-"), substring(md5(table), 1, 8)))
+      .otherwise(table)
     enriched(in, cfg).select(
       when(isPassthrough, lit("_unrouted"))
-        .otherwise(coalesce(col("envelope.source.table"), lit("_unknown")))
+        .otherwise(coalesce(safeTable, lit("_unknown")))
         .as("source_table"),
       col("value_out").as("value"))
+  }
 
   /** Streaming pipeline: JSON-lines dir → enrich → JSON-lines dir.
     * `Trigger.AvailableNow` drains what exists then stops (deterministic for

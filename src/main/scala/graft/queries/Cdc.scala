@@ -101,12 +101,15 @@ object Cdc {
     * `before`, the rest carry `after`) is hash-checked too.
     */
   def qCdcDsv2Scan(s: SparkSession, d: String): DataFrame = {
-    // fixed per-(user, sf-path) dir + overwrite: reruns in one JVM/round
-    // reuse the directory instead of accumulating temp copies, and the
-    // full path (not a 32-bit hash) keys it so concurrent runs over
-    // different data can never overwrite each other's input mid-read
+    // fixed per-(JVM, sf-path) dir + overwrite: reruns within one JVM
+    // reuse the directory instead of accumulating temp copies; the JVM
+    // name (pid@host) keys it so CONCURRENT processes — even over the
+    // same data, e.g. verify and bench side by side — can never race
+    // one run's overwrite against the other's in-flight scan
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9._-]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_dsv2_scan_" + sys.props.getOrElse("user.name", "u") + "_" +
+      "graft_dsv2_scan_" + jvm + "_" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
     changeMixRaw(s, d).write.mode("overwrite").text(dir)
     s.read.format("graft-cdc").load(dir)

@@ -253,7 +253,7 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
     GraftSqlJsonBridge.permissiveLineParser(jsonSchema, timeZoneId,
       pushed.filter(_.references.forall(jsonSchema.fieldNames.contains)))
   private val skipOnEmpty = pushed.nonEmpty
-  private val reader = {
+  private val stream = {
     val p = new Path(file)
     // executor-side: the driver's session Hadoop conf, shipped as a map
     val conf = CdcDataSource.confFrom(hadoopConf)
@@ -264,25 +264,41 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
       new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
     val in: java.io.InputStream =
       if (codec == null) raw else codec.createInputStream(raw)
-    new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    new java.io.BufferedInputStream(in, 64 * 1024)
   }
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
   private var current: InternalRow = _
+
+  /** Next line as RAW BYTES (terminator stripped, `\r\n` like Hadoop's
+    * line reader), or null at EOF. No String round-trip: decoding to
+    * java String would substitute U+FFFD for invalid UTF-8 — silent
+    * payload corruption under the P18 byte-faithful contract, which
+    * read.text (UTF8String straight over the bytes) does not do.
+    */
+  private def readLineBytes(): Array[Byte] = {
+    lineBuf.reset()
+    var b = stream.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { lineBuf.write(b); b = stream.read() }
+    val arr = lineBuf.toByteArray
+    if (arr.length > 0 && arr(arr.length - 1) == '\r') arr.dropRight(1)
+    else arr
+  }
 
   @scala.annotation.tailrec
   final override def next(): Boolean = {
-    val line = reader.readLine()
+    val line = readLineBytes()
     if (line == null) false
     // blank lines flow through like any other: the read.text +
     // CdcEnvelope.parse baseline emits them as empty-value/null-envelope
     // rows (the P18 byte-faithful contract), and parity is the contract
-    else assemble(line) match {
+    else assemble(UTF8String.fromBytes(line)) match {
       case Some(row) => current = row; true
       case None => next() // well-formed line skipped by a pushed filter
     }
   }
 
-  private def assemble(line: String): Option[InternalRow] = {
+  private def assemble(line: UTF8String): Option[InternalRow] = {
     val parsed =
       if (jsonSchema.isEmpty) None
       else {
@@ -297,7 +313,7 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
     var i = 0
     var j = 0
     while (i < required.length) {
-      if (i == valueIdx) out.update(i, UTF8String.fromString(line))
+      if (i == valueIdx) out.update(i, line)
       else {
         out.update(i,
           parsed.map(_.get(j, jsonSchema(j).dataType)).orNull)
@@ -309,7 +325,7 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = stream.close()
 }
 
 /** Stream position = committed prefix of the name-sorted file list. Two
@@ -399,7 +415,11 @@ class CdcMicroBatchStream(dir: String, required: StructType,
     cachedListing = null
     val files = listing()
     val cap = limit match {
-      case m: ReadMaxFiles => math.min(files.length, s.fileCount + m.maxFiles)
+      // clamp in LONG: fileCount + maxFiles overflows Int for an
+      // "effectively unlimited" maxFilesPerTrigger=Int.MaxValue, and a
+      // wrapped negative cap would wedge the stream on files(cap - 1)
+      case m: ReadMaxFiles =>
+        math.min(files.length.toLong, s.fileCount.toLong + m.maxFiles).toInt
       case _ => files.length
     }
     CdcOffset(cap, if (cap == 0) "" else files(cap - 1),

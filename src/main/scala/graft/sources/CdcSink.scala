@@ -44,7 +44,7 @@ class CdcWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
     val partCol = Option(info.options.get("partitionColumn"))
-    new CdcWrite(dir, info.schema(), doTruncate, partCol)
+    new CdcWrite(dir, info.schema(), doTruncate, partCol, info.queryId())
   }
 }
 
@@ -57,7 +57,8 @@ class CdcWriteBuilder(dir: String, info: LogicalWriteInfo)
   *   and the payload line.
   */
 class CdcWrite(dir: String, schema: StructType, truncate: Boolean,
-    partitionColumn: Option[String] = None) extends Write {
+    partitionColumn: Option[String] = None,
+    queryId: String = "") extends Write {
   partitionColumn match {
     case None =>
       require(schema.length == 1 && schema.head.dataType == StringType,
@@ -85,7 +86,7 @@ class CdcWrite(dir: String, schema: StructType, truncate: Boolean,
     if (truncate) throw new UnsupportedOperationException(
       "graft-cdc sink: complete output mode is not supported — the log is " +
         "append-only; use append (or update via foreachBatch upsert)")
-    new CdcStreamingWrite(dir, confMap, valueIdx, partIdx)
+    new CdcStreamingWrite(dir, confMap, valueIdx, partIdx, queryId)
   }
 }
 
@@ -234,28 +235,53 @@ class CdcBatchWrite(dir: String, truncate: Boolean,
 }
 
 class CdcStreamingWrite(dir: String, confMap: Map[String, String],
-    valueIdx: Int, partIdx: Option[Int]) extends StreamingWrite {
+    valueIdx: Int, partIdx: Option[Int], queryId: String = "")
+    extends StreamingWrite {
   /** Highest epoch already committed in the directory, captured at query
-    * start. A legitimate crash-replay recommits exactly this epoch (the
-    * sink published, the engine's WAL didn't); anything LOWER means a
-    * fresh checkpoint restarted epoch numbering over an existing log,
-    * where overwrite would destroy committed data that tailers past
-    * their boundary will never re-read — refuse loudly instead.
+    * start. A crash-replay from the SAME checkpoint recommits exactly
+    * this epoch (the sink published, the engine's WAL didn't); anything
+    * LOWER means a fresh checkpoint restarted epoch numbering over an
+    * existing log, where overwrite would destroy committed data that
+    * tailers past their boundary will never re-read — refuse loudly.
     */
   private val replayFloor: Long = CdcSinkFiles.committedNames(dir)
     .filter(n => n.startsWith("e") && n.contains('-'))
     .flatMap(n => scala.util.Try(n.takeWhile(_ != '-').drop(1).toLong).toOption)
     .maxOption.getOrElse(-1L)
 
+  /** The epoch-number floor alone cannot catch one case: a DIFFERENT
+    * query (fresh checkpoint, epochs restarting at 0) meeting a log
+    * whose max committed epoch is ALSO 0 — `0 < 0` never fires. The
+    * writer identity marker (`_writer_query`, hidden from listings)
+    * closes it: same queryId → genuine replay, overwrite allowed;
+    * different queryId → any epoch <= floor is refused.
+    */
+  private val markerPath = new Path(dir, "_writer_query")
+  private val priorQueryId: Option[String] = {
+    val f = CdcSinkFiles.fs(dir)
+    if (!f.exists(markerPath)) None
+    else {
+      val in = f.open(markerPath)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new CdcStreamingWriterFactory(dir, confMap, valueIdx, partIdx)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    if (epochId < replayFloor) throw new IllegalStateException(
-      s"graft-cdc sink: epoch $epochId would overwrite already-committed " +
-        s"epoch files (directory has commits up to epoch $replayFloor) — " +
-        "a query with a FRESH checkpoint is writing into an existing log. " +
-        "Point it at a fresh directory, or resume from the original checkpoint.")
+    val sameWriter = priorQueryId.forall(_ == queryId)
+    if (epochId < replayFloor || (!sameWriter && epochId <= replayFloor))
+      throw new IllegalStateException(
+        s"graft-cdc sink: epoch $epochId would overwrite already-committed " +
+          s"epoch files (directory has commits up to epoch $replayFloor" +
+          priorQueryId.filterNot(_ == queryId)
+            .map(q => s", written by query $q").getOrElse("") +
+          ") — a query with a FRESH checkpoint is writing into an existing " +
+          "log. Point it at a fresh directory, or resume from the original " +
+          "checkpoint.")
     CdcSinkFiles.publish(dir, messages, overwrite = true)
     // a failed attempt of this epoch may have committed MORE parts than
     // this replay produced (different partitioning after restart); any
@@ -268,6 +294,11 @@ class CdcStreamingWrite(dir: String, confMap: Map[String, String],
       if (relName.substring(relName.lastIndexOf('/') + 1).startsWith(prefix) &&
           !published.contains(relName))
         f.delete(path, false)
+    }
+    if (queryId.nonEmpty && !priorQueryId.contains(queryId)) {
+      val out = f.create(markerPath, true)
+      try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -311,8 +342,10 @@ class CdcLineWriter(dir: String, finalBase: String,
     val tmp = new Path(dir, subdir.map(_ + "/").getOrElse("") +
       s"._tmp_${finalBase}_${UUID.randomUUID().toString.take(8)}")
     f.mkdirs(tmp.getParent)
-    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      f.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    // raw byte stream, not a Writer: encoding UTF8String through a JVM
+    // String would substitute U+FFFD for invalid UTF-8 — the P18
+    // byte-faithful contract forbids mutating the payload
+    val out = new java.io.BufferedOutputStream(f.create(tmp, true), 64 * 1024)
     var rows = 0L
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
@@ -359,7 +392,7 @@ class CdcLineWriter(dir: String, finalBase: String,
     }
     val p = parts.getOrElseUpdate(key,
       new Part(if (partIdx.isEmpty) None else Some(key)))
-    p.out.write(record.getUTF8String(valueIdx).toString)
+    p.out.write(record.getUTF8String(valueIdx).getBytes)
     p.out.write('\n')
     p.rows += 1
   }

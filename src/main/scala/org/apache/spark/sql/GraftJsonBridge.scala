@@ -34,24 +34,31 @@ object GraftSqlJsonBridge {
   def permissiveLineParser(
       schema: StructType, timeZoneId: String,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
-      : String => Iterator[InternalRow] = {
+      : UTF8String => Iterator[InternalRow] = {
     if (schema.isEmpty) {
       // count(*)-style scans: no fields to parse, one empty row per line
       val row = new GenericInternalRow(0)
-      (_: String) => Iterator.single(row)
+      (_: UTF8String) => Iterator.single(row)
     } else {
       // corrupt-record column name deliberately absent from `schema`:
       // PERMISSIVE then nulls every field of a bad record, which is the
-      // envelope contract (raw value passes through, typed view is null)
+      // envelope contract (raw value passes through, typed view is null).
+      // allowArrayAsStructs = false ON PURPOSE: the parity baseline is
+      // CdcEnvelope.parse, which gates from_json on a root-is-object
+      // check — an array root there is a null envelope, so the V2 scan
+      // must null it too (spec-pinned). Input is UTF8String, not java
+      // String: raw line bytes never round-trip through a JVM String,
+      // so invalid UTF-8 flows exactly as the built-in json reader
+      // treats it (byte-faithful parity).
       val opts = new JSONOptions(
         Map.empty[String, String], timeZoneId, "_graft_corrupt_record")
       val parser =
         new JacksonParser(schema, opts, allowArrayAsStructs = false, filters)
-      val safe = new FailureSafeParser[String](
-        (s: String) => parser.parse(s, CreateJacksonParser.string,
-          UTF8String.fromString),
+      val safe = new FailureSafeParser[UTF8String](
+        (s: UTF8String) => parser.parse(s, CreateJacksonParser.utf8String,
+          (u: UTF8String) => u),
         PermissiveMode, schema, "_graft_corrupt_record")
-      (s: String) => safe.parse(s)
+      (s: UTF8String) => safe.parse(s)
     }
   }
 }

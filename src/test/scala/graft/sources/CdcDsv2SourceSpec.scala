@@ -290,6 +290,37 @@ class CdcDsv2SourceSpec extends SparkSpec {
     assert(e.getMessage.contains("membership changed"), e.getMessage)
   }
 
+  test("array-root lines null out like the CdcEnvelope.parse baseline " +
+      "(which gates on root-is-object)") {
+    val dir = tmpDir("dsv2_arrayroot")
+    writeFile(dir, "00000.jsonl", s"[$good]", good)
+    val v2 = spark.read.format("graft-cdc").load(dir)
+      .selectExpr("value", "op", "after.id").collect()
+      .map(r => s"${Option(r.getString(1))}|${Option(r.get(2))}").sorted.toSeq
+    val baseline = CdcEnvelope.parse(spark.read.text(dir))
+      .selectExpr("value", "envelope.op", "envelope.after.id").collect()
+      .map(r => s"${Option(r.getString(1))}|${Option(r.get(2))}").sorted.toSeq
+    assert(v2 == baseline, s"v2=$v2 baseline=$baseline")
+  }
+
+  test("admission control survives maxFilesPerTrigger near Int.MaxValue") {
+    val dir = tmpDir("dsv2_maxcap")
+    writeFile(dir, "00000.jsonl", good)
+    writeFile(dir, "00001.jsonl", del)
+    val schema = CdcDataSource.schemaFor(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    val stream = new CdcMicroBatchStream(dir, schema, "UTC",
+      maxFilesPerTrigger = Some(Int.MaxValue))
+    val first = stream.latestOffset(CdcOffset(0, ""),
+      stream.getDefaultReadLimit).asInstanceOf[CdcOffset]
+    assert(first.fileCount == 2, first)
+    // fileCount + maxFiles would overflow Int here without the Long clamp
+    val next = stream.latestOffset(first,
+      stream.getDefaultReadLimit).asInstanceOf[CdcOffset]
+    assert(next.fileCount == 2, next)
+  }
+
   test("compressed log files (.gz) read with full read.text parity") {
     val dir = tmpDir("dsv2_gzip")
     val out = new java.util.zip.GZIPOutputStream(

@@ -291,6 +291,75 @@ class CdcSinkSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("null payload")), msgs(e).mkString("|"))
   }
 
+  test("invalid UTF-8 payload bytes survive sink and source unchanged " +
+      "(P18 byte-faithfulness through the V2 transport)") {
+    val dir = tmpDir("sink_rawbytes")
+    // a line with a lone 0xFF byte: JVM String decoding would replace it
+    // with U+FFFD and the corruption would round-trip invisibly
+    val rawLine = ("not-json-".getBytes("UTF-8") :+ 0xFF.toByte) ++
+      "-tail".getBytes("UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "00000.jsonl"), rawLine :+ '\n'.toByte)
+    val viaV2 = spark.read.format("graft-cdc").load(dir)
+      .select("value").collect()(0).getString(0).getBytes("UTF-8")
+    val viaText = spark.read.text(dir)
+      .collect()(0).getString(0).getBytes("UTF-8")
+    assert(java.util.Arrays.equals(viaV2, viaText),
+      s"v2=${viaV2.toSeq} text=${viaText.toSeq}")
+
+    // and through the SINK: tail -> sink -> bytes on disk identical
+    val outDir = tmpDir("sink_rawbytes_out")
+    spark.read.format("graft-cdc").load(dir).select("value")
+      .coalesce(1).write.format("graft-cdc").mode("append").save(outDir)
+    val written = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir).resolve(names(outDir).head))
+    assert(java.util.Arrays.equals(written, rawLine :+ '\n'.toByte),
+      s"sink bytes=${written.toSeq}")
+  }
+
+  test("different query over an existing log: even epoch 0 == floor 0 is " +
+      "refused via the writer-identity marker") {
+    val dir = tmpDir("sink_qid")
+    def part(epoch: Long, line: String): CdcCommitMessage = {
+      val w = new CdcLineWriter(dir, f"e$epoch%012d-p${0}%05d.jsonl")
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(line)))
+      w.commit().asInstanceOf[CdcCommitMessage]
+    }
+    val a = new CdcStreamingWrite(dir, Map.empty, 0, None, queryId = "query-A")
+    a.commit(0L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      part(0L, lines(1).head)))
+    // query A replaying its own epoch 0: allowed (same identity)
+    val a2 = new CdcStreamingWrite(dir, Map.empty, 0, None, queryId = "query-A")
+    a2.commit(0L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      part(0L, lines(1).head)))
+    // query B (fresh checkpoint, new identity) at epoch 0 == floor 0:
+    // the epoch-number check alone cannot fire — the marker must
+    val b = new CdcStreamingWrite(dir, Map.empty, 0, None, queryId = "query-B")
+    val e = intercept[IllegalStateException] {
+      b.commit(0L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+        part(0L, lines(9).head)))
+    }
+    assert(e.getMessage.contains("query-A"), e.getMessage)
+    assert(spark.read.format("graft-cdc").load(dir)
+      .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("reserved routing buckets cannot be shadowed by a real table " +
+      "named like them") {
+    import org.apache.spark.sql.functions.col
+    val env =
+      """{"before":null,"after":{"id":1,"name":"N","email":"n@x.org","created_at":1},"source":{"version":"v","connector":"postgresql","name":"d","ts_ms":5,"snapshot":"false","db":"i","schema":"p","table":"_unrouted","txId":1,"lsn":2},"op":"c","ts_ms":1}"""
+    val routed = graft.cdc.CdcPipeline.routedValues(
+      Seq(env, "junk{{{").toDF("value"),
+      graft.cdc.EnrichConfig(processingTimeIso = Some("t")))
+      .select(col("source_table")).collect().map(_.getString(0)).sorted
+    // the REAL table named "_unrouted" is escaped; the junk line owns
+    // the reserved bucket
+    assert(routed.contains("_unrouted") &&
+      routed.exists(_.startsWith("t_unrouted-")), routed.toSeq)
+  }
+
   test("streaming sink: epoch-named files, tailable by the source, " +
       "idempotent republish") {
     val srcDir = tmpDir("sink_stream_src")
