@@ -760,7 +760,8 @@ object Dedup {
     "q_semdedup" ->
       s"""WITH ${Similarity.normCte},
          |piv AS (SELECT vec_id AS pivot_id, v AS pv, norm AS pnorm
-         |        FROM n WHERE vec_id % ${Similarity.PivotMod} = 0),
+         |        FROM n WHERE vec_id % ${Similarity.PivotMod} = 0
+         |          AND vec_id < ${Similarity.PivotCap}),
          |a AS (SELECT c.vec_id, p.pivot_id,
          |        list_aggregate(list_transform(range(1, 65),
          |          i -> c.v[i]*p.pv[i]), 'sum') / (c.norm*p.pnorm) AS pcos

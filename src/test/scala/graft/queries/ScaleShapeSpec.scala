@@ -302,8 +302,8 @@ class ScaleShapeSpec extends SparkSpec {
       s"partition offsets must broadcast back:\n$plan")
   }
 
-  test("ALL gated queries: no cartesian product, nested-loop joins only on " +
-    "the bounded-broadcast allowlist, every window partitioned") {
+  test("ALL gated queries: no cartesian product, every non-equi join has a " +
+    "provably bounded side, every window partitioned — NO allowlist") {
     import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window => LWindow}
     // A non-equi join or unpartitioned window is a scale killer only when
@@ -315,22 +315,22 @@ class ScaleShapeSpec extends SparkSpec {
     // GlobalRank.metaPartitionKey instead, precisely so this sweep can
     // stay unconditional. localCheckpoint boundaries hide their upstream
     // stage from this sweep — those stages have dedicated tests above.
+    //
+    // Round 5: the former bnljAllowed set (ANN query vectors / IVF pivots /
+    // k-means centroids) is GONE — those sides are now bounded by
+    // construction (capped filter + no-op limit, see Similarity.isQuery),
+    // so Catalyst itself proves every broadcast side is O(1) in the
+    // corpus. A regression that re-broadcasts a corpus-derived frame in
+    // ANY gated query fails this sweep.
     val Bounded = 10000L
     def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= Bounded)
-    // Declared nested-loop baselines whose broadcast side is a sampled
-    // set Catalyst can't bound (query vectors / IVF pivots / k-means
-    // centroids — fixed-size by design, mod-sampled in the test data).
-    val bnljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_kmeans_update",
-      "q_knn_classify", "q_ann_recall",
-      // pivot assignment = crossJoin against the bounded broadcast pivot set
-      "q_semdedup")
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sf)
       if (df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
       df.queryExecution.optimizedPlan.foreach {
-        case j: Join if !bnljAllowed(name) =>
+        case j: Join =>
           // EqualNullSafe: intersect/except decorrelate to <=> semi/anti
           val equi = j.condition.exists(_.collectFirst {
             case _: EqualTo => (); case _: EqualNullSafe => () }.nonEmpty)
