@@ -40,12 +40,18 @@ object AsOfJoin {
     rightTiebreak.foreach { c =>
       val ok = right.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
-        case d: DecimalType if d.scale == 0 => true
+        // precision ≤ 18 only: a wider scale-0 decimal can hold values
+        // outside Long range, where cast('long') yields null → the
+        // Long.MinValue null-sentinel → distinct tiebreaks silently
+        // collapse into ties — the exact nondeterminism this guard exists
+        // to prevent
+        case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
         case _ => false
       }
-      require(ok, s"rightTiebreak '$c' must be an integral type " +
-        s"(fractional values would truncate and tie), got " +
-        s"${right.schema(c).dataType}")
+      require(ok, s"rightTiebreak '$c' must be an integral type that " +
+        s"fits in a Long (fractional values would truncate and tie; " +
+        s"decimals wider than precision 18 can overflow the long cast " +
+        s"to null and tie), got ${right.schema(c).dataType}")
     }
     val tb = rightTiebreak.map(c => coalesce(col(c).cast("long"),
       lit(Long.MinValue))).getOrElse(lit(0L))

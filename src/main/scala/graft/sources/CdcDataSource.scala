@@ -269,20 +269,27 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
   private var current: InternalRow = _
 
-  /** Next line as RAW BYTES (terminator stripped, `\r\n` like Hadoop's
-    * line reader), or null at EOF. No String round-trip: decoding to
-    * java String would substitute U+FFFD for invalid UTF-8 — silent
-    * payload corruption under the P18 byte-faithful contract, which
-    * read.text (UTF8String straight over the bytes) does not do.
+  /** Next line as RAW BYTES (terminator stripped), or null at EOF.
+    * Terminators match Hadoop's default LineReader — the `read.text`
+    * baseline the parity contract cites — exactly: `\n`, `\r\n`, AND a
+    * lone `\r` all end a line (a CR-terminated payload must split the
+    * same way in both readers). No String round-trip: decoding to java
+    * String would substitute U+FFFD for invalid UTF-8 — silent payload
+    * corruption under the P18 byte-faithful contract, which read.text
+    * (UTF8String straight over the bytes) does not do.
     */
   private def readLineBytes(): Array[Byte] = {
     lineBuf.reset()
     var b = stream.read()
     if (b == -1) return null
-    while (b != -1 && b != '\n') { lineBuf.write(b); b = stream.read() }
-    val arr = lineBuf.toByteArray
-    if (arr.length > 0 && arr(arr.length - 1) == '\r') arr.dropRight(1)
-    else arr
+    while (b != -1 && b != '\n' && b != '\r') { lineBuf.write(b); b = stream.read() }
+    if (b == '\r') {
+      // swallow the LF of a CRLF pair; a lone CR terminates by itself
+      stream.mark(1)
+      val nxt = stream.read()
+      if (nxt != '\n' && nxt != -1) stream.reset()
+    }
+    lineBuf.toByteArray
   }
 
   @scala.annotation.tailrec
@@ -335,9 +342,17 @@ class CdcPartitionReader(file: String, required: StructType, timeZoneId: String,
   * boundary), and an order-sensitive hash over EVERY name in the prefix
   * (catches a delete+insert INSIDE the committed range, which keeps the
   * count and boundary identical while substituting files — the one
-  * corruption a boundary check alone cannot see). Offsets from older
-  * checkpoints without the hash still deserialize (the hash check is
-  * skipped for them).
+  * corruption a boundary check alone cannot see).
+  *
+  * Witnesses record file names RELATIVE to the source directory (never
+  * absolute URIs), so a restart that spells the same directory
+  * differently — `file:/x` vs `/x`, a new NameNode alias, a remounted
+  * prefix — validates cleanly against an unchanged log instead of
+  * tripping the integrity check on a path-normalization artifact.
+  * Offsets from older checkpoints (absolute-path `lastFile`, detected
+  * by a `/` in the name) still validate: the check compares and hashes
+  * whichever form the offset recorded. Offsets without the hash also
+  * deserialize (the hash check is skipped for them).
   */
 case class CdcOffset(fileCount: Int, lastFile: String,
     prefixHash: Option[Long] = None) extends Offset {
@@ -391,12 +406,18 @@ class CdcMicroBatchStream(dir: String, required: StructType,
     }
   }
 
+  /** Directory-relative file name — the offset's path-spelling-invariant
+    * witness form (listings are non-recursive, so the base name is the
+    * full relative path).
+    */
+  private def nameOf(f: String): String = new Path(f).getName
+
   override def initialOffset(): Offset = CdcOffset(0, "", Some(CdcOffset.hashNames(Nil)))
 
   override def latestOffset(): Offset = {
     val files = listing()
-    CdcOffset(files.length, files.lastOption.getOrElse(""),
-      Some(CdcOffset.hashNames(files)))
+    CdcOffset(files.length, files.lastOption.map(nameOf).getOrElse(""),
+      Some(CdcOffset.hashNames(files.map(nameOf))))
   }
 
   /** Admission control: bound each micro-batch to `maxFilesPerTrigger`
@@ -422,8 +443,8 @@ class CdcMicroBatchStream(dir: String, required: StructType,
         math.min(files.length.toLong, s.fileCount.toLong + m.maxFiles).toInt
       case _ => files.length
     }
-    CdcOffset(cap, if (cap == 0) "" else files(cap - 1),
-      Some(CdcOffset.hashNames(files.take(cap))))
+    CdcOffset(cap, if (cap == 0) "" else nameOf(files(cap - 1)),
+      Some(CdcOffset.hashNames(files.take(cap).map(nameOf))))
   }
 
   /** True head of the log (progress reporting shows real backlog even
@@ -432,7 +453,7 @@ class CdcMicroBatchStream(dir: String, required: StructType,
     */
   override def reportLatestOffset(): Offset = {
     val files = listing(minLength = 0)
-    CdcOffset(files.length, files.lastOption.getOrElse(""))
+    CdcOffset(files.length, files.lastOption.map(nameOf).getOrElse(""))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -446,16 +467,22 @@ class CdcMicroBatchStream(dir: String, required: StructType,
     // files into the recovered batch — corrupt output first, loud error
     // only a batch later.
     def check(o: CdcOffset): Unit = if (o.fileCount > 0) {
-      require(files.length >= o.fileCount && files(o.fileCount - 1) == o.lastFile,
+      // legacy checkpoints recorded ABSOLUTE paths (a `/` in the name
+      // marks them); validate in whichever form the offset speaks so an
+      // in-place upgrade keeps its checkpoint
+      val legacy = o.lastFile.contains('/')
+      def witness(f: String): String = if (legacy) f else nameOf(f)
+      require(files.length >= o.fileCount &&
+          witness(files(o.fileCount - 1)) == o.lastFile,
         s"graft-cdc: committed file prefix changed under the stream — " +
           s"expected file #${o.fileCount} to be '${o.lastFile}' but the " +
-          s"sorted listing has '${files.lift(o.fileCount - 1).getOrElse("<missing>")}'. " +
+          s"sorted listing has '${files.lift(o.fileCount - 1).map(witness).getOrElse("<missing>")}'. " +
           "Log files must be named lexicographically monotone (zero-padded " +
           "counters); an out-of-order or deleted file would silently lose data.")
       // membership witness: a delete+insert INSIDE the range keeps count
       // and boundary intact — only the prefix hash can catch it
       o.prefixHash.foreach { h =>
-        require(CdcOffset.hashNames(files.take(o.fileCount)) == h,
+        require(CdcOffset.hashNames(files.take(o.fileCount).map(witness)) == h,
           s"graft-cdc: file membership changed inside the committed range " +
             s"(prefix of ${o.fileCount} files no longer matches the offset's " +
             "witness hash). A file was deleted and another inserted between " +

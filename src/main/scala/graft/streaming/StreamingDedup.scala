@@ -65,6 +65,29 @@ object StreamingDedup {
   private def bandBucket(bandKey: Column): Column =
     pmod(xxhash64(bandKey), lit(IndexBuckets)).cast("int")
 
+  /** True iff `root`'s tree holds at least one data file outside hidden
+    * (`_`/`.`-prefixed) paths — the same visibility rule Spark's file
+    * index applies when it lists a parquet directory.
+    */
+  private def hasVisibleDataFile(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val rootDepth = root.depth()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      var p = it.next().getPath
+      var hidden = false
+      // check every component BELOW the index root (the root's own name
+      // is the caller's business)
+      while (p.depth() > rootDepth) {
+        val n = p.getName
+        if (n.startsWith("_") || n.startsWith(".")) hidden = true
+        p = p.getParent
+      }
+      if (!hidden) return true
+    }
+    false
+  }
+
   private def emptyIndex(batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     batch.sparkSession.createDataFrame(
@@ -90,15 +113,21 @@ object StreamingDedup {
       .select(col("doc_id"), col("sig"),
         explode(bandKeys(col("sig"))).as("band_key"))
       .withColumn("band_bucket", bandBucket(col("band_key")))
-    // existence probed explicitly: ONLY a missing index means "empty".
-    // Any other read failure (corrupt footer, wrong path contents) must
-    // fail the batch loudly — a blanket exception fallback would skip
-    // cross-batch dedup for the batch while still admitting its docs,
-    // losing verdicts permanently with no error anywhere.
+    // existence probed explicitly: ONLY a missing/data-less index means
+    // "empty". Any other read failure (corrupt footer, wrong path
+    // contents) must fail the batch loudly — a blanket exception fallback
+    // would skip cross-batch dedup for the batch while still admitting
+    // its docs, losing verdicts permanently with no error anywhere.
+    // "Data-less" matters: a crash DURING the first batch's index write
+    // leaves batch_id=0/_temporary with no data files — a bare
+    // listStatus-nonEmpty probe would then route into read.parquet,
+    // which fails schema inference on every replay and wedges the
+    // stream permanently. Hidden trees (_temporary, _SUCCESS, .crc) are
+    // not data.
     val idxPath = new org.apache.hadoop.fs.Path(indexPath)
     val idxFs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
     val indexAbsent =
-      !idxFs.exists(idxPath) || idxFs.listStatus(idxPath).isEmpty
+      !idxFs.exists(idxPath) || !hasVisibleDataFile(idxFs, idxPath)
     val index =
       if (indexAbsent) emptyIndex(batch)
       else spark.read.parquet(indexPath)
@@ -140,15 +169,19 @@ object StreamingDedup {
     verdicts
   }
 
-  /** Wire the increment as a foreachBatch streaming query. */
+  /** Wire the increment as a foreachBatch streaming query. The verdict
+    * output mirrors the index's idempotency pattern — one OVERWRITTEN
+    * `batch_id=<id>` subdirectory per micro-batch — so an at-least-once
+    * replay republishes identical verdict rows instead of appending
+    * duplicates (`batch_id` surfaces as a partition column on read).
+    */
   def run(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         increment(batch, indexPath, batchId)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         ()
       }
       .start()

@@ -147,6 +147,26 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("AsOfJoin: decimal tiebreaks accepted up to precision 18, rejected " +
+      "wider (long-cast overflow would null-sentinel distinct values into ties)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    def right(p: Int) = Seq((1L, 5L, BigDecimal(7))).toDF("k", "t", "seq")
+      .withColumn("seq", col("seq").cast(
+        org.apache.spark.sql.types.DecimalType(p, 0)))
+    // p=18 fits Long: accepted and used
+    val ok = AsOfJoin.lastBefore(left, right(18), "k", "t", "t", Seq("seq"),
+      rightTiebreak = Some("seq")).collect()
+    assert(ok.length == 1 &&
+      ok(0).getDecimal(ok(0).fieldIndex("asof_seq")).longValue == 7L)
+    // p=38 can exceed Long.MaxValue: must be rejected up front
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.lastBefore(left, right(38), "k", "t", "t", Seq("seq"),
+        rightTiebreak = Some("seq"))
+    }
+    assert(e.getMessage.contains("precision 18"), e.getMessage)
+  }
+
   test("SkewJoin: default salt basis skips unhashable map columns") {
     import spark.implicits._
     val left = Seq((1L, "a", Map("x" -> "y")), (1L, "b", Map("p" -> "q")))

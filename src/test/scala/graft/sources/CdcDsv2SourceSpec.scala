@@ -42,6 +42,24 @@ class CdcDsv2SourceSpec extends SparkSpec {
       baseline.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("CR-terminated payloads split like Hadoop's line reader: lone \\r, " +
+      "\\r\\n, and \\n all terminate; parity with read.text holds") {
+    val dir = tmpDir("dsv2_cr")
+    // a lone CR between two envelopes, a CRLF pair, and a trailing CR:
+    // every terminator Hadoop's default LineReader recognizes
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "00000.jsonl"),
+      s"$good\r$del\r\n$bad\rtail-after-cr\n".getBytes("UTF-8"))
+    val v2 = spark.read.format("graft-cdc").load(dir)
+      .select("value", "op").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).sorted.toSeq
+    val baseline = CdcEnvelope.parse(spark.read.text(dir))
+      .select(col("value"), col("envelope.op")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).sorted.toSeq
+    assert(v2 == baseline, s"v2=$v2 baseline=$baseline")
+    assert(v2.length == 4, s"lone CR must terminate a line: $v2")
+  }
+
   test("malformed line: raw value preserved, typed fields all null") {
     val dir = tmpDir("dsv2_bad")
     writeFile(dir, "00000.jsonl", bad)
@@ -262,6 +280,29 @@ class CdcDsv2SourceSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
       assert(v2 == baseline, s"divergence at seed ${7000L + i}")
     }
+  }
+
+  test("offsets witness RELATIVE file names: a checkpoint resumed with a " +
+      "differently-spelled directory URI validates against the unchanged log") {
+    val dir = tmpDir("dsv2_relpath")
+    writeFile(dir, "00000.jsonl", good)
+    writeFile(dir, "00001.jsonl", del)
+    val schema = CdcDataSource.schemaFor(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    // commit an offset with the plain-path spelling...
+    val committed = new CdcMicroBatchStream(dir, schema, "UTC")
+      .latestOffset().asInstanceOf[CdcOffset]
+    assert(!committed.lastFile.contains('/'),
+      s"offset must record a dir-relative name, got '${committed.lastFile}'")
+    // ...and resume with an equivalent but different URI spelling
+    // (file: scheme + authority), as after a mount/alias change
+    val respelled = new CdcMicroBatchStream(s"file://$dir", schema, "UTC")
+    val replayed = respelled.deserializeOffset(committed.json())
+    val parts = respelled.planInputPartitions(
+      respelled.initialOffset(), replayed)
+    assert(parts.length == 2,
+      "an unchanged log must validate under a respelled directory URI")
   }
 
   test("delete+insert inside the committed range is caught by the offset's " +

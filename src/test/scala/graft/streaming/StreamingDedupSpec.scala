@@ -129,6 +129,40 @@ class StreamingDedupSpec extends SparkSpec {
       s"replay must emit the first run's verdicts, got ${pairs(v2)}")
   }
 
+  test("an index tree holding only a _temporary residue (crash during the " +
+      "first batch's write) reads as absent, so the replay repairs it") {
+    import spark.implicits._
+    val index = tmpDir("sdedup7-idx")
+    // what a task-kill mid-write leaves behind: a batch directory whose
+    // only content is the committer's hidden scratch tree — no data files
+    val tmp = java.nio.file.Paths.get(index, "batch_id=0", "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("part-stub"), "junk".getBytes)
+    val batch = Seq(Doc(1L, base), Doc(2L, variant("dusk"))).toDF()
+    // must NOT throw schema-inference errors: the hidden-only tree is
+    // "absent", the overwrite repairs batch_id=0, verdicts flow
+    val v = StreamingDedup.increment(batch, index, batchId = 0L).collect()
+    assert(v.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
+      .toSet == Set((2L, 1L)))
+    assert(spark.read.parquet(index).count() ==
+      2L * graft.text.TextOps.LshBands)
+  }
+
+  test("verdict output is replay-idempotent: re-running a batch id leaves " +
+      "one copy of its verdict rows") {
+    import spark.implicits._
+    val index = tmpDir("sdedup8-idx"); val out = tmpDir("sdedup8-out")
+    val batch = Seq(Doc(1L, base), Doc(2L, variant("dusk"))).toDF()
+    // the sink's exact write pattern, replayed twice for the same batch id
+    for (_ <- 1 to 2)
+      StreamingDedup.increment(batch, index, batchId = 0L)
+        .write.mode("overwrite").parquet(s"$out/batch_id=0")
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1, s"replay appended duplicates: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("doc_id") == 2L &&
+      rows.head.getAs[Long]("dup_of") == 1L)
+  }
+
   test("a corrupt index fails the batch loudly instead of silently " +
       "skipping cross-batch dedup") {
     import spark.implicits._
