@@ -122,6 +122,69 @@ object Cdc {
       .orderBy(col("op"))
   }
 
+  /** Schema drift through the DSv2 scan + enrich — the reference's
+    * schema-on-read stance (`debezium-postgres-connector.yaml:48-54`
+    * forces `Schema.BYTES`; `schemas.enable: "false"`) as a hash gate:
+    * the `customers` payload GAINS a column mid-stream (`loyalty_tier`,
+    * as after an `ALTER TABLE`), with pre-drift snapshots and post-drift
+    * updates landing in the same rolled log. The log is read back
+    * through `format("graft-cdc")` with the WIDENED payload DDL — the
+    * schema-on-read move a real consumer makes after the ALTER — and
+    * through the production enrich path on the raw lines.
+    *
+    * The gate proves, row by row: (a) the late column surfaces with its
+    * value on post-drift records and NULL on records written before its
+    * first appearance — never dropped, never corrupted; (b) the
+    * dynamic-JSON path needs no DDL at all: enrichment `field_count`
+    * reads 3 pre-drift and 4 post-drift from the raw bytes.
+    *
+    * Scale shape: identical to [[qCdcDsv2Scan]] — per-file partitions,
+    * narrow parse/enrich, no shuffle before the presentation sort.
+    */
+  def qCdcSchemaDrift(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      col("c_name").as("name"),
+      concat(
+        regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "."),
+        lit("@"), lower(col("c_mktsegment")), lit(".example.com")).as("email"))
+    val pre = CdcSource.changes(cust, "r", "inventory", "public",
+      "customers", col("id").cast("long"), fixedTsMs = Some(FixedTs))
+    // the ALTER: every 2nd key re-emitted as an update whose payload now
+    // carries loyalty_tier
+    val drifted = cust.filter(col("id") % 2 === 0)
+      .withColumn("loyalty_tier",
+        concat(lit("T"), (col("id") % 4).cast("string")))
+    val post = CdcSource.changes(drifted, "u", "inventory", "public",
+      "customers", col("id") + 10000000L, fixedTsMs = Some(FixedTs))
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dsv2_drift_" + jvm + "_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    pre.write.mode("overwrite").text(dir) // generation 1: pre-ALTER files
+    post.write.mode("append").text(dir)   // generation 2: post-ALTER files
+    val env = s.read.format("graft-cdc")
+      .option("payloadDdl",
+        "id INT, name STRING, email STRING, loyalty_tier STRING")
+      .load(dir)
+      .select(col("value"), col("after"), col("op").as("v2_op"),
+        col("source.lsn").as("v2_lsn"))
+    // production enrich path over the SAME raw lines: the dynamic
+    // field_count sees the extra key with no DDL anywhere
+    Enrich.withEnrichment(CdcEnvelope.parse(env),
+        EnrichConfig(processingTimeIso = Some("2026-01-01T00:00:00")))
+      .select(
+        col("after.id").as("id"),
+        col("v2_op").as("op"),
+        col("v2_lsn").as("lsn"),
+        col("after.loyalty_tier").as("loyalty_tier"),
+        col("after.loyalty_tier").isNotNull.as("has_tier"),
+        col("enrichment.data_quality.field_count").as("field_count"))
+      .localCheckpoint() // presentation-sort sampling would re-run the scan
+      .orderBy(col("id"), col("lsn"))
+  }
+
   def qCdcLatestState(s: SparkSession, d: String): DataFrame =
     CdcMaterialize.latestState(changeMix(s, d), keyField = "id")
       // the envelope payload schema carries created_at (all-null here:
@@ -299,6 +362,22 @@ object Cdc {
         |    CAST(max(c_custkey) + 10000000 AS BIGINT)
         |  FROM customer WHERE c_custkey % 3 = 0)
         |ORDER BY op""".stripMargin,
+    // closed-form: pre-drift snapshots (lsn=id, no loyalty_tier key →
+    // NULL typed view, field_count 3); post-drift updates for even keys
+    // (lsn=id+10M, loyalty_tier='T'||id%4, field_count 4)
+    "q_cdc_schema_drift" ->
+      """SELECT * FROM (
+        |  SELECT CAST(c_custkey AS INT) AS id, 'r' AS op,
+        |    CAST(c_custkey AS BIGINT) AS lsn,
+        |    CAST(NULL AS VARCHAR) AS loyalty_tier,
+        |    false AS has_tier, 3 AS field_count
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS INT), 'u',
+        |    CAST(c_custkey + 10000000 AS BIGINT),
+        |    'T' || CAST(c_custkey % 4 AS VARCHAR), true, 4
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |ORDER BY id, lsn""".stripMargin,
     "q_cdc_multi_table" ->
       """SELECT * FROM (
         |  SELECT 'customers' AS source_table,
@@ -400,6 +479,7 @@ object Cdc {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_dsv2_scan" -> (qCdcDsv2Scan _),
+    "q_cdc_schema_drift" -> (qCdcSchemaDrift _),
     "q_cdc_multi_table" -> (qCdcMultiTable _),
     "q_cdc_enrich" -> (qCdcEnrich _),
     "q_cdc_latest_state" -> (qCdcLatestState _),
