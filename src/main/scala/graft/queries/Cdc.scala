@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.cdc.{CdcEnvelope, CdcMaterialize, CdcSource, Enrich, EnrichConfig}
+import graft.cdc.{CdcEnvelope, CdcMaterialize, CdcPipeline, CdcSource, Enrich, EnrichConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,7 +68,10 @@ object Cdc {
     * (upper-cased name, lsn=id+10M), delete every 7th (lsn=id+20M) —
     * serialized through the full JSON envelope round-trip and parsed back.
     */
-  private def changeMixRaw(s: SparkSession, d: String): DataFrame = {
+  /** The change mix as its three op generations (r / u / d) — the staged
+    * form the tail gate grows a log with; [[changeMixRaw]] is their union.
+    */
+  private def changeMixParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val cust = Tables.customer(s, d).select(
       col("c_custkey").cast("int").as("id"),
       col("c_name").as("name"),
@@ -78,11 +81,15 @@ object Cdc {
     def mk(rows: DataFrame, op: String, lsn: Column) =
       CdcSource.changes(rows, op, "inventory", "public", "customers",
         lsn, fixedTsMs = Some(FixedTs))
-    val snaps = mk(cust, "r", col("id").cast("long"))
-    val upds = mk(cust.filter(col("id") % 3 === 0)
-        .withColumn("name", upper(col("name"))),
-      "u", col("id") + 10000000L)
-    val dels = mk(cust.filter(col("id") % 7 === 0), "d", col("id") + 20000000L)
+    (mk(cust, "r", col("id").cast("long")),
+      mk(cust.filter(col("id") % 3 === 0)
+          .withColumn("name", upper(col("name"))),
+        "u", col("id") + 10000000L),
+      mk(cust.filter(col("id") % 7 === 0), "d", col("id") + 20000000L))
+  }
+
+  private def changeMixRaw(s: SparkSession, d: String): DataFrame = {
+    val (snaps, upds, dels) = changeMixParts(s, d)
     snaps.unionByName(upds).unionByName(dels)
   }
 
@@ -183,6 +190,83 @@ object Cdc {
         col("enrichment.data_quality.field_count").as("field_count"))
       .localCheckpoint() // presentation-sort sampling would re-run the scan
       .orderBy(col("id"), col("lsn"))
+  }
+
+  /** One value-lines frame → `parts` monotone-named log files under
+    * `dir` (`<gen>_<part>.jsonl`) — how the tail gate grows its input
+    * log in stages. Multiple files per generation because the V2
+    * source's parallel unit IS the file: a generation rolled into one
+    * file would serialize its whole enrich pass onto one core.
+    */
+  private def writeStage(df: DataFrame, dir: String, gen: String,
+      parts: Int): Unit = {
+    val tmp = s"$dir.stage"
+    df.repartition(parts).write.mode("overwrite").text(tmp)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName).zipWithIndex
+      .foreach { case (p, i) =>
+        fs.rename(p,
+          new org.apache.hadoop.fs.Path(dir, f"${gen}_$i%03d.jsonl"))
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** The DSv2 micro-batch TAIL inside the hash gate (the batch scan is
+    * [[qCdcDsv2Scan]]'s): the change mix lands as a log GROWN IN STAGES —
+    * generation 1 (snapshots) is drained by one checkpointed
+    * [[CdcPipeline.startV2]] run, generations 2–3 (updates, deletes)
+    * arrive while the stream is DOWN, and a second run on the same
+    * checkpoint drains exactly the new files. Output materializes
+    * through the rename-committed `graft-cdc` sink; the gate folds the
+    * final output log per op-code against the SAME closed-form oracle
+    * as the batch scan. (Admission pacing has its own spec —
+    * `CdcDsv2SourceSpec` "paced" — and stays out of the gate: per-batch
+    * fixed overhead would triple the gate's wall time for no extra
+    * claim.)
+    *
+    * What the hash proves: exactly-once across the restart — a replay of
+    * generation 1 would double the 'r' counts/sums; a lost generation
+    * would drop the 'u'/'d' rows; either mismatches the oracle.
+    */
+  def qCdcDsv2Tail(s: SparkSession, d: String): DataFrame = {
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dsv2_tail_" + jvm + "_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val (inDir, outDir, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    // every invocation re-runs the full staged tail from scratch
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (snaps, upds, dels) = changeMixParts(s, d)
+    val cfg = EnrichConfig(processingTimeIso = Some("2026-01-01T00:00:00"))
+    // stage 1: snapshots only, drained by the first checkpointed run
+    writeStage(snaps, inDir, "00", parts = 8)
+    CdcPipeline.startV2(s, inDir, outDir, ck, cfg).awaitTermination()
+    // stages 2–3 land while the stream is down; the restart must pick up
+    // EXACTLY the new files from the committed offset
+    writeStage(upds, inDir, "01", parts = 4)
+    writeStage(dels, inDir, "02", parts = 2)
+    CdcPipeline.startV2(s, inDir, outDir, ck, cfg).awaitTermination()
+    // fold the materialized output log (enriched {original, enrichment}
+    // lines) per op — partial parse of only the probed fields
+    val probe = org.apache.spark.sql.types.StructType.fromDDL(
+      "original STRUCT<before: STRUCT<id: INT>, after: STRUCT<id: INT>, " +
+        "source: STRUCT<lsn: BIGINT>, op: STRING>")
+    s.read.text(outDir)
+      .select(from_json(col("value"), probe).getField("original").as("o"))
+      .groupBy(col("o.op").as("op"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o.after.id")).as("sum_after_ids"),
+        sum(col("o.before.id")).as("sum_before_ids"),
+        max(col("o.source.lsn")).as("max_lsn"))
+      .orderBy(col("op"))
   }
 
   def qCdcLatestState(s: SparkSession, d: String): DataFrame =
@@ -340,28 +424,33 @@ object Cdc {
       .orderBy(col("source_table"))
   }
 
+  // closed-form from the change-mix mod rules: snapshots carry after
+  // (lsn=id), updates carry after (lsn=id+10M), deletes carry before
+  // (lsn=id+20M). ONE definition for both the batch scan and the staged
+  // tail — the tail's final log holds exactly the same change mix, so a
+  // replayed or lost generation mismatches this same closed form.
+  private val dsv2PerOpOracle =
+    """SELECT * FROM (
+      |  SELECT 'd' AS op, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(NULL AS BIGINT) AS sum_after_ids,
+      |    CAST(sum(c_custkey) AS BIGINT) AS sum_before_ids,
+      |    CAST(max(c_custkey) + 20000000 AS BIGINT) AS max_lsn
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 'r', CAST(count(*) AS BIGINT),
+      |    CAST(sum(c_custkey) AS BIGINT), CAST(NULL AS BIGINT),
+      |    CAST(max(c_custkey) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'u', CAST(count(*) AS BIGINT),
+      |    CAST(sum(c_custkey) AS BIGINT), CAST(NULL AS BIGINT),
+      |    CAST(max(c_custkey) + 10000000 AS BIGINT)
+      |  FROM customer WHERE c_custkey % 3 = 0)
+      |ORDER BY op""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // closed-form from the change-mix mod rules: snapshots carry after
-    // (lsn=id), updates carry after (lsn=id+10M), deletes carry before
-    // (lsn=id+20M)
-    "q_cdc_dsv2_scan" ->
-      """SELECT * FROM (
-        |  SELECT 'd' AS op, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(NULL AS BIGINT) AS sum_after_ids,
-        |    CAST(sum(c_custkey) AS BIGINT) AS sum_before_ids,
-        |    CAST(max(c_custkey) + 20000000 AS BIGINT) AS max_lsn
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT 'r', CAST(count(*) AS BIGINT),
-        |    CAST(sum(c_custkey) AS BIGINT), CAST(NULL AS BIGINT),
-        |    CAST(max(c_custkey) AS BIGINT)
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT 'u', CAST(count(*) AS BIGINT),
-        |    CAST(sum(c_custkey) AS BIGINT), CAST(NULL AS BIGINT),
-        |    CAST(max(c_custkey) + 10000000 AS BIGINT)
-        |  FROM customer WHERE c_custkey % 3 = 0)
-        |ORDER BY op""".stripMargin,
+    "q_cdc_dsv2_scan" -> dsv2PerOpOracle,
+    "q_cdc_dsv2_tail" -> dsv2PerOpOracle,
     // closed-form: pre-drift snapshots (lsn=id, no loyalty_tier key →
     // NULL typed view, field_count 3); post-drift updates for even keys
     // (lsn=id+10M, loyalty_tier='T'||id%4, field_count 4)
@@ -479,6 +568,7 @@ object Cdc {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_dsv2_scan" -> (qCdcDsv2Scan _),
+    "q_cdc_dsv2_tail" -> (qCdcDsv2Tail _),
     "q_cdc_schema_drift" -> (qCdcSchemaDrift _),
     "q_cdc_multi_table" -> (qCdcMultiTable _),
     "q_cdc_enrich" -> (qCdcEnrich _),
