@@ -39,10 +39,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * per batch bounded — partitioning by raw band_key would create one
   * near-empty directory per distinct band, and per-trigger listing cost
   * is driven by directory count, which partition pruning does not reduce.
-  * Listing still grows with batch count (one subdirectory per batch);
-  * long-running deployments should fold old `batch_id=*` directories
-  * into a compacted base the same way any streaming file sink is
-  * maintained.
+  * Listing grows with batch count (one subdirectory per batch) until
+  * [[compactIndex]] folds the accumulated `batch_id=*` directories into
+  * one compacted base — the maintenance job a long-running deployment
+  * schedules between stream runs, restoring O([[IndexBuckets]]) listing
+  * cost.
   */
 object StreamingDedup {
 
@@ -167,6 +168,48 @@ object StreamingDedup {
       .write.mode("overwrite").partitionBy("band_bucket")
       .parquet(s"$indexPath/batch_id=$batchId")
     verdicts
+  }
+
+  /** Maintenance job: fold every `batch_id=*` directory (including any
+    * previous compacted base) into ONE new compacted base, restoring
+    * O([[IndexBuckets]]) directory count after months of triggers have
+    * accumulated O(batches) of them. Run it while the stream is stopped
+    * (between deployments), like any streaming file-sink maintenance.
+    *
+    * The base lives at `batch_id=-<generation>` — negative ids are
+    * unreachable by real batches, so the read path, partition scheme,
+    * and [[increment]]'s idempotent per-batch overwrite are untouched.
+    * Crash-safety is write-then-delete: the fold is built under a
+    * HIDDEN `.compact_tmp` tree (invisible to readers), renamed into
+    * place as a VISIBLE new base, and only then are the old directories
+    * deleted — no window ever hides committed rows. A crash mid-delete
+    * leaves duplicate rows, which are harmless (verdicts aggregate
+    * `max(matched)` per pair) and fold away on the next compaction; a
+    * replayed batch whose directory was already compacted likewise just
+    * recreates a small directory that the next compaction folds.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(idxPath) || !hasVisibleDataFile(fs, idxPath)) return
+    val oldDirs = fs.listStatus(idxPath).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+    // next compacted generation: below every existing id (first fold
+    // lands at -1, the next at -2, …)
+    val minId = oldDirs.map(_.getName.stripPrefix("batch_id=").toLong).min
+    val gen = math.min(minId, 0L) - 1L
+    val tmp = new org.apache.hadoop.fs.Path(indexPath, ".compact_tmp")
+    // distinct over ALL columns: replay-recreated rows collapse
+    // deterministically; a doc re-admitted with different text keeps
+    // both rows, exactly as increment's max-per-pair verdict expects
+    spark.read.parquet(indexPath)
+      .select(col("band_bucket"), col("band_key"), col("doc_id"), col("sig"))
+      .distinct()
+      .write.mode("overwrite").partitionBy("band_bucket")
+      .parquet(tmp.toString)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(idxPath, s"batch_id=$gen"))
+    oldDirs.foreach(d => fs.delete(d, true))
   }
 
   /** Wire the increment as a foreachBatch streaming query. The verdict

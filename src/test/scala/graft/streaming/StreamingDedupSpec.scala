@@ -176,6 +176,60 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("index compaction: directory count falls to O(1) in batches, " +
+      "verdicts and replays are unchanged, repeated compaction converges") {
+    import spark.implicits._
+    val index = tmpDir("sdedup9-idx")
+    // five batches accumulate five batch_id directories
+    for (b <- 0 until 4)
+      StreamingDedup.increment(
+        Seq(Doc(10L + b, s"unique content number $b about wholly distinct topic ${"xyz" * (b + 1)}")).toDF(),
+        index, batchId = b.toLong).collect()
+    val probe = Seq(Doc(50L, base), Doc(51L, variant("dusk"))).toDF()
+    val vBefore = StreamingDedup.increment(probe, index, batchId = 4L).collect()
+    def batchDirs() = new java.io.File(index).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName)
+    assert(batchDirs().length == 5, batchDirs().toSeq)
+    val rowsBefore = spark.read.parquet(index)
+      .select("band_bucket", "band_key", "doc_id", "sig")
+      .collect().map(_.toString).sorted.toSeq
+
+    StreamingDedup.compactIndex(spark, index)
+    // (b) layout: ONE base dir, fanned out by band_bucket only
+    assert(batchDirs().toSeq == Seq("batch_id=-1"), batchDirs().toSeq)
+    val buckets = new java.io.File(index, "batch_id=-1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(buckets.nonEmpty &&
+      buckets.forall(_.startsWith("band_bucket=")) &&
+      buckets.length <= StreamingDedup.IndexBuckets, buckets.toSeq)
+    // content identical row-for-row
+    val rowsAfter = spark.read.parquet(index)
+      .select("band_bucket", "band_key", "doc_id", "sig")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+
+    // (a) a replayed batch id (at-least-once delivery) emits the SAME
+    // verdicts against the compacted base, and its recreated directory
+    // folds away on the next compaction
+    val vReplay = StreamingDedup.increment(probe, index, batchId = 4L).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("matched"))).toSet
+    assert(pairs(vReplay) == pairs(vBefore), s"${pairs(vReplay)} vs ${pairs(vBefore)}")
+    StreamingDedup.compactIndex(spark, index)
+    assert(batchDirs().toSeq == Seq("batch_id=-2"), batchDirs().toSeq)
+    assert(spark.read.parquet(index)
+      .select("band_bucket", "band_key", "doc_id", "sig")
+      .collect().map(_.toString).sorted.toSeq == rowsBefore,
+      "re-compaction after a replay must converge to the same rows")
+
+    // new docs still dedup against the compacted base
+    val vNew = StreamingDedup.increment(
+      Seq(Doc(60L, base)).toDF(), index, batchId = 5L).collect()
+    assert(pairs(vNew).exists { case (d, of, _) => d == 60L && of == 50L },
+      s"new batch must match the compacted base: ${pairs(vNew)}")
+  }
+
   test("restart: index and checkpoint survive, dups flagged against pre-restart docs") {
     import spark.implicits._
     val in = tmpDir("sdedup3-in"); val index = tmpDir("sdedup3-idx")
