@@ -280,6 +280,81 @@ class CdcSinkSpec extends SparkSpec {
       .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(9))
   }
 
+  test("failure injection: a task dying mid-batch aborts the commit with " +
+      "NO rows visible and no temp debris; the retried batch publishes once") {
+    val dir = tmpDir("sink_taskfail")
+    // 3 partitions; the partition holding id=42 throws after writing
+    // some rows. local[4] has task maxFailures=1, so the job aborts —
+    // the driver must discard every successful task's uncommitted temp
+    // and the failing task's own writer must abort its temp: nothing
+    // visible, nothing hidden left behind.
+    val e = intercept[org.apache.spark.SparkException] {
+      lines(40 to 60: _*).toDF("value").repartition(3).as[String]
+        .map { v => // fail mid-stream of one task, after rows were written
+          if (v.contains("\"id\":42")) throw new RuntimeException("injected")
+          v
+        }.toDF("value")
+        .write.format("graft-cdc").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("injected") ||
+      Option(e.getCause).exists(_.getMessage.contains("injected")))
+    val left = Option(new java.io.File(dir).listFiles()).map(_.toSeq).getOrElse(Nil)
+    assert(left.forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")),
+      s"partial commit visible: ${left.map(_.getName)}")
+    assert(!left.exists(_.getName.startsWith("._tmp")),
+      s"aborted temps not discarded: ${left.map(_.getName)}")
+    // the healthy retry of the whole batch (what a scheduler does after a
+    // failed job) publishes exactly once
+    lines(40 to 60: _*).toDF("value").repartition(3)
+      .write.format("graft-cdc").mode("append").save(dir)
+    assert(spark.read.format("graft-cdc").load(dir)
+      .select("after.id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (40 to 60).toSeq)
+  }
+
+  test("failure injection at the writer protocol: a dead first attempt " +
+      "(no abort ever runs) leaves only hidden bytes; the retry attempt's " +
+      "commit publishes exactly its own rows") {
+    val dir = tmpDir("sink_attemptfail")
+    val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of())
+      override def queryId(): String = "qf1"
+      override def schema(): org.apache.spark.sql.types.StructType = valueSchema
+    }
+    val write = new CdcWriteBuilder(dir, info).build().toBatch
+    val factory = write.createBatchWriterFactory(null)
+    def row(s: String) = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    // attempt 1: writes rows, then the executor DIES — neither commit()
+    // nor abort() ever runs (hard kill, not an exception path)
+    val attempt1 = factory.createWriter(0, 0L)
+    attempt1.write(row("{\"lost\":1}"))
+    attempt1.write(row("{\"lost\":2}"))
+    // attempt 2 (the retry of partition 0): writes the real rows, commits
+    val attempt2 = factory.createWriter(0, 1L)
+    attempt2.write(row(env.format(7, 7, 7, 7)))
+    val msg = attempt2.commit()
+    write.commit(Array(msg))
+    // visible result: exactly ONE committed file with attempt 2's row —
+    // the dead attempt's bytes stay hidden from every reader/tailer
+    val visible = names(dir)
+    assert(visible.length == 1 && visible.head.matches("b\\d{12}-p00000\\.jsonl"),
+      visible)
+    assert(spark.read.format("graft-cdc").load(dir)
+      .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(7))
+    assert(spark.read.text(dir).count() == 1,
+      "dead-attempt bytes leaked into the readable namespace")
+    // the orphan temp is still on disk (process death leaves it), hidden;
+    // that is the documented residue class, not data corruption
+    val orphans = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("._tmp"))
+    assert(orphans.length == 1, orphans.map(_.getName).toSeq)
+  }
+
   test("null payload rows fail the write instead of silently vanishing") {
     val dir = tmpDir("sink_nullval")
     val e = intercept[Exception] {
