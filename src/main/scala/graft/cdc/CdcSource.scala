@@ -188,6 +188,46 @@ object CdcSource {
     ), Map("ignoreNullFields" -> "false")).as("value"))
   }
 
+  /** Mixed-op twin of [[changes]]: rows carry their OWN op and lsn columns
+    * (the shape a database changelog/audit table delivers — one row per
+    * change, any op), wrapped per-row with Debezium image placement:
+    * inserts/updates/reads carry `after` only, deletes `before` only. The
+    * JSON layout is field-for-field the one [[changes]] emits, so a poll
+    * over a changelog table is byte-indistinguishable from the file
+    * transport (spec-proven in `CdcJdbcIncrementalSpec`).
+    *
+    * @param opCol  column holding the op code (`c`/`u`/`d`/`r`)
+    * @param lsnCol column holding the monotone change sequence
+    */
+  def changesMixed(rows: DataFrame, opCol: String, lsnCol: String,
+      db: String, schema: String, table: String,
+      serverName: String = "dbserver1",
+      fixedTsMs: Option[Long] = None): DataFrame = {
+    val payload = rows.columns.filterNot(c => c == opCol || c == lsnCol)
+    val tsMs = fixedTsMs.map(lit(_).cast("long"))
+      .getOrElse((unix_timestamp(current_timestamp()) * 1000).cast("long"))
+    val image = struct(payload.map(col).toIndexedSeq: _*)
+    val noImage = lit(null).cast(StructType(payload.map(rows.schema(_))))
+    val isDelete = col(opCol) === "d"
+    rows.select(to_json(struct(
+      when(isDelete, image).otherwise(noImage).as("before"),
+      when(isDelete, noImage).otherwise(image).as("after"),
+      struct(
+        lit("spark-graft").as("version"),
+        lit("postgresql").as("connector"),
+        lit(serverName).as("name"),
+        tsMs.as("ts_ms"),
+        when(col(opCol) === "r", "true").otherwise("false").as("snapshot"),
+        lit(db).as("db"),
+        lit(schema).as("schema"),
+        lit(table).as("table"),
+        lit(null).cast("long").as("txId"),
+        col(lsnCol).cast("long").as("lsn")).as("source"),
+      col(opCol).cast("string").as("op"),
+      tsMs.as("ts_ms")
+    ), Map("ignoreNullFields" -> "false")).as("value"))
+  }
+
   /** S3: table include filter — restrict a multi-table envelope stream to one
     * schema/table, the Spark form of Debezium's `table.include.list`
     * (reference connector yaml:23-24). Applied on parsed envelopes so it
