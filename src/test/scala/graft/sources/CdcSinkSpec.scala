@@ -298,11 +298,22 @@ class CdcSinkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("injected") ||
       Option(e.getCause).exists(_.getMessage.contains("injected")))
-    val left = Option(new java.io.File(dir).listFiles()).map(_.toSeq).getOrElse(Nil)
+    def left = Option(new java.io.File(dir).listFiles()).map(_.toSeq).getOrElse(Nil)
+    // visibility is SYNCHRONOUS: publish renames happen only in the
+    // driver's commit, which never ran — assert immediately
     assert(left.forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")),
       s"partial commit visible: ${left.map(_.getName)}")
+    // temp cleanup of the KILLED sibling tasks is asynchronous: Spark
+    // surfaces the job failure to the caller before killed tasks finish
+    // their abort() on executor threads. The contract is eventual — poll
+    // briefly instead of racing the kill path (observed flake: a loaded
+    // suite run left ._tmp_b…-p00001 for a few ms past the exception)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (left.exists(_.getName.startsWith("._tmp")) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(50)
     assert(!left.exists(_.getName.startsWith("._tmp")),
-      s"aborted temps not discarded: ${left.map(_.getName)}")
+      s"aborted temps not discarded within 15s: ${left.map(_.getName)}")
     // the healthy retry of the whole batch (what a scheduler does after a
     // failed job) publishes exactly once
     lines(40 to 60: _*).toDF("value").repartition(3)
