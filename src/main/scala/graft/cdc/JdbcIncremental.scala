@@ -48,6 +48,22 @@ object JdbcIncremental {
   /** Driver-side watermark probe: run `maxSeqSql` (e.g.
     * `SELECT MAX(seq) FROM customers_changelog`) and return the single
     * long it yields, 0 for NULL/empty — one O(1) indexed query per poll.
+    *
+    * CONCURRENT-WRITER CAVEAT (the classic sequence-watermark race, shared
+    * by every MAX-fenced incremental JDBC reader): sequence values are
+    * assigned at INSERT, visibility at COMMIT. If txn A takes seq=100,
+    * txn B takes seq=101 and commits first, a poll can observe MAX=101
+    * while seq=100 is still invisible; once the watermark passes 101,
+    * A's later-committed row is never read. Remedies, strongest first:
+    * (a) fence the probe below the oldest in-flight transaction — e.g.
+    * PostgreSQL `SELECT least(max(seq), pg_snapshot_xmin(pg_current_snapshot()) - 1) …`
+    * when seq IS the txid, or a `WHERE ts < now() - <max txn duration>`
+    * stability lag on an insert-timestamp column (how Kafka Connect JDBC's
+    * `timestamp.delay.interval.ms` handles the same race) — the fence
+    * lives entirely in `maxSeqSql`, no engine change; (b) serialize
+    * changelog inserts (single writer / table lock in the trigger), which
+    * makes commit order equal sequence order. The Derby spec writes
+    * serially, so it exercises (b).
     */
   def currentMax(url: String, props: Properties, maxSeqSql: String): Long = {
     val conn = DriverManager.getConnection(url, props)
@@ -83,10 +99,13 @@ object JdbcIncremental {
     val sub = changelogQuery(lo, hi)
     // stride only when the range can actually split; a 1-row range with
     // N partitions would issue N-1 empty cursors
+    // partition-count math stays in the long domain: hi/lo are sequence
+    // VALUES (gaps from rollbacks/preallocation make hi-lo ≫ row count),
+    // so (hi-lo).toInt could wrap negative on a >2^31-wide range
     val rows =
       if (hi - lo > 1 && numPartitions > 1)
         spark.read.jdbc(url, sub, seqCol, lo + 1, hi,
-          math.min(numPartitions, (hi - lo).toInt), props)
+          math.min(numPartitions.toLong, hi - lo).toInt, props)
       else spark.read.jdbc(url, sub, props)
     CdcSource.changesMixed(rows, opCol, seqCol, db, schema, table,
       serverName, fixedTsMs)
@@ -142,24 +161,33 @@ object JdbcIncremental {
     hi
   }
 
-  /** Committed watermark: the `_watermark` marker, and ONLY the marker —
-    * deliberately NOT inferred from committed file names. The marker is
-    * renamed strictly after every part of a range is published, so a crash
-    * mid-publish re-polls the whole range (idempotent — deterministic
-    * names + same-`lo` sweep); inferring from names would advance the
-    * watermark past parts a crashed attempt never renamed, silently
-    * dropping their rows. None ⇒ the log was never snapshotted.
+  /** Committed watermark — deliberately NOT inferred from committed file
+    * names (that would advance the watermark past parts a crashed attempt
+    * never renamed, silently dropping their rows). The marker pair is
+    * written strictly after every part of a range is published, so a
+    * crash mid-publish re-polls the whole range (idempotent —
+    * deterministic names + same-`lo` sweep).
+    *
+    * Two fixed names close the delete-then-rename crash window: commit
+    * order is write `_watermark_next` → delete `_watermark` → rename
+    * next→current. A crash between any two steps leaves at least one
+    * marker present, and `next >= current` always (watermarks are
+    * monotone), so the max of whichever exist is the committed value.
+    * None ⇒ the log was never snapshotted.
     */
   def lastWatermark(spark: SparkSession, logDir: String): Option[Long] = {
     val f = fs(spark, logDir)
-    val p = new Path(logDir, "_watermark")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+    def read(name: String): Option[Long] = {
+      val p = new Path(logDir, name)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
     }
+    (read("_watermark").toSeq ++ read("_watermark_next").toSeq).maxOption
   }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -194,13 +222,16 @@ object JdbcIncremental {
             s"JdbcIncremental: rename ${st.getPath} -> $dst failed")
       }
     } finally f.delete(tmp, true)
-    val markerTmp = new Path(dir, s"._watermark_${UUID.randomUUID().toString.take(8)}")
-    val out = f.create(markerTmp, true)
+    // marker-pair commit (see lastWatermark): next → delete current →
+    // rename. Every intermediate crash state leaves a readable marker
+    // whose max is the committed watermark.
+    val next = new Path(dir, "_watermark_next")
+    val out = f.create(next, true)
     try out.write(hi.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val marker = new Path(dir, "_watermark")
     if (f.exists(marker)) f.delete(marker, false)
-    if (!f.rename(markerTmp, marker))
+    if (!f.rename(next, marker))
       throw new java.io.IOException(
         s"JdbcIncremental: watermark commit rename failed in $logDir")
   }

@@ -107,17 +107,22 @@ object Cdc {
     * `sum_after_ids` only for r/u, so image placement (deletes carry
     * `before`, the rest carry `after`) is hash-checked too.
     */
-  def qCdcDsv2Scan(s: SparkSession, d: String): DataFrame = {
-    // fixed per-(JVM, sf-path) dir + overwrite: reruns within one JVM
-    // reuse the directory instead of accumulating temp copies; the JVM
-    // name (pid@host) keys it so CONCURRENT processes — even over the
-    // same data, e.g. verify and bench side by side — can never race
-    // one run's overwrite against the other's in-flight scan
+  /** Fixed per-(JVM, sf-path) scratch dir for the DSv2 gates: reruns
+    * within one JVM reuse the directory instead of accumulating temp
+    * copies; the JVM name (pid@host) keys it so CONCURRENT processes —
+    * even over the same data, e.g. verify and bench side by side — can
+    * never race one run's overwrite against the other's in-flight scan.
+    */
+  private def gateTmpDir(prefix: String, d: String): String = {
     val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_dsv2_scan_" + jvm + "_" +
+    new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + "_" + jvm + "_" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+  }
+
+  def qCdcDsv2Scan(s: SparkSession, d: String): DataFrame = {
+    val dir = gateTmpDir("graft_dsv2_scan", d)
     changeMixRaw(s, d).write.mode("overwrite").text(dir)
     s.read.format("graft-cdc").load(dir)
       .groupBy(col("op"))
@@ -164,11 +169,7 @@ object Cdc {
         concat(lit("T"), (col("id") % 4).cast("string")))
     val post = CdcSource.changes(drifted, "u", "inventory", "public",
       "customers", col("id") + 10000000L, fixedTsMs = Some(FixedTs))
-    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_dsv2_drift_" + jvm + "_" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val dir = gateTmpDir("graft_dsv2_drift", d)
     pre.write.mode("overwrite").text(dir) // generation 1: pre-ALTER files
     post.write.mode("append").text(dir)   // generation 2: post-ALTER files
     val env = s.read.format("graft-cdc")
@@ -209,8 +210,12 @@ object Cdc {
       .map(_.getPath).filter(_.getName.startsWith("part-"))
       .sortBy(_.getName).zipWithIndex
       .foreach { case (p, i) =>
-        fs.rename(p,
-          new org.apache.hadoop.fs.Path(dir, f"${gen}_$i%03d.jsonl"))
+        val dst = new org.apache.hadoop.fs.Path(dir, f"${gen}_$i%03d.jsonl")
+        // a silently failed rename (Hadoop reports many failures as
+        // `false`) would drop a stage file and misdiagnose as a lost
+        // micro-batch in the tail gate's oracle mismatch
+        if (!fs.rename(p, dst))
+          throw new java.io.IOException(s"writeStage: rename $p -> $dst failed")
       }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
@@ -233,11 +238,7 @@ object Cdc {
     * would drop the 'u'/'d' rows; either mismatches the oracle.
     */
   def qCdcDsv2Tail(s: SparkSession, d: String): DataFrame = {
-    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_dsv2_tail_" + jvm + "_" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val base = gateTmpDir("graft_dsv2_tail", d)
     val (inDir, outDir, ck) = (s"$base/in", s"$base/out", s"$base/ck")
     // every invocation re-runs the full staged tail from scratch
     val fs = new org.apache.hadoop.fs.Path(base)

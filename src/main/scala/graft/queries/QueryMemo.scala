@@ -22,27 +22,36 @@ import org.apache.spark.sql.DataFrame
   * ids are pinned here so Bench's per-query unpersist sweep can skip them.
   */
 object QueryMemo {
-  private val cache = TrieMap.empty[(String, String), DataFrame]
+  private val cache = TrieMap.empty[(String, String), (DataFrame, Set[Int])]
   private val pinnedIds = TrieMap.empty[Int, Unit]
 
   /** Materialize (eager localCheckpoint) and publish a twin's result for
     * `dir`. Returns the checkpointed frame — the caller's execution handle.
     * Pinning is precise: only the RDDs persisted BY this checkpoint are
     * pinned (set-diff around it), so a twin's internal intermediate
-    * checkpoints still get swept by the suite's block-freeing loop.
+    * checkpoints still get swept by the suite's block-freeing loop. A
+    * re-seed of the same key (a suite's second-pass retry) unpins and
+    * frees the superseded entry's blocks — otherwise each retry would
+    * leave another immortal copy in storage memory.
     */
   def seed(name: String, dir: String, df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint()
-    (sc.getPersistentRDDs.keySet -- before).foreach(pinnedIds.put(_, ()))
-    cache.put((name, dir), ck)
+    val added = (sc.getPersistentRDDs.keySet -- before).toSet
+    added.foreach(pinnedIds.put(_, ()))
+    cache.put((name, dir), (ck, added)).foreach { case (_, oldIds) =>
+      oldIds.foreach { id =>
+        pinnedIds.remove(id)
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
+      }
+    }
     ck
   }
 
   /** A seeded twin result, if any suite runner published one. */
   def lookup(name: String, dir: String): Option[DataFrame] =
-    cache.get((name, dir))
+    cache.get((name, dir)).map(_._1)
 
   /** RDD ids a suite's block-freeing sweep must not unpersist. */
   def isPinned(id: Int): Boolean = pinnedIds.contains(id)

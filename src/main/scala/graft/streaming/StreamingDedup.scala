@@ -208,7 +208,17 @@ object StreamingDedup {
       .distinct()
       .write.mode("overwrite").partitionBy("band_bucket")
       .parquet(tmp.toString)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(idxPath, s"batch_id=$gen"))
+    // rename MUST be verified before anything is deleted: Hadoop
+    // FileSystems report many failures as `false` rather than throwing
+    // (object-store copy renames, src/dst races) — deleting the old
+    // directories after a silently failed rename would destroy the whole
+    // index while the compacted copy sits invisible under .compact_tmp,
+    // and every future duplicate would then be admitted as unique
+    val dst = new org.apache.hadoop.fs.Path(idxPath, s"batch_id=$gen")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"compactIndex: rename $tmp -> $dst failed; old batch directories " +
+          "left untouched (re-run after resolving the filesystem issue)")
     oldDirs.foreach(d => fs.delete(d, true))
   }
 
