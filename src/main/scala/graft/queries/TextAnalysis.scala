@@ -419,6 +419,100 @@ object TextAnalysis {
       .limit(BpePairTopK)
   }
 
+  /** Merge rounds for [[qBpeTrain]] — the K of a BPE trainer, fixed so
+    * the oracle unrolls to exactly K stages.
+    */
+  val BpeMerges = 6
+
+  /** Iterative BPE tokenizer TRAINING (Sennrich et al. 2016): K greedy
+    * merge rounds, each picking the globally most frequent adjacent
+    * symbol pair (count desc, pair asc tie-break) and merging it across
+    * the vocabulary. [[qBpePairs]] is one round's counting; this is the
+    * training loop a tokenizer pipeline actually runs.
+    *
+    * Scale shape: the corpus collapses ONCE to the counted vocabulary
+    * (the only aggregation that sees corpus volume — standard for BPE
+    * trainers); each round is then one explode+sum over O(vocab) rows
+    * plus a 1-row argmax. The driver holds exactly K chosen pairs (the
+    * model being trained — the justified O(K) materialization, same
+    * pattern as PageRank's convergence flag), never data.
+    *
+    * Engine-parity trick: words are space-joined symbol strings and a
+    * merge is a plain `replace(seg, ' x y ', ' xy ')` — leftmost
+    * non-overlapping with scan continuing after the replacement, which
+    * IS BPE's greedy merge order, and identical in Spark and DuckDB, so
+    * the oracle replays training bit-exactly as K unrolled CTE stages.
+    */
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var seg = Tables.documents(s, d)
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seg"),
+        col("cnt"))
+      .localCheckpoint() // vocab is the spine all K rounds re-scan
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to BpeMerges) {
+      val toks = split(trim(col("seg")), " ")
+      val pairs = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => concat(x, lit(" "), y))
+      val top = seg
+        .select(explode(pairs).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val c = top(0).getLong(1)
+        merges += ((round, pair, pair.replace(" ", ""), c))
+        seg = seg.select(
+          replace(col("seg"), lit(s" $pair "),
+            lit(s" ${pair.replace(" ", "")} ")).as("seg"),
+          col("cnt"))
+          .localCheckpoint() // O(K) round cost, not O(K²) replay chains
+      }
+    }
+    merges.toSeq.toDF("round", "pair", "new_token", "pair_count")
+      .select(col("round").cast("int").as("round"), col("pair"),
+        col("new_token"), col("pair_count"))
+      .orderBy(col("round"))
+  }
+
+  /** Oracle twin of [[qBpeTrain]]: the K training rounds unrolled as CTE
+    * stages (built programmatically so Spark's K and the oracle's K can
+    * never drift).
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val stages = (1 to k).map { r =>
+      s"""p$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |  SELECT cnt, unnest(list_transform(
+         |    range(1, len(string_split(trim(seg), ' '))),
+         |    i -> string_split(trim(seg), ' ')[i] || ' ' ||
+         |         string_split(trim(seg), ' ')[i+1])) AS pair
+         |  FROM w${r - 1}) GROUP BY 1),
+         |m$r AS (SELECT $r AS round, pair, replace(pair, ' ', '') AS new_token,
+         |              c AS pair_count
+         |        FROM p$r ORDER BY c DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(w.seg, ' ' || m.pair || ' ',
+         |                       ' ' || m.new_token || ' ') AS seg, w.cnt
+         |        FROM w${r - 1} w, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents)
+       |  GROUP BY 1),
+       |$stages
+       |SELECT CAST(round AS INT) AS round, pair, new_token, pair_count
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles. NOTE: DuckDB lists are 1-indexed; Spark arrays 0-indexed.
   // hash56 twin: CAST('0x'||substr(md5(x),1,14) AS BIGINT).
@@ -611,6 +705,8 @@ object TextAnalysis {
          |FROM p GROUP BY pair
          |ORDER BY n DESC, pair LIMIT $BpePairTopK""".stripMargin,
 
+    "q_bpe_train" -> bpeTrainOracle(BpeMerges),
+
     "q_doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -637,6 +733,7 @@ object TextAnalysis {
     "q_oov_rate" -> (qOovRate _),
     "q_lm_score" -> (qLmScore _),
     "q_classifier_filter" -> (qClassifierFilter _),
-    "q_bpe_pairs" -> (qBpePairs _)
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_train" -> (qBpeTrain _)
   )
 }
