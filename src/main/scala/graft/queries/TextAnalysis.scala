@@ -443,8 +443,11 @@ object TextAnalysis {
     * IS BPE's greedy merge order, and identical in Spark and DuckDB, so
     * the oracle replays training bit-exactly as K unrolled CTE stages.
     */
-  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The training loop shared by [[qBpeTrain]] (emits the merge table)
+    * and [[qBpeEncode]] (applies the merges). Returns the K merges in
+    * order: (round, pair, merged token, weighted pair count).
+    */
+  private def bpeTrainMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
     var seg = Tables.documents(s, d)
       .select(explode(
         regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
@@ -476,17 +479,58 @@ object TextAnalysis {
           .localCheckpoint() // O(K) round cost, not O(K²) replay chains
       }
     }
-    merges.toSeq.toDF("round", "pair", "new_token", "pair_count")
+    merges.toSeq
+  }
+
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrainMerges(s, d).toDF("round", "pair", "new_token", "pair_count")
       .select(col("round").cast("int").as("round"), col("pair"),
         col("new_token"), col("pair_count"))
       .orderBy(col("round"))
+  }
+
+  /** Tokenizer APPLY: encode every document with the K trained merges and
+    * emit per-doc compression stats — the pass a pipeline runs over the
+    * full corpus once the tokenizer is trained. Pure narrow after the
+    * (vocab-sized) training: one scan, K chained `replace`s per row, no
+    * shuffle before the presentation sort — scan speed at 100 TB.
+    *
+    * Word boundaries are ` | ` sentinels (never part of an alpha-only
+    * merge pair), so one replace chain over the whole document equals
+    * per-word application.
+    */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrainMerges(s, d)
+    val seg0 = concat(lit(" "), regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z]+", " | "),
+      "([a-z])", "$1 "))
+    val segN = merges.foldLeft(seg0) { case (acc, (_, pair, tok, _)) =>
+      replace(acc, lit(s" $pair "), lit(s" $tok "))
+    }
+    val toks = filter(split(trim(segN), " "),
+      t => t =!= lit("") && t =!= lit("|"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_words"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression_x10000",
+        TextOps.idiv(col("n_chars") * 10000L, greatest(col("n_bpe_tokens"), lit(1L))))
+      .orderBy(col("doc_id"))
   }
 
   /** Oracle twin of [[qBpeTrain]]: the K training rounds unrolled as CTE
     * stages (built programmatically so Spark's K and the oracle's K can
     * never drift).
     */
-  private def bpeTrainOracle(k: Int): String = {
+  /** The K unrolled training stages (w0 vocabulary + per-round
+    * pair-count/argmax/merge CTEs) shared by both BPE oracles.
+    */
+  private def bpeStagesSql(k: Int): String = {
     val stages = (1 to k).map { r =>
       s"""p$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
          |  SELECT cnt, unnest(list_transform(
@@ -501,16 +545,46 @@ object TextAnalysis {
          |                       ' ' || m.new_token || ' ') AS seg, w.cnt
          |        FROM w${r - 1} w, m$r m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg,
        |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |        FROM documents)
        |  GROUP BY 1),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
+    val union = (1 to k).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH ${bpeStagesSql(k)}
        |SELECT CAST(round AS INT) AS round, pair, new_token, pair_count
        |FROM ($union) ORDER BY round""".stripMargin
+  }
+
+  /** Oracle twin of [[qBpeEncode]]: training stages, then the document
+    * replace chain applied via scalar subqueries on each round's merge.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val nTok =
+      "CAST(len(list_filter(string_split(trim(seg), ' '), " +
+        "t -> t <> '' AND t <> '|')) AS BIGINT)"
+    val docStages = (1 to k).map { r =>
+      s"""d$r AS (SELECT doc_id, n_words, n_chars,
+         |  replace(seg, ' ' || (SELECT pair FROM m$r) || ' ',
+         |          ' ' || (SELECT new_token FROM m$r) || ' ') AS seg
+         |  FROM d${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeStagesSql(k)},
+       |d0 AS (SELECT doc_id,
+       |  ' ' || regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' | ', 'g'),
+       |                        '([a-z])', '\\1 ', 'g') AS seg,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+       |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |$docStages
+       |SELECT doc_id, n_words, n_chars, $nTok AS n_bpe_tokens,
+       |  n_chars * 10000 // greatest($nTok, 1) AS compression_x10000
+       |FROM d$k ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -707,6 +781,8 @@ object TextAnalysis {
 
     "q_bpe_train" -> bpeTrainOracle(BpeMerges),
 
+    "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+
     "q_doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -734,6 +810,7 @@ object TextAnalysis {
     "q_lm_score" -> (qLmScore _),
     "q_classifier_filter" -> (qClassifierFilter _),
     "q_bpe_pairs" -> (qBpePairs _),
-    "q_bpe_train" -> (qBpeTrain _)
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _)
   )
 }
