@@ -218,6 +218,35 @@ object Curation {
         when(col("bucket") < TrainPct, lit("train")).otherwise(lit("test")))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe split: assignment is a function of the exact-dup
+    * CANONICAL id, not the doc id, so duplicate documents can never
+    * straddle train/test — the split-leakage failure mode a plain
+    * per-doc hash split ([[qTrainTestSplit]]) has on any corpus with
+    * duplicates. `group_splits` (distinct splits per dup group — 1 by
+    * construction) is emitted so the oracle HASH proves the no-leakage
+    * property, not just the assignment.
+    *
+    * Scale shape: one fingerprint-keyed window (the same single shuffle
+    * the exact dedup pays) and narrow hashing — no join, no extra pass.
+    */
+  def qSplitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(graft.text.TextOps.normText(col("text"))).as("fp"))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .withColumn("bucket", pmod(
+        graft.text.TextOps.hash56(
+          concat(lit("split:"), col("canonical_doc_id"))), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, lit("train")).otherwise(lit("test")))
+      .withColumn("group_splits",
+        size(collect_set(col("split")).over(w)).cast("long"))
+      .select(col("doc_id"), col("canonical_doc_id"), col("bucket"),
+        col("split"), col("group_splits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Context-window budget for sequence packing (whitespace tokens). */
   private val PackBudget = 4096L
 
@@ -510,6 +539,23 @@ object Curation {
          |  CASE WHEN bucket < $TrainPct THEN 'train' ELSE 'test' END AS split
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    "q_split_leakage_safe" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS fp
+         |  FROM documents),
+         |c AS (SELECT doc_id, fp,
+         |  min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id FROM t),
+         |a AS (SELECT doc_id, fp, canonical_doc_id,
+         |  CAST('0x'||substr(md5('split:'||CAST(canonical_doc_id AS VARCHAR)),1,14)
+         |    AS BIGINT) % 100 AS bucket FROM c),
+         |sp AS (SELECT doc_id, fp, canonical_doc_id, bucket,
+         |  CASE WHEN bucket < $TrainPct THEN 'train' ELSE 'test' END AS split
+         |  FROM a)
+         |SELECT doc_id, canonical_doc_id, bucket, split,
+         |  CAST(count(DISTINCT split) OVER (PARTITION BY fp) AS BIGINT)
+         |    AS group_splits
+         |FROM sp ORDER BY doc_id""".stripMargin,
+
     "q_contamination" ->
       s"""WITH sh AS (${Dedup.shingleSql}),
          |b AS (SELECT doc_id AS bench_id, unnest(hs) AS sh FROM sh
@@ -640,6 +686,7 @@ object Curation {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_train_test_split" -> (qTrainTestSplit _),
+    "q_split_leakage_safe" -> (qSplitLeakageSafe _),
     "q_select_best" -> (qSelectBest _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_length_buckets" -> (qLengthBuckets _),
