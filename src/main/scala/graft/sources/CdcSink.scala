@@ -177,6 +177,33 @@ object CdcSinkFiles {
     }
   }
 
+  /** Delete hidden task temporaries under `dir` (top level and one
+    * fan-out level) whose names start with `prefix`. Called AFTER a
+    * successful publish: every temp of the committing batch/epoch was
+    * just renamed away, so anything still matching is orphaned debris —
+    * a failed prior attempt whose commit message never reached the
+    * driver's abort (the V2 window: abort(messages) only sees messages
+    * handled before the failure), or a speculative duplicate whose rows
+    * the winner already committed. Hidden names are invisible to every
+    * reader, so the leak is storage-only — but self-healing beats
+    * documentation. Batch commits sweep all temps (batches into one dir
+    * serialize — concurrent writers are refused at publish); streaming
+    * commits sweep only their own epoch's prefix so a pipelined next
+    * epoch's in-flight temps are never touched.
+    */
+  def sweepOrphanTemps(dir: String, prefix: String = "._tmp_"): Unit = {
+    val f = fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return
+    def sweep(d: Path): Unit = f.listStatus(d).foreach { st =>
+      if (st.isDirectory && !st.getPath.getName.startsWith("."))
+        sweep(st.getPath)
+      else if (st.isFile && st.getPath.getName.startsWith(prefix))
+        f.delete(st.getPath, false)
+    }
+    sweep(p)
+  }
+
   /** Data-file NAMES one level deep (top-level files plus the files of
     * fan-out subdirectories) — the namespace the batch commit sequence
     * must be monotone over.
@@ -229,6 +256,7 @@ class CdcBatchWrite(dir: String, truncate: Boolean,
     // temps already sit INSIDE fan-out subdirectories at this point
     if (truncate) CdcSinkFiles.clearCommitted(dir)
     CdcSinkFiles.publish(dir, messages, overwrite = false)
+    CdcSinkFiles.sweepOrphanTemps(dir)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     CdcSinkFiles.discard(messages)
@@ -295,6 +323,7 @@ class CdcStreamingWrite(dir: String, confMap: Map[String, String],
           !published.contains(relName))
         f.delete(path, false)
     }
+    CdcSinkFiles.sweepOrphanTemps(dir, f"._tmp_e$epochId%012d-")
     if (queryId.nonEmpty && !priorQueryId.contains(queryId)) {
       val out = f.create(markerPath, true)
       try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -300,27 +300,23 @@ class CdcSinkSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("injected")))
     def left = Option(new java.io.File(dir).listFiles()).map(_.toSeq).getOrElse(Nil)
     // visibility is SYNCHRONOUS: publish renames happen only in the
-    // driver's commit, which never ran — assert immediately
+    // driver's commit, which never ran — assert immediately. Hidden
+    // temp debris MAY survive a dirty abort (a sibling task that
+    // completed right at the failure has its commit message race the
+    // job abort — Spark's abort(messages) never sees it), which is why
+    // the contract is "invisible to readers, swept by the next commit"
+    // rather than "gone instantly".
     assert(left.forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")),
       s"partial commit visible: ${left.map(_.getName)}")
-    // temp cleanup of the KILLED sibling tasks is asynchronous: Spark
-    // surfaces the job failure to the caller before killed tasks finish
-    // their abort() on executor threads. The contract is eventual — poll
-    // briefly instead of racing the kill path (observed flake: a loaded
-    // suite run left ._tmp_b…-p00001 for a few ms past the exception)
-    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    while (left.exists(_.getName.startsWith("._tmp")) &&
-        System.nanoTime() < deadline)
-      Thread.sleep(50)
-    assert(!left.exists(_.getName.startsWith("._tmp")),
-      s"aborted temps not discarded within 15s: ${left.map(_.getName)}")
     // the healthy retry of the whole batch (what a scheduler does after a
-    // failed job) publishes exactly once
+    // failed job) publishes exactly once AND sweeps any orphaned debris
     lines(40 to 60: _*).toDF("value").repartition(3)
       .write.format("graft-cdc").mode("append").save(dir)
     assert(spark.read.format("graft-cdc").load(dir)
       .select("after.id").collect().map(_.getInt(0)).sorted.toSeq ==
       (40 to 60).toSeq)
+    assert(!left.exists(_.getName.startsWith("._tmp")),
+      s"orphaned temps survived the retry's commit sweep: ${left.map(_.getName)}")
   }
 
   test("failure injection at the writer protocol: a dead first attempt " +
@@ -359,11 +355,12 @@ class CdcSinkSpec extends SparkSpec {
       .select("after.id").collect().map(_.getInt(0)).toSeq == Seq(7))
     assert(spark.read.text(dir).count() == 1,
       "dead-attempt bytes leaked into the readable namespace")
-    // the orphan temp is still on disk (process death leaves it), hidden;
-    // that is the documented residue class, not data corruption
+    // the dead attempt's temp was never aborted (process death), but the
+    // retry's commit sweeps orphaned temporaries after publishing — no
+    // residue class at all, not even hidden
     val orphans = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("._tmp"))
-    assert(orphans.length == 1, orphans.map(_.getName).toSeq)
+    assert(orphans.isEmpty, orphans.map(_.getName).toSeq)
   }
 
   test("null payload rows fail the write instead of silently vanishing") {
