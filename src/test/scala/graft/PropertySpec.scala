@@ -30,6 +30,33 @@ class PropertySpec extends SparkSpec {
       } f(a, b)
     }
 
+  test("property: changesMixed equals per-op changes for any rows/op/lsn mix") {
+    import spark.implicits._
+    val FixedTs = 1763741884000L
+    val rowGen = for {
+      id <- Gen.chooseNum(1, 1000000)
+      name <- Gen.alphaStr.map(_.take(12))
+      email <- Gen.oneOf("a@b.co", "", "x@y@z", "plain")
+      op <- Gen.oneOf("c", "u", "d", "r")
+      lsn <- Gen.chooseNum(1L, 1L << 40)
+    } yield (id, name, email, op, lsn)
+    forSamples(Gen.listOfN(12, rowGen), n = 4) { rows =>
+      val mixed = graft.cdc.CdcSource.changesMixed(
+        rows.toDF("id", "name", "email", "op", "lsn"), "op", "lsn",
+        "db1", "sch", "tbl", fixedTsMs = Some(FixedTs))
+        .collect().map(_.getString(0)).sorted.toSeq
+      // oracle: the single-op generator applied row by row
+      val perRow = rows.map { case (id, name, email, op, lsn) =>
+        graft.cdc.CdcSource.changes(
+          Seq((id, name, email)).toDF("id", "name", "email"),
+          op, "db1", "sch", "tbl", lit(lsn), fixedTsMs = Some(FixedTs))
+          .collect()(0).getString(0)
+      }.sorted
+      assert(mixed == perRow,
+        s"changesMixed diverges from per-op changes:\n${mixed.diff(perRow)}\n${perRow.diff(mixed)}")
+    }
+  }
+
   test("property: any non-JSON-object input passes through byte-identical") {
     import spark.implicits._
     val garbage = Gen.oneOf(
