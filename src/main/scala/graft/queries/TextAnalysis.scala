@@ -419,6 +419,35 @@ object TextAnalysis {
       .limit(BpePairTopK)
   }
 
+  /** Per-SOURCE crawl scorecard: doc count, exact-dup rate, size, mean
+    * quality, high-band share — the table a curation pipeline ranks its
+    * ingestion sources by (keep/deprioritize/drop decisions). One
+    * fingerprint window (the exact-dedup shuffle) + one source-keyed
+    * aggregate; sources are few, so the aggregate collapses map-side.
+    */
+  def qSourceScorecard(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        md5(TextOps.normText(col("text"))).as("fp"),
+        qualityScoreExpr.as("q"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min(col("doc_id")).over(w)).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dups"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("q").cast("long")).as("qsum"),
+        sum(when(col("q") >= 80, 1L).otherwise(0L)).as("n_high"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        idiv(col("n_dups") * 10000L, col("n_docs")).as("dup_rate_x10000"),
+        col("total_chars"),
+        idiv(col("qsum") * 100L, col("n_docs")).as("mean_quality_x100"),
+        col("n_high"))
+      .orderBy(col("source"))
+  }
+
   /** Merge rounds for [[qBpeTrain]] — the K of a BPE trainer, fixed so
     * the oracle unrolls to exactly K stages.
     */
@@ -781,6 +810,27 @@ object TextAnalysis {
 
     "q_bpe_train" -> bpeTrainOracle(BpeMerges),
 
+    "q_source_scorecard" ->
+      s"""WITH t AS (SELECT source, doc_id, n_chars,
+         |  string_split(text, ' ') AS toks,
+         |  md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS fp
+         |  FROM documents),
+         |s AS (SELECT source, doc_id, n_chars, fp,
+         |  $qualityScoreSql AS q FROM t),
+         |x AS (SELECT source, n_chars, q,
+         |  CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fp)
+         |       THEN 1 ELSE 0 END AS is_dup
+         |  FROM s)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |  CAST(CAST(sum(is_dup) AS BIGINT) * 10000 // count(*) AS BIGINT)
+         |    AS dup_rate_x10000,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(CAST(sum(q) AS BIGINT) * 100 // count(*) AS BIGINT)
+         |    AS mean_quality_x100,
+         |  CAST(sum(CASE WHEN q >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
     "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),
 
     "q_doc_fingerprint" ->
@@ -811,6 +861,7 @@ object TextAnalysis {
     "q_classifier_filter" -> (qClassifierFilter _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
-    "q_bpe_encode" -> (qBpeEncode _)
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_source_scorecard" -> (qSourceScorecard _)
   )
 }
