@@ -162,7 +162,8 @@ object CdcSource {
   def changes(rows: DataFrame, op: String, db: String, schema: String,
       table: String, lsn: org.apache.spark.sql.Column,
       serverName: String = "dbserver1",
-      fixedTsMs: Option[Long] = None): DataFrame = {
+      fixedTsMs: Option[Long] = None,
+      txId: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val tsMs = fixedTsMs.map(lit(_).cast("long"))
       .getOrElse((unix_timestamp(current_timestamp()) * 1000).cast("long"))
     val image = struct(rows.columns.map(col): _*)
@@ -181,7 +182,8 @@ object CdcSource {
         lit(db).as("db"),
         lit(schema).as("schema"),
         lit(table).as("table"),
-        lit(null).cast("long").as("txId"),
+        txId.map(_.cast("long"))
+          .getOrElse(lit(null).cast("long")).as("txId"),
         lsn.cast("long").as("lsn")).as("source"),
       lit(op).as("op"),
       tsMs.as("ts_ms")

@@ -381,6 +381,80 @@ object Cdc {
       .orderBy(col("email_domain"))
   }
 
+  /** Transaction-boundary-consistent materialization — the consumer-side
+    * guarantee Debezium's transaction metadata topic exists for
+    * (`source.txId` in every envelope + per-transaction END events
+    * carrying the event count): a reader that must never observe a TORN
+    * transaction applies a change only once its whole transaction is
+    * known complete. The fixture commits the update generation in
+    * transactions of ≤10 rows (`txId = id div 30 + 1`) and models the
+    * two real-world incompleteness modes: transactions whose END event
+    * hasn't arrived (`txId % 5 = 0` — still in flight, all data events
+    * present but unappliable) and transactions with a torn tail (member
+    * events for keys ≡ 0 mod 33 not yet in the log). The consumer sees
+    * only envelopes + metadata — it counts observed events per `txId`,
+    * joins against the expected counts, applies exactly the complete
+    * transactions on top of the snapshot, and folds the resulting state
+    * per key-bucket. The oracle re-derives the applied set closed-form
+    * from the mod rules, so a consumer that applied a torn or
+    * in-flight transaction (or dropped a complete one) hash-mismatches.
+    *
+    * Scale shape: the completeness check is one map-side-combined count
+    * per txId (txIds are dense and tiny relative to events) + one
+    * equi-semi-join of events on txId; state reduction is the same
+    * single key-window as latest-state. Nothing is broadcast that grows
+    * with the corpus; nothing touches the driver.
+    */
+  def qCdcTxnConsistent(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      col("c_name").as("name"))
+    val updFull = cust.filter(col("id") % 3 === 0)
+      .withColumn("name", upper(col("name")))
+    val txOf = expr("id div 30") + 1L
+    // the transaction topic: END events (txId, event_count) for every
+    // COMMITTED transaction whose END has already been captured
+    val meta = updFull.select(txOf.as("tx"))
+      .groupBy(col("tx")).agg(count(lit(1)).as("n_expected"))
+      .filter(col("tx") % 5 =!= 0)
+    // the data stream: snapshots + the update events that have arrived
+    // (keys ≡ 0 mod 33 are still in the capture pipe)
+    val snapRaw = CdcSource.changes(cust, "r", "inventory", "public",
+      "customers", col("id").cast("long"), fixedTsMs = Some(FixedTs))
+    val updRaw = CdcSource.changes(
+      updFull.filter(col("id") % 33 =!= 0), "u", "inventory", "public",
+      "customers", col("id") + 10000000L, fixedTsMs = Some(FixedTs),
+      txId = Some(txOf))
+    // ---- consumer side: envelopes + metadata only from here on ----
+    val parsed = CdcEnvelope.parse(snapRaw.unionByName(updRaw)).select(
+      col("envelope.after.id").as("id"),
+      col("envelope.after.name").as("name"),
+      col("envelope.op").as("op"),
+      col("envelope.source.lsn").as("lsn"),
+      col("envelope.source.txId").as("tx"))
+    val updates = parsed.filter(col("op") === "u")
+    val applied = updates.groupBy(col("tx"))
+      .agg(count(lit(1)).as("n_seen"))
+      .join(meta, "tx")
+      .filter(col("n_seen") === col("n_expected"))
+      .select(col("tx"))
+    val state = parsed.filter(col("op") === "r")
+      .unionByName(updates.join(applied, Seq("tx"), "left_semi"))
+      .select(col("id"), col("name"), col("lsn"))
+    val w = Window.partitionBy(col("id")).orderBy(col("lsn").desc)
+    state.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy((col("id") % 10).cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("name") === upper(col("name")), 1L).otherwise(0L))
+          .as("n_updated"),
+        sum(col("id")).cast("long").as("sum_ids"),
+        max(col("lsn")).as("max_lsn"))
+      .orderBy(col("bucket"))
+  }
+
   /** Multi-table capture under ONE stream — the reference's
     * one-topic-per-table layout (`docs/setup-guide.md:33-35`) as a gate
     * query: a mixed envelope stream (customers snapshots + orders inserts
@@ -495,6 +569,32 @@ object Cdc {
         |    AS BIGINT) AS n_updates
         |FROM customer GROUP BY 1 ORDER BY email_domain""".stripMargin,
 
+    // closed-form applied-set derivation from the fixture's mod rules:
+    // updates exist for id%3=0 in txns of ≤10 rows (tx = id//30 + 1); a
+    // txn applies iff its END arrived (tx%5≠0) AND no member event is
+    // still in the pipe (no member id ≡ 0 mod 33)
+    "q_cdc_txn_consistent" ->
+      """WITH k AS (SELECT CAST(c_custkey AS INT) AS id FROM customer),
+        |u AS (SELECT id, id // 30 + 1 AS tx FROM k WHERE id % 3 = 0),
+        |meta AS (SELECT tx, count(*) AS n_exp FROM u GROUP BY 1),
+        |obs AS (SELECT tx, count(*) AS n_seen FROM u
+        |        WHERE id % 33 <> 0 GROUP BY 1),
+        |applied AS (SELECT meta.tx FROM meta JOIN obs USING (tx)
+        |            WHERE meta.tx % 5 <> 0 AND n_seen = n_exp),
+        |upd AS (SELECT u.id FROM u JOIN applied USING (tx)
+        |        WHERE u.id % 33 <> 0),
+        |state AS (SELECT k.id,
+        |    CASE WHEN upd.id IS NOT NULL THEN 1 ELSE 0 END AS updated,
+        |    CASE WHEN upd.id IS NOT NULL THEN k.id + 10000000
+        |         ELSE k.id END AS lsn
+        |  FROM k LEFT JOIN upd ON upd.id = k.id)
+        |SELECT CAST(id % 10 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(updated) AS BIGINT) AS n_updated,
+        |  CAST(sum(id) AS BIGINT) AS sum_ids,
+        |  CAST(max(lsn) AS BIGINT) AS max_lsn
+        |FROM state GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q_cdc_latest_state" ->
       """SELECT CAST(c_custkey AS INT) AS id,
         |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS name,
@@ -576,6 +676,7 @@ object Cdc {
     "q_cdc_latest_state" -> (qCdcLatestState _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
+    "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_point_in_time" -> (qCdcPointInTime _)
   )
 }

@@ -405,6 +405,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring dedup with REWRITING (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * variant): where [[qDedupSubstring]] only *measures* duplicate-span
+    * coverage, this operator excises the spans and reassembles each
+    * document. Rule: an overlapping [[SubstrK]]-token window whose hash
+    * occurs in ≥2 documents is kept only in the lowest-doc_id holder;
+    * every occurrence elsewhere marks its K token positions for removal,
+    * and the cleaned document is the in-order concatenation of unmarked
+    * tokens. The gate hash-checks the REWRITTEN text (md5), so a
+    * one-token-off interval merge or an order-unstable reassembly
+    * mismatches.
+    *
+    * Scale shape: all joins are equi (window-hash, then (doc_id, pos));
+    * the covered-position set is a K×-linear explode — at petabyte scale
+    * the same plan folds positions into per-doc sorted interval lists
+    * (sum-of-span-lengths, not K× rows), but the shuffle keys and
+    * volumes are already the honest ones: nothing all-pairs, nothing
+    * broadcast, per-doc reassembly bounded by document length.
+    */
+  def qDedupSpanRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      // both the window pass and the token re-explode read this frame;
+      // without materialization the tokenize runs twice
+      .localCheckpoint()
+    val wins = docs.select(col("doc_id"),
+      posexplode(VectorFunctions.shingleHash56(
+        col("toks"), SubstrK, distinct = false)).as(Seq("pos", "wh")))
+    val keeper = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("kd"))
+    val covered = wins.join(keeper, "wh")
+      .filter(col("doc_id") =!= col("kd"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SubstrK - 1))).as("p"))
+      .distinct()
+    val kept = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tk")))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tk")))),
+          x => x.getField("tk")), " ")).as("kept_md5"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Super-block width for the bounded exact pair join: 2^6 = 64 blocks.
     * At corpus scale, widen with log(n) so expected block size stays
     * constant (block count is free — it's just more sign bits of the
@@ -701,6 +751,34 @@ object Dedup {
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // same window hashing as q_dedup_substring; the rewrite keeps a
+    // duplicated window only in its min-doc_id holder, excises the K
+    // covered positions everywhere else, and md5s the reassembled text
+    "q_dedup_span_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+         |           FROM documents),
+         |w AS (SELECT doc_id, i, ${h56(s"list_aggregate(toks[i:i+${SubstrK - 1}], 'string_agg', ' ')")} AS wh
+         |      FROM t CROSS JOIN
+         |        unnest(range(1, greatest(len(toks) - ${SubstrK - 2}, 1))) u(i)),
+         |keep AS (SELECT wh, min(doc_id) AS kd FROM w GROUP BY 1),
+         |cov AS (SELECT DISTINCT w.doc_id, p
+         |        FROM w JOIN keep USING (wh)
+         |        CROSS JOIN unnest(range(i, i + $SubstrK)) v(p)
+         |        WHERE w.doc_id <> kd),
+         |tok AS (SELECT doc_id, p, toks[CAST(p AS INT)] AS tk
+         |        FROM t CROSS JOIN unnest(range(1, len(toks) + 1)) u(p)),
+         |kept AS (SELECT tok.doc_id, tok.p, tok.tk FROM tok
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |           WHERE cov.doc_id = tok.doc_id AND cov.p = tok.p)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          md5(string_agg(tk, ' ' ORDER BY p)) AS kept_md5
+         |        FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(kept_md5, md5('')) AS kept_md5
+         |FROM t LEFT JOIN agg USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
     "q_dedup_simhash" -> {
       val bits = (0 until TextOps.SimhashBits).map { j =>
         s"""CASE WHEN list_aggregate(list_transform(hs,
@@ -848,6 +926,7 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_dedup_substring" -> (qDedupSubstring _),
+    "q_dedup_span_rewrite" -> (qDedupSpanRewrite _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "q_semdedup" -> (qSemdedup _),

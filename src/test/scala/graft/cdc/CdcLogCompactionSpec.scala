@@ -1,0 +1,108 @@
+package graft.cdc
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** [[CdcLogCompaction]]: per-key frontier rewrite of a JSON-lines change
+  * log — Kafka compacted-topic semantics on the file transport. The core
+  * claim is consumer-equivalence: latest-state materialization from the
+  * compacted log must equal materialization from the full log, with
+  * superseded versions gone, tombstoned keys dropped, and every survivor
+  * byte-identical to its original line.
+  */
+class CdcLogCompactionSpec extends SparkSpec {
+
+  private val env =
+    """{"before":%s,"after":%s,"source":{"version":"1","connector":"postgresql","name":"dbserver1","ts_ms":1,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":null,"lsn":%d},"op":"%s","ts_ms":1}"""
+
+  private def pay(id: Int, v: String) =
+    s"""{"id":$id,"name":"$v","email":"$v@x.com","created_at":1}"""
+
+  /** id 1: created then updated twice (winner lsn 31, name C).
+    * id 2: created only.
+    * id 3: created then deleted (tombstone wins).
+    * plus one corrupt line and one foreign JSON object.
+    */
+  private def writeLog(dir: String): Unit = {
+    val lines = Seq(
+      env.format("null", pay(1, "A"), 11, "c"),
+      env.format("null", pay(1, "B"), 21, "u"),
+      env.format("null", pay(1, "C"), 31, "u"),
+      env.format("null", pay(2, "D"), 12, "c"),
+      env.format("null", pay(3, "E"), 13, "c"),
+      env.format(pay(3, "E"), "null", 23, "d"),
+      "corrupt{{not-json",
+      """{"hello":"world"}""")
+    Files.write(Paths.get(dir, "0000000001.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("frontier rewrite: consumer parity, tombstone drop, byte-faithful " +
+    "survivors, stats") {
+    val in = tmpDir("compact-in")
+    val out = tmpDir("compact-out") + "/log"
+    writeLog(in)
+    val stats = CdcLogCompaction.compact(spark, in, out)
+    // 2 live keys kept, 3 superseded versions (B,A and created-E), 1
+    // tombstoned key, 2 passthrough lines
+    assert(stats == CdcLogCompaction.Stats(2, 3, 1, 2), stats.toString)
+
+    val survivors = spark.read.text(out).collect().map(_.getString(0)).toSet
+    val originals = spark.read.text(in).collect().map(_.getString(0)).toSet
+    assert(survivors.subsetOf(originals), "a survivor was re-serialized")
+    assert(survivors.size == 4)
+    assert(survivors.exists(_.contains("\"name\":\"C\"")), "id 1 frontier")
+    assert(survivors.exists(_.contains("\"name\":\"D\"")), "id 2 frontier")
+    assert(!survivors.exists(_.contains("\"id\":3")), "id 3 must drop out")
+    assert(survivors.contains("corrupt{{not-json"), "corrupt passthrough")
+
+    // consumer parity: latest-state over full log == over compacted log
+    def state(dir: String) =
+      CdcMaterialize.latestState(
+        CdcEnvelope.parse(spark.read.text(dir)), keyField = "id")
+        .select("id", "name", "email", "last_lsn")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Int].toLong)
+    assert(state(out).sameElements(state(in)))
+
+    // the compacted directory is still a graft-cdc table
+    val back = spark.read.format("graft-cdc").load(out)
+      .filter(col("op").isNotNull)
+      .select(col("after.id"), col("source.lsn")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(back == Set((1, 31L), (2, 12L)))
+  }
+
+  test("retainTombstones keeps the winning delete envelope") {
+    val in = tmpDir("compact-tomb-in")
+    val out = tmpDir("compact-tomb-out") + "/log"
+    writeLog(in)
+    val stats = CdcLogCompaction.compact(spark, in, out,
+      retainTombstones = true)
+    assert(stats == CdcLogCompaction.Stats(3, 3, 0, 2), stats.toString)
+    val survivors = spark.read.text(out).collect().map(_.getString(0))
+    assert(survivors.count(_.contains("\"op\":\"d\"")) == 1)
+  }
+
+  test("compacted prefix sorts before new log rolls; existing output " +
+    "refused") {
+    val in = tmpDir("compact-roll-in")
+    val out = tmpDir("compact-roll-out") + "/log"
+    writeLog(in)
+    CdcLogCompaction.compact(spark, in, out)
+    intercept[IllegalArgumentException] {
+      CdcLogCompaction.compact(spark, in, out)
+    }
+    // a collector appends a fresh roll after compaction: id 2 updated
+    Files.write(Paths.get(out, "0000000002.jsonl"),
+      env.format("null", pay(2, "D2"), 42, "u").getBytes("UTF-8"))
+    val names = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(names.last == "0000000002.jsonl",
+      s"compacted files must sort before new rolls: ${names.mkString(",")}")
+    val st = CdcMaterialize.latestState(
+      CdcEnvelope.parse(spark.read.text(out)), keyField = "id")
+      .select("id", "name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(st == Map(1 -> "C", 2 -> "D2"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Scala-recompute specs for the round-5 operators: exact-substring
+  * span REWRITING (Lee et al. 2021 ExactSubstr semantics) and
+  * transaction-boundary-consistent CDC materialization. Cell-exact
+  * values are gated by the DuckDB oracle; these recompute the same
+  * semantics in plain Scala (no Spark expressions, no SQL) so a bug
+  * shared by the query and its SQL twin still gets caught.
+  */
+class RoundFiveOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // first 14 hex chars of md5 as a long — TextOps.hash56's contract
+  private def h56(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 14), 16)
+
+  test("span rewrite: full Scala recompute of excision + reassembly") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector)
+      .toMap
+    val k = Dedup.SubstrK
+    // window hash -> lowest holding doc_id
+    val keeper = scala.collection.mutable.Map.empty[Long, Long]
+    docs.toSeq.sortBy(_._1).foreach { case (id, toks) =>
+      toks.sliding(k).filter(_.size == k).foreach { w =>
+        val h = h56(w.mkString(" "))
+        if (!keeper.contains(h) || keeper(h) > id) keeper(h) = id
+      }
+    }
+    val expected = docs.map { case (id, toks) =>
+      val covered = scala.collection.mutable.BitSet.empty
+      toks.sliding(k).zipWithIndex.foreach { case (w, i) =>
+        if (w.size == k && keeper(h56(w.mkString(" "))) != id)
+          (i until i + k).foreach(covered += _)
+      }
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t
+      }
+      id -> ((toks.size.toLong, (toks.size - kept.size).toLong,
+        md5Hex(kept.mkString(" "))))
+    }
+    val rows = Dedup.qDedupSpanRewrite(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (nTok, nRem, keptMd5) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == nTok, s"n_tokens doc ${r.get(0)}")
+      assert(r.getAs[Long]("n_removed") == nRem, s"n_removed doc ${r.get(0)}")
+      assert(r.getAs[String]("kept_md5") == keptMd5, s"kept_md5 doc ${r.get(0)}")
+    }
+    // the rule must actually fire — and must not degenerate to deleting
+    // every document's text
+    assert(rows.exists(_.getAs[Long]("n_removed") > 0), "nothing excised")
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_removed") == 0 && r.getAs[Long]("n_tokens") > 0),
+      "every doc lost tokens")
+    // keeper docs retain their spans: for every removed window there is a
+    // lower doc_id still holding it, so total kept tokens stay positive
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum >
+      rows.map(_.getAs[Long]("n_removed")).sum)
+  }
+
+  test("txn consistent: applied set recomputed from the envelope rules; " +
+    "all three incompleteness categories occur") {
+    val ids = graft.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val updKeys = ids.filter(_ % 3 == 0)
+    def txOf(id: Long) = id / 30 + 1
+    val expectedPerTx = updKeys.groupBy(txOf).map { case (t, ks) => t -> ks.length }
+    val seenPerTx = updKeys.filter(_ % 33 != 0).groupBy(txOf)
+      .map { case (t, ks) => t -> ks.length }
+    val applied = expectedPerTx.keySet.filter { t =>
+      t % 5 != 0 && seenPerTx.getOrElse(t, 0) == expectedPerTx(t)
+    }
+    // the fixture must exercise all three categories, or the gate is vacuous
+    val inFlight = expectedPerTx.keySet.filter(_ % 5 == 0)
+    val torn = expectedPerTx.keySet.filter(t =>
+      t % 5 != 0 && seenPerTx.getOrElse(t, 0) < expectedPerTx(t))
+    assert(applied.nonEmpty, "no transaction applies")
+    assert(inFlight.nonEmpty, "no in-flight (END-less) transaction")
+    assert(torn.nonEmpty, "no torn transaction")
+    val appliedKeys = updKeys.filter(id => applied(txOf(id))).toSet
+    val expected = ids.groupBy(_ % 10).map { case (b, ks) =>
+      b -> ((ks.length.toLong,
+        ks.count(appliedKeys).toLong,
+        ks.sum,
+        ks.map(id => if (appliedKeys(id)) id + 10000000L else id).max))
+    }
+    val rows = Cdc.qCdcTxnConsistent(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, nUpd, sumIds, maxLsn) = expected(r.getAs[Int]("bucket").toLong)
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_updated") == nUpd, s"bucket ${r.get(0)}")
+      assert(r.getAs[Long]("sum_ids") == sumIds)
+      assert(r.getAs[Long]("max_lsn") == maxLsn, s"bucket ${r.get(0)}")
+    }
+  }
+}
