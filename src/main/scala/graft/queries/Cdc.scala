@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.cdc.{CdcEnvelope, CdcMaterialize, CdcPipeline, CdcSource, Enrich, EnrichConfig}
+import graft.cdc.{CdcEnvelope, CdcLogCompaction, CdcMaterialize, CdcPipeline, CdcSource, Enrich, EnrichConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -381,6 +381,40 @@ object Cdc {
       .orderBy(col("email_domain"))
   }
 
+  /** Log compaction inside the hash gate: the change mix lands as a
+    * JSON-lines log, [[graft.cdc.CdcLogCompaction]] rewrites it to its
+    * per-key frontier (max-lsn wins, tombstoned keys drop out,
+    * survivors byte-faithful), and the COMPACTED directory is read back
+    * through `format("graft-cdc")` and folded per op against the
+    * closed-form mod rules. A compactor that kept a superseded version,
+    * dropped a live key, retained a tombstone, or corrupted a surviving
+    * line mismatches the oracle. (Byte-level faithfulness and the
+    * corrupt-line passthrough have their own spec —
+    * `CdcLogCompactionSpec` — this gate proves the frontier algebra on
+    * real volume.)
+    *
+    * Scale shape: one hash shuffle on the key for the frontier window —
+    * the irreducible cost of per-key latest — then a narrow rewrite;
+    * the readback is the same per-file-parallel scan as
+    * [[qCdcDsv2Scan]].
+    */
+  def qCdcLogCompaction(s: SparkSession, d: String): DataFrame = {
+    val base = gateTmpDir("graft_compact", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, outDir) = (s"$base/in", s"$base/out")
+    changeMixRaw(s, d).write.mode("overwrite").text(inDir)
+    CdcLogCompaction.compact(s, inDir, outDir)
+    s.read.format("graft-cdc").load(outDir)
+      .groupBy(col("op"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("after.id")).as("sum_ids"),
+        max(col("source.lsn")).as("max_lsn"))
+      .orderBy(col("op"))
+  }
+
   /** Transaction-boundary-consistent materialization — the consumer-side
     * guarantee Debezium's transaction metadata topic exists for
     * (`source.txId` in every envelope + per-transaction END events
@@ -569,6 +603,22 @@ object Cdc {
         |    AS BIGINT) AS n_updates
         |FROM customer GROUP BY 1 ORDER BY email_domain""".stripMargin,
 
+    // closed-form frontier of the change mix: every 7th key tombstones
+    // out; every 3rd surviving key's winner is its update (lsn=id+10M);
+    // the rest keep their snapshot (lsn=id). No 'd' rows remain.
+    "q_cdc_log_compaction" ->
+      """SELECT * FROM (
+        |  SELECT 'r' AS op, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c_custkey) AS BIGINT) AS sum_ids,
+        |    CAST(max(c_custkey) AS BIGINT) AS max_lsn
+        |  FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'u', CAST(count(*) AS BIGINT),
+        |    CAST(sum(c_custkey) AS BIGINT),
+        |    CAST(max(c_custkey) + 10000000 AS BIGINT)
+        |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0)
+        |ORDER BY op""".stripMargin,
+
     // closed-form applied-set derivation from the fixture's mod rules:
     // updates exist for id%3=0 in txns of ≤10 rows (tx = id//30 + 1); a
     // txn applies iff its END arrived (tx%5≠0) AND no member event is
@@ -677,6 +727,7 @@ object Cdc {
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
+    "q_cdc_log_compaction" -> (qCdcLogCompaction _),
     "q_cdc_point_in_time" -> (qCdcPointInTime _)
   )
 }
