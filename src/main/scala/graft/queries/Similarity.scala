@@ -339,6 +339,64 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Fixed power-iteration depth for [[qEmbeddingPca]]. Convergence is
+    * not the gate's claim — exact replication of K iterations is — but
+    * 6 rounds is plenty for a dominant direction on this corpus (the
+    * spec asserts the Rayleigh quotient is non-decreasing across them).
+    */
+  val PcaIters = 6
+
+  /** Top principal component of the embedding corpus — the whitening /
+    * dimensionality-reduction step an embedding pipeline runs before
+    * indexing (classic PCA via the Gram matrix, as in Spark MLlib's
+    * `RowMatrix.computePrincipalComponents`: distribute the O(n·d²)
+    * Gram accumulation, then solve the tiny d×d eigenproblem centrally).
+    *
+    * Exactness: cross-row float sums are order-dependent, so every
+    * element is first quantized to int (round(x·10⁴), per-row — the
+    * deterministic step both engines replicate bit-for-bit) and the Gram
+    * matrix G = Σ qqᵀ is accumulated in int64 (order-independent). The
+    * power iteration x ← G·x runs K fixed rounds in pure integer
+    * arithmetic with a truncating re-normalization on |y| (sign applied
+    * outside the division, so floor-vs-trunc divergence between engines
+    * can't arise); the oracle unrolls the identical K rounds as CTE
+    * stages, like `q_bpe_train`. Output per dimension: the Gram diagonal
+    * (≈ corpus variance·10⁸) and the PC1 component (×10⁴).
+    *
+    * Scale shape: the data-sized work is ONE narrow pass — each row
+    * emits its d² outer-product terms, map-side-combined into ≤ d²
+    * groups (a 32 KB shuffle at d=64, independent of corpus size). The
+    * d×d solve itself is driver-side on O(d²) values — the same
+    * justified boundary as `BloomFilterJoin.buildBits`' sketch words:
+    * collecting 4096 longs is not a data-sized collect. At 100 TB the
+    * plan is unchanged; only the one scan grows.
+    */
+  def qEmbeddingPca(s: SparkSession, d: String): DataFrame = {
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * 10000d).cast("long"))
+    val gram = Tables.embeddings(s, d)
+      .select(q.as("q"))
+      .select(explode(flatten(transform(col("q"), (qi, i) =>
+        transform(col("q"), (qj, j) =>
+          struct(i.as("i"), j.as("j"), (qi * qj).as("p")))))).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("g"))
+    val G = Array.ofDim[Long](Dim, Dim)
+    gram.collect().foreach(r =>
+      G(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("g"))
+    var x = Array.fill(Dim)(10000L)
+    for (_ <- 1 to PcaIters) {
+      val y = Array.tabulate(Dim)(i =>
+        (0 until Dim).map(j => G(i)(j) * x(j)).sum)
+      val sdiv = y.map(math.abs).max / 10000L + 1L
+      x = y.map(v => if (v < 0) -((-v) / sdiv) else v / sdiv)
+    }
+    import s.implicits._
+    (0 until Dim).map(i => (i, G(i)(i), x(i)))
+      .toDF("dim", "gram_diag", "pc1_x10000")
+      .orderBy(col("dim"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles — hyperplanes inlined as the SAME literals.
   // ---------------------------------------------------------------------
@@ -399,6 +457,35 @@ object Similarity {
   }
 
   private val oracleBase: Map[String, String] = Map(
+    // the K power-iteration rounds unroll as CTE stages (the q_bpe_train
+    // pattern); all arithmetic int64 — sums CAST from DuckDB's HUGEINT,
+    // sign applied outside the truncating division exactly as the query
+    "q_embedding_pca" -> {
+      val iters = (1 to PcaIters).map { k =>
+        val prev = if (k == 1) "x0" else s"x${k - 1}"
+        s"""y$k AS (SELECT g.i, CAST(sum(g.g * p.x) AS BIGINT) AS y
+           |  FROM g JOIN $prev p ON g.j = p.i GROUP BY 1),
+           |s$k AS (SELECT max(abs(y)) // 10000 + 1 AS s FROM y$k),
+           |x$k AS (SELECT i, CASE WHEN y < 0 THEN -((-y) // s)
+           |          ELSE y // s END AS x FROM y$k, s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT list_transform(embedding,
+         |    e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |g AS (SELECT i, j, CAST(sum(q[CAST(i + 1 AS INT)]
+         |      * q[CAST(j + 1 AS INT)]) AS BIGINT) AS g
+         |  FROM q CROSS JOIN unnest(range(0, $Dim)) u(i)
+         |  CROSS JOIN unnest(range(0, $Dim)) v(j)
+         |  GROUP BY 1, 2),
+         |x0 AS (SELECT i, CAST(10000 AS BIGINT) AS x
+         |       FROM range(0, $Dim) t(i)),
+         |$iters
+         |SELECT CAST(x.i AS INT) AS dim, g.g AS gram_diag,
+         |  x.x AS pc1_x10000
+         |FROM x$PcaIters x JOIN g ON g.i = x.i AND g.j = x.i
+         |ORDER BY dim""".stripMargin
+    },
+
     "q_ann_bruteforce" ->
       s"""WITH $normCte,
          |p AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
@@ -548,6 +635,7 @@ object Similarity {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embedding_quantize" -> (qEmbeddingQuantize _),
+    "q_embedding_pca" -> (qEmbeddingPca _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_ann_recall" -> (qAnnRecall _)
   )

@@ -67,6 +67,55 @@ class RoundFiveOpsSpec extends SparkSpec {
       rows.map(_.getAs[Long]("n_removed")).sum)
   }
 
+  test("embedding pca: independent Gram + iteration recompute matches; " +
+    "Rayleigh quotient non-decreasing") {
+    val dim = Similarity.Dim
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val q = vecs.map(_.map(x => math.round(x.toDouble * 10000d)))
+    val g = Array.ofDim[Long](dim, dim)
+    q.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { g(i)(j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    def rayleigh(x: Array[Long]): BigDecimal = {
+      val num = (for (i <- 0 until dim; j <- 0 until dim)
+        yield BigInt(g(i)(j)) * x(i) * x(j)).sum
+      val den = x.map(v => BigInt(v) * v).sum
+      BigDecimal(num) / BigDecimal(den)
+    }
+    var x = Array.fill(dim)(10000L)
+    var lastR = BigDecimal(-1)
+    (1 to Similarity.PcaIters).foreach { _ =>
+      val y = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * x(j)).sum)
+      val sdiv = y.map(math.abs).max / 10000L + 1L
+      x = y.map(v => if (v < 0) -((-v) / sdiv) else v / sdiv)
+      val r = rayleigh(x)
+      // power-iteration invariant (integer truncation can cost at most a
+      // hair, so compare with a 0.1% slack)
+      assert(r >= lastR * BigDecimal("0.999"), s"Rayleigh fell: $lastR -> $r")
+      lastR = r
+    }
+    val rows = Similarity.qEmbeddingPca(spark, sf).collect()
+    assert(rows.length == dim)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("dim")
+      assert(r.getAs[Long]("gram_diag") == g(i)(i), s"gram_diag dim $i")
+      assert(r.getAs[Long]("pc1_x10000") == x(i), s"pc1 dim $i")
+    }
+    // a degenerate all-zero direction would satisfy the equalities above
+    // only if the corpus were empty — still, assert the vector is real
+    // (the truncating renorm keeps max|component| within a hair of 1e4)
+    val maxAbs = rows.map(r => math.abs(r.getAs[Long]("pc1_x10000"))).max
+    assert(maxAbs >= 9000L && maxAbs <= 10000L,
+      s"renormalization must keep max|component| near the 1e4 scale: $maxAbs")
+  }
+
   test("txn consistent: applied set recomputed from the envelope rules; " +
     "all three incompleteness categories occur") {
     val ids = graft.Tables.customer(spark, sf)
