@@ -84,6 +84,28 @@ class CdcLogCompactionSpec extends SparkSpec {
     assert(survivors.count(_.contains("\"op\":\"d\"")) == 1)
   }
 
+  test("V2 tail bootstraps from a compacted log and drains later rolls " +
+    "exactly once") {
+    val in = tmpDir("compact-tail-in")
+    val base = tmpDir("compact-tail")
+    val (log, out, ck) = (s"$base/log", s"$base/out", s"$base/ck")
+    writeLog(in)
+    CdcLogCompaction.compact(spark, in, log)
+    // a NEW consumer bootstraps from the compacted snapshot: 4 survivors
+    // (2 frontiers + 2 passthrough lines)
+    val cfg = EnrichConfig(processingTimeIso = Some("t"))
+    CdcPipeline.startV2(spark, log, out, ck, cfg).awaitTermination()
+    assert(spark.read.text(out).count() == 4)
+    // the collector keeps appending rolls after the compacted prefix;
+    // the restarted tail must drain exactly the new file
+    Files.write(Paths.get(log, "0000000002.jsonl"),
+      env.format("null", pay(2, "D2"), 42, "u").getBytes("UTF-8"))
+    CdcPipeline.startV2(spark, log, out, ck, cfg).awaitTermination()
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.length == 5, "restart must add exactly the new roll")
+    assert(lines.count(_.contains("\"name\":\"D2\"")) == 1)
+  }
+
   test("compacted prefix sorts before new log rolls; existing output " +
     "refused") {
     val in = tmpDir("compact-roll-in")
