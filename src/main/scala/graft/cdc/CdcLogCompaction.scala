@@ -97,23 +97,32 @@ object CdcLogCompaction {
     val survivors = judged
       .filter(col("verdict").isin("k", "p")).select(col("value"))
 
-    // publish: write to a temp sibling, then verified-rename each part
-    // into place under monotone names that sort before any log roll
+    // publish: write to a temp sibling, fix the part names INSIDE the
+    // temp tree (monotone, sorting before any log roll), then promote
+    // the whole directory with ONE verified rename — so a failure at any
+    // point leaves outDir either absent or complete, never a partial
+    // frontier a bootstrapping consumer could mistake for the real one
     val tmp = new Path(outDir + ".compact_tmp")
     fs.delete(tmp, true)
     survivors.repartition(parts).write.text(tmp.toString)
-    fs.mkdirs(out)
     val partFiles = fs.listStatus(tmp)
       .map(_.getPath).filter(_.getName.startsWith("part-"))
       .sortBy(_.getName)
     partFiles.zipWithIndex.foreach { case (p, i) =>
-      val dst = new Path(out, f"0000000000_compacted_$i%04d.jsonl")
+      val dst = new Path(tmp, f"0000000000_compacted_$i%04d.jsonl")
       if (!fs.rename(p, dst))
         throw new java.io.IOException(
-          s"CdcLogCompaction: rename $p -> $dst failed; temp output left " +
-            s"under $tmp, nothing published")
+          s"CdcLogCompaction: staging rename $p -> $dst failed; temp " +
+            s"output left under $tmp, nothing published")
     }
-    fs.delete(tmp, true)
+    // drop the writer's markers so the published dir holds data files only
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .foreach(p => fs.delete(p, true))
+    if (!fs.rename(tmp, out))
+      throw new java.io.IOException(
+        s"CdcLogCompaction: publish rename $tmp -> $out failed; temp " +
+          s"output left under $tmp, nothing published")
     Stats(
       kept = counts.getOrElse("k", 0L),
       superseded = counts.getOrElse("s", 0L),

@@ -433,6 +433,10 @@ object Dedup {
     val wins = docs.select(col("doc_id"),
       posexplode(VectorFunctions.shingleHash56(
         col("toks"), SubstrK, distinct = false)).as(Seq("pos", "wh")))
+      // feeds BOTH the keeper rollup and the covered join — without
+      // materialization each side re-runs the md5 window loop, the
+      // dominant per-row cost (same move as qDedupSubstring's perDoc)
+      .localCheckpoint()
     val keeper = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("kd"))
     val covered = wins.join(keeper, "wh")
       .filter(col("doc_id") =!= col("kd"))

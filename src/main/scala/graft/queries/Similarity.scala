@@ -368,8 +368,18 @@ object Similarity {
     * groups (a 32 KB shuffle at d=64, independent of corpus size). The
     * d×d solve itself is driver-side on O(d²) values — the same
     * justified boundary as `BloomFilterJoin.buildBits`' sketch words:
-    * collecting 4096 longs is not a data-sized collect. At 100 TB the
-    * plan is unchanged; only the one scan grows.
+    * collecting 4096 longs is not a data-sized collect.
+    *
+    * Int64 budget (NOT corpus-size-free, unlike the plan): a Gram entry
+    * is ≤ n·(scale·max|x|)² ≈ n·10⁷ here, and an iteration term is
+    * bounded by d·G_max·10⁴ — so the arithmetic holds exactly to about
+    * n ≈ 10⁸ rows at this scale before int64 saturates. Past that the
+    * QUANT scale drops (×10³ halves the Gram magnitude budget twice
+    * over) or the Gram shifts right k bits before iterating; both are
+    * parameter changes, not plan changes. The iteration below uses
+    * checked arithmetic so saturation is a loud error (matching the
+    * oracle — DuckDB raises on BIGINT overflow), never a silently wrong
+    * principal component.
     */
   def qEmbeddingPca(s: SparkSession, d: String): DataFrame = {
     val q = transform(col("embedding"),
@@ -387,7 +397,8 @@ object Similarity {
     var x = Array.fill(Dim)(10000L)
     for (_ <- 1 to PcaIters) {
       val y = Array.tabulate(Dim)(i =>
-        (0 until Dim).map(j => G(i)(j) * x(j)).sum)
+        (0 until Dim).foldLeft(0L)((acc, j) =>
+          Math.addExact(acc, Math.multiplyExact(G(i)(j), x(j)))))
       val sdiv = y.map(math.abs).max / 10000L + 1L
       x = y.map(v => if (v < 0) -((-v) / sdiv) else v / sdiv)
     }

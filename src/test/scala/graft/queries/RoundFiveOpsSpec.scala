@@ -73,7 +73,10 @@ class RoundFiveOpsSpec extends SparkSpec {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    val q = vecs.map(_.map(x => math.round(x.toDouble * 10000d)))
+    // HALF_UP (away from zero) to match Spark round() and DuckDB round()
+    // — math.round is half-toward-+inf and diverges on negative halves
+    val q = vecs.map(_.map(x => BigDecimal(x.toDouble * 10000d)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact))
     val g = Array.ofDim[Long](dim, dim)
     q.foreach { v =>
       var i = 0
