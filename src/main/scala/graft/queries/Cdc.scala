@@ -381,6 +381,75 @@ object Cdc {
       .orderBy(col("email_domain"))
   }
 
+  /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
+    * unit, exactly the production tool's knob (pt-table-checksum's
+    * `--chunk-size`).
+    */
+  private val ChecksumChunk = 100
+
+  /** Replica-verification checksum — the pt-table-checksum /
+    * Debezium-incremental-snapshot-verification operator every CDC
+    * deployment eventually runs: prove the CDC-derived materialization
+    * equals the source's expected state WITHOUT shipping rows across
+    * for comparison. Per id-chunk, each side folds to a row count plus
+    * an order-independent BIT_XOR over a canonical row hash (the real
+    * tool's `BIT_XOR(CRC32(...))` design); the gate emits both sides'
+    * checksums and the per-chunk verdict. The replica side runs the
+    * REAL pipeline — change mix → JSON envelope round trip → parse →
+    * latest-state key window — so one corrupted field, lost delete, or
+    * duplicated row anywhere in that path flips a chunk's verdict (the
+    * oracle pins `matches=true` from the closed form).
+    *
+    * Scale shape: each side is one narrow hash pass + a
+    * map-side-combined count/XOR per chunk; only the O(chunks) verdict
+    * frames join. XOR is order- and partition-independent, so the
+    * checksum is stable under AQE re-planning — the property that makes
+    * it a CLUSTER-safe table digest where any float or concat-ordered
+    * fold is not.
+    */
+  /** One side's chunked digest: (chunk, row count, BIT_XOR of the
+    * canonical row hash) over an (id, name, email, lsn) frame.
+    * Package-visible so the spec can prove single-row sensitivity.
+    */
+  private[queries] def checksumFold(df: DataFrame): DataFrame =
+    df.select(expr(s"id div $ChecksumChunk").cast("int").as("chunk"),
+        graft.text.TextOps.hash56(concat_ws("|",
+          col("id"), col("name"), col("email"), col("lsn"))).as("h"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+
+  def qCdcTableChecksum(s: SparkSession, d: String): DataFrame = {
+    def fold(df: DataFrame): DataFrame = checksumFold(df)
+    val replica = fold(
+      CdcMaterialize.latestState(changeMix(s, d), keyField = "id")
+        .select(col("id"), col("name"), col("email"),
+          col("last_lsn").as("lsn")))
+    val source = fold(Tables.customer(s, d)
+      .filter(col("c_custkey") % 7 =!= 0)
+      .select(
+        col("c_custkey").cast("int").as("id"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("name"),
+        concat(
+          regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "."),
+          lit("@"), lower(col("c_mktsegment")), lit(".example.com"))
+          .as("email"),
+        when(col("c_custkey") % 3 === 0, col("c_custkey") + 10000000L)
+          .otherwise(col("c_custkey")).cast("long").as("lsn")))
+    source
+      .select(col("chunk"), col("n").as("n_src"), col("x").as("xor_src"))
+      .join(replica.select(col("chunk"), col("n").as("n_replica"),
+        col("x").as("xor_replica")), Seq("chunk"), "full_outer")
+      .select(col("chunk"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        col("xor_src"),
+        coalesce(col("n_replica"), lit(0L)).as("n_replica"),
+        col("xor_replica"),
+        coalesce(col("n_src") === col("n_replica") &&
+          col("xor_src") === col("xor_replica"), lit(false)).as("matches"))
+      .orderBy(col("chunk"))
+  }
+
   /** Log compaction inside the hash gate: the change mix lands as a
     * JSON-lines log, [[graft.cdc.CdcLogCompaction]] rewrites it to its
     * per-key frontier (max-lsn wins, tombstoned keys drop out,
@@ -603,6 +672,29 @@ object Cdc {
         |    AS BIGINT) AS n_updates
         |FROM customer GROUP BY 1 ORDER BY email_domain""".stripMargin,
 
+    // one closed-form side, duplicated: the gate's replica side must
+    // land on the identical count/XOR or `matches` flips false
+    "q_cdc_table_checksum" ->
+      """WITH state AS (
+        |  SELECT CAST(c_custkey AS INT) AS id,
+        |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+        |         ELSE c_name END AS name,
+        |    regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g')
+        |      || '@' || lower(c_mktsegment) || '.example.com' AS email,
+        |    CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
+        |              ELSE c_custkey END AS BIGINT) AS lsn
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |h AS (SELECT id // 100 AS chunk,
+        |        CAST('0x' || substr(md5(
+        |          concat_ws('|', id, name, email, lsn)), 1, 14) AS BIGINT) AS h
+        |      FROM state),
+        |c AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(bit_xor(h) AS BIGINT) AS x
+        |      FROM h GROUP BY 1)
+        |SELECT CAST(chunk AS INT) AS chunk, n AS n_src, x AS xor_src,
+        |  n AS n_replica, x AS xor_replica, true AS matches
+        |FROM c ORDER BY chunk""".stripMargin,
+
     // closed-form frontier of the change mix: every 7th key tombstones
     // out; every 3rd surviving key's winner is its update (lsn=id+10M);
     // the rest keep their snapshot (lsn=id). No 'd' rows remain.
@@ -728,6 +820,7 @@ object Cdc {
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_log_compaction" -> (qCdcLogCompaction _),
+    "q_cdc_table_checksum" -> (qCdcTableChecksum _),
     "q_cdc_point_in_time" -> (qCdcPointInTime _)
   )
 }

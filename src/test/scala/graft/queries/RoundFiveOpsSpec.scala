@@ -119,6 +119,36 @@ class RoundFiveOpsSpec extends SparkSpec {
       s"renormalization must keep max|component| near the 1e4 scale: $maxAbs")
   }
 
+  test("table checksum: every chunk matches on sf0.01; a single mutated " +
+    "cell or dropped/duplicated row flips exactly its chunk") {
+    import org.apache.spark.sql.functions._
+    val rows = Cdc.qCdcTableChecksum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("matches")), "replica must verify")
+    // sensitivity: corrupt one row three ways through the same fold
+    import spark.implicits._
+    val base = (1 to 250).map(i => (i, s"n$i", s"e$i@x", i.toLong))
+      .toDF("id", "name", "email", "lsn")
+    val clean = Cdc.checksumFold(base).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def folded(df: org.apache.spark.sql.DataFrame) =
+      Cdc.checksumFold(df).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val mutated = folded(base.withColumn("email",
+      when(col("id") === 137, lit("evil@x")).otherwise(col("email"))))
+    val dropped = folded(base.filter(col("id") =!= 42))
+    val dup = base.filter(col("id") === 202)
+    val duped2 = folded(base.unionAll(dup).unionAll(dup))
+    assert(mutated.filter { case (c, v) => clean(c) != v }.keySet == Set(1),
+      "mutation must flip exactly chunk 1 (id 137)")
+    assert(dropped.filter { case (c, v) => clean(c) != v }.keySet == Set(0))
+    // an EVEN number of extra copies cancels in the XOR — the blind spot
+    // the COUNT column exists to close (the reason the digest carries both)
+    assert(duped2(2)._1 == clean(2)._1 + 2 && duped2(2)._2 == clean(2)._2,
+      "double-duplicate must be caught by n while x cancels")
+    assert(duped2.filter { case (c, v) => clean(c) != v }.keySet == Set(2))
+  }
+
   test("txn consistent: applied set recomputed from the envelope rules; " +
     "all three incompleteness categories occur") {
     val ids = graft.Tables.customer(spark, sf)
