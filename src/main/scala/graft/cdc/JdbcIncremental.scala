@@ -161,6 +161,150 @@ object JdbcIncremental {
     hi
   }
 
+  /** `no_data` snapshot mode: commit the current changelog position as
+    * the log's watermark WITHOUT reading the table — streaming-first
+    * capture (Debezium `snapshot.mode: no_data`), the starting state for
+    * an incremental snapshot that backfills pre-existing rows later
+    * while polls keep flowing. Returns the committed watermark.
+    */
+  def initializeWatermark(spark: SparkSession, url: String,
+      props: Properties, maxSeqSql: String, logDir: String): Long = {
+    val w0 = currentMax(url, props, maxSeqSql)
+    publishRange(spark, null, logDir, 0L, w0, prefix = 'a', dataless = true)
+    w0
+  }
+
+  /** One DBLog-style snapshot CHUNK (Netflix DBLog §4.2 / Debezium
+    * incremental snapshots — the algorithm that backfills a table
+    * WITHOUT pausing change capture and WITHOUT a long consistent-read
+    * transaction):
+    *
+    *   1. the LOW watermark `lw` is the log's COMMITTED stream position
+    *      ([[lastWatermark]] — everything ≤ lw is already published);
+    *   2. read the chunk's key range from the table (EAGERLY — the fetch
+    *      must complete before the next probe or the fence is fiction);
+    *   3. probe the HIGH watermark `hw` (changelog position after the
+    *      read);
+    *   4. keys changed in `(lw, hw]` are dropped from the chunk —
+    *      DBLog's window dedup. A surviving row had NO change between
+    *      the stream position and the read, so its read state IS its
+    *      state at `lw` exactly; dropped keys are covered by the change
+    *      events the poll loop delivers with seq > lw.
+    *   5. survivors publish as `op='r'` envelopes with `lsn = lw`, named
+    *      `c<lw>-<lw>-s<idx>p<part>`.
+    *
+    * Fencing to the COMMITTED watermark (not a fresh changelog probe) is
+    * what keeps both orders correct. Lsn order
+    * ([[CdcMaterialize.latestState]]): a survivor's content is
+    * state-at-lw, beaten by any seq > lw event and beating the already-
+    * published seq ≤ lw history — converges to the newest state. Arrival
+    * (file-name) order: the zero-padded name sorts after every committed
+    * file (all have lo ≤ lw) and before the next poll `c<lw>-<hi>-p…`
+    * (same lo, higher hi field) — chunks can never outrun the stream, so
+    * the tail's committed-prefix contract holds by construction. Chunks
+    * and polls MUST still interleave from one capture loop (as
+    * Debezium's connector thread does); a poll committing concurrently
+    * with an in-flight chunk publish would trip the tail check loudly.
+    *
+    * `onChunkRead` runs between steps 2 and 3 (spec hook: inject
+    * concurrent writes INTO the watermark window; production leaves the
+    * default no-op).
+    *
+    * Scale shape: per chunk, one bounded partitioned table scan + one
+    * O(1) indexed changelog key probe + O(partitions) renames — memory
+    * is bounded by chunk size, total cost by table size exactly once;
+    * capture latency never pauses (the reason the algorithm exists).
+    */
+  def snapshotChunkToLog(spark: SparkSession, url: String,
+      props: Properties, chunkQuery: String,
+      changelogKeysQuery: (Long, Long) => String, maxSeqSql: String,
+      logDir: String, keyCol: String,
+      db: String, schema: String, table: String, chunkIdx: Int,
+      serverName: String = "dbserver1", fixedTsMs: Option[Long] = None,
+      onChunkRead: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions.lit
+    val lw = lastWatermark(spark, logDir).getOrElse(
+      throw new IllegalStateException(
+        s"snapshotChunkToLog: no watermark in '$logDir' — run " +
+          "initializeWatermark (streaming-first) or snapshotToLog first"))
+    // eager: the JDBC fetch MUST complete before the hw probe — a lazy
+    // frame would read the table during publish, after hw, and rows
+    // changed in (lw, hw] could sneak in as phantom "snapshot" state
+    val rows = spark.read.jdbc(url, chunkQuery, props).localCheckpoint()
+    onChunkRead()
+    val hw = currentMax(url, props, maxSeqSql)
+    val winners =
+      if (hw > lw) {
+        val changed = spark.read.jdbc(url, changelogKeysQuery(lw, hw), props)
+        rows.join(changed, Seq(keyCol), "left_anti")
+      } else rows
+    val envelopes = CdcSource.changes(winners, "r", db, schema, table,
+      lit(lw), serverName, fixedTsMs)
+    publishChunk(spark, envelopes, logDir, lw, chunkIdx)
+    hw
+  }
+
+  /** Whole-table incremental snapshot: drive [[snapshotChunkToLog]] over
+    * `[keyMin, keyMax]` in `chunkSize`-key ranges. `tableChunkQuery`
+    * builds the pushdown subquery for a key range `(lo, hi]` (aliased to
+    * payload names, like `changelogQuery`); `changelogKeysQuery` builds
+    * the DISTINCT-changed-keys subquery for a seq range `(lw, hw]`.
+    * Returns the number of chunks published. Interleave with
+    * [[pollToLog]] calls from the same loop for live capture during the
+    * backfill.
+    */
+  def incrementalSnapshotToLog(spark: SparkSession, url: String,
+      props: Properties, tableChunkQuery: (Long, Long) => String,
+      changelogKeysQuery: (Long, Long) => String, maxSeqSql: String,
+      logDir: String, keyCol: String,
+      keyMin: Long, keyMax: Long, chunkSize: Long,
+      db: String, schema: String, table: String,
+      serverName: String = "dbserver1", fixedTsMs: Option[Long] = None,
+      onChunkRead: Int => Unit = _ => ()): Int = {
+    require(chunkSize > 0, "incrementalSnapshotToLog: chunkSize must be > 0")
+    var idx = 0
+    var lo = keyMin - 1
+    while (lo < keyMax) {
+      val hi = math.min(lo + chunkSize, keyMax)
+      snapshotChunkToLog(spark, url, props, tableChunkQuery(lo, hi),
+        changelogKeysQuery, maxSeqSql, logDir, keyCol, db, schema, table,
+        idx, serverName, fixedTsMs, { () => onChunkRead(idx) })
+      idx += 1
+      lo = hi
+    }
+    idx
+  }
+
+  /** Publish one snapshot chunk under `c<lw>-<lw>-s<idx>p<part>.jsonl`
+    * (see [[snapshotChunkToLog]] for why that name). Idempotent per
+    * chunk index: a crashed attempt's files (any `lw`) are swept first,
+    * so a re-run after crash republishes cleanly.
+    */
+  private def publishChunk(spark: SparkSession, envelopes: DataFrame,
+      logDir: String, lw: Long, chunkIdx: Int): Unit = {
+    val f = fs(spark, logDir)
+    val dir = new Path(logDir)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s"._tmp_chunk_${UUID.randomUUID().toString.take(8)}")
+    val suffix = f"-s$chunkIdx%05d"
+    try {
+      envelopes.write.mode("overwrite").text(tmp.toString)
+      val parts = f.listStatus(tmp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      f.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.contains(suffix + "p"))
+        .foreach(st => f.delete(st.getPath, false))
+      parts.zipWithIndex.foreach { case (st, k) =>
+        val dst = new Path(dir,
+          f"c$lw%012d-$lw%012d$suffix%sp$k%05d.jsonl")
+        if (!f.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"JdbcIncremental: chunk rename ${st.getPath} -> $dst failed")
+      }
+    } finally f.delete(tmp, true)
+  }
+
   /** Committed watermark — deliberately NOT inferred from committed file
     * names (that would advance the watermark past parts a crashed attempt
     * never renamed, silently dropping their rows). The marker pair is
@@ -201,27 +345,36 @@ object JdbcIncremental {
     * arrived between attempts) is swept before renaming.
     */
   private def publishRange(spark: SparkSession, envelopes: DataFrame,
-      logDir: String, lo: Long, hi: Long, prefix: Char): Unit = {
+      logDir: String, lo: Long, hi: Long, prefix: Char,
+      dataless: Boolean = false): Unit = {
     val f = fs(spark, logDir)
     val dir = new Path(logDir)
     f.mkdirs(dir)
-    val tmp = new Path(dir, s"._tmp_poll_${UUID.randomUUID().toString.take(8)}")
-    try {
-      envelopes.write.mode("overwrite").text(tmp.toString)
-      val parts = f.listStatus(tmp).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName)
-      val loPrefix = f"$prefix%c$lo%012d-"
-      f.listStatus(dir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith(loPrefix))
-        .foreach(st => f.delete(st.getPath, false))
-      parts.zipWithIndex.foreach { case (st, k) =>
-        val dst = new Path(dir, f"$prefix%c$lo%012d-$hi%012d-p$k%05d.jsonl")
-        if (!f.rename(st.getPath, dst))
-          throw new java.io.IOException(
-            s"JdbcIncremental: rename ${st.getPath} -> $dst failed")
-      }
-    } finally f.delete(tmp, true)
+    if (!dataless) {
+      val tmp = new Path(dir, s"._tmp_poll_${UUID.randomUUID().toString.take(8)}")
+      try {
+        envelopes.write.mode("overwrite").text(tmp.toString)
+        val parts = f.listStatus(tmp).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        // sweep ONLY prior poll attempts of this range — the exact
+        // <prefix><lo>-<hi>-p<k> shape. A bare startsWith(lo) prefix
+        // match would also catch snapshot CHUNK files fenced at the same
+        // watermark (`c<lo>-<lo>-s<idx>…`) and destroy the backfill
+        val pollShape =
+          (f"$prefix%c$lo%012d-" + """\d{12}-p\d{5}\.jsonl""").r
+        f.listStatus(dir).toSeq
+          .filter(st => st.isFile &&
+            pollShape.pattern.matcher(st.getPath.getName).matches())
+          .foreach(st => f.delete(st.getPath, false))
+        parts.zipWithIndex.foreach { case (st, k) =>
+          val dst = new Path(dir, f"$prefix%c$lo%012d-$hi%012d-p$k%05d.jsonl")
+          if (!f.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"JdbcIncremental: rename ${st.getPath} -> $dst failed")
+        }
+      } finally f.delete(tmp, true)
+    }
     // marker-pair commit (see lastWatermark): next → delete current →
     // rename. Every intermediate crash state leaves a readable marker
     // whose max is the committed watermark.

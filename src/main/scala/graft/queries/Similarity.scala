@@ -363,12 +363,13 @@ object Similarity {
     * stages, like `q_bpe_train`. Output per dimension: the Gram diagonal
     * (≈ corpus variance·10⁸) and the PC1 component (×10⁴).
     *
-    * Scale shape: the data-sized work is ONE narrow pass — each row
-    * emits its d² outer-product terms, map-side-combined into ≤ d²
-    * groups (a 32 KB shuffle at d=64, independent of corpus size). The
-    * d×d solve itself is driver-side on O(d²) values — the same
-    * justified boundary as `BloomFilterJoin.buildBits`' sketch words:
-    * collecting 4096 longs is not a data-sized collect.
+    * Scale shape: the data-sized work is ONE narrow map pass — each
+    * partition folds its rows into a single d² accumulator (the dense
+    * outer-product kernel, per-partition as in MLlib's RowMatrix), so
+    * there is NO row-granular shuffle at all: just an O(partitions·d²)
+    * partials collect (32 KB each at d=64). The d×d solve itself is
+    * driver-side on O(d²) values — the same justified boundary as
+    * `BloomFilterJoin.buildBits`' sketch words.
     *
     * Int64 budget (NOT corpus-size-free, unlike the plan): a Gram entry
     * is ≤ n·(scale·max|x|)² ≈ n·10⁷ here, and an iteration term is
@@ -382,18 +383,45 @@ object Similarity {
     * principal component.
     */
   def qEmbeddingPca(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val q = transform(col("embedding"),
       x => round(x.cast("double") * 10000d).cast("long"))
-    val gram = Tables.embeddings(s, d)
-      .select(q.as("q"))
-      .select(explode(flatten(transform(col("q"), (qi, i) =>
-        transform(col("q"), (qj, j) =>
-          struct(i.as("i"), j.as("j"), (qi * qj).as("p")))))).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("g"))
+    // per-partition outer-product accumulation — the dense numerical
+    // kernel where mapPartitions is the right boundary (as in MLlib's
+    // RowMatrix Gram computation): each partition folds its rows into
+    // ONE d² accumulator, so the job is a pure map pass with an
+    // O(partitions·d²) collect and NO row-granular shuffle (the
+    // explode+groupBy formulation shuffles n·d² rows — 8M at sf0.1).
+    // Checked arithmetic keeps int64 saturation a loud error.
+    val partials = Tables.embeddings(s, d)
+      .select(q.as("q")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](Dim * Dim)
+        var any = false
+        it.foreach { v =>
+          any = true
+          var i = 0
+          while (i < Dim) {
+            val vi = v(i)
+            var j = 0
+            while (j < Dim) {
+              acc(i * Dim + j) = Math.addExact(acc(i * Dim + j),
+                Math.multiplyExact(vi, v(j)))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (any) Iterator.single(acc) else Iterator.empty
+      }.collect()
     val G = Array.ofDim[Long](Dim, Dim)
-    gram.collect().foreach(r =>
-      G(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("g"))
+    partials.foreach { acc =>
+      var k = 0
+      while (k < Dim * Dim) {
+        G(k / Dim)(k % Dim) = Math.addExact(G(k / Dim)(k % Dim), acc(k))
+        k += 1
+      }
+    }
     var x = Array.fill(Dim)(10000L)
     for (_ <- 1 to PcaIters) {
       val y = Array.tabulate(Dim)(i =>
@@ -402,7 +430,6 @@ object Similarity {
       val sdiv = y.map(math.abs).max / 10000L + 1L
       x = y.map(v => if (v < 0) -((-v) / sdiv) else v / sdiv)
     }
-    import s.implicits._
     (0 until Dim).map(i => (i, G(i)(i), x(i)))
       .toDF("dim", "gram_diag", "pc1_x10000")
       .orderBy(col("dim"))
