@@ -57,10 +57,10 @@ object TxnConsistentStream {
         GroupStateTimeout.NoTimeout())(releaseTxn)
   }
 
-  /** The per-group transition — package-visible so the spec can drive it
-    * directly against hand-built states.
+  /** The per-group transition — package-visible so the specs can drive
+    * it directly against hand-built states.
     */
-  private[streaming] def releaseTxn(tx: Long, it: Iterator[TxnTagged],
+  private[graft] def releaseTxn(tx: Long, it: Iterator[TxnTagged],
       state: GroupState[TxnState]): Iterator[TxnEvent] = {
     val st = state.getOption.getOrElse(TxnState(None, Map.empty, false))
     if (st.released) {

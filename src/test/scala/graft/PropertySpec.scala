@@ -265,6 +265,98 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: log compaction frontier == reference fold under " +
+    "replays, ties, and tombstones") {
+    import spark.implicits._
+    val recGen = for {
+      id <- Gen.choose(1, 8)
+      op <- Gen.oneOf("c", "u", "d")
+      lsn <- Gen.choose(1L, 30L)
+    } yield (id, op, lsn)
+    forSamples(Gen.listOfN(25, recGen), n = 4) { recs =>
+      val lines = graft.cdc.CdcSource.changesMixed(
+        recs.toDF("id", "op", "lsn"), "op", "lsn", "db", "sch", "tbl",
+        fixedTsMs = Some(1L)).collect().map(_.getString(0)).toList
+      // at-least-once replay of a suffix + two uncompactable lines
+      val replay = lines.takeRight(3)
+      val all = lines ++ replay ++ List("corrupt{{x", "[1,2]")
+      val in = tmpDir("prop-compact-in")
+      val out = tmpDir("prop-compact-out") + "/log"
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, "0001.jsonl"),
+        all.mkString("\n").getBytes("UTF-8"))
+      val stats = graft.cdc.CdcLogCompaction.compact(spark, in, out)
+      val survivors = spark.read.text(out).collect().map(_.getString(0))
+      // reference fold: per key, winner = max (lsn, raw line); drop
+      // tombstone winners; duplicates collapse; passthrough verbatim
+      val tuples = (recs zip lines) ++ (recs.takeRight(3) zip replay)
+      val winners = tuples.groupBy(_._1._1).view.mapValues(_.maxBy {
+        case ((_, _, lsn), line) => (lsn, line)
+      }).toMap
+      val expectedKept = winners.values.collect {
+        case ((_, op, _), line) if op != "d" => line
+      }.toSet
+      assert(survivors.toSet == expectedKept ++ Set("corrupt{{x", "[1,2]"),
+        s"frontier diverges for $recs")
+      assert(stats.kept == expectedKept.size)
+      assert(stats.passthrough == 2)
+      assert(stats.tombstonedKeys ==
+        winners.values.count { case ((_, op, _), _) => op == "d" })
+      // one winner row per key; every other compactable row is superseded
+      // (exact replays of the winner included — rn>1 in the window)
+      assert(stats.superseded == tuples.size - winners.size)
+    }
+  }
+
+  test("property: txn release emits exactly the complete transactions, " +
+    "once, under any batching and duplication") {
+    import graft.streaming.{TxnConsistentStream, TxnEvent, TxnState, TxnTagged}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    def freshState(prev: Option[TxnState]) =
+      org.apache.spark.sql.streaming.TestGroupState.create[TxnState](
+        org.apache.spark.api.java.Optional.fromNullable(prev.orNull),
+        GroupStateTimeout.NoTimeout(), 0L,
+        org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = false)
+    val txGen = for {
+      n <- Gen.choose(1, 5)
+      hasEnd <- Gen.oneOf(true, false)
+      drop <- Gen.choose(0, 1)
+      cuts <- Gen.choose(1, 3)
+      dupIdx <- Gen.choose(0, 9)
+    } yield (n, hasEnd, drop, cuts, dupIdx)
+    forSamples(Gen.listOfN(6, txGen), n = 6) { txs =>
+      txs.zipWithIndex.foreach {
+        case ((n, hasEnd, drop, cuts, dupIdx), t) =>
+          val events = (1 to n - drop).map(l =>
+            TxnTagged(t, "e", l.toLong, -1, s"v$l")).toList
+          val meta = if (hasEnd) List(TxnTagged(t, "m", 0, n, "")) else Nil
+          val records = new scala.util.Random(42L + t).shuffle(events ++ meta)
+          // split into `cuts` batches; duplicate one record into the tail
+          val size = math.max(1, records.size / cuts)
+          val batches0 = records.grouped(size).toList
+          val batches =
+            if (records.isEmpty) batches0
+            else batches0.init :+ (batches0.last :+
+              records(dupIdx % records.size))
+          var st: Option[TxnState] = None
+          val emitted = batches.flatMap { b =>
+            val gs = freshState(st)
+            val outs = TxnConsistentStream.releaseTxn(t.toLong,
+              b.iterator, gs).toList
+            st = gs.getOption
+            outs
+          }
+          val complete = hasEnd && drop == 0
+          if (complete)
+            assert(emitted == (1 to n).map(l =>
+              TxnEvent(t, l, s"v$l")).toList,
+              s"txn $t ($n,$hasEnd,$drop,$cuts): $emitted")
+          else assert(emitted.isEmpty,
+            s"txn $t incomplete but emitted $emitted")
+      }
+    }
+  }
+
   test("property: bucketed interval overlap ≡ naive quadratic join, " +
     "including negative times and zero-length intervals") {
     import spark.implicits._
