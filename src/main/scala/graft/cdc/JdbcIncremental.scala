@@ -169,6 +169,17 @@ object JdbcIncremental {
     */
   def initializeWatermark(spark: SparkSession, url: String,
       props: Properties, maxSeqSql: String, logDir: String): Long = {
+    // a live log already has a watermark — re-initializing would advance
+    // it past unpublished changes in (current, MAX], silently losing
+    // them (a delete in that gap could never be resurrected: the row is
+    // gone from the table, so no later snapshot chunk re-captures it)
+    lastWatermark(spark, logDir).foreach { w =>
+      throw new IllegalStateException(
+        s"initializeWatermark: '$logDir' is already initialized " +
+          s"(watermark $w) — re-running would skip the changes between " +
+          "it and the current changelog position; use pollToLog to " +
+          "advance, or point at a fresh log directory")
+    }
     val w0 = currentMax(url, props, maxSeqSql)
     publishRange(spark, null, logDir, 0L, w0, prefix = 'a', dataless = true)
     w0
@@ -231,17 +242,24 @@ object JdbcIncremental {
     // frame would read the table during publish, after hw, and rows
     // changed in (lw, hw] could sneak in as phantom "snapshot" state
     val rows = spark.read.jdbc(url, chunkQuery, props).localCheckpoint()
-    onChunkRead()
-    val hw = currentMax(url, props, maxSeqSql)
-    val winners =
-      if (hw > lw) {
-        val changed = spark.read.jdbc(url, changelogKeysQuery(lw, hw), props)
-        rows.join(changed, Seq(keyCol), "left_anti")
-      } else rows
-    val envelopes = CdcSource.changes(winners, "r", db, schema, table,
-      lit(lw), serverName, fixedTsMs)
-    publishChunk(spark, envelopes, logDir, lw, chunkIdx)
-    hw
+    try {
+      onChunkRead()
+      val hw = currentMax(url, props, maxSeqSql)
+      val winners =
+        if (hw > lw) {
+          val changed = spark.read.jdbc(url, changelogKeysQuery(lw, hw), props)
+          rows.join(changed, Seq(keyCol), "left_anti")
+        } else rows
+      val envelopes = CdcSource.changes(winners, "r", db, schema, table,
+        lit(lw), serverName, fixedTsMs)
+      publishChunk(spark, envelopes, logDir, lw, chunkIdx)
+      hw
+    } finally {
+      // a long backfill drives thousands of chunks — without this each
+      // chunk's checkpointed rows linger in executor storage until GC
+      rows.unpersist()
+      ()
+    }
   }
 
   /** Whole-table incremental snapshot: drive [[snapshotChunkToLog]] over
@@ -276,31 +294,53 @@ object JdbcIncremental {
   }
 
   /** Publish one snapshot chunk under `c<lw>-<lw>-s<idx>p<part>.jsonl`
-    * (see [[snapshotChunkToLog]] for why that name). Idempotent per
-    * chunk index: a crashed attempt's files (any `lw`) are swept first,
-    * so a re-run after crash republishes cleanly.
+    * (see [[snapshotChunkToLog]] for why that name). The sweep matches
+    * ONLY a crashed attempt of THIS chunk at THIS fence (same `lw`,
+    * same index): a crash can't advance the watermark, so a replay
+    * reuses the same names idempotently — while a prior completed
+    * backfill's chunk files (older `lw`) are committed history a tail
+    * consumer may have consumed; deleting those would change membership
+    * inside the committed prefix and wedge the stream. A deliberate
+    * re-backfill at an advanced watermark therefore APPENDS newer-lsn
+    * rows that supersede in materialization, never rewrites history.
     */
   private def publishChunk(spark: SparkSession, envelopes: DataFrame,
       logDir: String, lw: Long, chunkIdx: Int): Unit = {
     val f = fs(spark, logDir)
     val dir = new Path(logDir)
     f.mkdirs(dir)
-    val tmp = new Path(dir, s"._tmp_chunk_${UUID.randomUUID().toString.take(8)}")
-    val suffix = f"-s$chunkIdx%05d"
+    val chunkShape =
+      (f"c$lw%012d-$lw%012d-s$chunkIdx%05d" + """p\d{5}\.jsonl""").r
+    publishParts(spark, envelopes, dir, f, "chunk",
+      k => f"c$lw%012d-$lw%012d-s$chunkIdx%05dp$k%05d.jsonl",
+      name => chunkShape.pattern.matcher(name).matches())
+  }
+
+  /** The one rename-commit publisher behind polls and snapshot chunks:
+    * distributed write to a hidden temp dir, sweep of files matching
+    * `sweep` (a prior attempt of the SAME logical publish — never
+    * committed history), then verified renames to `nameFor(part)`.
+    * Hadoop reports many rename failures as `false`; a silent one must
+    * never destroy the only copy, hence the loud IOException with the
+    * temp directory preserved in place.
+    */
+  private def publishParts(spark: SparkSession, envelopes: DataFrame,
+      dir: Path, f: FileSystem, tag: String,
+      nameFor: Int => String, sweep: String => Boolean): Unit = {
+    val tmp = new Path(dir, s"._tmp_${tag}_${UUID.randomUUID().toString.take(8)}")
     try {
       envelopes.write.mode("overwrite").text(tmp.toString)
       val parts = f.listStatus(tmp).toSeq
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)
       f.listStatus(dir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.contains(suffix + "p"))
+        .filter(st => st.isFile && sweep(st.getPath.getName))
         .foreach(st => f.delete(st.getPath, false))
       parts.zipWithIndex.foreach { case (st, k) =>
-        val dst = new Path(dir,
-          f"c$lw%012d-$lw%012d$suffix%sp$k%05d.jsonl")
+        val dst = new Path(dir, nameFor(k))
         if (!f.rename(st.getPath, dst))
           throw new java.io.IOException(
-            s"JdbcIncremental: chunk rename ${st.getPath} -> $dst failed")
+            s"JdbcIncremental: rename ${st.getPath} -> $dst failed")
       }
     } finally f.delete(tmp, true)
   }
@@ -351,29 +391,15 @@ object JdbcIncremental {
     val dir = new Path(logDir)
     f.mkdirs(dir)
     if (!dataless) {
-      val tmp = new Path(dir, s"._tmp_poll_${UUID.randomUUID().toString.take(8)}")
-      try {
-        envelopes.write.mode("overwrite").text(tmp.toString)
-        val parts = f.listStatus(tmp).toSeq
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName)
-        // sweep ONLY prior poll attempts of this range — the exact
-        // <prefix><lo>-<hi>-p<k> shape. A bare startsWith(lo) prefix
-        // match would also catch snapshot CHUNK files fenced at the same
-        // watermark (`c<lo>-<lo>-s<idx>…`) and destroy the backfill
-        val pollShape =
-          (f"$prefix%c$lo%012d-" + """\d{12}-p\d{5}\.jsonl""").r
-        f.listStatus(dir).toSeq
-          .filter(st => st.isFile &&
-            pollShape.pattern.matcher(st.getPath.getName).matches())
-          .foreach(st => f.delete(st.getPath, false))
-        parts.zipWithIndex.foreach { case (st, k) =>
-          val dst = new Path(dir, f"$prefix%c$lo%012d-$hi%012d-p$k%05d.jsonl")
-          if (!f.rename(st.getPath, dst))
-            throw new java.io.IOException(
-              s"JdbcIncremental: rename ${st.getPath} -> $dst failed")
-        }
-      } finally f.delete(tmp, true)
+      // sweep ONLY prior poll attempts of this range — the exact
+      // <prefix><lo>-<hi>-p<k> shape. A bare startsWith(lo) prefix
+      // match would also catch snapshot CHUNK files fenced at the same
+      // watermark (`c<lo>-<lo>-s<idx>…`) and destroy the backfill
+      val pollShape =
+        (f"$prefix%c$lo%012d-" + """\d{12}-p\d{5}\.jsonl""").r
+      publishParts(spark, envelopes, dir, f, "poll",
+        k => f"$prefix%c$lo%012d-$hi%012d-p$k%05d.jsonl",
+        name => pollShape.pattern.matcher(name).matches())
     }
     // marker-pair commit (see lastWatermark): next → delete current →
     // rename. Every intermediate crash state leaves a readable marker

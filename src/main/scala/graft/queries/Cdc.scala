@@ -419,12 +419,11 @@ object Cdc {
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
 
   def qCdcTableChecksum(s: SparkSession, d: String): DataFrame = {
-    def fold(df: DataFrame): DataFrame = checksumFold(df)
-    val replica = fold(
+    val replica = checksumFold(
       CdcMaterialize.latestState(changeMix(s, d), keyField = "id")
         .select(col("id"), col("name"), col("email"),
           col("last_lsn").as("lsn")))
-    val source = fold(Tables.customer(s, d)
+    val source = checksumFold(Tables.customer(s, d)
       .filter(col("c_custkey") % 7 =!= 0)
       .select(
         col("c_custkey").cast("int").as("id"),
