@@ -557,6 +557,86 @@ object Cdc {
       .orderBy(col("bucket"))
   }
 
+  /** The STREAMING transaction release inside the hash gate (the batch
+    * completeness check is [[qCdcTxnConsistent]]'s): the same
+    * transactional update fixture is delivered as TWO micro-batch
+    * generations with a full checkpoint restart between them — even
+    * transactions' events + ALL END metadata first, odd transactions'
+    * events (plus at-least-once replays of already-released events as
+    * fresh files) after the restart. [[graft.streaming.TxnConsistentStream]]
+    * buffers per-txId state across the restart and the gate folds the
+    * RELEASED events against the closed-form applied set. What the hash
+    * proves: releases are exactly the complete transactions (torn and
+    * END-less ones stay buffered forever), replays after release emit
+    * nothing (a duplicate would inflate `n_released`), and buffered
+    * state survives the checkpoint restart (a lost buffer would drop
+    * the odd transactions' releases).
+    *
+    * Scale shape: one hash exchange on txId into the state store per
+    * micro-batch — the minimum any transaction assembly pays; state is
+    * O(open transactions). The fold is a tiny per-bucket aggregate.
+    */
+  def qCdcTxnStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = gateTmpDir("graft_txn_stream", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (evDir, mtDir, outDir, ck) =
+      (s"$base/ev", s"$base/mt", s"$base/out", s"$base/ck")
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      col("c_name").as("name"))
+    val updFull = cust.filter(col("id") % 3 === 0)
+      .withColumn("name", upper(col("name")))
+    val txOf = expr("id div 30") + 1L
+    // producer: the same envelope lines the batch gate parses; the
+    // stream consumer re-derives tx/lsn from the raw line (its honest
+    // input), so byte passthrough sits inside the gate too
+    val envelopes = CdcSource.changes(
+      updFull.filter(col("id") % 33 =!= 0), "u", "inventory", "public",
+      "customers", col("id") + 10000000L, fixedTsMs = Some(FixedTs),
+      txId = Some(txOf))
+    val ev = envelopes.select(
+      get_json_object(col("value"), "$.source.txId").cast("long").as("tx"),
+      get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
+      col("value"))
+    val meta = updFull.select(txOf.as("tx"))
+      .groupBy(col("tx")).agg(count(lit(1)).cast("int").as("expected"))
+      .filter(col("tx") % 5 =!= 0)
+    def run(): Unit = {
+      import s.implicits._
+      val events = s.readStream.schema("tx LONG, lsn LONG, value STRING")
+        .parquet(evDir).as[graft.streaming.TxnEvent]
+      val ends = s.readStream.schema("tx LONG, expected INT")
+        .parquet(mtDir).as[graft.streaming.TxnMeta]
+      graft.streaming.TxnConsistentStream.release(events, ends)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // generation 1: even transactions' events + every END record
+    ev.filter(col("tx") % 2 === 0).write.mode("append").parquet(evDir)
+    meta.write.mode("append").parquet(mtDir)
+    run()
+    // generation 2 lands while the stream is DOWN: odd transactions'
+    // events, plus a replay of some generation-1 events as NEW files
+    // (at-least-once transport) — released state must suppress them
+    ev.filter(col("tx") % 2 =!= 0).write.mode("append").parquet(evDir)
+    ev.filter(col("tx") % 2 === 0 && col("lsn") % 4 === 0)
+      .write.mode("append").parquet(evDir)
+    run()
+    s.read.parquet(outDir)
+      .select(get_json_object(col("value"), "$.after.id")
+        .cast("int").as("id"), col("lsn"))
+      .groupBy((col("id") % 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_released"),
+        sum(col("id")).cast("long").as("sum_ids"),
+        max(col("lsn")).as("max_lsn"))
+      .orderBy(col("bucket"))
+  }
+
   /** Multi-table capture under ONE stream — the reference's
     * one-topic-per-table layout (`docs/setup-guide.md:33-35`) as a gate
     * query: a mixed envelope stream (customers snapshots + orders inserts
@@ -710,6 +790,24 @@ object Cdc {
         |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0)
         |ORDER BY op""".stripMargin,
 
+    // same applied-set closed form as q_cdc_txn_consistent, folded over
+    // the RELEASED update events only (no snapshot side in the stream)
+    "q_cdc_txn_stream" ->
+      """WITH k AS (SELECT CAST(c_custkey AS INT) AS id FROM customer),
+        |u AS (SELECT id, id // 30 + 1 AS tx FROM k WHERE id % 3 = 0),
+        |meta AS (SELECT tx, count(*) AS n_exp FROM u GROUP BY 1),
+        |obs AS (SELECT tx, count(*) AS n_seen FROM u
+        |        WHERE id % 33 <> 0 GROUP BY 1),
+        |applied AS (SELECT meta.tx FROM meta JOIN obs USING (tx)
+        |            WHERE meta.tx % 5 <> 0 AND n_seen = n_exp),
+        |rel AS (SELECT u.id FROM u JOIN applied USING (tx)
+        |        WHERE u.id % 33 <> 0)
+        |SELECT CAST(id % 10 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_released,
+        |  CAST(sum(id) AS BIGINT) AS sum_ids,
+        |  CAST(max(id) + 10000000 AS BIGINT) AS max_lsn
+        |FROM rel GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // closed-form applied-set derivation from the fixture's mod rules:
     // updates exist for id%3=0 in txns of ≤10 rows (tx = id//30 + 1); a
     // txn applies iff its END arrived (tx%5≠0) AND no member event is
@@ -818,6 +916,7 @@ object Cdc {
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
+    "q_cdc_txn_stream" -> (qCdcTxnStream _),
     "q_cdc_log_compaction" -> (qCdcLogCompaction _),
     "q_cdc_table_checksum" -> (qCdcTableChecksum _),
     "q_cdc_point_in_time" -> (qCdcPointInTime _)
