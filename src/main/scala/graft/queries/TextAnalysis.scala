@@ -390,6 +390,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Score-band width (×1000 scale) for [[qQualityCalibration]]. */
+  val CalibrationBand = 50000L
+
+  /** Calibration of the learned quality filter against the rule-based
+    * gold standard — the validation every production classifier filter
+    * gets before rollout (the CCNet/LLaMA-style check: bucket the
+    * classifier score, measure the rule-pass rate per bucket; a healthy
+    * filter shows the rate rising with the score). Composes the two
+    * gated stages verbatim; integer band + rate arithmetic keeps the
+    * hash exact (`div` truncates toward zero, matching DuckDB `//`).
+    *
+    * Scale shape: both stages are one narrow scan + a doc-keyed
+    * map-side-combined aggregate; the calibration join is doc-keyed
+    * equi; the output is O(bands).
+    */
+  def qQualityCalibration(s: SparkSession, d: String): DataFrame =
+    qClassifierFilter(s, d).select(col("doc_id"), col("score_x1000"))
+      .join(qGopherRules(s, d).select(col("doc_id"), col("passes")),
+        "doc_id")
+      .select(expr(s"score_x1000 div $CalibrationBand").as("band"),
+        col("passes"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_gold_pass"))
+      .withColumn("gold_rate_x10000",
+        expr("n_gold_pass * 10000 div n_docs"))
+      .orderBy(col("band"))
+
   /** Top-k for the BPE pair-count table. */
   val BpePairTopK = 50
 
@@ -628,7 +656,7 @@ object TextAnalysis {
     s"len(list_filter($toksExpr, t -> t IN ($list)))"
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
@@ -847,6 +875,26 @@ object TextAnalysis {
         |FROM h ORDER BY doc_id""".stripMargin
   )
 
+  /** The calibration oracle composes the classifier and Gopher twins
+    * verbatim as subqueries — the score/gold SQL cannot drift from the
+    * gated stages (the q_ann_recall pattern).
+    */
+  val oracle: Map[String, String] = oracleBase +
+    ("q_quality_calibration" ->
+      s"""WITH cls AS (SELECT doc_id, score_x1000
+         |             FROM (${oracleBase("q_classifier_filter")})),
+         |gld AS (SELECT doc_id, passes
+         |        FROM (${oracleBase("q_gopher_rules")})),
+         |j AS (SELECT score_x1000 // $CalibrationBand AS band, passes
+         |      FROM cls JOIN gld USING (doc_id))
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gold_pass,
+         |  CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS gold_rate_x10000
+         |FROM j GROUP BY 1 ORDER BY band""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_quality_score" -> (qQualityScore _),
@@ -862,6 +910,7 @@ object TextAnalysis {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
-    "q_source_scorecard" -> (qSourceScorecard _)
+    "q_source_scorecard" -> (qSourceScorecard _),
+    "q_quality_calibration" -> (qQualityCalibration _)
   )
 }
