@@ -127,6 +127,20 @@ object JdbcIncremental {
       numPartitions: Int = 8,
       serverName: String = "dbserver1",
       fixedTsMs: Option[Long] = None): Long = {
+    // same hazard as initializeWatermark: re-running over a LIVE log
+    // would sweep the committed a-prefix snapshot files (rewriting
+    // history a tail consumer may have consumed) and jump the watermark
+    // past unpublished changes. The initial snapshot runs once; a crash
+    // BEFORE the marker commit leaves no watermark, so crash-replay is
+    // still allowed and republishes the same names. Re-snapshotting a
+    // live table is the incremental snapshot's job.
+    lastWatermark(spark, logDir).foreach { w =>
+      throw new IllegalStateException(
+        s"snapshotToLog: '$logDir' already has a committed watermark " +
+          s"($w) — the initial snapshot runs once; use " +
+          "snapshotChunkToLog/incrementalSnapshotToLog to re-backfill a " +
+          "live log, or point at a fresh directory")
+    }
     val w0 = currentMax(url, props, maxSeqSql)
     val envelopes = CdcSource.snapshotJdbc(spark, url, snapshotTable,
       db, schema, table, partitionColumn, bounds, numPartitions, props,
@@ -257,10 +271,24 @@ object JdbcIncremental {
     } finally {
       // a long backfill drives thousands of chunks — without this each
       // chunk's checkpointed rows linger in executor storage until GC
-      rows.unpersist()
-      ()
+      freeLocalCheckpoint(rows)
     }
   }
+
+  /** Free the executor-storage blocks behind a localCheckpoint'd frame.
+    * `Dataset.unpersist` is a CacheManager call and lineage-truncation
+    * blocks are never registered there (verified on Spark 4.1.2: after
+    * `df.localCheckpoint(); df.unpersist(true)` the RDD stays fully
+    * cached) — the checkpointed RDD itself must be unpersisted, found
+    * as the plan's `LogicalRDD` leaf. Spec-pinned by `ChunkStorageSpec`.
+    */
+  private[cdc] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+        ()
+      case _ => ()
+    }
 
   /** Whole-table incremental snapshot: drive [[snapshotChunkToLog]] over
     * `[keyMin, keyMax]` in `chunkSize`-key ranges. `tableChunkQuery`
@@ -320,9 +348,11 @@ object JdbcIncremental {
     * distributed write to a hidden temp dir, sweep of files matching
     * `sweep` (a prior attempt of the SAME logical publish — never
     * committed history), then verified renames to `nameFor(part)`.
-    * Hadoop reports many rename failures as `false`; a silent one must
-    * never destroy the only copy, hence the loud IOException with the
-    * temp directory preserved in place.
+    * Hadoop reports many rename failures as `false`; the loud
+    * IOException leaves the committed watermark untouched, so the next
+    * cycle re-reads the range from the source database and republishes
+    * the same deterministic names — nothing is lost even though the
+    * temp directory is cleaned up.
     */
   private def publishParts(spark: SparkSession, envelopes: DataFrame,
       dir: Path, f: FileSystem, tag: String,

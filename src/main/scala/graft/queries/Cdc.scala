@@ -601,6 +601,10 @@ object Cdc {
       get_json_object(col("value"), "$.source.txId").cast("long").as("tx"),
       get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
       col("value"))
+      // three writes consume this frame (gen-1 evens, gen-2 odds, the
+      // replay slice); without materialization each re-runs the
+      // envelope serialize + JSON re-parse from the base table
+      .localCheckpoint()
     val meta = updFull.select(txOf.as("tx"))
       .groupBy(col("tx")).agg(count(lit(1)).cast("int").as("expected"))
       .filter(col("tx") % 5 =!= 0)
