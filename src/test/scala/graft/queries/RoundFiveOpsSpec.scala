@@ -119,6 +119,44 @@ class RoundFiveOpsSpec extends SparkSpec {
       s"renormalization must keep max|component| near the 1e4 scale: $maxAbs")
   }
 
+  test("media dedup: Scala frame-overlap recompute matches; partial and " +
+    "full overlaps both occur; df cap respected") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).replaceAll("[^\\x00-\\x7F]", "?"))
+      .toMap
+    val k = Media.FrameBytes
+    val fr: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      id -> t.grouped(k).map(md5Hex).toSet
+    }
+    val df = fr.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val shareable = df.filter { case (_, n) =>
+      n >= 2 && n <= Media.MediaDfCap
+    }.keySet
+    val expected = (for {
+      (a, ha) <- fr.toSeq
+      (b, hb) <- fr.toSeq if a < b
+      shared = (ha intersect hb) intersect shareable
+      if shared.nonEmpty
+      ov = shared.size.toLong * 10000 / math.min(ha.size, hb.size)
+      if ov >= Media.MediaOverlapX10000
+    } yield (a, b) -> ((shared.size.toLong, ov))).toMap
+    val rows = Media.qMediaDedup(spark, sf).collect()
+    assert(rows.length == expected.size, s"${rows.length} vs ${expected.size}")
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      val (sh, ov) = expected(key)
+      assert(r.getAs[Long]("shared") == sh, s"shared $key")
+      assert(r.getAs[Long]("overlap_x10000") == ov, s"overlap $key")
+    }
+    assert(rows.exists(_.getAs[Long]("overlap_x10000") == 10000L),
+      "no exact-duplicate pair")
+    assert(rows.exists(_.getAs[Long]("overlap_x10000") < 10000L),
+      "no partial-overlap pair")
+  }
+
   test("table checksum: every chunk matches on sf0.01; a single mutated " +
     "cell or dropped/duplicated row flips exactly its chunk") {
     import org.apache.spark.sql.functions._
