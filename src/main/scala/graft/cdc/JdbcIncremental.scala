@@ -350,9 +350,13 @@ object JdbcIncremental {
     * committed history), then verified renames to `nameFor(part)`.
     * Hadoop reports many rename failures as `false`; the loud
     * IOException leaves the committed watermark untouched, so the next
-    * cycle re-reads the range from the source database and republishes
-    * the same deterministic names — nothing is lost even though the
-    * temp directory is cleaned up.
+    * cycle re-reads from the source database and republishes — nothing
+    * is lost even though the temp directory is cleaned up. Safety rests
+    * on the SWEEP, not on name equality: a poll retry may probe a
+    * higher `hi` and use different names, and it is the same-`lo`
+    * any-`hi` sweep that removes the failed attempt's partial files
+    * (tightening the sweep to exact names would leave them for tail
+    * readers to consume as duplicates).
     */
   private def publishParts(spark: SparkSession, envelopes: DataFrame,
       dir: Path, f: FileSystem, tag: String,

@@ -25,14 +25,6 @@ object Media {
     */
   val FrameBytes: Int = graft.multimodal.Multimodal.FrameBytes
 
-  /** Frame sampling: every media blob sliced into fixed 64-byte frames
-    * with per-frame checksums — the video-frame-extraction stand-in, and
-    * the chunking pass a multimodal pipeline runs before per-frame
-    * featurization. Byte slicing needs no codec, so unlike the decode
-    * stub this is REAL end-to-end: pure native expressions (binary
-    * substr + md5), a narrow scan exploding to O(bytes/64) rows, zero
-    * shuffles before the presentation sort.
-    */
   /** Un-sorted frame fingerprints — shared by the frames gate and the
     * frame-overlap dedup so the slicing cannot drift between them.
     */
@@ -52,6 +44,14 @@ object Media {
         md5(col("frame")).as("frame_md5"))
   }
 
+  /** Frame sampling: every media blob sliced into fixed 64-byte frames
+    * with per-frame checksums — the video-frame-extraction stand-in, and
+    * the chunking pass a multimodal pipeline runs before per-frame
+    * featurization. Byte slicing needs no codec, so unlike the decode
+    * stub this is REAL end-to-end: pure native expressions (binary
+    * substr + md5), a narrow scan exploding to O(bytes/64) rows, zero
+    * shuffles before the presentation sort.
+    */
   def qMediaFrames(s: SparkSession, d: String): DataFrame =
     frameHashes(s, d).orderBy(col("media_id"), col("frame_idx"))
 
