@@ -295,9 +295,12 @@ object JdbcIncremental {
     * builds the pushdown subquery for a key range `(lo, hi]` (aliased to
     * payload names, like `changelogQuery`); `changelogKeysQuery` builds
     * the DISTINCT-changed-keys subquery for a seq range `(lw, hw]`.
-    * Returns the number of chunks published. Interleave with
-    * [[pollToLog]] calls from the same loop for live capture during the
-    * backfill.
+    * Returns the number of chunks published (counting from `startIdx`).
+    * Interleave with [[pollToLog]] calls from the same loop for live
+    * capture during the backfill. `startIdx` offsets the chunk index
+    * sequence — a later backfill pass over a log that already holds
+    * chunks MUST start above the highest published index, or a
+    * same-fence chunk would sweep a committed predecessor's files.
     */
   def incrementalSnapshotToLog(spark: SparkSession, url: String,
       props: Properties, tableChunkQuery: (Long, Long) => String,
@@ -306,9 +309,9 @@ object JdbcIncremental {
       keyMin: Long, keyMax: Long, chunkSize: Long,
       db: String, schema: String, table: String,
       serverName: String = "dbserver1", fixedTsMs: Option[Long] = None,
-      onChunkRead: Int => Unit = _ => ()): Int = {
+      onChunkRead: Int => Unit = _ => (), startIdx: Int = 0): Int = {
     require(chunkSize > 0, "incrementalSnapshotToLog: chunkSize must be > 0")
-    var idx = 0
+    var idx = startIdx
     var lo = keyMin - 1
     while (lo < keyMax) {
       val hi = math.min(lo + chunkSize, keyMax)
@@ -318,7 +321,7 @@ object JdbcIncremental {
       idx += 1
       lo = hi
     }
-    idx
+    idx - startIdx
   }
 
   /** Publish one snapshot chunk under `c<lw>-<lw>-s<idx>p<part>.jsonl`
