@@ -267,6 +267,54 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 101L), (3L, 103L)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit with NULLs " +
+    "only after the watermark closes their window, across restart") {
+    import spark.implicits._
+    val inA = tmpDir("ssoj-a")
+    val inB = tmpDir("ssoj-b")
+    val out = tmpDir("ssoj-out") + "/p"
+    val ck = tmpDir("ssoj-ck")
+    def run(): Unit = {
+      val clicks = streamFrom(inA).withWatermark("ts", "5 minutes")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_uid"), col("ts").as("click_ts"))
+      val purchases = streamFrom(inB).withWatermark("ts", "5 minutes")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_uid"), col("ts").as("purchase_ts"))
+      clicks.join(purchases,
+          expr("c_uid = p_uid AND purchase_ts >= click_ts " +
+            "AND purchase_ts <= click_ts + interval 10 minutes"),
+          "left_outer")
+        .select(col("click_id"), col("purchase_id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // click 1 converts, click 2 does not; nothing may emit for click 2
+    // yet — its 10-minute window is still open at the watermark
+    writeEvents(inA, Seq(
+      Ev(1, ts("2024-01-01 10:10:00"), 1, 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 2, 1.0)))
+    writeEvents(inB, Seq(Ev(101, ts("2024-01-01 10:15:00"), 1, 2.0)))
+    run()
+    val first = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(first == Set((1L, Some(101L))),
+      s"click 2's window is open — no NULL row may emit yet: $first")
+    // a later event pushes the watermark past click 2's window close
+    // (10:30) + 5 min delay; the restarted query must emit (2, NULL)
+    // exactly once and never revisit click 1
+    writeEvents(inA, Seq(Ev(3, ts("2024-01-01 11:00:00"), 9, 1.0)))
+    writeEvents(inB, Seq(Ev(199, ts("2024-01-01 11:00:00"), 8, 2.0)))
+    run()
+    val all = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toList
+    assert(all.count(_ == ((2L, None))) == 1,
+      s"unmatched click must emit exactly one NULL row: $all")
+    assert(all.count(_._1 == 1L) == 1, "matched click re-emitted")
+  }
+
   test("incremental aggregate maintenance: update-mode delta counters across restart") {
     import spark.implicits._
     val in = tmpDir("iagg-in")
