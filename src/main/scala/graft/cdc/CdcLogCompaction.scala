@@ -104,10 +104,12 @@ object CdcLogCompaction {
     // frontier a bootstrapping consumer could mistake for the real one
     val tmp = new Path(outDir + ".compact_tmp")
     fs.delete(tmp, true)
-    survivors.repartition(parts).write.text(tmp.toString)
-    val partFiles = fs.listStatus(tmp)
-      .map(_.getPath).filter(_.getName.startsWith("part-"))
-      .sortBy(_.getName)
+    // a periodic-maintenance caller runs this repeatedly: free the
+    // judged frame's checkpoint blocks once the write has consumed it
+    // (Dataset.unpersist wouldn't — see JdbcIncremental.freeLocalCheckpoint)
+    val partFiles =
+      try StagedParts.write(survivors.repartition(parts), fs, tmp)
+      finally JdbcIncremental.freeLocalCheckpoint(judged)
     partFiles.zipWithIndex.foreach { case (p, i) =>
       val dst = new Path(tmp, f"0000000000_compacted_$i%04d.jsonl")
       if (!fs.rename(p, dst))

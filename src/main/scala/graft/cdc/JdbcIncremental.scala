@@ -366,18 +366,15 @@ object JdbcIncremental {
       nameFor: Int => String, sweep: String => Boolean): Unit = {
     val tmp = new Path(dir, s"._tmp_${tag}_${UUID.randomUUID().toString.take(8)}")
     try {
-      envelopes.write.mode("overwrite").text(tmp.toString)
-      val parts = f.listStatus(tmp).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName)
+      val parts = StagedParts.write(envelopes, f, tmp)
       f.listStatus(dir).toSeq
         .filter(st => st.isFile && sweep(st.getPath.getName))
         .foreach(st => f.delete(st.getPath, false))
-      parts.zipWithIndex.foreach { case (st, k) =>
+      parts.zipWithIndex.foreach { case (part, k) =>
         val dst = new Path(dir, nameFor(k))
-        if (!f.rename(st.getPath, dst))
+        if (!f.rename(part, dst))
           throw new java.io.IOException(
-            s"JdbcIncremental: rename ${st.getPath} -> $dst failed")
+            s"JdbcIncremental: rename $part -> $dst failed")
       }
     } finally f.delete(tmp, true)
   }
@@ -398,17 +395,39 @@ object JdbcIncremental {
     */
   def lastWatermark(spark: SparkSession, logDir: String): Option[Long] = {
     val f = fs(spark, logDir)
-    def read(name: String): Option[Long] = {
+    def read(name: String, lenient: Boolean): Option[Long] = {
       val p = new Path(logDir, name)
       if (!f.exists(p)) None
       else {
         val in = f.open(p)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
+        val text =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        try Some(text.toLong)
+        catch {
+          case e: NumberFormatException =>
+            // `_watermark_next` is written IN PLACE (create/write/close)
+            // before the commit rename, so a crash mid-write can leave it
+            // empty/partial. That state always coexists with the still-
+            // valid `_watermark` (the write completes before the old
+            // marker is deleted) — or with no marker at all on a log
+            // whose FIRST commit crashed, where uninitialized is the
+            // right answer. Either way the torn scratch marker is
+            // ignorable: the next commit overwrites it. The COMMITTED
+            // marker is only ever produced by an atomic rename of a
+            // fully-written file, so corruption there is a real
+            // filesystem problem and must stay loud.
+            if (lenient) None
+            else throw new IllegalStateException(
+              s"lastWatermark: committed marker '$name' in '$logDir' is " +
+                s"unreadable ('$text') — refusing to guess the capture " +
+                "position", e)
+        }
       }
     }
-    (read("_watermark").toSeq ++ read("_watermark_next").toSeq).maxOption
+    (read("_watermark", lenient = false).toSeq ++
+      read("_watermark_next", lenient = true).toSeq).maxOption
   }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =

@@ -202,13 +202,11 @@ object Cdc {
   private def writeStage(df: DataFrame, dir: String, gen: String,
       parts: Int): Unit = {
     val tmp = s"$dir.stage"
-    df.repartition(parts).write.mode("overwrite").text(tmp)
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-      .map(_.getPath).filter(_.getName.startsWith("part-"))
-      .sortBy(_.getName).zipWithIndex
+    graft.cdc.StagedParts.write(df.repartition(parts), fs,
+        new org.apache.hadoop.fs.Path(tmp)).zipWithIndex
       .foreach { case (p, i) =>
         val dst = new org.apache.hadoop.fs.Path(dir, f"${gen}_$i%03d.jsonl")
         // a silently failed rename (Hadoop reports many failures as

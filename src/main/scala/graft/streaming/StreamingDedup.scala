@@ -227,6 +227,13 @@ object StreamingDedup {
     * `batch_id=<id>` subdirectory per micro-batch — so an at-least-once
     * replay republishes identical verdict rows instead of appending
     * duplicates (`batch_id` surfaces as a partition column on read).
+    *
+    * MIGRATION NOTE: earlier revisions appended flat part files with
+    * `batch_id` as a data column; a directory written by that layout
+    * cannot be extended by this one (Spark's partition discovery
+    * refuses mixed leaf depths). Point a resumed deployment at a fresh
+    * `outPath` — or rewrite the old files under `batch_id=<id>/` once —
+    * before reusing its checkpoint.
     */
   def run(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String): StreamingQuery =

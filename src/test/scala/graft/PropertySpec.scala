@@ -268,10 +268,6 @@ class PropertySpec extends SparkSpec {
   test("property: span rewrite == brute reference on adversarial corpora " +
     "(sub-K docs, identical docs, high in-doc repetition)") {
     import spark.implicits._
-    def md5Hex(x: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def h56(x: String) = java.lang.Long.parseLong(md5Hex(x).take(14), 16)
-    val k = graft.queries.Dedup.SubstrK
     val docGen = for {
       n <- Gen.chooseNum(0, 20)
       toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
@@ -286,23 +282,8 @@ class PropertySpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val docs = texts.zipWithIndex
         .map { case (t, i) => i.toLong -> t.split(" ", -1).toVector }.toMap
-      val keeper = scala.collection.mutable.Map.empty[Long, Long]
-      docs.toSeq.sortBy(_._1).foreach { case (id, toks) =>
-        toks.sliding(k).filter(_.size == k).foreach { w =>
-          val h = h56(w.mkString(" "))
-          if (!keeper.contains(h) || keeper(h) > id) keeper(h) = id
-        }
-      }
-      val expected = docs.map { case (id, toks) =>
-        val covered = scala.collection.mutable.BitSet.empty
-        toks.sliding(k).zipWithIndex.foreach { case (w, i) =>
-          if (w.size == k && keeper(h56(w.mkString(" "))) != id)
-            (i until i + k).foreach(covered += _)
-        }
-        val kept = toks.zipWithIndex.collect { case (t, i) if !covered(i) => t }
-        id -> ((toks.size.toLong, (toks.size - kept.size).toLong,
-          md5Hex(kept.mkString(" "))))
-      }
+      val expected = graft.queries.SpanRewriteReference.expected(
+        docs, graft.queries.Dedup.SubstrK)
       val rows = graft.queries.Dedup.qDedupSpanRewrite(spark, dir).collect()
       assert(rows.length == docs.size)
       rows.foreach { r =>

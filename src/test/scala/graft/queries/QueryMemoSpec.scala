@@ -20,6 +20,7 @@ class QueryMemoSpec extends SparkSpec {
     val recallCold = rows(Dedup.qDedupRecall(spark, sf))
     val clustersCold = rows(Dedup.qDedupClusters(spark, sf))
     val annCold = rows(Similarity.qAnnRecall(spark, sf))
+    val encodeCold = rows(TextAnalysis.qBpeEncode(spark, sf))
 
     // suite path: seed the twins the way Bench does
     QueryMemo.seed("q_dedup_ngram", sf, Dedup.qDedupNgram(spark, sf))
@@ -27,10 +28,12 @@ class QueryMemoSpec extends SparkSpec {
     QueryMemo.seed("q_ann_bruteforce", sf, Similarity.qAnnBruteforce(spark, sf))
     QueryMemo.seed("q_ann_lsh", sf, Similarity.qAnnLsh(spark, sf))
     QueryMemo.seed("q_ann_ivf", sf, Similarity.qAnnIvf(spark, sf))
+    QueryMemo.seed("q_bpe_train", sf, TextAnalysis.qBpeTrain(spark, sf))
     try {
       assert(rows(Dedup.qDedupRecall(spark, sf)) == recallCold)
       assert(rows(Dedup.qDedupClusters(spark, sf)) == clustersCold)
       assert(rows(Similarity.qAnnRecall(spark, sf)) == annCold)
+      assert(rows(TextAnalysis.qBpeEncode(spark, sf)) == encodeCold)
     } finally QueryMemo.clear()
   }
 

@@ -26,27 +26,7 @@ class RoundFiveOpsSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector)
       .toMap
-    val k = Dedup.SubstrK
-    // window hash -> lowest holding doc_id
-    val keeper = scala.collection.mutable.Map.empty[Long, Long]
-    docs.toSeq.sortBy(_._1).foreach { case (id, toks) =>
-      toks.sliding(k).filter(_.size == k).foreach { w =>
-        val h = h56(w.mkString(" "))
-        if (!keeper.contains(h) || keeper(h) > id) keeper(h) = id
-      }
-    }
-    val expected = docs.map { case (id, toks) =>
-      val covered = scala.collection.mutable.BitSet.empty
-      toks.sliding(k).zipWithIndex.foreach { case (w, i) =>
-        if (w.size == k && keeper(h56(w.mkString(" "))) != id)
-          (i until i + k).foreach(covered += _)
-      }
-      val kept = toks.zipWithIndex.collect {
-        case (t, i) if !covered(i) => t
-      }
-      id -> ((toks.size.toLong, (toks.size - kept.size).toLong,
-        md5Hex(kept.mkString(" "))))
-    }
+    val expected = SpanRewriteReference.expected(docs, Dedup.SubstrK)
     val rows = Dedup.qDedupSpanRewrite(spark, sf).collect()
     assert(rows.length == docs.size)
     rows.foreach { r =>
