@@ -639,6 +639,100 @@ object Cdc {
       .orderBy(col("bucket"))
   }
 
+  /** The ABANDONED-TRANSACTION horizon inside the hash gate (round-6
+    * hardening of [[qCdcTxnStream]]'s operator): same transactional
+    * fixture, but run through [[graft.streaming.TxnConsistentStream
+    * .releaseOrEvict]] — the event-time-timeout mode. Generation 1
+    * delivers every arriving event and every END record at one fixed
+    * event time; generation 2 (after a full checkpoint restart) is a
+    * single far-future advancer event that drags the watermark past
+    * every open transaction's horizon. The gate folds BOTH output
+    * channels: complete transactions must have released (`dead=false`)
+    * and every torn (member never arrives: id%33=0) or END-less
+    * (tx%5=0) transaction must have dead-lettered its buffered events
+    * (`dead=true`) — exactly once, whole, with payload integrity
+    * re-checked by extracting ids from the released/evicted envelope
+    * bytes. A duplicate release, a lost buffer across the restart, a
+    * silent drop of torn input, or an eviction that fired early (the
+    * advancer's own never-ending transaction must NOT appear) all
+    * break the hash.
+    *
+    * Scale shape: identical to [[qCdcTxnStream]] plus O(1) timer state
+    * per open transaction; eviction is the mechanism that makes state
+    * O(transactions open within one horizon) instead of O(stream
+    * history) — the 100-TB posture the NoTimeout mode lacks.
+    */
+  def qCdcTxnEvict(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = gateTmpDir("graft_txn_evict", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (evDir, mtDir, outDir, ck) =
+      (s"$base/ev", s"$base/mt", s"$base/out", s"$base/ck")
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      col("c_name").as("name"))
+    val updFull = cust.filter(col("id") % 3 === 0)
+      .withColumn("name", upper(col("name")))
+    val txOf = expr("id div 30") + 1L
+    val envelopes = CdcSource.changes(
+      updFull.filter(col("id") % 33 =!= 0), "u", "inventory", "public",
+      "customers", col("id") + 10000000L, fixedTsMs = Some(FixedTs),
+      txId = Some(txOf))
+    val ev = envelopes.select(
+      get_json_object(col("value"), "$.source.txId").cast("long").as("tx"),
+      get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
+      col("value"),
+      timestamp_millis(lit(FixedTs)).as("ts"))
+    val meta = updFull.select(txOf.as("tx"))
+      .groupBy(col("tx")).agg(count(lit(1)).cast("int").as("expected"))
+      .filter(col("tx") % 5 =!= 0)
+      .withColumn("ts", timestamp_millis(lit(FixedTs)))
+    def run(): Unit = {
+      import s.implicits._
+      val events = s.readStream
+        .schema("tx LONG, lsn LONG, value STRING, ts TIMESTAMP")
+        .parquet(evDir).as[graft.streaming.TxnEventTs]
+      val ends = s.readStream
+        .schema("tx LONG, expected INT, ts TIMESTAMP")
+        .parquet(mtDir).as[graft.streaming.TxnMetaTs]
+      graft.streaming.TxnConsistentStream
+        .releaseOrEvict(events, ends, "10 seconds", 60000L)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // generation 1: every arriving event + every END, all at FixedTs —
+    // complete transactions release here; torn/END-less ones buffer
+    ev.write.mode("append").parquet(evDir)
+    meta.write.mode("append").parquet(mtDir)
+    run()
+    // generation 2 after restart: one advancer event a day ahead; the
+    // watermark passes every horizon and the no-data batch evicts.
+    // The advancer's own transaction (tx = -1) stays open — it must
+    // not leak into the output.
+    import s.implicits._
+    Seq(graft.streaming.TxnEventTs(-1L, 0L, "",
+      new java.sql.Timestamp(FixedTs + 86400000L))).toDS()
+      .write.mode("append").parquet(evDir)
+    run()
+    s.read.parquet(outDir)
+      .select(get_json_object(col("value"), "$.after.id")
+        .cast("int").as("id"), col("lsn"), col("dead"))
+      .groupBy((col("id") % 10).cast("int").as("bucket"))
+      .agg(
+        sum(when(col("dead"), 0L).otherwise(1L)).as("n_released"),
+        sum(when(col("dead"), 1L).otherwise(0L)).as("n_dead"),
+        sum(when(col("dead"), 0L).otherwise(col("id")))
+          .cast("long").as("sum_rel_ids"),
+        sum(when(col("dead"), col("id")).otherwise(0L))
+          .cast("long").as("sum_dead_ids"),
+        max(col("lsn")).as("max_lsn"))
+      .orderBy(col("bucket"))
+  }
+
   /** Multi-table capture under ONE stream — the reference's
     * one-topic-per-table layout (`docs/setup-guide.md:33-35`) as a gate
     * query: a mixed envelope stream (customers snapshots + orders inserts
@@ -810,6 +904,32 @@ object Cdc {
         |  CAST(max(id) + 10000000 AS BIGINT) AS max_lsn
         |FROM rel GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // split of the same fixture into released vs dead-lettered: a txn
+    // releases iff its END arrived (tx%5≠0) AND no member is missing
+    // (no member id ≡ 0 mod 33); every other txn's ARRIVED events must
+    // dead-letter at the horizon. Advancer (tx=-1) never appears.
+    "q_cdc_txn_evict" ->
+      """WITH k AS (SELECT CAST(c_custkey AS INT) AS id FROM customer),
+        |u AS (SELECT id, id // 30 + 1 AS tx FROM k WHERE id % 3 = 0),
+        |txs AS (SELECT tx,
+        |    sum(CASE WHEN id % 33 = 0 THEN 1 ELSE 0 END) AS n_missing
+        |  FROM u GROUP BY 1),
+        |v AS (SELECT tx, (tx % 5 <> 0 AND n_missing = 0) AS released
+        |      FROM txs),
+        |arrived AS (SELECT u.id, v.released FROM u
+        |            JOIN v USING (tx) WHERE u.id % 33 <> 0)
+        |SELECT CAST(id % 10 AS INT) AS bucket,
+        |  CAST(sum(CASE WHEN released THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_released,
+        |  CAST(sum(CASE WHEN released THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dead,
+        |  CAST(sum(CASE WHEN released THEN id ELSE 0 END) AS BIGINT)
+        |    AS sum_rel_ids,
+        |  CAST(sum(CASE WHEN released THEN 0 ELSE id END) AS BIGINT)
+        |    AS sum_dead_ids,
+        |  CAST(max(id) + 10000000 AS BIGINT) AS max_lsn
+        |FROM arrived GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // closed-form applied-set derivation from the fixture's mod rules:
     // updates exist for id%3=0 in txns of ≤10 rows (tx = id//30 + 1); a
     // txn applies iff its END arrived (tx%5≠0) AND no member event is
@@ -919,6 +1039,7 @@ object Cdc {
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),
+    "q_cdc_txn_evict" -> (qCdcTxnEvict _),
     "q_cdc_log_compaction" -> (qCdcLogCompaction _),
     "q_cdc_table_checksum" -> (qCdcTableChecksum _),
     "q_cdc_point_in_time" -> (qCdcPointInTime _)

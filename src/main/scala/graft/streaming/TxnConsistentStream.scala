@@ -18,6 +18,24 @@ final case class TxnMeta(tx: Long, expected: Int)
 final case class TxnTagged(tx: Long, kind: String, lsn: Long,
     expected: Int, value: String)
 
+/** Event-time variants for the evicting release: `ts` is the event's
+  * source timestamp (the envelope `ts_ms`), which drives the watermark
+  * and the abandoned-transaction horizon.
+  */
+final case class TxnEventTs(tx: Long, lsn: Long, value: String,
+    ts: java.sql.Timestamp)
+final case class TxnMetaTs(tx: Long, expected: Int, ts: java.sql.Timestamp)
+final case class TxnTaggedTs(tx: Long, kind: String, lsn: Long,
+    expected: Int, value: String, ts: java.sql.Timestamp)
+
+/** Output of the evicting release: `dead = false` rows are whole
+  * released transactions (same contract as [[TxnEvent]]); `dead = true`
+  * rows are the buffered events of a transaction evicted at the horizon
+  * — the dead-letter channel a downstream splits off by filtering.
+  */
+final case class TxnVerdict(tx: Long, lsn: Long, value: String,
+    dead: Boolean)
+
 /** Per-transaction buffer state: END count if seen, events so far
   * (keyed by lsn — at-least-once transports replay events, and a
   * duplicate must not inflate the completeness count), and whether the
@@ -35,14 +53,34 @@ final case class TxnState(expected: Option[Int],
   * materialization can never observe a partial transaction, the
   * guarantee Debezium's transaction-metadata topic exists to enable.
   *
-  * Scale shape: state is keyed by txId, so memory is O(open
-  * transactions × their event payloads) — bounded by transaction size
-  * and commit latency, not by stream length; released transactions
-  * collapse to a tombstone flag. The shuffle is the one hash exchange
-  * on txId that any transaction assembly needs. Production deployments
-  * should evict abandoned transactions with a timeout policy
-  * (GroupStateTimeout + a dead-letter emit); the operator keeps
-  * NoTimeout so the release rule stays purely deterministic here.
+  * Two modes:
+  *
+  *  - [[release]] (NoTimeout): purely deterministic — torn and
+  *    END-less transactions buffer until their missing pieces arrive,
+  *    however long that takes. State here is NOT bounded by stream
+  *    length alone: abandoned transactions hold their buffers forever
+  *    and released transactions accrete one tombstone flag each, so
+  *    state grows O(abandoned buffers + total transactions released).
+  *    Right for replayable bounded backfills, wrong for an unbounded
+  *    production stream.
+  *  - [[releaseOrEvict]] (EventTimeTimeout): the production mode. A
+  *    transaction that is still incomplete when the watermark passes
+  *    `ts(last piece seen) + horizon` is EVICTED — its buffered events
+  *    emit once with `dead = true` (a dead-letter channel, so torn
+  *    input is observable, not silently dropped) and its state is
+  *    removed. Released transactions' tombstones expire at the same
+  *    horizon, so state is O(transactions open or released within one
+  *    horizon window) — genuinely bounded by commit latency. Replays
+  *    arriving after a tombstone expired cannot double-release: their
+  *    event times predate the watermark, and the watermark's late-data
+  *    filter drops them before they reach the state function. The
+  *    at-least-once transport the reference assumes (restart replays
+  *    from a non-durable offset store) makes torn input a certainty,
+  *    which is why the horizon is the default production posture.
+  *
+  * Scale shape (both modes): the shuffle is the one hash exchange on
+  * txId that any transaction assembly needs; per-batch work is
+  * O(arriving events).
   */
 object TxnConsistentStream {
 
@@ -55,6 +93,76 @@ object TxnConsistentStream {
     tagged.groupByKey(_.tx)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout())(releaseTxn)
+  }
+
+  /** Evicting release (see class doc): whole transactions emit with
+    * `dead = false`; transactions still incomplete `horizonMs` after
+    * their last piece (by event time, once the watermark confirms it)
+    * dead-letter their buffered events with `dead = true` and free
+    * their state. `watermarkDelay` is the usual out-of-orderness bound
+    * (e.g. "10 seconds"); the watermark is placed on the UNION of
+    * events and metadata so one exhausted side cannot pin it.
+    */
+  def releaseOrEvict(events: Dataset[TxnEventTs], meta: Dataset[TxnMetaTs],
+      watermarkDelay: String, horizonMs: Long): Dataset[TxnVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tagged = events
+      .map(e => TxnTaggedTs(e.tx, "e", e.lsn, -1, e.value, e.ts))
+      .unionByName(meta.map(m =>
+        TxnTaggedTs(m.tx, "m", 0L, m.expected, "", m.ts)))
+      .withWatermark("ts", watermarkDelay)
+    tagged.groupByKey(_.tx)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout())(releaseOrEvictTxn(horizonMs))
+  }
+
+  /** The evicting per-group transition — package-visible for specs.
+    * On timeout: an unreleased buffer dead-letters (lsn order, once), a
+    * released tombstone silently expires; either way the state frees.
+    * On data: same release rule as [[releaseTxn]], plus the timeout
+    * re-arms at `max(event time seen, watermark) + horizon` so the
+    * clock measures staleness from the LAST piece of the transaction.
+    */
+  private[graft] def releaseOrEvictTxn(horizonMs: Long)(tx: Long,
+      it: Iterator[TxnTaggedTs],
+      state: GroupState[TxnState]): Iterator[TxnVerdict] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      if (st.released) Iterator.empty
+      else st.buffered.toSeq.sortBy(_._1).iterator
+        .map { case (lsn, v) => TxnVerdict(tx, lsn, v, dead = true) }
+    } else {
+      val st = state.getOption.getOrElse(TxnState(None, Map.empty, false))
+      var maxTs = 0L
+      var expected = st.expected
+      var buf = st.buffered
+      var any = false
+      it.foreach { r =>
+        any = true
+        if (r.ts != null) maxTs = math.max(maxTs, r.ts.getTime)
+        if (!st.released) {
+          if (r.kind == "m") expected = Some(r.expected)
+          else buf = buf.updated(r.lsn, r.value)
+        }
+      }
+      // EventTimeTimeout requires the arm point to sit beyond the
+      // current watermark; a replayed-only batch can carry event times
+      // at or below it
+      val wm = state.getCurrentWatermarkMs()
+      if (any) state.setTimeoutTimestamp(math.max(maxTs, wm + 1) + horizonMs)
+      if (st.released) {
+        Iterator.empty
+      } else if (expected.contains(buf.size)) {
+        state.update(TxnState(expected, Map.empty, released = true))
+        buf.toSeq.sortBy(_._1).iterator
+          .map { case (lsn, v) => TxnVerdict(tx, lsn, v, dead = false) }
+      } else {
+        state.update(TxnState(expected, buf, released = false))
+        Iterator.empty
+      }
+    }
   }
 
   /** The per-group transition — package-visible so the specs can drive
