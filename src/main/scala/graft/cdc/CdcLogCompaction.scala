@@ -25,8 +25,15 @@ import org.apache.spark.sql.functions._
   *     need to see the delete).
   *   - survivors are the ORIGINAL raw lines, byte-for-byte (P18: the log
   *     may interleave foreign/invalid payloads; compaction must never
-  *     re-serialize). Lines with no extractable key (corrupt JSON, foreign
-  *     shapes) are not compactable and pass through verbatim.
+  *     re-serialize). Lines with no extractable key or op (corrupt JSON,
+  *     foreign shapes) are not compactable and pass through verbatim.
+  *   - a key-bearing, op-bearing envelope whose `source.lsn` is null or
+  *     missing compacts at lsn = -infinity: it loses to ANY positioned
+  *     record for the same key (a record with no position makes the
+  *     weakest possible claim), and among only-null-lsn records for a key
+  *     the raw-line tiebreak picks one deterministic winner — so stale
+  *     unpositioned duplicates are actually removed instead of
+  *     accumulating as permanent passthrough.
   *
   * Output layout: `0000000000_compacted_<i>.jsonl` — sorts
   * lexicographically BEFORE any collector-written log roll (zero-padded
@@ -74,11 +81,14 @@ object CdcLogCompaction {
         get_json_object(col("value"), s"$$.before.$keyField")).as("key"),
       get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
       get_json_object(col("value"), "$.op").as("op"))
-    val compactable = keyed.filter(col("key").isNotNull && col("lsn").isNotNull)
-    val passthrough = keyed.filter(col("key").isNull || col("lsn").isNull)
+    val compactable = keyed.filter(col("key").isNotNull && col("op").isNotNull)
+    val passthrough = keyed.filter(col("key").isNull || col("op").isNull)
       .select(col("value"), lit("p").as("verdict"))
+    // null lsn ranks at -infinity (see scaladoc); Long.MinValue is the
+    // in-plan encoding — real lsns are non-negative sequence positions
     val w = Window.partitionBy(col("src_schema"), col("src_table"), col("key"))
-      .orderBy(col("lsn").desc, col("value").desc)
+      .orderBy(coalesce(col("lsn"), lit(Long.MinValue)).desc,
+        col("value").desc)
     val tombstoned =
       if (retainTombstones) lit(false) else col("op") === "d"
     val judged = compactable

@@ -282,7 +282,7 @@ object JdbcIncremental {
     * cached) — the checkpointed RDD itself must be unpersisted, found
     * as the plan's `LogicalRDD` leaf. Spec-pinned by `ChunkStorageSpec`.
     */
-  private[cdc] def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)
@@ -409,12 +409,16 @@ object JdbcIncremental {
           case e: NumberFormatException =>
             // `_watermark_next` is written IN PLACE (create/write/close)
             // before the commit rename, so a crash mid-write can leave it
-            // empty/partial. That state always coexists with the still-
-            // valid `_watermark` (the write completes before the old
-            // marker is deleted) — or with no marker at all on a log
+            // empty/partial. The commit path guarantees that overwrite
+            // only ever happens when `_watermark` is committed or the
+            // log is provably uninitialized: `repairInterruptedCommit`
+            // promotes a parseable orphan `_watermark_next` (the
+            // deleted-current, not-yet-renamed crash state, where it is
+            // the SOLE committed copy) back to `_watermark` before any
+            // truncation. So a torn scratch marker coexists with a
+            // valid `_watermark` — or with no marker at all on a log
             // whose FIRST commit crashed, where uninitialized is the
-            // right answer. Either way the torn scratch marker is
-            // ignorable: the next commit overwrites it. The COMMITTED
+            // right answer. Either way it is ignorable. The COMMITTED
             // marker is only ever produced by an atomic rename of a
             // fully-written file, so corruption there is a real
             // filesystem problem and must stay loud.
@@ -460,6 +464,7 @@ object JdbcIncremental {
     // marker-pair commit (see lastWatermark): next → delete current →
     // rename. Every intermediate crash state leaves a readable marker
     // whose max is the committed watermark.
+    repairInterruptedCommit(f, dir)
     val next = new Path(dir, "_watermark_next")
     val out = f.create(next, true)
     try out.write(hi.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -469,5 +474,35 @@ object JdbcIncremental {
     if (!f.rename(next, marker))
       throw new java.io.IOException(
         s"JdbcIncremental: watermark commit rename failed in $logDir")
+  }
+
+  /** Repair a commit interrupted between delete(`_watermark`) and the
+    * next→current rename. In that state `_watermark_next` is the ONLY
+    * committed copy of the watermark; the in-place `create(next, true)`
+    * of a fresh commit would truncate it, and a second crash mid-write
+    * would then leave BOTH markers unreadable — the log would look
+    * uninitialized, disarming the re-snapshot/re-init guards. So before
+    * any overwrite: if `_watermark` is absent and `_watermark_next`
+    * parses, promote it with the same atomic rename the commit uses
+    * (either the repair completes or the old state persists — no new
+    * torn state is reachable). A next that does NOT parse with no
+    * current marker can only be a crashed FIRST commit, where
+    * uninitialized is the correct answer and the overwrite is safe.
+    */
+  private[graft] def repairInterruptedCommit(f: FileSystem,
+      dir: Path): Unit = {
+    val next = new Path(dir, "_watermark_next")
+    val marker = new Path(dir, "_watermark")
+    if (!f.exists(marker) && f.exists(next)) {
+      val in = f.open(next)
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (scala.util.Try(text.toLong).isSuccess &&
+          !f.rename(next, marker))
+        throw new java.io.IOException(
+          s"JdbcIncremental: watermark repair rename failed in $dir")
+    }
   }
 }

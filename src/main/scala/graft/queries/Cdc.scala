@@ -628,6 +628,10 @@ object Cdc {
     ev.filter(col("tx") % 2 =!= 0).write.mode("append").parquet(evDir)
     ev.filter(col("tx") % 2 === 0 && col("lsn") % 4 === 0)
       .write.mode("append").parquet(evDir)
+    // the replay slice was ev's LAST consumer — free its checkpoint
+    // blocks before the second streaming run + final fold, the same
+    // discipline the CDC publishers follow
+    graft.cdc.JdbcIncremental.freeLocalCheckpoint(ev)
     run()
     s.read.parquet(outDir)
       .select(get_json_object(col("value"), "$.after.id")

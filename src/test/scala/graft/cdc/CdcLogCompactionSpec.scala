@@ -73,6 +73,37 @@ class CdcLogCompactionSpec extends SparkSpec {
     assert(back == Set((1, 31L), (2, 12L)))
   }
 
+  test("null-lsn envelopes compact at -infinity: they lose to any " +
+    "positioned record and dedupe among themselves; op-less lines still " +
+    "pass through") {
+    val in = tmpDir("compact-nulllsn-in")
+    val out = tmpDir("compact-nulllsn-out") + "/log"
+    val envNull =
+      """{"before":null,"after":%s,"source":{"version":"1","connector":"postgresql","name":"dbserver1","ts_ms":1,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":null,"lsn":null},"op":"%s","ts_ms":1}"""
+    val lines = Seq(
+      // id 5: an unpositioned duplicate must LOSE to the positioned update
+      envNull.format(pay(5, "STALE"), "c"),
+      env.format("null", pay(5, "FRESH"), 51, "u"),
+      // id 6: only unpositioned records — exactly one deterministic winner
+      envNull.format(pay(6, "NA"), "c"),
+      envNull.format(pay(6, "NB"), "c"),
+      // key-bearing but op-less foreign shape: still passthrough
+      """{"after":{"id":7},"note":"no-op-field"}""")
+    Files.write(Paths.get(in, "0000000001.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val stats = CdcLogCompaction.compact(spark, in, out)
+    assert(stats == CdcLogCompaction.Stats(2, 2, 0, 1), stats.toString)
+    val survivors = spark.read.text(out).collect().map(_.getString(0)).toSet
+    assert(survivors.exists(_.contains("\"name\":\"FRESH\"")),
+      "positioned record wins over the unpositioned duplicate")
+    assert(!survivors.exists(_.contains("\"name\":\"STALE\"")),
+      "the unpositioned duplicate is removed, not passed through")
+    // tiebreak among null-lsn records is value-desc → "NB" > "NA"
+    assert(survivors.exists(_.contains("\"name\":\"NB\"")) &&
+      !survivors.exists(_.contains("\"name\":\"NA\"")))
+    assert(survivors.exists(_.contains("no-op-field")))
+  }
+
   test("retainTombstones keeps the winning delete envelope") {
     val in = tmpDir("compact-tomb-in")
     val out = tmpDir("compact-tomb-out") + "/log"
