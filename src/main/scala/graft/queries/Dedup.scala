@@ -417,45 +417,69 @@ object Dedup {
     * one-token-off interval merge or an order-unstable reassembly
     * mismatches.
     *
-    * Scale shape: all joins are equi (window-hash, then (doc_id, pos));
-    * the covered-position set is a K×-linear explode — at petabyte scale
-    * the same plan folds positions into per-doc sorted interval lists
-    * (sum-of-span-lengths, not K× rows), but the shuffle keys and
-    * volumes are already the honest ones: nothing all-pairs, nothing
-    * broadcast, per-doc reassembly bounded by document length.
+    * Scale shape: all joins are equi (window-hash, then doc_id), and the
+    * removal set moves as per-doc sorted INTERVAL LISTS, never as
+    * exploded positions (the petabyte formulation from the r5 scaledoc,
+    * now the code): a duplicate window contributes one (start, end) span
+    * row, spans fold per document into a merged disjoint interval array
+    * (one hash shuffle on doc_id, O(spans) rows), and reassembly is a
+    * narrow array-slice fold over the token array — no O(K×tokens)
+    * covered-position shuffle, no corpus-wide token explode, no
+    * re-tokenize. Per-doc work is bounded by document length.
     */
   def qDedupSpanRewrite(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      // both the window pass and the token re-explode read this frame;
+      // both the window pass and the reassembly read this frame;
       // without materialization the tokenize runs twice
       .localCheckpoint()
     val wins = docs.select(col("doc_id"),
       posexplode(VectorFunctions.shingleHash56(
         col("toks"), SubstrK, distinct = false)).as(Seq("pos", "wh")))
-      // feeds BOTH the keeper rollup and the covered join — without
+      // feeds BOTH the keeper rollup and the span join — without
       // materialization each side re-runs the md5 window loop, the
       // dominant per-row cost (same move as qDedupSubstring's perDoc)
       .localCheckpoint()
     val keeper = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("kd"))
-    val covered = wins.join(keeper, "wh")
+    // one row per duplicate-window OCCURRENCE: [pos, pos+K-1], 0-based
+    val spans = wins.join(keeper, "wh")
       .filter(col("doc_id") =!= col("kd"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (SubstrK - 1))).as("p"))
-      .distinct()
-    val kept = docs
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tk")))
-      .join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("p"), col("tk")))),
-          x => x.getField("tk")), " ")).as("kept_md5"))
-    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), struct(col("pos").as("s"),
+        (col("pos") + (SubstrK - 1)).as("e")).as("iv"))
+    // fold spans into a sorted list of merged DISJOINT intervals per doc
+    // (adjacent intervals coalesce too): O(spans) in, O(gaps) out
+    val merged = spans.groupBy(col("doc_id"))
+      .agg(collect_list(col("iv")).as("raw"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  array_sort(raw),
+          |  cast(array() as array<struct<s:int,e:int>>),
+          |  (acc, iv) -> CASE
+          |    WHEN size(acc) = 0 OR iv.s > element_at(acc, -1).e + 1
+          |      THEN concat(acc, array(iv))
+          |    ELSE concat(slice(acc, 1, size(acc) - 1),
+          |      array(named_struct('s', element_at(acc, -1).s,
+          |        'e', greatest(element_at(acc, -1).e, iv.e))))
+          |  END)""".stripMargin).as("ivs"))
+    // reassembly: walk the disjoint intervals once, concatenating the
+    // uncovered slices of the token array — pure per-row expressions
+    docs.join(merged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr(
+          """CASE WHEN ivs IS NULL THEN toks ELSE
+            |  aggregate(
+            |    ivs,
+            |    named_struct('c', 0, 'acc', cast(array() as array<string>)),
+            |    (st, iv) -> named_struct(
+            |      'c', iv.e + 1,
+            |      'acc', concat(st.acc, slice(toks, st.c + 1, iv.s - st.c))),
+            |    st -> CASE WHEN st.c >= size(toks) THEN st.acc
+            |      ELSE concat(st.acc,
+            |        slice(toks, st.c + 1, size(toks) - st.c)) END)
+            |END""".stripMargin).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("kept_md5"))
       .orderBy(col("doc_id"))
   }
 

@@ -258,6 +258,23 @@ class ScaleShapeSpec extends SparkSpec {
       s"substring dedup must never be all-pairs:\n$plan")
   }
 
+  test("span rewrite moves interval lists, not exploded positions: no " +
+    "sequence explode, exactly one generator (the window pass)") {
+    val plan = finalPlan(Dedup.qDedupSpanRewrite(spark, sf))
+    assert(!plan.contains("sequence("),
+      s"covered positions must fold to intervals, not a K-wide sequence " +
+        s"explode:\n$plan")
+    // the shingle-window posexplode itself sits behind the wins
+    // localCheckpoint (a LogicalRDD leaf), so the visible plan may show
+    // zero generators; anything MORE than one means a token or position
+    // re-explode crept back in
+    val generators = "(?i)generate ".r.findAllIn(plan).length
+    assert(generators <= 1,
+      s"only the shingle-window posexplode may generate rows (found " +
+        s"$generators) — a token re-explode reintroduces the O(tokens) " +
+        s"shuffle:\n$plan")
+  }
+
   test("interval overlap joins on (key, bucket), never a nested loop") {
     val plan = finalPlan(Events.qIntervalOverlap(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
