@@ -595,6 +595,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Re-replace passes per merge round in [[qBpeEncodeFixpoint]]. Each
+    * pass at least halves the unmerged occurrences of the round's pair
+    * within a word (the single-pass deviation only arises when two
+    * occurrences share a delimiter space, and a pass always merges at
+    * least every other one), so F passes suffice for words with up to
+    * 2^F occurrences of one pair — far beyond any [a-z]+ word here. The
+    * bound is not trusted: the gate re-applies every merge once more
+    * after the F passes and emits `all_converged` (fixpoint reached ⇔
+    * the extra pass changes nothing), computed identically by the
+    * oracle, and a spec asserts it is true.
+    */
+  val BpeFixpointPasses = 4
+
+  /** Tokenizer APPLY, FIXPOINT variant (round-6 verdict item #6): the
+    * same K trained merges as [[qBpeEncode]], but each merge replays
+    * until no occurrence remains ([[BpeFixpointPasses]] statically
+    * unrolled `replace`s — Sennrich's per-word semantics, which the
+    * single-pass chain under-merges when occurrences share a delimiter).
+    * The gate emits BOTH chains' token counts per source plus the
+    * diverging-doc count, so the deviation the single-pass doc block
+    * describes qualitatively is MEASURED inside the hash gate, and
+    * `all_converged` proves the unroll depth reached the fixpoint.
+    *
+    * Scale shape: identical to [[qBpeEncode]] — narrow per-row replace
+    * chains (K·(F+2) string scans) after the vocab-sized training, one
+    * tiny per-source aggregate. Scan speed at 100 TB.
+    */
+  def qBpeEncodeFixpoint(s: SparkSession, d: String): DataFrame = {
+    val merges = QueryMemo.lookup("q_bpe_train", d)
+      .map(_.collect().sortBy(_.getInt(0))
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq)
+      .getOrElse(bpeTrainMerges(s, d))
+    val seg0 = concat(lit(" "), regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z]+", " | "),
+      "([a-z])", "$1 "))
+    def one(acc: Column, pair: String, tok: String): Column =
+      replace(acc, lit(s" $pair "), lit(s" $tok "))
+    val segSingle = merges.foldLeft(seg0) { case (acc, (_, pair, tok, _)) =>
+      one(acc, pair, tok)
+    }
+    val segFix = merges.foldLeft(seg0) { case (acc, (_, pair, tok, _)) =>
+      (1 to BpeFixpointPasses).foldLeft(acc)((a, _) => one(a, pair, tok))
+    }
+    val segExtra = merges.foldLeft(segFix) { case (acc, (_, pair, tok, _)) =>
+      one(acc, pair, tok)
+    }
+    def nTok(c: Column) = size(filter(split(trim(c), " "),
+      t => t =!= lit("") && t =!= lit("|"))).cast("long")
+    Tables.documents(s, d)
+      .select(col("source"), nTok(segSingle).as("nts"),
+        nTok(segFix).as("ntf"), (segFix === segExtra).as("conv"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nts")).as("sum_tokens_single"),
+        sum(col("ntf")).as("sum_tokens_fix"),
+        sum(when(col("nts") =!= col("ntf"), 1L).otherwise(0L))
+          .as("n_docs_diverging"),
+        expr("bool_and(conv)").as("all_converged"))
+      .orderBy(col("source"))
+  }
+
   /** Oracle twin of [[qBpeTrain]]: the K training rounds unrolled as CTE
     * stages (built programmatically so Spark's K and the oracle's K can
     * never drift).
@@ -657,6 +719,48 @@ object TextAnalysis {
        |SELECT doc_id, n_words, n_chars, $nTok AS n_bpe_tokens,
        |  n_chars * 10000 // greatest($nTok, 1) AS compression_x10000
        |FROM d$k ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle twin of [[qBpeEncodeFixpoint]]: training stages, then both
+    * replace chains (single-pass and F-unrolled fixpoint) carried as two
+    * columns through one CTE ladder, an extra-pass ladder for the
+    * convergence proof, and the per-source fold.
+    */
+  private def bpeFixpointOracle(k: Int, f: Int): String = {
+    def rep(expr: String, r: Int, times: Int): String =
+      (1 to times).foldLeft(expr)((acc, _) =>
+        s"replace($acc, ' ' || (SELECT pair FROM m$r) || ' ', " +
+          s"' ' || (SELECT new_token FROM m$r) || ' ')")
+    val chain = (1 to k).map { r =>
+      s"""b$r AS (SELECT doc_id, source,
+         |  ${rep("ssg", r, 1)} AS ssg,
+         |  ${rep("fsg", r, f)} AS fsg
+         |  FROM b${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val extra = (1 to k).map { r =>
+      s"""c$r AS (SELECT doc_id, source, ssg, fsg,
+         |  ${rep("esg", r, 1)} AS esg FROM c${r - 1})""".stripMargin
+    }.mkString(",\n")
+    def nTok(col: String) =
+      s"CAST(len(list_filter(string_split(trim($col), ' '), " +
+        s"t -> t <> '' AND t <> '|')) AS BIGINT)"
+    s"""WITH ${bpeStagesSql(k)},
+       |b0 AS (SELECT doc_id, source,
+       |  ' ' || regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' | ', 'g'),
+       |                        '([a-z])', '\\1 ', 'g') AS ssg,
+       |  ' ' || regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' | ', 'g'),
+       |                        '([a-z])', '\\1 ', 'g') AS fsg
+       |  FROM documents),
+       |$chain,
+       |c0 AS (SELECT doc_id, source, ssg, fsg, fsg AS esg FROM b$k),
+       |$extra
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(${nTok("ssg")}) AS BIGINT) AS sum_tokens_single,
+       |  CAST(sum(${nTok("fsg")}) AS BIGINT) AS sum_tokens_fix,
+       |  CAST(sum(CASE WHEN ${nTok("ssg")} <> ${nTok("fsg")}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_diverging,
+       |  bool_and(fsg = esg) AS all_converged
+       |FROM c$k GROUP BY source ORDER BY source""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -875,6 +979,8 @@ object TextAnalysis {
          |FROM x GROUP BY source ORDER BY source""".stripMargin,
 
     "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+    "q_bpe_encode_fixpoint" ->
+      bpeFixpointOracle(BpeMerges, BpeFixpointPasses),
 
     "q_doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,
@@ -925,6 +1031,7 @@ object TextAnalysis {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_encode_fixpoint" -> (qBpeEncodeFixpoint _),
     "q_source_scorecard" -> (qSourceScorecard _),
     "q_quality_calibration" -> (qQualityCalibration _)
   )
