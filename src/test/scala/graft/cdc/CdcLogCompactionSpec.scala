@@ -137,6 +137,68 @@ class CdcLogCompactionSpec extends SparkSpec {
     assert(lines.count(_.contains("\"name\":\"D2\"")) == 1)
   }
 
+  test("generational chaining: a tail swapped onto the next compacted " +
+    "generation converges to the continuous tail's output; re-delivery " +
+    "is exactly the frontier; an in-place swap under a live checkpoint " +
+    "fails loud") {
+    val in = tmpDir("compact-gen-in")
+    val base = tmpDir("compact-gen")
+    val (gen1, gen2, cont) = (s"$base/gen1", s"$base/gen2", s"$base/cont")
+    val (out1, ck1) = (s"$base/out1", s"$base/ck1")
+    val (out2, ck2) = (s"$base/out2", s"$base/ck2")
+    val (outC, ckC) = (s"$base/outC", s"$base/ckC")
+    writeLog(in)
+    CdcLogCompaction.compact(spark, in, gen1)
+    val rollA = env.format("null", pay(2, "D2"), 42, "u")
+    val rollB = env.format("null", pay(1, "C2"), 50, "u")
+    val cfg = EnrichConfig(processingTimeIso = Some("t"))
+    // generation 1 in service: compacted prefix + roll A, tailed to out1
+    Files.write(Paths.get(gen1, "0000000002.jsonl"), rollA.getBytes("UTF-8"))
+    CdcPipeline.startV2(spark, gen1, out1, ck1, cfg).awaitTermination()
+    // maintenance publishes generation 2 = frontier(gen1 + roll A); the
+    // collector appends subsequent rolls THERE; the reader swaps over
+    // with a FRESH checkpoint (bootstrap re-reads the frontier — the
+    // bounded, idempotent re-delivery a compacted-topic reset pays)
+    CdcLogCompaction.compact(spark, gen1, gen2)
+    Files.write(Paths.get(gen2, "0000000003.jsonl"), rollB.getBytes("UTF-8"))
+    CdcPipeline.startV2(spark, gen2, out2, ck2, cfg).awaitTermination()
+    // continuous reference: the same stream of changes with NO swap
+    new java.io.File(cont).mkdirs()
+    new java.io.File(gen1).listFiles().filter(_.getName.endsWith(".jsonl"))
+      .foreach(f => Files.copy(f.toPath, Paths.get(cont, f.getName)))
+    Files.write(Paths.get(cont, "0000000003.jsonl"), rollB.getBytes("UTF-8"))
+    CdcPipeline.startV2(spark, cont, outC, ckC, cfg).awaitTermination()
+    val swap = spark.read.text(out1).collect().map(_.getString(0)) ++
+      spark.read.text(out2).collect().map(_.getString(0))
+    val ref = spark.read.text(outC).collect().map(_.getString(0))
+    assert(swap.toSet == ref.toSet,
+      "swapped-generation tail must deliver exactly the continuous " +
+        "tail's record set — nothing lost, nothing foreign")
+    val frontierSize = new java.io.File(gen2).listFiles()
+      .filter(_.getName.endsWith(".jsonl")).filter(_.getName.contains("compacted"))
+      .map(f => Files.readAllLines(f.toPath).size).sum
+    assert(swap.length == ref.length + frontierSize,
+      s"re-delivery must be exactly the generation-2 frontier " +
+        s"($frontierSize lines): got ${swap.length} vs ${ref.length}")
+    // the design forbids IN-PLACE swaps precisely because a checkpointed
+    // reader would mix generations: simulate one and prove the offset's
+    // boundary/membership witness refuses to read on
+    new java.io.File(gen1).listFiles()
+      .filter(f => f.getName.endsWith(".jsonl") || f.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    new java.io.File(gen2).listFiles().filter(_.getName.endsWith(".jsonl"))
+      .foreach(f => Files.copy(f.toPath, Paths.get(gen1, f.getName)))
+    Files.write(Paths.get(gen1, "0000000004.jsonl"),
+      rollA.getBytes("UTF-8")) // fresh data so a batch actually plans
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CdcPipeline.startV2(spark, gen1, out1, ck1, cfg).awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("graft-cdc")),
+      s"stale checkpoint over a swapped directory must fail loud: $e")
+  }
+
   test("compacted prefix sorts before new log rolls; existing output " +
     "refused") {
     val in = tmpDir("compact-roll-in")
