@@ -672,16 +672,25 @@ object Cdc {
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
         .start().awaitTermination()
     }
-    // generation 1: even transactions' events + every END record
-    copyStaged(s, s"$staged/gen1_ev", evDir, "g1")
-    copyStaged(s, s"$staged/gen1_mt", mtDir, "g1")
-    run()
-    // generation 2 lands while the stream is DOWN: odd transactions'
-    // events, plus a replay of some generation-1 events as NEW files
-    // (at-least-once transport) — released state must suppress them
-    copyStaged(s, s"$staged/gen2_ev", evDir, "g2")
-    copyStaged(s, s"$staged/gen2_replay", evDir, "g2r")
-    run()
+    // state-store partitions sized to the state (hundreds of open
+    // txns), not the session's scan parallelism: every micro-batch
+    // commits one delta file PER state partition, so 32 stores are
+    // pure fixed IO here. At production volume this knob scales back
+    // up with transaction cardinality — a config, not a plan change.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      // generation 1: even transactions' events + every END record
+      copyStaged(s, s"$staged/gen1_ev", evDir, "g1")
+      copyStaged(s, s"$staged/gen1_mt", mtDir, "g1")
+      run()
+      // generation 2 lands while the stream is DOWN: odd transactions'
+      // events, plus a replay of some generation-1 events as NEW files
+      // (at-least-once transport) — released state must suppress them
+      copyStaged(s, s"$staged/gen2_ev", evDir, "g2")
+      copyStaged(s, s"$staged/gen2_replay", evDir, "g2r")
+      run()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .select(get_json_object(col("value"), "$.after.id")
         .cast("int").as("id"), col("lsn"))
@@ -766,17 +775,24 @@ object Cdc {
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
         .start().awaitTermination()
     }
-    // generation 1: every arriving event + every END, all at FixedTs —
-    // complete transactions release here; torn/END-less ones buffer
-    copyStaged(s, s"$staged/gen1_ev", evDir, "g1")
-    copyStaged(s, s"$staged/gen1_mt", mtDir, "g1")
-    run()
-    // generation 2 after restart: one advancer event a day ahead; the
-    // watermark passes every horizon and the no-data batch evicts.
-    // The advancer's own transaction (tx = -1) stays open — it must
-    // not leak into the output.
-    copyStaged(s, s"$staged/gen2_adv", evDir, "g2")
-    run()
+    // state partitions sized to state volume (see qCdcTxnStream) —
+    // the eviction run pays timeout scans per store, so oversized
+    // store counts hurt twice here
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      // generation 1: every arriving event + every END, all at FixedTs —
+      // complete transactions release here; torn/END-less ones buffer
+      copyStaged(s, s"$staged/gen1_ev", evDir, "g1")
+      copyStaged(s, s"$staged/gen1_mt", mtDir, "g1")
+      run()
+      // generation 2 after restart: one advancer event a day ahead; the
+      // watermark passes every horizon and the no-data batch evicts.
+      // The advancer's own transaction (tx = -1) stays open — it must
+      // not leak into the output.
+      copyStaged(s, s"$staged/gen2_adv", evDir, "g2")
+      run()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .select(get_json_object(col("value"), "$.after.id")
         .cast("int").as("id"), col("lsn"), col("dead"))
