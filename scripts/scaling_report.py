@@ -13,28 +13,37 @@ import json
 import re
 import sys
 
+REL = "Relational (TPC-H-ish + windows + aggs)"
 FAMILIES = [
     ("CDC (batch + streaming gates)", r"^q_cdc_"),
     ("Dedup (ngram/minhash/simhash/substring/span/embedding)",
-     r"^q_(dedup|simhash|semdedup|corpus_overlap)"),
-    ("ANN / embeddings", r"^q_(ann|embedding|knn)"),
+     r"^q_(dedup_|simhash_|semdedup$|corpus_overlap$)"),
+    ("ANN / embeddings", r"^q_(ann_|embedding_|knn_)"),
     ("Text analysis / BPE / quality",
-     r"^q_(bpe|lang|quality|token|fingerprint|gopher|repetition|oov|lm|"
-     r"classifier|source_scorecard|text|doc_stats|vocab)"),
+     r"^q_(bpe_|lang_id$|quality_|token_counts$|doc_fingerprint$|"
+     r"gopher_rules$|repetition$|oov_rate$|lm_score$|classifier_filter$|"
+     r"source_scorecard$|text_stats$|vocab_stats$|length_buckets$)"),
     ("Events / windows / sessions",
-     r"^q_(events|session|funnel|retention|gap|attribution|range_join|"
-     r"interval|asof|variant)"),
+     r"^q_(events_|gap_fill$|retention_cohorts$|range_join$|"
+     r"interval_overlap$|variant_extract$|dwell_times$|"
+     r"event_patterns$|event_transitions$|rolling_actives$|"
+     r"decayed_engagement$|volume_anomalies$)"),
     ("Curation / packing / splits",
-     r"^q_(contamination|tfidf|pii|sample|sampling|mixture|packing|chunk|"
-     r"split|select_best|weighted)"),
+     r"^q_(contamination$|tfidf_keywords$|redact_pii$|"
+     r"stratified_sample$|data_mixture$|pack_sequences$|"
+     r"chunk_documents$|split_leakage_safe$|train_test_split$|"
+     r"select_best$|weighted_sample$|curation_pipeline$)"),
     ("Sketches / profiling / stats",
-     r"^q_(hll|gk|cms|approx|column_stats|histogram|median|correlation|"
-     r"data_validation|percentile|zscore|winsorize|profile)"),
+     r"^q_(approx_|cms_topk$|sketch_rollup$|histogram_prices$|"
+     r"exact_median$|correlation_stats$|data_validation$|"
+     r"sampled_percentiles$|zscore_outliers$|winsorize$|"
+     r"profile_orders$)"),
     ("Graph / linkage / retrieval",
-     r"^q_(pagerank|components|fuzzy|bm25|hybrid|kmeans|retrieval)"),
-    ("Layout / ordering", r"^q_(zorder|equi_depth|shuffle_shard|global_rank)"),
-    ("Media (multimodal)", r"^q_media"),
-    ("Relational (TPC-H-ish + windows + aggs)", r"."),  # catch-all LAST
+     r"^q_(pagerank$|fuzzy_match$|bm25_topk$|"
+     r"hybrid_search$|kmeans_update$)"),
+    ("Layout / ordering",
+     r"^q_(zorder_curve$|equidepth_bins$|shuffle_shard$)"),
+    ("Media (multimodal)", r"^q_media_"),
 ]
 
 
@@ -42,7 +51,7 @@ def family(name):
     for fam, pat in FAMILIES:
         if re.match(pat, name):
             return fam
-    return "Relational (TPC-H-ish + windows + aggs)"
+    return REL
 
 
 def main(small_path, big_path):

@@ -467,7 +467,12 @@ object JdbcIncremental {
     repairInterruptedCommit(f, dir)
     val next = new Path(dir, "_watermark_next")
     val out = f.create(next, true)
-    try out.write(hi.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // trailing newline = completeness sentinel: a crash mid-write leaves
+    // a PREFIX of the intended bytes, and a decimal prefix still parses
+    // ('12' of '123') — only the sentinel distinguishes a fully-written
+    // marker from a torn one (lastWatermark trims it away on read)
+    try out.write((hi.toString + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val marker = new Path(dir, "_watermark")
     if (f.exists(marker)) f.delete(marker, false)
@@ -482,12 +487,15 @@ object JdbcIncremental {
     * of a fresh commit would truncate it, and a second crash mid-write
     * would then leave BOTH markers unreadable — the log would look
     * uninitialized, disarming the re-snapshot/re-init guards. So before
-    * any overwrite: if `_watermark` is absent and `_watermark_next`
-    * parses, promote it with the same atomic rename the commit uses
-    * (either the repair completes or the old state persists — no new
-    * torn state is reachable). A next that does NOT parse with no
-    * current marker can only be a crashed FIRST commit, where
-    * uninitialized is the correct answer and the overwrite is safe.
+    * any overwrite: if `_watermark` is absent and `_watermark_next` is
+    * COMPLETE (newline sentinel present + parses — a torn write is a
+    * byte prefix, and a decimal prefix like '12' of '123' would parse,
+    * so parseability alone cannot prove completeness), promote it with
+    * the same atomic rename the commit uses (either the repair
+    * completes or the old state persists — no new torn state is
+    * reachable). An incomplete next with no current marker can only be
+    * a crashed FIRST commit, where uninitialized is the correct answer
+    * and the overwrite is safe.
     */
   private[graft] def repairInterruptedCommit(f: FileSystem,
       dir: Path): Unit = {
@@ -495,12 +503,18 @@ object JdbcIncremental {
     val marker = new Path(dir, "_watermark")
     if (!f.exists(marker) && f.exists(next)) {
       val in = f.open(next)
-      val text =
+      val raw =
         try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+          java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      if (scala.util.Try(text.toLong).isSuccess &&
-          !f.rename(next, marker))
+      // promote only a COMPLETE marker: it must carry the newline
+      // sentinel (a torn write is a byte prefix, and a decimal prefix
+      // of the intended value would still parse — promoting it would
+      // fabricate a never-committed watermark on a crashed FIRST
+      // commit) and parse as a long
+      val complete = raw.endsWith("\n") &&
+        scala.util.Try(raw.trim.toLong).isSuccess
+      if (complete && !f.rename(next, marker))
         throw new java.io.IOException(
           s"JdbcIncremental: watermark repair rename failed in $dir")
     }

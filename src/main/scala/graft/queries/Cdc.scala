@@ -131,6 +131,55 @@ object Cdc {
     * cheap file copies. Verify calls each gate once, so its behavior and
     * output are unchanged.
     */
+  /** Bump when the staged txn fixture RECIPE changes (slices, envelope
+    * shape, timestamps). The version is part of the staged directory
+    * name, so a stale directory from an earlier code version — reachable
+    * when the OS recycles a pid into gateTmpDir's JVM key — can never be
+    * silently trusted: a version bump lands in a fresh path, and
+    * same-version collisions are safe because the fixture is
+    * deterministic (identical bytes either way).
+    */
+  private val StagedFixtureVersion = 2
+
+  /** The transactional-update fixture BOTH streaming txn gates stage
+    * (one recipe, so the gates and their oracles can never drift apart):
+    * update envelopes for id%3=0 in transactions of ≤10 rows
+    * (tx = id div 30 + 1), arriving only when id%33≠0 (torn members),
+    * END metadata only for tx%5≠0 (END-less transactions), everything
+    * stamped at [[FixedTs]]. Returns (events, meta); events carry
+    * (tx, lsn, value, ts) — a gate whose stream schema omits `ts`
+    * simply never reads the column. The events frame is
+    * localCheckpoint'd (multiple slice writes consume it); the caller
+    * frees it after its last write.
+    */
+  private def txnFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      col("c_name").as("name"))
+    val updFull = cust.filter(col("id") % 3 === 0)
+      .withColumn("name", upper(col("name")))
+    val txOf = expr("id div 30") + 1L
+    // producer: the same envelope lines the batch gate parses; the
+    // stream consumer re-derives tx/lsn from the raw line (its honest
+    // input), so byte passthrough sits inside the gates too
+    val envelopes = CdcSource.changes(
+      updFull.filter(col("id") % 33 =!= 0), "u", "inventory", "public",
+      "customers", col("id") + 10000000L, fixedTsMs = Some(FixedTs),
+      txId = Some(txOf))
+    val ev = envelopes.select(
+      get_json_object(col("value"), "$.source.txId").cast("long").as("tx"),
+      get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
+      col("value"),
+      timestamp_millis(lit(FixedTs)).as("ts"))
+      .localCheckpoint()
+    val meta = updFull.select(txOf.as("tx"))
+      .groupBy(col("tx")).agg(count(lit(1)).cast("int").as("expected"))
+      .filter(col("tx") % 5 =!= 0)
+      .withColumn("ts", timestamp_millis(lit(FixedTs)))
+    (ev, meta)
+  }
+
   private def stageOnce(s: SparkSession, stagedBase: String)(
       build: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(stagedBase)
@@ -622,37 +671,15 @@ object Cdc {
   def qCdcTxnStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val base = gateTmpDir("graft_txn_stream", d)
-    val staged = gateTmpDir("graft_txn_stream_staged", d)
+    val staged =
+      gateTmpDir(s"graft_txn_stream_staged_v$StagedFixtureVersion", d)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val (evDir, mtDir, outDir, ck) =
       (s"$base/ev", s"$base/mt", s"$base/out", s"$base/ck")
     stageOnce(s, staged) { st =>
-      val cust = Tables.customer(s, d).select(
-        col("c_custkey").cast("int").as("id"),
-        col("c_name").as("name"))
-      val updFull = cust.filter(col("id") % 3 === 0)
-        .withColumn("name", upper(col("name")))
-      val txOf = expr("id div 30") + 1L
-      // producer: the same envelope lines the batch gate parses; the
-      // stream consumer re-derives tx/lsn from the raw line (its honest
-      // input), so byte passthrough sits inside the gate too
-      val envelopes = CdcSource.changes(
-        updFull.filter(col("id") % 33 =!= 0), "u", "inventory", "public",
-        "customers", col("id") + 10000000L, fixedTsMs = Some(FixedTs),
-        txId = Some(txOf))
-      val ev = envelopes.select(
-        get_json_object(col("value"), "$.source.txId").cast("long").as("tx"),
-        get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
-        col("value"))
-        // three writes consume this frame (gen-1 evens, gen-2 odds, the
-        // replay slice); without materialization each re-runs the
-        // envelope serialize + JSON re-parse from the base table
-        .localCheckpoint()
-      val meta = updFull.select(txOf.as("tx"))
-        .groupBy(col("tx")).agg(count(lit(1)).cast("int").as("expected"))
-        .filter(col("tx") % 5 =!= 0)
+      val (ev, meta) = txnFixture(s, d)
       ev.filter(col("tx") % 2 === 0).write.parquet(s"$st/gen1_ev")
       meta.write.parquet(s"$st/gen1_mt")
       ev.filter(col("tx") % 2 =!= 0).write.parquet(s"$st/gen2_ev")
@@ -727,34 +754,18 @@ object Cdc {
   def qCdcTxnEvict(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val base = gateTmpDir("graft_txn_evict", d)
-    val staged = gateTmpDir("graft_txn_evict_staged", d)
+    val staged =
+      gateTmpDir(s"graft_txn_evict_staged_v$StagedFixtureVersion", d)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val (evDir, mtDir, outDir, ck) =
       (s"$base/ev", s"$base/mt", s"$base/out", s"$base/ck")
     stageOnce(s, staged) { st =>
-      val cust = Tables.customer(s, d).select(
-        col("c_custkey").cast("int").as("id"),
-        col("c_name").as("name"))
-      val updFull = cust.filter(col("id") % 3 === 0)
-        .withColumn("name", upper(col("name")))
-      val txOf = expr("id div 30") + 1L
-      val envelopes = CdcSource.changes(
-        updFull.filter(col("id") % 33 =!= 0), "u", "inventory", "public",
-        "customers", col("id") + 10000000L, fixedTsMs = Some(FixedTs),
-        txId = Some(txOf))
-      val ev = envelopes.select(
-        get_json_object(col("value"), "$.source.txId").cast("long").as("tx"),
-        get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
-        col("value"),
-        timestamp_millis(lit(FixedTs)).as("ts"))
-      val meta = updFull.select(txOf.as("tx"))
-        .groupBy(col("tx")).agg(count(lit(1)).cast("int").as("expected"))
-        .filter(col("tx") % 5 =!= 0)
-        .withColumn("ts", timestamp_millis(lit(FixedTs)))
+      val (ev, meta) = txnFixture(s, d)
       ev.write.parquet(s"$st/gen1_ev")
       meta.write.parquet(s"$st/gen1_mt")
+      graft.cdc.JdbcIncremental.freeLocalCheckpoint(ev)
       import s.implicits._
       Seq(graft.streaming.TxnEventTs(-1L, 0L, "",
         new java.sql.Timestamp(FixedTs + 86400000L))).toDS()

@@ -40,9 +40,13 @@ final case class TxnVerdict(tx: Long, lsn: Long, value: String,
   * (keyed by lsn — at-least-once transports replay events, and a
   * duplicate must not inflate the completeness count), and whether the
   * transaction already released (so replays after release emit nothing).
+  * `seenTs` (evicting mode only) is the max event time ever observed
+  * for this transaction: the horizon is measured from the TRUE last
+  * piece, so a replayed-only batch (stale timestamps) can never pull
+  * the eviction timeout backward and shrink the horizon.
   */
 final case class TxnState(expected: Option[Int],
-    buffered: Map[Long, String], released: Boolean)
+    buffered: Map[Long, String], released: Boolean, seenTs: Long = 0L)
 
 /** Streaming twin of `q_cdc_txn_consistent`: release change events to
   * downstream consumers only in whole transactions. Events buffer in
@@ -135,33 +139,36 @@ object TxnConsistentStream {
         .map { case (lsn, v) => TxnVerdict(tx, lsn, v, dead = true) }
     } else {
       val st = state.getOption.getOrElse(TxnState(None, Map.empty, false))
-      var maxTs = 0L
+      var maxTs = st.seenTs
       var expected = st.expected
       var buf = st.buffered
-      var any = false
       it.foreach { r =>
-        any = true
         if (r.ts != null) maxTs = math.max(maxTs, r.ts.getTime)
         if (!st.released) {
           if (r.kind == "m") expected = Some(r.expected)
           else buf = buf.updated(r.lsn, r.value)
         }
       }
-      // EventTimeTimeout requires the arm point to sit beyond the
-      // current watermark; a replayed-only batch can carry event times
-      // at or below it
-      val wm = state.getCurrentWatermarkMs()
-      if (any) state.setTimeoutTimestamp(math.max(maxTs, wm + 1) + horizonMs)
       if (st.released) {
-        Iterator.empty
+        // keep the tombstone (and its horizon clock) alive; persist the
+        // advanced seenTs so the next arm stays monotone
+        state.update(st.copy(seenTs = maxTs))
       } else if (expected.contains(buf.size)) {
-        state.update(TxnState(expected, Map.empty, released = true))
-        buf.toSeq.sortBy(_._1).iterator
-          .map { case (lsn, v) => TxnVerdict(tx, lsn, v, dead = false) }
+        state.update(TxnState(expected, Map.empty, released = true, maxTs))
       } else {
-        state.update(TxnState(expected, buf, released = false))
-        Iterator.empty
+        state.update(TxnState(expected, buf, released = false, maxTs))
       }
+      // Arm from the transaction's LAST piece ever seen (seenTs), not
+      // this batch's max: a replayed-only batch carries stale times and
+      // must not pull the timeout backward. Both arguments of the max
+      // are monotone across batches (seenTs by construction, the
+      // watermark by definition — EventTimeTimeout also requires the
+      // arm point beyond it), so the arm itself is monotone.
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(maxTs, wm + 1) + horizonMs)
+      if (st.released || !state.get.released) Iterator.empty
+      else buf.toSeq.sortBy(_._1).iterator
+        .map { case (lsn, v) => TxnVerdict(tx, lsn, v, dead = false) }
     }
   }
 

@@ -122,6 +122,16 @@ class TxnEvictionSpec extends SparkSpec {
     assert(out3.isEmpty, "replay to a live tombstone emits nothing")
     assert(s3.getTimeoutTimestampMs.get() == 500001L + 60000L,
       "timeout re-arms beyond the watermark")
+    // a replayed-only batch (stale ts, low watermark) must not pull an
+    // existing horizon backward: the arm comes from seenTs, the max
+    // event time EVER observed for the transaction
+    val s3b = state(Some(TxnState(Some(3), Map(1L -> "a"),
+      released = false, seenTs = 1000000L)), timedOut = false, wmMs = 0L)
+    val out3b = f(7L, Iterator(TxnTaggedTs(7, "e", 1, -1, "a",
+      new Timestamp(100L))), s3b).toSeq
+    assert(out3b.isEmpty)
+    assert(s3b.getTimeoutTimestampMs.get() == 1000000L + 60000L,
+      "replay must not shrink the horizon measured from the true last piece")
     // and a release through the evicting path tags dead = false
     val s4 = state(None, timedOut = false)
     val out4 = f(8L, Iterator(
