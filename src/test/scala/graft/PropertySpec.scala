@@ -388,6 +388,82 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: evicting txn release — every arrived event emits " +
+    "exactly once, whole, released XOR dead-lettered, under any " +
+    "batching, duplication, and event-time jitter") {
+    import graft.streaming.{TxnConsistentStream, TxnState, TxnTaggedTs, TxnVerdict}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val H = 60000L
+    val T0 = 1700000000000L
+    def freshState(prev: Option[TxnState], wm: Long, timedOut: Boolean) =
+      org.apache.spark.sql.streaming.TestGroupState.create[TxnState](
+        org.apache.spark.api.java.Optional.fromNullable(prev.orNull),
+        GroupStateTimeout.EventTimeTimeout(), 0L,
+        org.apache.spark.api.java.Optional.of(wm),
+        hasTimedOut = timedOut)
+    val f = TxnConsistentStream.releaseOrEvictTxn(H) _
+    val txGen = for {
+      n <- Gen.choose(1, 5)
+      hasEnd <- Gen.oneOf(true, false)
+      drop <- Gen.choose(0, 1)
+      cuts <- Gen.choose(1, 3)
+      dupIdx <- Gen.choose(0, 9)
+      jit <- Gen.listOfN(6, Gen.choose(0L, 2 * H))
+    } yield (n, hasEnd, drop, cuts, dupIdx, jit)
+    forSamples(Gen.listOfN(6, txGen), n = 6) { txs =>
+      txs.zipWithIndex.foreach {
+        case ((n, hasEnd, drop, cuts, dupIdx, jit), t) =>
+          def ts(l: Int) = new java.sql.Timestamp(T0 + jit(l % jit.size))
+          val events = (1 to n - drop).map(l =>
+            TxnTaggedTs(t, "e", l.toLong, -1, s"v$l", ts(l))).toList
+          val meta =
+            if (hasEnd) List(TxnTaggedTs(t, "m", 0, n, "", ts(0))) else Nil
+          val records = new scala.util.Random(42L + t).shuffle(events ++ meta)
+          val size = math.max(1, records.size / cuts)
+          val batches0 = records.grouped(size).toList
+          val batches =
+            if (records.isEmpty) batches0
+            else batches0.init :+ (batches0.last :+
+              records(dupIdx % records.size))
+          var st: Option[TxnState] = None
+          var arm: Option[Long] = None
+          var wm = 0L
+          val emitted = scala.collection.mutable.ListBuffer.empty[TxnVerdict]
+          batches.foreach { b =>
+            val gs = freshState(st, wm, timedOut = false)
+            emitted ++= f(t.toLong, b.iterator, gs)
+            st = gs.getOption
+            if (gs.getTimeoutTimestampMs.isPresent)
+              arm = Some(gs.getTimeoutTimestampMs.get())
+            // watermark trails the max event time seen so far
+            wm = math.max(wm,
+              b.flatMap(r => Option(r.ts)).map(_.getTime - 1000L)
+                .maxOption.getOrElse(wm))
+          }
+          // end of stream: the watermark eventually passes every horizon
+          wm = T0 + 10 * H + jit.max
+          if (st.isDefined && arm.exists(_ <= wm)) {
+            val gs = freshState(st, wm, timedOut = true)
+            emitted ++= f(t.toLong, Iterator.empty, gs)
+            st = gs.getOption
+            assert(st.isEmpty, "timed-out state must be removed")
+          }
+          val complete = hasEnd && drop == 0
+          if (complete) {
+            assert(emitted.toList == (1 to n).map(l =>
+              TxnVerdict(t, l, s"v$l", dead = false)).toList,
+              s"txn $t ($n,$hasEnd,$drop,$cuts): complete txn must " +
+                s"release whole, once, in lsn order: $emitted")
+          } else {
+            assert(emitted.toList == events.sortBy(_.lsn).map(e =>
+              TxnVerdict(t, e.lsn, e.value, dead = true)),
+              s"txn $t ($n,$hasEnd,$drop,$cuts): incomplete txn must " +
+                s"dead-letter exactly its arrived events: $emitted")
+          }
+      }
+    }
+  }
+
   test("property: bucketed interval overlap ≡ naive quadratic join, " +
     "including negative times and zero-length intervals") {
     import spark.implicits._
