@@ -58,7 +58,93 @@ object Linkage {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** q-gram width for the prefix-filtered variant. */
+  val QGram = 3
+
+  /** Prefix length for the ED-Join filter: k edits destroy at most k·q
+    * q-gram occurrences, so two strings at edit distance ≤ k must share
+    * a q-gram within their first k·q+1 occurrences under ONE global
+    * (rarity, gram, position) order — the prefix. Names shorter than
+    * the prefix keep all their q-grams (the bound still holds).
+    */
+  val EdPrefixLen = MaxEdit * QGram + 1
+
+  /** Fuzzy match WITHOUT the blocking recall loss — the 100 TB path the
+    * scaledoc promised for [[qFuzzyMatch]]'s blocks (whose SIZE grows
+    * n/|key vocab| — fine at these SFs, quadratic at petabyte scale).
+    * ED-Join-style q-gram prefix filtering (Xiao et al. 2008, public
+    * algorithm): each name contributes only its [[EdPrefixLen]] RAREST
+    * q-gram occurrences (global (df, gram, position) order) to the
+    * candidate index, so hot grams ("brushed", brand adjectives) fall
+    * outside prefixes and candidate buckets stay near-constant; a
+    * length band (|len(a)−len(b)| ≤ k) prunes the rest, and the banded
+    * `levenshtein(a, b, k)` verify is exact. Within-brand contract like
+    * the blocked gate, but recall is now bounded ONLY by edit distance
+    * — the lossless-by-theorem filter, hash-checked against a plain
+    * quadratic oracle (any pair the prefix filter missed would break
+    * the hash).
+    *
+    * Scale shape: one q-gram explode (≈ name length per row), one df
+    * rollup, one per-key sort for the prefix, an equi-join on
+    * (brand, gram) over prefix occurrences only, then the banded verify
+    * on distinct candidate pairs. No all-pairs, no block whose pair
+    * count grows with the corpus.
+    */
+  def qFuzzyMatchQgram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        length(col("p_name")).as("len"))
+      // feeds the q-gram index AND both sides of the verify join
+      .localCheckpoint()
+    val grams = p.select(col("p_partkey"), col("p_brand"), col("len"),
+      posexplode(expr(
+        s"transform(sequence(1, len - ${QGram - 1}), " +
+          s"i -> substring(p_name, i, $QGram))")).as(Seq("pos", "gram")))
+    val dfTab = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val rk = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("df"), col("gram"), col("pos"))
+    val prefix = grams.join(dfTab, "gram")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= EdPrefixLen)
+      .select(col("p_partkey"), col("p_brand"), col("len"), col("gram"))
+      // both sides of the candidate self-join consume this frame
+      .localCheckpoint()
+    val cands = prefix.select(col("p_brand"), col("gram"),
+        col("p_partkey").as("part_a"), col("len").as("la"))
+      .join(prefix.select(col("p_brand"), col("gram"),
+        col("p_partkey").as("part_b"), col("len").as("lb")),
+        Seq("p_brand", "gram"))
+      .filter(col("part_a") < col("part_b") &&
+        abs(col("la") - col("lb")) <= MaxEdit)
+      .select(col("part_a"), col("part_b")).distinct()
+    cands
+      .join(p.select(col("p_partkey").as("part_a"),
+        col("p_name").as("name_a")), "part_a")
+      .join(p.select(col("p_partkey").as("part_b"),
+        col("p_name").as("name_b"), col("p_brand")), "part_b")
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b"), MaxEdit))
+      .filter(col("edit_dist") >= 1)
+      .select(col("part_a"), col("part_b"), col("p_brand"),
+        col("name_a"), col("name_b"), col("edit_dist"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // plain quadratic within brand + length band: the ORACLE pays the
+    // all-pairs cost so losslessness of the Spark side's prefix filter
+    // sits inside the hash gate (a missed pair breaks the compare)
+    "q_fuzzy_match_qgram" ->
+      s"""WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+         |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+         |  a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+         |FROM p a JOIN p b
+         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         | AND abs(length(a.p_name) - length(b.p_name)) <= $MaxEdit
+         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $MaxEdit
+         |ORDER BY part_a, part_b""".stripMargin,
     "q_fuzzy_match" ->
       s"""WITH p AS (SELECT p_partkey, p_name, p_brand,
          |  string_split(p_name, ' ')[-1] AS blk_tok FROM part)
@@ -73,6 +159,7 @@ object Linkage {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fuzzy_match" -> (qFuzzyMatch _)
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_fuzzy_match_qgram" -> (qFuzzyMatchQgram _)
   )
 }

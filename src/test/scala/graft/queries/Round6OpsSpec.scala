@@ -3,7 +3,8 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Round-6 operators: BPE fixpoint apply. The gate's corpus shows zero
+/** Round-6 operators: BPE fixpoint apply + q-gram prefix-filtered fuzzy
+  * match. The gate's corpus shows zero
   * single-pass/fixpoint divergence (measured, in-gate) — so this spec
   * proves the machinery on an ADVERSARIAL corpus where the deviation
   * must fire: words made of immediately repeated pairs, where the
@@ -48,5 +49,56 @@ class Round6OpsSpec extends SparkSpec {
     val real = TextAnalysis.qBpeEncodeFixpoint(spark, "/root/testdata/sf0.001")
       .collect()
     assert(real.forall(_.getAs[Boolean]("all_converged")))
+  }
+
+  test("qgram fuzzy match == brute quadratic on adversarial names: " +
+    "word-boundary edits, duplicates-of-rare-grams, hot shared grams, " +
+    "length skews") {
+    import spark.implicits._
+    val dir = tmpDir("fuzzy-qgram")
+    // every string pair within a brand is a potential near-match; cases:
+    // 1-char substitution/deletion/insertion at word boundaries, names
+    // sharing ONLY hot q-grams (must not match), distance-3 lookalikes
+    // (must not match), identical names (distance 0 — excluded), and a
+    // name shorter than the 7-gram prefix length
+    val names = Seq(
+      "linen azure brushed tomato steel",
+      "linen azure brushed tomato steel",     // exact dup (ed 0, excluded)
+      "linen azure brushed tomato steal",     // sub at tail word
+      "linen azure brushed tomato stee",      // deletion
+      "linen azure brushed tomato steels",    // insertion
+      "line azure brushed tomato steel",      // deletion in FIRST word
+      "linen azure crushed tomato steel",     // sub mid-name
+      "litmus azure brushed tomato steel",    // ed 3 from row 0 — no match
+      "navy mint brushed rose steel",         // shares hot grams only
+      "navy mint brushed rose stee1",         // ed 1 of previous
+      "ab cdefgh",                            // short name (< prefix len)
+      "ab cdefgi",                            // ed 1 of short name
+      "wholly unrelated spring chiffon")
+    val rows = names.zipWithIndex.map { case (n, i) =>
+      (i.toLong, n, s"Brand#${i % 2 + 1}") }
+    rows.toDF("p_partkey", "p_name", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Linkage.qFuzzyMatchQgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(5))).toSet
+    // brute reference: full quadratic within brand, unit-cost edit
+    // distance, band [1, MaxEdit]
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._3 == b._3
+      ed = lev(a._2, b._2) if ed >= 1 && ed <= Linkage.MaxEdit
+    } yield (a._1, b._1, ed)).toSet
+    assert(got == want,
+      s"prefix filter must be lossless and verify exact:\n got=$got\nwant=$want")
+    assert(want.exists(_._3 == 1) && want.exists(_._3 == 2),
+      "fixture must exercise both edit distances")
   }
 }
