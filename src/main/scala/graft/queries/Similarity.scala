@@ -298,6 +298,113 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization geometry: [[Dim]] = 64 dims split into
+    * [[PqM]] = 4 subspaces of 16; codebook per subspace = the matching
+    * subvectors of [[PqCodewords]] = 4 deterministic codeword vectors
+    * (every 73rd vec_id, capped — the same fixed-count stand-in for an
+    * offline-trained codebook that [[qAnnIvf]]'s pivots use). 4 is a toy
+    * K (production PQ uses 256), but every shape is the real one:
+    * codebook size is O(1) in the corpus by construction.
+    */
+  val PqM = 4
+  val PqSub = Dim / PqM // 16
+  val PqMod = 73
+  val PqCodewords = 4
+  val PqCap: Long = PqMod.toLong * PqCodewords
+
+  /** Subspace-m dot of two 64-dim columns (16 sequential products —
+    * DuckDB twin sums `range(m·16+1, m·16+17)` in the same order).
+    */
+  private def subDot(a: Column, b: Column, m: Int): Column =
+    VectorFunctions.dot(
+      slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub))
+
+  /** Product-quantization ANN (Jégou et al. 2011, public algorithm):
+    * encode every corpus vector as [[PqM]] codebook indices (argmin
+    * subspace L2 per block), then answer queries with ASYMMETRIC
+    * DISTANCE COMPUTATION — per query, a [[PqM]]×[[PqCodewords]] lookup
+    * table of exact subspace distances to every codeword; a corpus
+    * vector's approximate distance is the sum of 4 table lookups, never
+    * a touch of the raw vector. All L2² terms are computed via the dot
+    * identity ‖a−b‖² = a·a + b·b − 2·a·b, so both engines evaluate the
+    * identical double expressions and the gate hash-matches (the
+    * existing sequential-dot parity pattern).
+    *
+    * Scale shape: THE memory move for petabyte ANN — the query-time
+    * working set is codes (4 bytes/vector here, M·log₂K bits in
+    * general), not vectors. Encoding is a narrow scan against the
+    * broadcast codebook folding map-side into per-vector argmins; the
+    * query pass is broadcast(8 LUTs of 16 doubles) × one scan of the
+    * CODES, pure codegen arithmetic, then per-query top-k. No corpus
+    * vector is ever shuffled or re-read at query time.
+    */
+  def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint() // codebook, corpus, and query sides share it
+    // k = dense codebook index in cb_id order; ≤4 rows by construction,
+    // keyed with the metadata-window marker (GlobalRank.metaPartitionKey)
+    // so the "No Partition Defined" warning stays reserved for genuine
+    // data-sized windows
+    val wK = Window
+      .partitionBy(graft.operators.GlobalRank.metaPartitionKey(col("cb_id")))
+      .orderBy(col("cb_id"))
+    val codebook = vecs
+      .filter(col("vec_id") % PqMod === 0 && col("vec_id") < PqCap)
+      .limit(PqCodewords)
+      .select(col("vec_id").as("cb_id"), col("v").as("cv"))
+      .withColumn("k", (row_number().over(wK) - 1).cast("int"))
+      .withColumn("cc", array((0 until PqM).map(m =>
+        subDot(col("cv"), col("cv"), m)): _*))
+    // ENCODE: per (vector, codeword) the per-subspace score
+    // cc_m − 2·v·c (the v·v term is constant within the argmin);
+    // per-vector argmin folds map-side via max_by on (−score, −k)
+    val scored = vecs.crossJoin(broadcast(codebook))
+      .select(col("vec_id") +: (0 until PqM).map(m =>
+        (element_at(col("cc"), m + 1) -
+          lit(2d) * subDot(col("v"), col("cv"), m)).as(s"s$m")) :+
+        col("k"): _*)
+    val codes = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("k"), struct((-col("s0")).as("a"),
+          (-col("k")).as("b"))).as("code0"),
+        max_by(col("k"), struct((-col("s1")).as("a"),
+          (-col("k")).as("b"))).as("code1"),
+        max_by(col("k"), struct((-col("s2")).as("a"),
+          (-col("k")).as("b"))).as("code2"),
+        max_by(col("k"), struct((-col("s3")).as("a"),
+          (-col("k")).as("b"))).as("code3"))
+    // QUERY LUTs: exact subspace distance query↔codeword via the dot
+    // identity, flattened to one 16-slot array per query (slot m·4+k)
+    val luts = vecs.filter(isQuery(col("vec_id"))).limit(MaxQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(codebook))
+      .select(Seq(col("query_id"), col("k")) ++ (0 until PqM).map(m =>
+        (subDot(col("qv"), col("qv"), m) +
+          element_at(col("cc"), m + 1) -
+          lit(2d) * subDot(col("qv"), col("cv"), m)).as(s"l$m")): _*)
+    val lutArr = luts.groupBy(col("query_id"))
+      .agg(array((0 until PqM).flatMap(m => (0 until PqCodewords).map(k =>
+        max(when(col("k") === k, col(s"l$m"))))): _*).as("lut"))
+    // ADC: approximate distance = 4 array lookups summed left-to-right
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes.select(col("vec_id").as("neighbor_id"), col("code0"),
+        col("code1"), col("code2"), col("code3"))
+      .crossJoin(broadcast(lutArr))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist",
+        element_at(col("lut"), col("code0") + 1) +
+          element_at(col("lut"), col("code1") + lit(PqCodewords) + 1) +
+          element_at(col("lut"), col("code2") + lit(2 * PqCodewords) + 1) +
+          element_at(col("lut"), col("code3") + lit(3 * PqCodewords) + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adist") * 10000).cast("long").as("adist_x10000"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** int8 scalar quantization of embeddings (per-vector symmetric absmax
     * — the 4× compression step before vectors ship to an ANN index or
     * cold storage): qᵢ = round(vᵢ·127/max|v|), plus the L1
@@ -494,7 +601,66 @@ object Similarity {
        |blocks AS (SELECT vec_id, CAST($packed AS BIGINT) AS block FROM bits)""".stripMargin
   }
 
+  /** Oracle twin of [[qAnnPq]]: identical dot-identity arithmetic —
+    * subspace dots as ordered 16-term sums, scores `cc − 2·vc`, LUT
+    * entries `(qq + cc) − 2·qc`, ADC as four left-associated adds — so
+    * the doubles are bit-equal and ranks agree.
+    */
+  private def pqOracleSql: String = {
+    def sdot(a: String, b: String, m: Int): String =
+      s"list_aggregate(list_transform(range(${m * PqSub + 1}, " +
+        s"${m * PqSub + PqSub + 1}), i -> $a[i]*$b[i]), 'sum')"
+    val sCols = (0 until PqM).map(m =>
+      s"${sdot("cb.cv", "cb.cv", m)} - 2 * ${sdot("v.v", "cb.cv", m)} " +
+        s"AS s$m").mkString(",\n        ")
+    val cCtes = (0 until PqM).map(m =>
+      s"""c$m AS (SELECT vec_id, k AS code$m FROM (
+         |  SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s$m, k) AS rn FROM e) WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    val lCols = (0 until PqM).map(m =>
+      s"${sdot("q.qv", "q.qv", m)} + ${sdot("cb.cv", "cb.cv", m)} " +
+        s"- 2 * ${sdot("q.qv", "cb.cv", m)} AS l$m").mkString(",\n        ")
+    val encJoin = (1 until PqM).map(m => s"JOIN c$m USING (vec_id)")
+      .mkString(" ")
+    val lutJoins = (1 until PqM).map(m =>
+      s"JOIN l l$m ON l$m.query_id = l0.query_id AND l$m.k = e.code$m")
+      .mkString("\n      ")
+    val adist = (0 until PqM).map(m => s"l$m.l$m").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS cb_id, v AS cv,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k
+       |  FROM v WHERE vec_id % $PqMod = 0 AND vec_id < $PqCap),
+       |e AS (SELECT v.vec_id, cb.k,
+       |        $sCols
+       |      FROM v CROSS JOIN cb),
+       |$cCtes,
+       |enc AS (SELECT vec_id, code0, code1, code2, code3
+       |        FROM c0 $encJoin),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM v
+       |      WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+       |l AS (SELECT q.query_id, cb.k,
+       |        $lCols
+       |      FROM q CROSS JOIN cb),
+       |a AS (SELECT l0.query_id, e.vec_id AS neighbor_id,
+       |        $adist AS adist
+       |      FROM enc e
+       |      JOIN l l0 ON l0.k = e.code0
+       |      $lutJoins
+       |      WHERE e.vec_id <> l0.query_id),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY adist, neighbor_id) AS rank
+       |      FROM a)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  CAST(round(adist * 10000) AS BIGINT) AS adist_x10000
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   private val oracleBase: Map[String, String] = Map(
+    "q_ann_pq" -> pqOracleSql,
     // the K power-iteration rounds unroll as CTE stages (the q_bpe_train
     // pattern); all arithmetic int64 — sums CAST from DuckDB's HUGEINT,
     // sign applied outside the truncating division exactly as the query
@@ -672,6 +838,7 @@ object Similarity {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_embedding_quantize" -> (qEmbeddingQuantize _),
     "q_embedding_pca" -> (qEmbeddingPca _),
     "q_knn_classify" -> (qKnnClassify _),

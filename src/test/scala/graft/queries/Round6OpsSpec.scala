@@ -51,6 +51,49 @@ class Round6OpsSpec extends SparkSpec {
     assert(real.forall(_.getAs[Boolean]("all_converged")))
   }
 
+  test("pq ann: full Scala recompute of encode + ADC matches the gate " +
+    "bit-for-bit; codes cover the codebook; self never ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val vs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cbIds = vs.keys.filter(id =>
+      id % Similarity.PqMod == 0 && id < Similarity.PqCap).toSeq.sorted
+    val cb = cbIds.map(vs)
+    val M = Similarity.PqM; val S = Similarity.PqSub
+    def sdot(a: Array[Double], b: Array[Double], m: Int): Double =
+      (0 until S).foldLeft(0.0)((acc, i) => acc + a(m * S + i) * b(m * S + i))
+    val cc = cb.map(c => (0 until M).map(m => sdot(c, c, m)).toArray)
+    def codesOf(v: Array[Double]): Seq[Int] = (0 until M).map { m =>
+      cbIds.indices.minBy(k => (cc(k)(m) - 2 * sdot(v, cb(k), m), k))
+    }
+    val queries = vs.keys.filter(id =>
+      id % Similarity.QueryMod == 0 && id < Similarity.QueryCap).toSeq.sorted
+    val want = queries.flatMap { q =>
+      val qv = vs(q)
+      val lut = (0 until M).map(m => cbIds.indices.map(k =>
+        sdot(qv, qv, m) + cc(k)(m) - 2 * sdot(qv, cb(k), m)))
+      vs.toSeq.filter(_._1 != q).map { case (id, v) =>
+        val c = codesOf(v)
+        val adist = lut(0)(c(0)) + lut(1)(c(1)) + lut(2)(c(2)) + lut(3)(c(3))
+        (id, adist)
+      }.sortBy { case (id, d) => (d, id) }.take(Similarity.TopK)
+        .zipWithIndex.map { case ((id, d), i) =>
+          (q, id, i + 1, BigDecimal(d * 10000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        }
+    }.toSet
+    val got = Similarity.qAnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"ADC recompute diverges:\n got=${got.toSeq.sorted}" +
+      s"\nwant=${want.toSeq.sorted}")
+    // structural sanity: every codebook index is reachable on this corpus
+    val allCodes = vs.values.flatMap(codesOf).toSet
+    assert(allCodes == cbIds.indices.toSet,
+      s"fixture should exercise the whole codebook: $allCodes")
+  }
+
   test("qgram fuzzy match == brute quadratic on adversarial names: " +
     "word-boundary edits, duplicates-of-rare-grams, hot shared grams, " +
     "length skews") {
