@@ -29,7 +29,8 @@ object Bench {
     // instead of recomputing. Verify never seeds, so the gates stay
     // independent.
     val memoTwins = Set("q_dedup_ngram", "q_dedup_minhash",
-      "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_bpe_train")
+      "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
+      "q_bpe_train")
     def once(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
