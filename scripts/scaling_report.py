@@ -39,7 +39,7 @@ FAMILIES = [
      r"sampled_percentiles$|zscore_outliers$|winsorize$|"
      r"profile_orders$)"),
     ("Graph / linkage / retrieval",
-     r"^q_(pagerank$|fuzzy_match$|bm25_topk$|"
+     r"^q_(pagerank$|fuzzy_match|bm25_topk$|"
      r"hybrid_search$|kmeans_update$)"),
     ("Layout / ordering",
      r"^q_(zorder_curve$|equidepth_bins$|shuffle_shard$)"),
