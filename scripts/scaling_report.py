@@ -63,7 +63,8 @@ def main(small_path, big_path):
         fams.setdefault(family(n), []).append(n)
     print("# SCALING — measured sf0.01 → sf0.1 growth per operator family")
     print()
-    print("Same code, same local[32] host, full 145-query Bench at both")
+    print(f"Same code, same local[32] host, full {len(names)}-query Bench"
+          " at both")
     print("scale factors (committed artifacts `BENCH_SF001.json` /")
     print("`BENCH_SF01.json`). Data grows 10×; a scan/shuffle-bound family")
     print("growing ≪10× is using the parallel slack of 32 cores; ≈1× means")

@@ -62,12 +62,26 @@ object Linkage {
   val QGram = 3
 
   /** Prefix length for the ED-Join filter: k edits destroy at most k·q
-    * q-gram occurrences, so two strings at edit distance ≤ k must share
-    * a q-gram within their first k·q+1 occurrences under ONE global
-    * (rarity, gram, position) order — the prefix. Names shorter than
-    * the prefix keep all their q-grams (the bound still holds).
+    * q-gram occurrences, so two strings at edit distance ≤ k — EACH
+    * having MORE than k·q q-grams, i.e. length > (k+1)·q − 1 — must
+    * share a q-gram within their first k·q+1 occurrences under ONE
+    * global (rarity, gram, position) order: the prefix. Shorter strings
+    * get no such guarantee (an ed-2 pair of 5-char names can share zero
+    * 3-grams), so they take the [[ShortLen]] fallback path instead.
     */
   val EdPrefixLen = MaxEdit * QGram + 1
+
+  /** Short-string regime: a name with ≤ k·q q-grams (length ≤
+    * (k+1)·q − 1 = 8) may share no gram with an ed-≤k partner, and the
+    * length band then caps that partner at [[ShortLen]] = 8 + k = 10
+    * chars. Pairs where BOTH sides are ≤ [[ShortLen]] are enumerated
+    * directly within brand — covering every pair with a sub-9-char
+    * side, while pairs of two ≥9-char names keep the theorem. The
+    * short class is length-bounded (≤ |Σ|^10 distinct values, in
+    * practice a tiny fixed vocabulary), so its per-brand block is O(1)
+    * in the corpus — the same special-casing production ed-joins ship.
+    */
+  val ShortLen = (MaxEdit + 1) * QGram - 1 + MaxEdit // 10
 
   /** Fuzzy match WITHOUT the blocking recall loss — the 100 TB path the
     * scaledoc promised for [[qFuzzyMatch]]'s blocks (whose SIZE grows
@@ -79,10 +93,11 @@ object Linkage {
     * outside prefixes and candidate buckets stay near-constant; a
     * length band (|len(a)−len(b)| ≤ k) prunes the rest, and the banded
     * `levenshtein(a, b, k)` verify is exact. Within-brand contract like
-    * the blocked gate, but recall is now bounded ONLY by edit distance
-    * — the lossless-by-theorem filter, hash-checked against a plain
-    * quadratic oracle (any pair the prefix filter missed would break
-    * the hash).
+    * the blocked gate, but recall is now bounded ONLY by edit distance:
+    * the prefix theorem covers every pair of names longer than
+    * (k+1)·q−1 chars, and the [[ShortLen]] direct fallback covers the
+    * rest — together lossless, hash-checked against a plain quadratic
+    * oracle (any missed pair would break the hash).
     *
     * Scale shape: one q-gram explode (≈ name length per row), one df
     * rollup, one per-key sort for the prefix, an equi-join on
@@ -97,10 +112,14 @@ object Linkage {
         length(col("p_name")).as("len"))
       // feeds the q-gram index AND both sides of the verify join
       .localCheckpoint()
-    val grams = p.select(col("p_partkey"), col("p_brand"), col("len"),
-      posexplode(expr(
-        s"transform(sequence(1, len - ${QGram - 1}), " +
-          s"i -> substring(p_name, i, $QGram))")).as(Seq("pos", "gram")))
+    // len ≥ QGram guard: sequence(1, len-2) runs DESCENDING for len < 3
+    // and would fabricate bogus grams; gram-less names are covered by
+    // the short-pair fallback below anyway
+    val grams = p.filter(col("len") >= QGram)
+      .select(col("p_partkey"), col("p_brand"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, len - ${QGram - 1}), " +
+            s"i -> substring(p_name, i, $QGram))")).as(Seq("pos", "gram")))
     val dfTab = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val rk = Window.partitionBy(col("p_partkey"))
       .orderBy(col("df"), col("gram"), col("pos"))
@@ -110,14 +129,29 @@ object Linkage {
       .select(col("p_partkey"), col("p_brand"), col("len"), col("gram"))
       // both sides of the candidate self-join consume this frame
       .localCheckpoint()
-    val cands = prefix.select(col("p_brand"), col("gram"),
+    val prefixCands = prefix.select(col("p_brand"), col("gram"),
         col("p_partkey").as("part_a"), col("len").as("la"))
       .join(prefix.select(col("p_brand"), col("gram"),
         col("p_partkey").as("part_b"), col("len").as("lb")),
         Seq("p_brand", "gram"))
       .filter(col("part_a") < col("part_b") &&
         abs(col("la") - col("lb")) <= MaxEdit)
-      .select(col("part_a"), col("part_b")).distinct()
+      .select(col("part_a"), col("part_b"))
+    // the short-string fallback: pairs where BOTH sides are ≤ ShortLen
+    // chars enumerate directly within brand — the regime the prefix
+    // theorem doesn't cover (every pair with a sub-9-char side lands
+    // here via the length band); the short class is length-bounded, so
+    // its per-brand block is O(1) in the corpus
+    val shorts = p.filter(col("len") <= ShortLen)
+      .select(col("p_brand"), col("p_partkey"), col("len"))
+    val shortCands = shorts.select(col("p_brand"),
+        col("p_partkey").as("part_a"), col("len").as("la"))
+      .join(shorts.select(col("p_brand"),
+        col("p_partkey").as("part_b"), col("len").as("lb")), Seq("p_brand"))
+      .filter(col("part_a") < col("part_b") &&
+        abs(col("la") - col("lb")) <= MaxEdit)
+      .select(col("part_a"), col("part_b"))
+    val cands = prefixCands.unionByName(shortCands).distinct()
     cands
       .join(p.select(col("p_partkey").as("part_a"),
         col("p_name").as("name_a")), "part_a")

@@ -132,14 +132,14 @@ object Similarity {
   }
 
   /** ANN recall evaluation — the QA loop an ANN library ships with: for
-    * each query, recall@[[TopK]] of the LSH and IVF approximate paths
-    * against the brute-force ground truth. Scale shape: all three inputs
-    * are already per-query top-k frames (O(queries × k) rows), so the
-    * semi-joins and aggregates here are tiny regardless of corpus size —
-    * the cost is the three underlying searches themselves.
+    * each query, recall@[[TopK]] of the LSH, IVF, and PQ approximate
+    * paths against the brute-force ground truth. Scale shape: all four
+    * inputs are already per-query top-k frames (O(queries × k) rows),
+    * so the semi-joins and aggregates here are tiny regardless of
+    * corpus size — the cost is the four underlying searches themselves.
     */
   def qAnnRecall(s: SparkSession, d: String): DataFrame = {
-    // suite runs (Bench) seed QueryMemo with the three searches'
+    // suite runs (Bench) seed QueryMemo with the four searches'
     // materialized top-k frames; the gate path finds it empty and
     // recomputes — gate independence is structural
     def twin(name: String, build: => DataFrame): DataFrame =

@@ -428,37 +428,75 @@ class PropertySpec extends SparkSpec {
           var st: Option[TxnState] = None
           var arm: Option[Long] = None
           var wm = 0L
+          var evictedMid = false
           val emitted = scala.collection.mutable.ListBuffer.empty[TxnVerdict]
+          val delivered = scala.collection.mutable.Set.empty[(Long, String)]
+          var endDelivered = false
+          def fireIfDue(mid: Boolean): Unit =
+            while (st.isDefined && arm.exists(_ <= wm)) {
+              val gs = freshState(st, wm, timedOut = true)
+              val out = f(t.toLong, Iterator.empty, gs).toList
+              if (mid && out.nonEmpty) evictedMid = true
+              emitted ++= out
+              st = gs.getOption
+              arm = None
+              assert(st.isEmpty, "timed-out state must be removed")
+            }
           batches.foreach { b =>
-            val gs = freshState(st, wm, timedOut = false)
-            emitted ++= f(t.toLong, b.iterator, gs)
-            st = gs.getOption
-            if (gs.getTimeoutTimestampMs.isPresent)
-              arm = Some(gs.getTimeoutTimestampMs.get())
+            // the engine fires due timers and FILTERS LATE ROWS (event
+            // time below the watermark) before the state function —
+            // exactly what makes post-eviction replays safe
+            fireIfDue(mid = true)
+            val kept = b.filter(r => r.ts == null || r.ts.getTime >= wm)
+            if (kept.nonEmpty) {
+              kept.foreach { r =>
+                if (r.kind == "e") delivered += ((r.lsn, r.value))
+                else endDelivered = true
+              }
+              val gs = freshState(st, wm, timedOut = false)
+              emitted ++= f(t.toLong, kept.iterator, gs)
+              st = gs.getOption
+              if (gs.getTimeoutTimestampMs.isPresent)
+                arm = Some(gs.getTimeoutTimestampMs.get())
+            }
             // watermark trails the max event time seen so far
             wm = math.max(wm,
-              b.flatMap(r => Option(r.ts)).map(_.getTime - 1000L)
+              kept.flatMap(r => Option(r.ts)).map(_.getTime - 1000L)
                 .maxOption.getOrElse(wm))
           }
           // end of stream: the watermark eventually passes every horizon
           wm = T0 + 10 * H + jit.max
-          if (st.isDefined && arm.exists(_ <= wm)) {
-            val gs = freshState(st, wm, timedOut = true)
-            emitted ++= f(t.toLong, Iterator.empty, gs)
-            st = gs.getOption
-            assert(st.isEmpty, "timed-out state must be removed")
-          }
-          val complete = hasEnd && drop == 0
-          if (complete) {
-            assert(emitted.toList == (1 to n).map(l =>
+          fireIfDue(mid = false)
+          assert(st.isEmpty, "every horizon fires by end of stream")
+          // universal invariants, any interleaving: every DELIVERED
+          // distinct event emits exactly once; a transaction never both
+          // releases and dead-letters; a release is the whole txn in
+          // lsn order
+          val outPairs = emitted.toList.map(e => (e.lsn, e.value))
+          assert(outPairs.sorted == delivered.toList.sorted,
+            s"txn $t ($n,$hasEnd,$drop,$cuts): every delivered event " +
+              s"exactly once: $emitted vs $delivered")
+          val rel = emitted.filter(!_.dead)
+          assert(rel.isEmpty || emitted.forall(!_.dead),
+            s"txn $t: released AND dead-lettered: $emitted")
+          if (rel.nonEmpty)
+            assert(rel.toList == (1 to n).map(l =>
               TxnVerdict(t, l, s"v$l", dead = false)).toList,
-              s"txn $t ($n,$hasEnd,$drop,$cuts): complete txn must " +
-                s"release whole, once, in lsn order: $emitted")
-          } else {
-            assert(emitted.toList == events.sortBy(_.lsn).map(e =>
-              TxnVerdict(t, e.lsn, e.value, dead = true)),
-              s"txn $t ($n,$hasEnd,$drop,$cuts): incomplete txn must " +
-                s"dead-letter exactly its arrived events: $emitted")
+              s"txn $t: release must be whole and lsn-ordered: $emitted")
+          // and when no mid-stream eviction interleaved, the outcome is
+          // fully determined: complete input releases, the rest
+          // dead-letters whole at the end
+          if (!evictedMid) {
+            val complete = hasEnd && drop == 0 && endDelivered &&
+              delivered.size == n
+            if (complete)
+              assert(rel.nonEmpty,
+                s"txn $t ($n,$hasEnd,$drop,$cuts): complete txn with no " +
+                  s"mid-stream eviction must release: $emitted")
+            else
+              assert(emitted.forall(_.dead),
+                s"txn $t ($n,$hasEnd,$drop,$cuts): incomplete txn must " +
+                  s"dead-letter: $emitted")
           }
       }
     }

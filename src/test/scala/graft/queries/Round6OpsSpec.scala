@@ -99,27 +99,33 @@ class Round6OpsSpec extends SparkSpec {
     "length skews") {
     import spark.implicits._
     val dir = tmpDir("fuzzy-qgram")
-    // every string pair within a brand is a potential near-match; cases:
-    // 1-char substitution/deletion/insertion at word boundaries, names
-    // sharing ONLY hot q-grams (must not match), distance-3 lookalikes
-    // (must not match), identical names (distance 0 — excluded), and a
-    // name shorter than the 7-gram prefix length
-    val names = Seq(
-      "linen azure brushed tomato steel",
-      "linen azure brushed tomato steel",     // exact dup (ed 0, excluded)
-      "linen azure brushed tomato steal",     // sub at tail word
-      "linen azure brushed tomato stee",      // deletion
-      "linen azure brushed tomato steels",    // insertion
-      "line azure brushed tomato steel",      // deletion in FIRST word
-      "linen azure crushed tomato steel",     // sub mid-name
-      "litmus azure brushed tomato steel",    // ed 3 from row 0 — no match
-      "navy mint brushed rose steel",         // shares hot grams only
-      "navy mint brushed rose stee1",         // ed 1 of previous
-      "ab cdefgh",                            // short name (< prefix len)
-      "ab cdefgi",                            // ed 1 of short name
-      "wholly unrelated spring chiffon")
-    val rows = names.zipWithIndex.map { case (n, i) =>
-      (i.toLong, n, s"Brand#${i % 2 + 1}") }
+    // every string pair within a brand is a potential near-match;
+    // brands are EXPLICIT so each designed pair shares one (an i%2
+    // assignment silently split them in an earlier draft and made the
+    // short-name cases vacuous). Cases: 1-char edits at word
+    // boundaries, names sharing ONLY hot q-grams (no match), ed-3
+    // lookalikes (no match), identical names (ed 0 — excluded), and
+    // SHORT names where the prefix theorem gives no guarantee —
+    // including an ed-2 pair sharing ZERO 3-grams ('abcde'/'azcye'),
+    // which only the short fallback can find
+    val rows = Seq(
+      (0L, "linen azure brushed tomato steel", "Brand#1"),
+      (1L, "linen azure brushed tomato steel", "Brand#1"), // exact dup
+      (2L, "linen azure brushed tomato steal", "Brand#1"), // tail sub
+      (3L, "linen azure brushed tomato stee", "Brand#1"), // deletion
+      (4L, "linen azure brushed tomato steels", "Brand#1"), // insertion
+      (5L, "line azure brushed tomato steel", "Brand#1"), // head deletion
+      (6L, "linen azure crushed tomato steel", "Brand#1"), // mid sub
+      (7L, "litmus azure brushed tomato steel", "Brand#1"), // ed 3: none
+      (8L, "navy mint brushed rose steel", "Brand#2"), // hot grams only
+      (9L, "navy mint brushed rose stee1", "Brand#2"), // ed 1 of row 8
+      (10L, "ab cdefgh", "Brand#2"), // short (< prefix len)
+      (11L, "ab cdefgi", "Brand#2"), // ed 1 of row 10
+      (12L, "abcde", "Brand#2"), // 5 chars: 3 grams only
+      (13L, "azcye", "Brand#2"), // ed 2 of row 12, ZERO shared grams
+      (14L, "ax", "Brand#2"), // below q: no grams at all
+      (15L, "bx", "Brand#2"), // ed 1 of row 14
+      (16L, "wholly unrelated spring chiffon", "Brand#1"))
     rows.toDF("p_partkey", "p_name", "p_brand")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
     val got = Linkage.qFuzzyMatchQgram(spark, dir).collect()
@@ -143,5 +149,8 @@ class Round6OpsSpec extends SparkSpec {
       s"prefix filter must be lossless and verify exact:\n got=$got\nwant=$want")
     assert(want.exists(_._3 == 1) && want.exists(_._3 == 2),
       "fixture must exercise both edit distances")
+    assert(got.contains((12L, 13L, 2)) && got.contains((14L, 15L, 1)),
+      "the short fallback must find the zero-shared-gram ed-2 pair " +
+        "and the below-q pair the prefix theorem cannot cover")
   }
 }
