@@ -125,7 +125,17 @@ class Round6OpsSpec extends SparkSpec {
       (13L, "azcye", "Brand#2"), // ed 2 of row 12, ZERO shared grams
       (14L, "ax", "Brand#2"), // below q: no grams at all
       (15L, "bx", "Brand#2"), // ed 1 of row 14
-      (16L, "wholly unrelated spring chiffon", "Brand#1"))
+      (16L, "wholly unrelated spring chiffon", "Brand#1"),
+      // location-filter boundary: two HEAD insertions shift every
+      // surviving gram by exactly k = 2 positions — |Δpos| = MaxEdit,
+      // the edge a '< MaxEdit' regression would lose
+      (17L, "qrstuvwxyzmnop", "Brand#3"),
+      (18L, "ZZqrstuvwxyzmnop", "Brand#3"), // ed 2: head double-insert
+      // repeated rare gram: the same 3-gram recurs at positions > k
+      // apart; only the monotone occurrence-matching argument (each
+      // side's pos tiebreak in the prefix order) keeps this lossless
+      (19L, "zozozo glint paddle", "Brand#3"),
+      (20L, "zozozo glint padle", "Brand#3")) // ed 1: tail deletion
     rows.toDF("p_partkey", "p_name", "p_brand")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
     val got = Linkage.qFuzzyMatchQgram(spark, dir).collect()
@@ -152,5 +162,10 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.contains((12L, 13L, 2)) && got.contains((14L, 15L, 1)),
       "the short fallback must find the zero-shared-gram ed-2 pair " +
         "and the below-q pair the prefix theorem cannot cover")
+    assert(got.contains((17L, 18L, 2)),
+      "the location filter's |Δpos| ≤ k boundary: a head double-insert " +
+        "shifts every surviving gram by exactly k and must still match")
+    assert(got.contains((19L, 20L, 1)),
+      "repeated-gram prefixes must still witness their pair")
   }
 }
