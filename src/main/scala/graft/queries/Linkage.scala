@@ -136,17 +136,32 @@ object Linkage {
     // evaluates during the hash-join probe and prunes the hot-gram
     // buckets a small gram vocabulary produces (same-value occurrences
     // at distant positions can never witness an ed-≤k pair).
-    val prefixCands = prefix.select(col("p_brand"), col("gram"),
-        col("p_partkey").as("part_a"), col("len").as("la"),
+    // The two candidate paths partition the pair space DISJOINTLY by
+    // length (otherwise every both-short pair is enumerated twice —
+    // measured as a ~2× witness blow-up on short-name corpora):
+    //  - both sides ≤ ShortLen            → direct fallback below;
+    //  - at least one side > ShortLen     → prefix path; the length
+    //    band then forces the OTHER side ≥ ShortLen − k + 1 =
+    //    (k+1)·q − 1 + 1, i.e. both sides satisfy the prefix theorem's
+    //    length floor, so the filter stays lossless.
+    // The prefix join is therefore ASYMMETRIC — eligible (theorem-ok)
+    // names probe the index of LONG names only — and pairs are
+    // normalized with least/greatest so both orientations collapse in
+    // the matched-set dedup.
+    val eligible = prefix.filter(col("len") >= (MaxEdit + 1) * QGram)
+    val longSide = prefix.filter(col("len") > ShortLen)
+    val prefixCands = eligible.select(col("p_brand"), col("gram"),
+        col("p_partkey").as("id_a"), col("len").as("la"),
         col("pos").as("pa"))
-      .join(prefix.select(col("p_brand"), col("gram"),
-        col("p_partkey").as("part_b"), col("len").as("lb"),
+      .join(longSide.select(col("p_brand"), col("gram"),
+        col("p_partkey").as("id_b"), col("len").as("lb"),
         col("pos").as("pb")),
         Seq("p_brand", "gram"))
-      .filter(col("part_a") < col("part_b") &&
+      .filter(col("id_a") =!= col("id_b") &&
         abs(col("la") - col("lb")) <= MaxEdit &&
         abs(col("pa") - col("pb")) <= MaxEdit)
-      .select(col("part_a"), col("part_b"))
+      .select(least(col("id_a"), col("id_b")).as("part_a"),
+        greatest(col("id_a"), col("id_b")).as("part_b"))
     // the short-string fallback: pairs where BOTH sides are ≤ ShortLen
     // chars enumerate directly within brand — the regime the prefix
     // theorem doesn't cover (every pair with a sub-9-char side lands
