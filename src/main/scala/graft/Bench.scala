@@ -46,10 +46,15 @@ object Bench {
           System.err.println(s"[bench] $name: $e"); Some(e.toString)
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // free localCheckpoint blocks so earlier queries' cached RDDs don't
-      // build GC pressure for later ones (memo-pinned seeds excepted);
-      // blocking so the release can't race the next query's eager
-      // localCheckpoint
+      // free cached blocks so earlier queries' frames don't build GC
+      // pressure for later ones. Two layers: catalog.clearCache() drops
+      // Materialize.stage persists (blocks + CacheManager entries, so a
+      // later query with a structurally equal subtree can't silently read
+      // a stale cache), then the RDD sweep drops localCheckpoint blocks
+      // (memo-pinned seeds excepted — seed() uses localCheckpoint, which
+      // clearCache never touches); blocking so the release can't race the
+      // next query's materialization
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs
         .filter { case (id, _) => !graft.queries.QueryMemo.isPinned(id) }
         .values.foreach(_.unpersist(true))
@@ -58,49 +63,84 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       (dt, err)
     }
-    // Slow outliers are re-measured in a SECOND PASS at the END of the
-    // suite, not back-to-back: a single pass confuses first-execution
-    // codegen/C2 compilation and machine-load noise with plan cost, and
-    // back-to-back retries land inside the SAME host stall (round-3's
-    // driver artifact recorded 95.4s for a query that measures 1.5s —
-    // all three immediate attempts sat in one multi-minute stall window).
-    // Deferring the re-runs to after the full suite puts minutes of other
-    // work between attempts, so a transient stall can't poison both.
-    val RetryAbove = 2.5
     // memo twins run first so every composite that can reuse them does
     // (alphabetical order alone would put q_dedup_clusters before
     // q_dedup_minhash); within each group the order stays alphabetical
-    val pass1 = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (!memoTwins(name), name)
-    }.map { case (name, fn) =>
-      val (dt, err) = once(name, fn)
-      (name, fn, dt, err)
     }
-    // Second pass: only successful outliers; up to two re-runs each, the
-    // second only while the previous still improved the kept minimum by
-    // ≥30% (steady-state slow queries pay exactly one extra run). Min
-    // across passes is kept; both pass values go to stderr so a reader
-    // can see which queries were noise-corrected and by how much.
-    val results = pass1.map { case (name, fn, dt1, err1) =>
-      var kept = dt1
-      if (err1.isEmpty && dt1 > RetryAbove) {
-        var attempts = 0
-        var improving = true
-        while (kept > RetryAbove && improving && attempts < 2) {
-          val (dt2, err2) = once(name, fn)
-          // pass 1 SUCCEEDED — a transient retry failure must not
-          // overwrite that, nor may the aborted run's duration count
-          if (err2.isEmpty) {
-            improving = dt2 < kept * 0.7
-            kept = math.min(kept, dt2)
-          } else improving = false
-          attempts += 1
+    // SPARK_GRAFT_BENCH_PASSES=N (round-6 verdict item #5): this host
+    // bounces ±15% run-to-run (the same code measured 143.5 s locally vs
+    // 161.6 s in the driver at sf0.1), so single-run per-query deltas
+    // under ~15% are noise. N≥3 runs the WHOLE suite N times and keeps
+    // the per-query MEDIAN, with min/max spread in the artifact — the
+    // committed number a round-over-round comparison can trust. Default
+    // 1 keeps the driver's single-pass runtime contract unchanged.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt
+    var spreads: Map[String, (Double, Double)] = Map.empty
+    val results: Seq[(String, Double, Option[String])] =
+      if (passes <= 1) {
+        // Slow outliers are re-measured in a SECOND PASS at the END of
+        // the suite, not back-to-back: a single pass confuses
+        // first-execution codegen/C2 compilation and machine-load noise
+        // with plan cost, and back-to-back retries land inside the SAME
+        // host stall (round-3's driver artifact recorded 95.4s for a
+        // query that measures 1.5s — all three immediate attempts sat in
+        // one multi-minute stall window). Deferring the re-runs to after
+        // the full suite puts minutes of other work between attempts, so
+        // a transient stall can't poison both.
+        val RetryAbove = 2.5
+        val pass1 = ordered.map { case (name, fn) =>
+          val (dt, err) = once(name, fn)
+          (name, fn, dt, err)
         }
-        System.err.println(
-          f"[bench] second-pass $name%-28s pass1=$dt1%8.2f s kept=$kept%8.2f s")
+        // Second pass: only successful outliers; up to two re-runs each,
+        // the second only while the previous still improved the kept
+        // minimum by ≥30% (steady-state slow queries pay exactly one
+        // extra run). Min across passes is kept; both pass values go to
+        // stderr so a reader can see which queries were noise-corrected
+        // and by how much.
+        pass1.map { case (name, fn, dt1, err1) =>
+          var kept = dt1
+          if (err1.isEmpty && dt1 > RetryAbove) {
+            var attempts = 0
+            var improving = true
+            while (kept > RetryAbove && improving && attempts < 2) {
+              val (dt2, err2) = once(name, fn)
+              // pass 1 SUCCEEDED — a transient retry failure must not
+              // overwrite that, nor may the aborted run's duration count
+              if (err2.isEmpty) {
+                improving = dt2 < kept * 0.7
+                kept = math.min(kept, dt2)
+              } else improving = false
+              attempts += 1
+            }
+            System.err.println(
+              f"[bench] second-pass $name%-28s pass1=$dt1%8.2f s kept=$kept%8.2f s")
+          }
+          (name, kept, err1)
+        }
+      } else {
+        // N full-suite sweeps; per query keep the median (odd N: the
+        // middle; even N: lower middle — a real measurement, never an
+        // average of two) and surface min/max to stderr + the spread
+        // map below. A query that errors in ANY pass reports the first
+        // error (a flaky failure must not hide behind a clean median).
+        val all = (1 to passes).map { p =>
+          System.err.println(s"[bench] === suite pass $p/$passes ===")
+          ordered.map { case (name, fn) => (name, once(name, fn)) }
+        }
+        ordered.map { case (name, _) =>
+          val runs = all.map(_.find(_._1 == name).get._2)
+          val times = runs.map(_._1).sorted
+          val median = times((times.size - 1) / 2)
+          val err = runs.flatMap(_._2).headOption
+          spreads += name -> ((times.head, times.last))
+          System.err.println(f"[bench] median $name%-28s $median%8.2f s " +
+            f"(min=${times.head}%.2f max=${times.last}%.2f)")
+          (name, median, err)
+        }
       }
-      (name, kept, err1)
-    }
     def qJson(rs: Seq[(String, Double, Option[String])]): String =
       rs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a failed query must be visible in the JSON contract, not just stderr;
@@ -110,8 +150,15 @@ object Bench {
       "\"" + k + "\":\"" + e.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def line(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size}}"""
+    // spread (multi-pass only) rides in the FILE artifact; the stdout
+    // contract line stays compact and driver-compatible
+    val spreadJson =
+      if (spreads.isEmpty) ""
+      else spreads.toSeq.sortBy(_._1).map { case (k, (lo, hi)) =>
+        "\"" + k + "\":[" + lo + "," + hi + "]"
+      }.mkString(""","spread":{""", ",", "}")
+    def line(qs: String, extra: String = "") =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir","n_queries":${results.size}}"""
     // Full per-query detail goes to the file; stdout gets a COMPACT line
     // (top-12 slowest only). Round 2 post-mortem: the full 90-query line is
     // ~4 KB, the driver records only the stdout tail, and the line's head —
@@ -119,7 +166,8 @@ object Bench {
     // driver parsed null. The compact line stays well under 1 KB and is the
     // last thing printed.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line(qJson(results)))
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      line(qJson(results), spreadJson))
     spark.stop()
     println(line(qJson(results.sortBy(-_._2).take(12))))
   }

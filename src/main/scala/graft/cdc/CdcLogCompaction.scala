@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.Ops
 
 /** Log compaction for a `graft-cdc` JSON-lines change log — the broker-side
   * retention policy the reference relies on for long-lived CDC topics
@@ -101,7 +102,7 @@ object CdcLogCompaction {
       .unionByName(passthrough)
       // the stats fold and the survivor write both consume this frame;
       // without materialization the JSON probes + window run twice
-      .localCheckpoint()
+      .barrier()
     val counts = judged.groupBy(col("verdict")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val survivors = judged

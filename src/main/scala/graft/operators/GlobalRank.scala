@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import graft.Materialize.Ops
 
 /** Exact global rank / prefix sum over a total order WITHOUT a
   * single-partition pass over data.
@@ -113,7 +114,7 @@ object GlobalRank {
     */
   def withRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
       nCol: String): DataFrame = {
-    val sorted = sortedWithId(df, sortCols).localCheckpoint()
+    val sorted = sortedWithId(df, sortCols).barrier()
     val offs = offsets(sorted, count(lit(1)))
       .withColumn(nCol, sum(col("__cnt")).over(metaWindow
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -134,7 +135,7 @@ object GlobalRank {
     */
   def withPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
       cumCol: String): DataFrame = {
-    val sorted = sortedWithId(df, sortCols).localCheckpoint()
+    val sorted = sortedWithId(df, sortCols).barrier()
     val offs = offsets(sorted, sum(col(valueCol)), Some(valueCol))
       .select(col("__pid"), col("__offset"), col("__nnPrior"))
     sorted

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Materialize.Ops
 
 /** Approximate aggregates — the sketch family a 100 TB pipeline uses when
   * exact distinct/percentile would shuffle the world: HyperLogLog++
@@ -209,7 +210,7 @@ object Approx {
     // probes both consume it.
     val exact = li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("exact_cnt"))
-      .localCheckpoint()
+      .stage()
     val cells = exact.select(col("exact_cnt"), posexplode(array(
       (0 until CmsRows).map(j => cmsBucket(j, col("l_partkey"))): _*))
       .as(Seq("j", "bucket")))

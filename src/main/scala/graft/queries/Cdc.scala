@@ -4,6 +4,7 @@ import graft.Tables
 import graft.cdc.{CdcEnvelope, CdcLogCompaction, CdcMaterialize, CdcPipeline, CdcSource, Enrich, EnrichConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.Ops
 
 /** Driver-gate coverage for the CDC path (SURVEY.md §2.1–2.2): synthesizes
   * snapshot envelopes from the `customer` table, runs the full
@@ -46,7 +47,7 @@ object Cdc {
         col("enrichment.customer_insights.email_length").as("email_length"))
       // checkpoint before the presentation sort: range partitioning samples
       // its input, which would evaluate the whole JSON pipeline twice
-      .localCheckpoint()
+      .stage()
       .orderBy(col("id"))
   }
 
@@ -172,7 +173,7 @@ object Cdc {
       get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
       col("value"),
       timestamp_millis(lit(FixedTs)).as("ts"))
-      .localCheckpoint()
+      .stage()
     val meta = updFull.select(txOf.as("tx"))
       .groupBy(col("tx")).agg(count(lit(1)).cast("int").as("expected"))
       .filter(col("tx") % 5 =!= 0)
@@ -280,7 +281,7 @@ object Cdc {
         col("after.loyalty_tier").as("loyalty_tier"),
         col("after.loyalty_tier").isNotNull.as("has_tier"),
         col("enrichment.data_quality.field_count").as("field_count"))
-      .localCheckpoint() // presentation-sort sampling would re-run the scan
+      .stage() // presentation-sort sampling would re-run the scan
       .orderBy(col("id"), col("lsn"))
   }
 

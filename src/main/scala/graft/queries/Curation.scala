@@ -5,6 +5,7 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Materialize.Ops
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * beside dedup: benchmark-contamination detection, TF-IDF keyword
@@ -48,7 +49,7 @@ object Curation {
       col("doc_id"),
       VectorFunctions.shingleHash56(graft.text.TextOps.tokens(col("text")))
         .as("hs"))
-      .localCheckpoint()
+      .stage()
     val isBench = col("doc_id") % BenchMod === 0
     val bench = docs.filter(isBench)
       .select(col("doc_id").as("bench_id"), explode(col("hs")).as("sh"))
@@ -82,7 +83,7 @@ object Curation {
     // because it feeds both the df aggregate and the score join
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .stage()
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d)

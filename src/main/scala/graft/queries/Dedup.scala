@@ -7,6 +7,7 @@ import graft.text.TextOps.P
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Materialize.Ops
 
 /** Deduplication operators over `documents` / `embeddings`: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -108,7 +109,7 @@ object Dedup {
     // verify join.
     val docs = shingled(s, d)
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
-      .localCheckpoint()
+      .stage()
     val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh_hashes")).as("sh"))
     // df via a map-side-combined groupBy joined back, NOT a count-over-sh
     // window: the window pays a full SORT exchange of every (doc, shingle)
@@ -127,7 +128,7 @@ object Dedup {
       .withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * JaccardT) + 1)
       .select(col("doc_id"), col("n_sh"), col("sh"), col("rk"))
-      .localCheckpoint()
+      .stage()
     // PPJoin positional filter: both docs rank shingles under the SAME
     // global (df, sh) order, so common shingles appear in a consistent
     // order on both sides; for the FIRST common shingle (positions i, j)
@@ -173,7 +174,7 @@ object Dedup {
         TextOps.MinhashParams, P).as("sig"))
       // reused by band explode + both sides of the verify join; checkpoint
       // so the signature computation runs once, not four times
-      .localCheckpoint()
+      .stage()
 
   /** MinHash + LSH banding: candidates from 4-band × 3-row equality joins,
     * then signature-similarity verify (≥ 6/12 matching slots).
@@ -265,10 +266,10 @@ object Dedup {
     // of the correctness surface is untouched
     val exact = QueryMemo.lookup("q_dedup_ngram", d)
       .getOrElse(qDedupNgram(s, d)).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint() // spine for both the count and the overlap join
+      .stage() // spine for both the count and the overlap join
     val est = QueryMemo.lookup("q_dedup_minhash", d)
       .getOrElse(qDedupMinhash(s, d)).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .stage()
     val both = exact.join(est, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("n_both"))
     // greatest(n, 1) denominators, mirrored in the oracle: on a corpus
@@ -300,13 +301,17 @@ object Dedup {
     // suite runs reuse the twin's seeded result (see qDedupRecall)
     val pairs = QueryMemo.lookup("q_dedup_minhash", d)
       .getOrElse(qDedupMinhash(s, d)).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .stage()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val sc = s.sparkContext
     var labelIds = Set.empty[Int] // checkpoint blocks of the live `labels`
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
+      // eager localCheckpoint, kept deliberately (Materialize.barrier's
+      // loop case) BUT with RDD-id tracking so superseded generations
+      // free immediately; on a cluster this loop would run over reliable
+      // checkpoints (setCheckpointDir) at the cost of that tracking
       val ck = df.localCheckpoint() // eager: materializes here
       (ck, sc.getPersistentRDDs.keySet.toSet -- before)
     }
@@ -386,7 +391,7 @@ object Dedup {
       // feeds BOTH the df rollup and the coverage join — without
       // materialization each side re-runs the md5 window loop, the
       // dominant per-row cost
-      .localCheckpoint()
+      .stage()
     val dfTab = perDoc.groupBy(col("wh")).agg(count(lit(1)).as("df"))
     val cover = perDoc.join(dfTab, "wh")
       .groupBy(col("doc_id"))
@@ -432,14 +437,14 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       // both the window pass and the reassembly read this frame;
       // without materialization the tokenize runs twice
-      .localCheckpoint()
+      .stage()
     val wins = docs.select(col("doc_id"),
       posexplode(VectorFunctions.shingleHash56(
         col("toks"), SubstrK, distinct = false)).as(Seq("pos", "wh")))
       // feeds BOTH the keeper rollup and the span join — without
       // materialization each side re-runs the md5 window loop, the
       // dominant per-row cost (same move as qDedupSubstring's perDoc)
-      .localCheckpoint()
+      .stage()
     val keeper = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("kd"))
     // one row per duplicate-window OCCURRENCE: [pos, pos+K-1], 0-based
     val spans = wins.join(keeper, "wh")
@@ -515,7 +520,7 @@ object Dedup {
     val withNorm = emb
       .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
       .withColumn("block", Similarity.superBlock(col("v"), EmbedBlockBits))
-      .localCheckpoint() // feeds both sides of the pair join
+      .stage() // feeds both sides of the pair join
     val a = withNorm.select(col("block"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("norm").as("norm_a"))
     val b = withNorm.select(col("block"), col("vec_id").as("vec_b"),
@@ -547,7 +552,7 @@ object Dedup {
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
       .withColumn("bands", Similarity.bandKeys(col("v")))
-      .localCheckpoint()
+      .stage()
     // Candidate generation on SLIM (id, band_key) rows: the same-band
     // self-join and the pair-distinct shuffle move 16-byte pairs, not
     // 512-byte vectors. Vectors are fetched back by two id joins only for
@@ -591,7 +596,7 @@ object Dedup {
     // checkpoint: the cell frame feeds both sides of the pair join and
     // the verdict projection
     val cells = Similarity.nearestCells(Similarity.assignedPivots(s, d))
-      .localCheckpoint()
+      .stage()
     val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("norm").as("norm_a"))
     val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
@@ -636,7 +641,7 @@ object Dedup {
         explode(VectorFunctions.shingleHash56(
           TextOps.tokens(col("text")))).as("h"))
       .distinct()
-      .localCheckpoint() // feeds the totals AND both pair-join sides
+      .stage() // feeds the totals AND both pair-join sides
     val totals = srcShingles.groupBy(col("source")).agg(count(lit(1)).as("n"))
     srcShingles.select(col("source").as("source_a"), col("h"))
       .join(srcShingles.select(col("source").as("source_b"), col("h")), Seq("h"))

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Materialize.Ops
 
 /** Event-stream analytics over the `events` table — the batch twins of the
   * Structured Streaming operators (same expressions stream unchanged with
@@ -320,7 +321,7 @@ object Events {
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(unix_micros(col("ts"))).as("s"),
         max(unix_micros(col("ts"))).as("e"))
-      .localCheckpoint()
+      .stage()
     val a = iv.select(col("user_id"), col("event_type").as("type_a"),
       col("s").as("a_start"), col("e").as("a_end"))
     val b = iv.select(col("user_id"), col("event_type").as("type_b"),
@@ -488,7 +489,7 @@ object Events {
     val du = events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
-      .localCheckpoint() // feeds the 1-day aggregate AND the 7-day fanout
+      .stage() // feeds the 1-day aggregate AND the 7-day fanout
     val bounds = du.agg(max(col("day")).as("max_day"))
     val d1 = du.groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("actives_1d"))

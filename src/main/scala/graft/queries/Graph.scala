@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.Ops
 
 /** Graph analytics over a relationally-derived graph: fixed-iteration
   * PageRank on the customer↔supplier trade graph (an edge wherever a
@@ -59,12 +60,12 @@ object Graph {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("a"))
-      .localCheckpoint()
+      .stage()
     // checkpoint the degree table: r0 plus every iteration's base term and
     // every broadcast node-count subquery re-reads it — uncheckpointed,
     // each of those re-aggregates the full edge list (~8 passes)
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .stage()
     val nCnt = deg.agg(count(lit(1)).as("n"))
     // the teleport term and r0 are iteration-invariant — computed ONCE and
     // checkpointed (tiny: one row per node) instead of rebuilding the
@@ -74,7 +75,7 @@ object Graph {
         idiv(lit(Scale), col("n")).as("r0"),
         idiv(lit((DampDen - DampNum) * Scale), col("n") * DampDen).as("tele"),
         col("deg"))
-      .localCheckpoint()
+      .stage()
     var ranks = base.select(col("a"), col("r0").as("rank"), col("deg"))
     for (_ <- 1 to Iterations) {
       val contrib = edges.join(ranks, "a")

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.Ops
 
 /** Entity-resolution / record-linkage operators: fuzzy matching of near-
   * identical names via blocked edit distance — the "same real-world thing,
@@ -111,7 +112,7 @@ object Linkage {
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         length(col("p_name")).as("len"))
       // feeds the q-gram index AND both sides of the verify join
-      .localCheckpoint()
+      .stage()
     // len ≥ QGram guard: sequence(1, len-2) runs DESCENDING for len < 3
     // and would fabricate bogus grams; gram-less names are covered by
     // the short-pair fallback below anyway
@@ -129,7 +130,7 @@ object Linkage {
       .select(col("p_partkey"), col("p_brand"), col("len"), col("gram"),
         col("pos"))
       // both sides of the candidate self-join consume this frame
-      .localCheckpoint()
+      .stage()
     // ED-Join location filter: a SURVIVING gram occurrence (the one the
     // prefix lemma guarantees) sits at a position shifted by at most the
     // net insertions/deletions before it — ≤ k. |posA − posB| ≤ k
@@ -197,7 +198,124 @@ object Linkage {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Corpus-WIDE lossless ed-join (round-6 verdict item #4): recall
+    * bounded by edit distance ALONE — no blocking key at all. The
+    * within-brand gates keep their contract as the cheap variants; this
+    * one sees the cross-brand pairs they structurally cannot (96% of
+    * all ed-≤2 id pairs on this corpus are cross-brand).
+    *
+    * Scale move: every quadratic-flavored step runs at the VALUE level.
+    * The corpus rolls up to DISTINCT names first (one shuffle; |V| grows
+    * sublinearly and saturates on real name corpora — here it is 64 at
+    * every SF), the ED-Join prefix filter + short-value fallback +
+    * banded verify all run over values, and matched VALUE pairs (a
+    * bounded set) expand back to id pairs through two equi-joins that
+    * are output-bound — the id-level result is what the oracle checks.
+    * The expansion keys on name values, so at petabyte scale it is
+    * inherently key-skewed (each value's id list is huge); AQE
+    * skew-split handles it here, and the production posture is to
+    * CONSUME the bounded value-level match table directly — the
+    * expansion exists because the gate contract is id pairs.
+    *
+    * Losslessness inherits [[qFuzzyMatchQgram]]'s case split, brand-free:
+    * both values ≤ [[ShortLen]] → direct value-level enumeration via a
+    * length-band EQUI key (probe explodes len±k, so the plan sweep sees
+    * a keyed join, not a nested loop); any side > [[ShortLen]] → the
+    * length band forces both ≥ (k+1)·q − 1 + 1, the prefix theorem's
+    * floor, and the (gram)-keyed prefix join with the |Δpos| ≤ k
+    * location filter finds a witness. Verify is exact banded
+    * `levenshtein`; ed-0 (identical names) is excluded by construction.
+    */
+  def qFuzzyMatchGlobal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"))
+      .stage() // feeds the value rollup AND both expansion joins
+    val vals = ids.select(col("p_name"), length(col("p_name")).as("len"))
+      .distinct()
+      .stage() // value spine: grams, short fallback, and verify names
+    val grams = vals.filter(col("len") >= QGram)
+      .select(col("p_name"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, len - ${QGram - 1}), " +
+            s"i -> substring(p_name, i, $QGram))")).as(Seq("pos", "gram")))
+    val dfTab = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val rk = Window.partitionBy(col("p_name"))
+      .orderBy(col("df"), col("gram"), col("pos"))
+    val prefix = grams.join(dfTab, "gram")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= EdPrefixLen)
+      .select(col("p_name"), col("len"), col("gram"), col("pos"))
+      .stage() // both sides of the candidate self-join consume this
+    val eligible = prefix.filter(col("len") >= (MaxEdit + 1) * QGram)
+    val longSide = prefix.filter(col("len") > ShortLen)
+    val prefixCands = eligible.select(col("gram"),
+        col("p_name").as("na"), col("len").as("la"), col("pos").as("pa"))
+      .join(longSide.select(col("gram"),
+        col("p_name").as("nb"), col("len").as("lb"), col("pos").as("pb")),
+        Seq("gram"))
+      .filter(col("na") =!= col("nb") &&
+        abs(col("la") - col("lb")) <= MaxEdit &&
+        abs(col("pa") - col("pb")) <= MaxEdit)
+      .select(least(col("na"), col("nb")).as("name_lo"),
+        greatest(col("na"), col("nb")).as("name_hi"))
+    // short-value fallback with a length-band EQUI key: the probe side
+    // explodes to its len ± k bucket keys, so each unordered pair
+    // surfaces in exactly one orientation (name_lo < name_hi)
+    val shortVals = vals.filter(col("len") <= ShortLen)
+    val shortCands = shortVals.select(col("p_name").as("name_lo"),
+        explode(array((-MaxEdit to MaxEdit).map(x =>
+          col("len") + lit(x)): _*)).as("lb"))
+      .join(shortVals.select(col("p_name").as("name_hi"),
+        col("len").as("lb")), Seq("lb"))
+      .filter(col("name_lo") < col("name_hi"))
+      .select(col("name_lo"), col("name_hi"))
+    val matched = prefixCands.unionByName(shortCands)
+      .withColumn("ed", levenshtein(col("name_lo"), col("name_hi"), MaxEdit))
+      .filter(col("ed") >= 1)
+      .dropDuplicates("name_lo", "name_hi")
+    // expansion: matched value pairs are a bounded set → broadcast;
+    // output id pairs oriented part_a < part_b with names following ids
+    matched.hint("broadcast")
+      .join(ids.select(col("p_name").as("name_lo"),
+        col("p_partkey").as("id_lo")), Seq("name_lo"))
+      .join(ids.select(col("p_name").as("name_hi"),
+        col("p_partkey").as("id_hi")), Seq("name_hi"))
+      .select(
+        least(col("id_lo"), col("id_hi")).as("part_a"),
+        greatest(col("id_lo"), col("id_hi")).as("part_b"),
+        when(col("id_lo") < col("id_hi"), col("name_lo"))
+          .otherwise(col("name_hi")).as("name_a"),
+        when(col("id_lo") < col("id_hi"), col("name_hi"))
+          .otherwise(col("name_lo")).as("name_b"),
+        col("ed").cast("int").as("edit_dist"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // plain quadratic over DISTINCT NAME VALUES (no brand equality),
+    // expanded to id pairs: semantically identical to the id-level
+    // quadratic (identical-name pairs are ed 0 and excluded; every
+    // cross-name id pair maps to exactly one ordered value pair), and
+    // it keeps the oracle runnable at sf0.1 where the id-level theta
+    // join would be 2·10⁸ levenshtein calls
+    "q_fuzzy_match_global" ->
+      s"""WITH v AS (SELECT DISTINCT p_name FROM part),
+         |m AS (SELECT a.p_name AS na, b.p_name AS nb,
+         |        levenshtein(a.p_name, b.p_name) AS ed
+         |      FROM v a JOIN v b ON a.p_name < b.p_name
+         |        AND abs(length(a.p_name) - length(b.p_name)) <= $MaxEdit
+         |      WHERE levenshtein(a.p_name, b.p_name)
+         |        BETWEEN 1 AND $MaxEdit),
+         |e AS (SELECT pa.p_partkey AS ia, pb.p_partkey AS ib,
+         |        m.na, m.nb, m.ed
+         |      FROM m JOIN part pa ON pa.p_name = m.na
+         |             JOIN part pb ON pb.p_name = m.nb)
+         |SELECT least(ia, ib) AS part_a, greatest(ia, ib) AS part_b,
+         |  CASE WHEN ia < ib THEN na ELSE nb END AS name_a,
+         |  CASE WHEN ia < ib THEN nb ELSE na END AS name_b,
+         |  CAST(ed AS INT) AS edit_dist
+         |FROM e ORDER BY part_a, part_b""".stripMargin,
     // plain quadratic within brand + length band: the ORACLE pays the
     // all-pairs cost so losslessness of the Spark side's prefix filter
     // sits inside the hash gate (a missed pair breaks the compare)
@@ -226,6 +344,7 @@ object Linkage {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_match" -> (qFuzzyMatch _),
-    "q_fuzzy_match_qgram" -> (qFuzzyMatchQgram _)
+    "q_fuzzy_match_qgram" -> (qFuzzyMatchQgram _),
+    "q_fuzzy_match_global" -> (qFuzzyMatchGlobal _)
   )
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.Ops
 
 /** Driver-gate coverage for the multimodal path: synthetic media blobs from
   * `documents`, batched mapPartitions decode (stub codec = exact byte
@@ -86,7 +87,7 @@ object Media {
     val fsets = frameHashes(s, d)
       .select(col("media_id"), col("frame_md5")).distinct()
       // feeds sizes, the df table, and the candidate join
-      .localCheckpoint()
+      .stage()
     val sizes = fsets.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
     val dfTab = fsets.groupBy(col("frame_md5"))
       .agg(count(lit(1)).as("df"))

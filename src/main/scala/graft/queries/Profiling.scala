@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Materialize.Ops
 
 /** Table profiling — the "analyze" pass a pipeline runs before ingesting a
   * new source: per-column null counts, exact distinct cardinality, min/max.
@@ -207,7 +208,7 @@ object Profiling {
       sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
         .as("orders_nonpositive_totalprice"),
       (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
-        .as("orders_duplicate_orderkey")).localCheckpoint()
+        .as("orders_duplicate_orderkey")).stage()
     val liStats = li.agg(
       count(lit(1)).as("n_checked"),
       sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
@@ -217,7 +218,7 @@ object Profiling {
       sum(when(col("l_shipdate") < lit("1990-01-01").cast("timestamp") ||
         col("l_shipdate") >= lit("2010-01-01").cast("timestamp"), 1L)
         .otherwise(0L)).as("lineitem_shipdate_out_of_bounds"))
-      .localCheckpoint()
+      .stage()
     // orphan checks: key-only anti joins; n_checked comes from the
     // already-materialized stats row, never a recount of the probe table
     def orphans(name: String, probe: DataFrame, pk: String,

@@ -5,6 +5,7 @@ import graft.functions.VectorFunctions
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.Ops
 
 /** Retrieval / embedding-training operators over `documents` and
   * `embeddings`: BM25 keyword search and a distributed k-means (Lloyd)
@@ -70,7 +71,7 @@ object Retrieval {
             size(filter(col("toks"), x => x === t)).as(s"tf_$t"))): _*)
       // checkpoint: `long`, `stats`, and (via long) `dfT` all consume this
       // frame — without materialization the corpus scan + tokenize runs 3×
-      .localCheckpoint()
+      .stage()
     val termMap = map(
       QueryTerms.flatMap(t => Seq(lit(t), col(s"tf_$t"))): _*)
     val long = docs
@@ -203,7 +204,7 @@ object Retrieval {
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
-      .localCheckpoint() // centroid + corpus sides share one materialization
+      .stage() // centroid + corpus sides share one materialization
     // limit(MaxCentroids): no-op after the capped filter, but a provable
     // maxRows bound on the broadcast side (plan-sweep boundedness proof)
     val cents = vecs

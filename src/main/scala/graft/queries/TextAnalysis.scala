@@ -5,6 +5,7 @@ import graft.text.TextOps
 import graft.text.TextOps.P
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.Ops
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, stopword-profile language ID, and rolling-hash document
@@ -338,7 +339,7 @@ object TextAnalysis {
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.gram").as("gram"))
-      .localCheckpoint() // feeds the B table AND the scoring join
+      .stage() // feeds the B table AND the scoring join
     val bTab = docGrams.groupBy(col("gram")).agg(count(lit(1)).as("b"))
     val uTab = Tables.documents(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("w1"))
@@ -519,7 +520,7 @@ object TextAnalysis {
       .select(
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seg"),
         col("cnt"))
-      .localCheckpoint() // vocab is the spine all K rounds re-scan
+      .barrier() // vocab is the spine all K rounds re-scan
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (round <- 1 to BpeMerges) {
       val toks = split(trim(col("seg")), " ")
@@ -540,7 +541,7 @@ object TextAnalysis {
           replace(col("seg"), lit(s" $pair "),
             lit(s" ${pair.replace(" ", "")} ")).as("seg"),
           col("cnt"))
-          .localCheckpoint() // O(K) round cost, not O(K²) replay chains
+          .barrier() // O(K) round cost, not O(K²) replay chains
       }
     }
     merges.toSeq

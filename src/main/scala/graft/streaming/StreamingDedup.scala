@@ -5,6 +5,7 @@ import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import graft.Materialize.Ops
 
 /** Incremental near-duplicate detection for a document STREAM: the
   * streaming twin of [[graft.queries.Dedup.qDedupMinhash]] (same
@@ -109,7 +110,7 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val sigs = batch
       .select(col("doc_id"), signature(col("text")).as("sig"))
-      .localCheckpoint()
+      .stage()
     val bands = sigs
       .select(col("doc_id"), col("sig"),
         explode(bandKeys(col("sig"))).as("band_key"))
@@ -161,7 +162,7 @@ object StreamingDedup {
       // write overwrites files the verdict plan reads — a lazy verdict
       // frame would execute against deleted files and fail the batch
       // forever. Verdict pairs are tiny; the checkpoint pins them.
-      .localCheckpoint()
+      .barrier()
     // one subdirectory per micro-batch, overwritten: replaying the batch
     // republishes identical rows (idempotent) instead of appending dupes
     bands.select(col("band_bucket"), col("band_key"), col("doc_id"), col("sig"))

@@ -502,6 +502,132 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: evicting txn release under CRASH-REPLAY restart " +
+    "schedules — a micro-batch that crashes before commit replays " +
+    "against the restored state, reproduces its output exactly, and " +
+    "every invariant (exactly-once, released XOR dead-lettered, whole " +
+    "lsn-ordered release) holds across ≥100 random schedules") {
+    import graft.streaming.{TxnConsistentStream, TxnState, TxnTaggedTs, TxnVerdict}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val H = 60000L
+    val T0 = 1700000000000L
+    def freshState(prev: Option[TxnState], wm: Long, timedOut: Boolean) =
+      org.apache.spark.sql.streaming.TestGroupState.create[TxnState](
+        org.apache.spark.api.java.Optional.fromNullable(prev.orNull),
+        GroupStateTimeout.EventTimeTimeout(), 0L,
+        org.apache.spark.api.java.Optional.of(wm),
+        hasTimedOut = timedOut)
+    val f = TxnConsistentStream.releaseOrEvictTxn(H) _
+    val txGen = for {
+      n <- Gen.choose(1, 5)
+      hasEnd <- Gen.oneOf(true, false)
+      drop <- Gen.choose(0, 1)
+      cuts <- Gen.choose(1, 4)
+      dupIdx <- Gen.choose(0, 9)
+      jit <- Gen.listOfN(6, Gen.choose(0L, 2 * H))
+      crashes <- Gen.listOfN(5, Gen.oneOf(true, false))
+    } yield (n, hasEnd, drop, cuts, dupIdx, jit, crashes)
+    // 20 samples × 6 txns = 120 random schedules, each with its own
+    // batching, duplication, jitter, and crash mask
+    forSamples(Gen.listOfN(6, txGen), n = 20) { txs =>
+      txs.zipWithIndex.foreach {
+        case ((n, hasEnd, drop, cuts, dupIdx, jit, crashes), t) =>
+          def ts(l: Int) = new java.sql.Timestamp(T0 + jit(l % jit.size))
+          val events = (1 to n - drop).map(l =>
+            TxnTaggedTs(t, "e", l.toLong, -1, s"v$l", ts(l))).toList
+          val meta =
+            if (hasEnd) List(TxnTaggedTs(t, "m", 0, n, "", ts(0))) else Nil
+          val records = new scala.util.Random(7L + t).shuffle(events ++ meta)
+          val size = math.max(1, records.size / cuts)
+          val batches0 = records.grouped(size).toList
+          val batches =
+            if (records.isEmpty) batches0
+            else batches0.init :+ (batches0.last :+
+              records(dupIdx % records.size))
+          var st: Option[TxnState] = None
+          var arm: Option[Long] = None
+          var wm = 0L
+          val committed = scala.collection.mutable.ListBuffer.empty[TxnVerdict]
+          val delivered = scala.collection.mutable.Set.empty[(Long, String)]
+          var endDelivered = false
+          // ONE engine micro-batch = fire due timers (against the batch's
+          // entry watermark), then process the late-filtered data. Pure
+          // function of (state, arm, wm, batch) → (state', arm', wm',
+          // out) so a crash-replay is literally a re-invocation.
+          def microBatch(b: List[TxnTaggedTs], s0: Option[TxnState],
+              a0: Option[Long], w0: Long)
+              : (Option[TxnState], Option[Long], Long, List[TxnVerdict]) = {
+            var s = s0; var a = a0
+            val out = scala.collection.mutable.ListBuffer.empty[TxnVerdict]
+            while (s.isDefined && a.exists(_ <= w0)) {
+              val gs = freshState(s, w0, timedOut = true)
+              out ++= f(t.toLong, Iterator.empty, gs)
+              s = gs.getOption; a = None
+            }
+            val kept = b.filter(r => r.ts == null || r.ts.getTime >= w0)
+            if (kept.nonEmpty) {
+              val gs = freshState(s, w0, timedOut = false)
+              out ++= f(t.toLong, kept.iterator, gs)
+              s = gs.getOption
+              a = if (gs.getTimeoutTimestampMs.isPresent)
+                Some(gs.getTimeoutTimestampMs.get()) else a
+            }
+            val w1 = math.max(w0,
+              kept.flatMap(r => Option(r.ts)).map(_.getTime - 1000L)
+                .maxOption.getOrElse(w0))
+            (s, a, w1, out.toList)
+          }
+          batches.zipWithIndex.foreach { case (b, i) =>
+            val attempt1 = microBatch(b, st, arm, wm)
+            val (s1, a1, w1, out1) =
+              if (crashes(i % crashes.size)) {
+                // crash BEFORE commit: outputs discarded, state store /
+                // watermark / timer all restore to the batch entry
+                // snapshot, the batch replays — and determinism demands
+                // the replay reproduce the aborted attempt exactly
+                val attempt2 = microBatch(b, st, arm, wm)
+                assert(attempt2 == attempt1,
+                  s"txn $t batch $i: crash-replay diverged:\n" +
+                    s" aborted=$attempt1\n replayed=$attempt2")
+                attempt2
+              } else attempt1
+            st = s1; arm = a1; wm = w1
+            committed ++= out1
+          }
+          // recompute delivered from the committed perspective: a record
+          // reached state iff it survived the late filter at its batch's
+          // ENTRY watermark — replay the watermark sequence to tell
+          var wmSim = 0L
+          batches.foreach { b =>
+            val kept = b.filter(r => r.ts == null || r.ts.getTime >= wmSim)
+            kept.foreach { r =>
+              if (r.kind == "e") delivered += ((r.lsn, r.value))
+              else endDelivered = true
+            }
+            wmSim = math.max(wmSim,
+              kept.flatMap(r => Option(r.ts)).map(_.getTime - 1000L)
+                .maxOption.getOrElse(wmSim))
+          }
+          // end of stream: watermark passes every horizon
+          wm = T0 + 10 * H + jit.max
+          val (sEnd, _, _, outEnd) = microBatch(Nil, st, arm, wm)
+          committed ++= outEnd
+          assert(sEnd.isEmpty, s"txn $t: horizon must fire by stream end")
+          val outPairs = committed.toList.map(e => (e.lsn, e.value))
+          assert(outPairs.sorted == delivered.toList.sorted,
+            s"txn $t: every delivered event exactly once under crashes: " +
+              s"$committed vs $delivered")
+          val rel = committed.filter(!_.dead)
+          assert(rel.isEmpty || committed.forall(!_.dead),
+            s"txn $t: released AND dead-lettered: $committed")
+          if (rel.nonEmpty)
+            assert(rel.toList == (1 to n).map(l =>
+              TxnVerdict(t, l, s"v$l", dead = false)).toList,
+              s"txn $t: release must be whole and lsn-ordered: $committed")
+      }
+    }
+  }
+
   test("property: bucketed interval overlap ≡ naive quadratic join, " +
     "including negative times and zero-length intervals") {
     import spark.implicits._

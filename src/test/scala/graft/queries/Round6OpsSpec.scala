@@ -51,47 +51,75 @@ class Round6OpsSpec extends SparkSpec {
     assert(real.forall(_.getAs[Boolean]("all_converged")))
   }
 
-  test("pq ann: full Scala recompute of encode + ADC matches the gate " +
-    "bit-for-bit; codes cover the codebook; self never ranks") {
+  test("pq ann: full Scala recompute of k-means TRAINING + encode + ADC " +
+    "matches the gate bit-for-bit; training moves the centroids; " +
+    "self never ranks") {
     val sf = "/root/testdata/sf0.001"
-    val vs = spark.read.parquet(s"$sf/embeddings.parquet")
-      .collect().map(r => r.getLong(0) ->
-        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    val cbIds = vs.keys.filter(id =>
-      id % Similarity.PqMod == 0 && id < Similarity.PqCap).toSeq.sorted
-    val cb = cbIds.map(vs)
     val M = Similarity.PqM; val S = Similarity.PqSub
-    def sdot(a: Array[Double], b: Array[Double], m: Int): Double =
-      (0 until S).foldLeft(0.0)((acc, i) => acc + a(m * S + i) * b(m * S + i))
-    val cc = cb.map(c => (0 until M).map(m => sdot(c, c, m)).toArray)
-    def codesOf(v: Array[Double]): Seq[Int] = (0 until M).map { m =>
-      cbIds.indices.minBy(k => (cc(k)(m) - 2 * sdot(v, cb(k), m), k))
-    }
-    val queries = vs.keys.filter(id =>
-      id % Similarity.QueryMod == 0 && id < Similarity.QueryCap).toSeq.sorted
-    val want = queries.flatMap { q =>
-      val qv = vs(q)
-      val lut = (0 until M).map(m => cbIds.indices.map(k =>
-        sdot(qv, qv, m) + cc(k)(m) - 2 * sdot(qv, cb(k), m)))
-      vs.toSeq.filter(_._1 != q).map { case (id, v) =>
-        val c = codesOf(v)
-        val adist = lut(0)(c(0)) + lut(1)(c(1)) + lut(2)(c(2)) + lut(3)(c(3))
-        (id, adist)
-      }.sortBy { case (id, d) => (d, id) }.take(Similarity.TopK)
-        .zipWithIndex.map { case ((id, d), i) =>
-          (q, id, i + 1, BigDecimal(d * 10000)
-            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    // quantize exactly as the engine/oracle do: round(x·10⁴) half-up
+    val vs: Map[Long, Array[Long]] = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          BigDecimal(x.toDouble * Similarity.PqQuant)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      .toMap
+    val seeds = vs.keys.filter(id => id % Similarity.PqSeedMod == 0 &&
+      id < Similarity.PqSeedCap).toSeq.sorted
+    assert(seeds.size == Similarity.PqK,
+      s"seed cap must BIND at sf0.001: ${seeds.size}")
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(M)(m =>
+      seeds.map(id => vs(id).slice(m * S, (m + 1) * S)).toArray)
+    val seed0 = cb.map(_.map(_.clone()))
+    val nK = seeds.size
+    def dist(q: Array[Long], m: Int, c: Array[Long]): Long =
+      (0 until S).foldLeft(0L)((acc, i) =>
+        acc + (q(m * S + i) - c(i)) * (q(m * S + i) - c(i)))
+    def codesOf(q: Array[Long]): Array[Int] = Array.tabulate(M)(m =>
+      (0 until nK).minBy(k => (dist(q, m, cb(m)(k)), k)))
+    for (_ <- 1 to Similarity.PqIters) {
+      val assign = vs.toSeq.map { case (id, q) => (q, codesOf(q)) }
+      val next = cb.map(_.map(_.clone()))
+      for (m <- 0 until M; k <- 0 until nK) {
+        val members = assign.collect { case (q, cs) if cs(m) == k => q }
+        if (members.nonEmpty) {
+          val n = members.size.toLong
+          for (i <- 0 until S) {
+            val sv = members.foldLeft(0L)((acc, q) => acc + q(m * S + i))
+            next(m)(k)(i) = if (sv < 0) -((-sv) / n) else sv / n
+          }
         }
+      }
+      cb = next
+    }
+    // training is real: the Lloyd rounds moved centroids off the seeds
+    assert(cb.flatten.map(_.toSeq) != seed0.flatten.map(_.toSeq),
+      "k-means left every centroid exactly at its seed")
+    val queries = vs.keys.filter(id => id % Similarity.QueryMod == 0 &&
+      id < Similarity.QueryCap).toSeq.sorted
+    val want = queries.flatMap { qid =>
+      val lut = Array.tabulate(M, nK)((m, k) => dist(vs(qid), m, cb(m)(k)))
+      vs.toSeq.filter(_._1 != qid).map { case (id, v) =>
+        val c = codesOf(v)
+        (id, (0 until M).foldLeft(0L)((acc, m) => acc + lut(m)(c(m))))
+      }.sortBy { case (id, dd) => (dd, id) }.take(Similarity.TopK)
+        .zipWithIndex.map { case ((id, dd), i) => (qid, id, i + 1, dd) }
     }.toSet
     val got = Similarity.qAnnPq(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
       .toSet
     assert(got == want, s"ADC recompute diverges:\n got=${got.toSeq.sorted}" +
       s"\nwant=${want.toSeq.sorted}")
-    // structural sanity: every codebook index is reachable on this corpus
-    val allCodes = vs.values.flatMap(codesOf).toSet
-    assert(allCodes == cbIds.indices.toSet,
-      s"fixture should exercise the whole codebook: $allCodes")
+    // structural sanity: codes are in range and the codebook is genuinely
+    // multi-cell in every subspace (a collapsed codebook would make ADC
+    // vacuous while still "matching")
+    val allCodes = vs.values.toSeq.map(codesOf)
+    (0 until M).foreach { m =>
+      val used = allCodes.map(_(m)).toSet
+      assert(used.forall(k => k >= 0 && k < nK))
+      assert(used.size >= 4,
+        s"subspace $m collapsed to ${used.size} live cells")
+    }
   }
 
   test("qgram fuzzy match == brute quadratic on adversarial names: " +

@@ -16,6 +16,29 @@ class ScaleShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Drops every InMemoryRelation display subtree from a printed plan:
+    * those nodes are the CONTENTS of a Materialize.stage cache (computed
+    * once, then scanned), so per-plan shape assertions — "at most one
+    * generator", "no second exchange" — must not count them. Subtree
+    * membership is by tree-drawing indentation: any line deeper than the
+    * `InMemoryRelation` line belongs to its cached plan.
+    */
+  private def aboveCaches(plan: String): String = {
+    def indentOf(l: String): Int = {
+      val i = l.indexWhere(c => !" :+-".contains(c))
+      if (i < 0) l.length else i
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var skip = -1
+    plan.split('\n').foreach { l =>
+      val ind = indentOf(l)
+      if (skip >= 0 && ind > skip) () // inside a cached subtree
+      else if (l.contains("InMemoryRelation")) skip = ind
+      else { skip = -1; out += l }
+    }
+    out.mkString("\n")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -264,11 +287,13 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("sequence("),
       s"covered positions must fold to intervals, not a K-wide sequence " +
         s"explode:\n$plan")
-    // the shingle-window posexplode itself sits behind the wins
-    // localCheckpoint (a LogicalRDD leaf), so the visible plan may show
-    // zero generators; anything MORE than one means a token or position
-    // re-explode crept back in
-    val generators = "(?i)generate ".r.findAllIn(plan).length
+    // the shingle-window posexplode sits behind the wins Materialize.stage
+    // boundary: it executes ONCE into the cache, and the plan STRING now
+    // displays it inside the InMemoryRelation subtree (localCheckpoint
+    // used to truncate the display entirely). Count generators only
+    // ABOVE cache boundaries — anything more than one there means a
+    // token or position re-explode crept back into the live plan
+    val generators = "(?i)generate ".r.findAllIn(aboveCaches(plan)).length
     assert(generators <= 1,
       s"only the shingle-window posexplode may generate rows (found " +
         s"$generators) — a token re-explode reintroduces the O(tokens) " +
