@@ -58,10 +58,20 @@ object CdcLogCompaction {
   /** Rewrite the log at `inDir` into a fresh `outDir` (must not exist).
     * `keyField` is the payload's primary-key field name inside
     * `after`/`before` (the reference's `customers.id`).
+    *
+    * `nullLsnTsMsFallback` (round-7 advisory): the default −infinity
+    * rank silently drops an UNPOSITIONED record that is in fact the
+    * newest state for its key — the right call for replay debris, the
+    * wrong one for connectors that legitimately omit `lsn` on some live
+    * events. Opting in ranks a null-lsn record at its envelope `ts_ms`
+    * instead, an explicitly HEURISTIC position (lsn units are
+    * connector-specific and need not be millisecond-commensurable —
+    * which is why this is an opt-in escape hatch, not the default, and
+    * why the gate keeps the default).
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       keyField: String = "id", retainTombstones: Boolean = false,
-      parts: Int = 8): Stats = {
+      parts: Int = 8, nullLsnTsMsFallback: Boolean = false): Stats = {
     val hconf = spark.sessionState.newHadoopConf()
     val out = new Path(outDir)
     val fs = out.getFileSystem(hconf)
@@ -81,14 +91,20 @@ object CdcLogCompaction {
         get_json_object(col("value"), s"$$.after.$keyField"),
         get_json_object(col("value"), s"$$.before.$keyField")).as("key"),
       get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
-      get_json_object(col("value"), "$.op").as("op"))
+      get_json_object(col("value"), "$.op").as("op"),
+      get_json_object(col("value"), "$.ts_ms").cast("long").as("tsms"))
     val compactable = keyed.filter(col("key").isNotNull && col("op").isNotNull)
     val passthrough = keyed.filter(col("key").isNull || col("op").isNull)
       .select(col("value"), lit("p").as("verdict"))
     // null lsn ranks at -infinity (see scaladoc); Long.MinValue is the
-    // in-plan encoding — real lsns are non-negative sequence positions
+    // in-plan encoding — real lsns are non-negative sequence positions.
+    // Under the opt-in fallback a null-lsn record ranks at its ts_ms
+    // first (still -infinity when that too is absent).
+    val nullRank =
+      if (nullLsnTsMsFallback) coalesce(col("tsms"), lit(Long.MinValue))
+      else lit(Long.MinValue)
     val w = Window.partitionBy(col("src_schema"), col("src_table"), col("key"))
-      .orderBy(coalesce(col("lsn"), lit(Long.MinValue)).desc,
+      .orderBy(coalesce(col("lsn"), nullRank).desc,
         col("value").desc)
     val tombstoned =
       if (retainTombstones) lit(false) else col("op") === "d"

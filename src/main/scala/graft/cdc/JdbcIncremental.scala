@@ -493,9 +493,12 @@ object JdbcIncremental {
     * so parseability alone cannot prove completeness), promote it with
     * the same atomic rename the commit uses (either the repair
     * completes or the old state persists — no new torn state is
-    * reachable). An incomplete next with no current marker can only be
-    * a crashed FIRST commit, where uninitialized is the correct answer
-    * and the overwrite is safe.
+    * reachable). A sentinel-less but parseable next is ALSO promoted
+    * when the log holds committed data files (the upgrade window for
+    * pre-sentinel writers — see the inline comment for why that is
+    * loss-free). An incomplete next over a data-less log can only be a
+    * crashed first `initializeWatermark` commit, where uninitialized is
+    * the correct answer and the overwrite is safe.
     */
   private[graft] def repairInterruptedCommit(f: FileSystem,
       dir: Path): Unit = {
@@ -514,7 +517,29 @@ object JdbcIncremental {
       // commit) and parse as a long
       val complete = raw.endsWith("\n") &&
         scala.util.Try(raw.trim.toLong).isSuccess
-      if (complete && !f.rename(next, marker))
+      // UPGRADE WINDOW (round-7 advisory): a marker written by the
+      // pre-sentinel code is complete yet newline-less; without this
+      // clause the next commit's create(next, true) truncates the SOLE
+      // committed copy, and a second crash mid-write then makes an
+      // initialized log look uninitialized. A legacy orphan is
+      // promotable when the log already holds committed data files —
+      // the delete-current crash window only exists after a publish, so
+      // a data-less log (crashed FIRST initializeWatermark commit)
+      // still correctly reads as uninitialized. Residual risk, bounded
+      // and deliberate: a NEW-code first snapshot commit crashing
+      // mid-marker-write after its data rename could present a
+      // parseable torn prefix here; promoting it only lowers the
+      // watermark, so the worst case is at-least-once re-capture of
+      // rows the log's lsn-dedup readers already tolerate — never a
+      // silently skipped range.
+      val legacyComplete = !complete &&
+        scala.util.Try(raw.trim.toLong).isSuccess &&
+        f.listStatus(dir).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            n.endsWith(".jsonl")
+        }
+      if ((complete || legacyComplete) && !f.rename(next, marker))
         throw new java.io.IOException(
           s"JdbcIncremental: watermark repair rename failed in $dir")
     }

@@ -134,11 +134,11 @@ object Cdc {
     */
   /** Bump when the staged txn fixture RECIPE changes (slices, envelope
     * shape, timestamps). The version is part of the staged directory
-    * name, so a stale directory from an earlier code version — reachable
-    * when the OS recycles a pid into gateTmpDir's JVM key — can never be
-    * silently trusted: a version bump lands in a fresh path, and
-    * same-version collisions are safe because the fixture is
-    * deterministic (identical bytes either way).
+    * name, so a stale directory from an earlier code version can never
+    * be silently trusted: a version bump lands in a fresh path (and
+    * [[stageOnce]] sweeps the superseded trees), while same-version
+    * collisions are safe because the fixture is deterministic
+    * (identical bytes either way).
     */
   private val StagedFixtureVersion = 2
 
@@ -149,9 +149,9 @@ object Cdc {
     * END metadata only for tx%5≠0 (END-less transactions), everything
     * stamped at [[FixedTs]]. Returns (events, meta); events carry
     * (tx, lsn, value, ts) — a gate whose stream schema omits `ts`
-    * simply never reads the column. The events frame is
-    * localCheckpoint'd (multiple slice writes consume it); the caller
-    * frees it after its last write.
+    * simply never reads the column. The events frame is staged
+    * (Materialize.stage — multiple slice writes consume it); the
+    * caller unpersists it after its last write.
     */
   private def txnFixture(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
@@ -181,16 +181,65 @@ object Cdc {
     (ev, meta)
   }
 
-  private def stageOnce(s: SparkSession, stagedBase: String)(
-      build: String => Unit): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(stagedBase)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    val done = new org.apache.hadoop.fs.Path(stagedBase, "_STAGED")
-    if (!fs.exists(done)) {
-      fs.delete(new org.apache.hadoop.fs.Path(stagedBase), true)
-      build(stagedBase)
-      fs.create(done).close()
+  /** Staged-fixture dir keyed by (gate prefix, version, sf) ONLY —
+    * shared ACROSS JVMs (round-7 advisory: the former pid@host key left
+    * one full parquet fixture tree per JVM in java.io.tmpdir, forever,
+    * and version bumps orphaned every v(N−1) tree). Same-version
+    * collisions are safe because the fixture is deterministic (identical
+    * bytes either way); cross-process build races are closed by
+    * [[stageOnce]]'s build-then-atomic-rename publish.
+    */
+  private def stagedDir(prefix: String, d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_v$StagedFixtureVersion" + "_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  /** Build the staged fixture exactly once per (prefix, version, sf),
+    * concurrency- and crash-safe, and sweep stale sibling versions:
+    *  - other-version trees (`<prefix>_v*` with a different version) and
+    *    abandoned build attempts are deleted — the leak the former
+    *    accumulate-forever scheme had;
+    *  - the build lands in a process-unique `…_build_<jvm>` sibling and
+    *    PUBLISHES via atomic rename, so the shared path is only ever
+    *    absent or complete (`_STAGED` inside). Concurrent stagers each
+    *    build privately; exactly one rename wins, losers delete their
+    *    attempt. A pre-existing tree without `_STAGED` is a crashed
+    *    pre-publish writer's debris — swept before renaming.
+    */
+  private def stageOnce(s: SparkSession, prefix: String, d: String)(
+      build: String => Unit): String = {
+    val stagedBase = stagedDir(prefix, d)
+    val base = new org.apache.hadoop.fs.Path(stagedBase)
+    val fs = base.getFileSystem(s.sessionState.newHadoopConf())
+    val done = new org.apache.hadoop.fs.Path(base, "_STAGED")
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    // sweep stale versions + orphaned builds of THIS gate's fixture
+    Option(tmpRoot.list()).getOrElse(Array.empty[String]).foreach { n =>
+      val stale =
+        (n.startsWith(s"${prefix}_v") &&
+          !n.startsWith(s"${prefix}_v$StagedFixtureVersion" + "_")) ||
+          (n.contains("_build_") && n.startsWith(s"${prefix}_v") &&
+            !n.endsWith(s"_build_$jvm"))
+      if (stale)
+        fs.delete(new org.apache.hadoop.fs.Path(tmpRoot.getPath, n), true)
     }
+    if (!fs.exists(done)) {
+      val tmp = new org.apache.hadoop.fs.Path(stagedBase + s"_build_$jvm")
+      fs.delete(tmp, true)
+      build(tmp.toString)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_STAGED")).close()
+      if (fs.exists(base) && !fs.exists(done)) fs.delete(base, true)
+      if (!fs.rename(tmp, base)) {
+        // a concurrent stager published first (rename to an existing
+        // non-empty dir fails): its tree is byte-identical — drop ours
+        if (fs.exists(done)) fs.delete(tmp, true)
+        else throw new java.io.IOException(
+          s"stageOnce: publish rename failed for $stagedBase")
+      }
+    }
+    stagedBase
   }
 
   /** Copy a staged directory's data files into a live input dir under a
@@ -672,21 +721,19 @@ object Cdc {
   def qCdcTxnStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val base = gateTmpDir("graft_txn_stream", d)
-    val staged =
-      gateTmpDir(s"graft_txn_stream_staged_v$StagedFixtureVersion", d)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val (evDir, mtDir, outDir, ck) =
       (s"$base/ev", s"$base/mt", s"$base/out", s"$base/ck")
-    stageOnce(s, staged) { st =>
+    val staged = stageOnce(s, "graft_txn_stream_staged", d) { st =>
       val (ev, meta) = txnFixture(s, d)
       ev.filter(col("tx") % 2 === 0).write.parquet(s"$st/gen1_ev")
       meta.write.parquet(s"$st/gen1_mt")
       ev.filter(col("tx") % 2 =!= 0).write.parquet(s"$st/gen2_ev")
       ev.filter(col("tx") % 2 === 0 && col("lsn") % 4 === 0)
         .write.parquet(s"$st/gen2_replay")
-      graft.cdc.JdbcIncremental.freeLocalCheckpoint(ev)
+      ev.unpersist(blocking = true) // frees the Materialize.stage cache
     }
     def run(): Unit = {
       import s.implicits._
@@ -755,18 +802,16 @@ object Cdc {
   def qCdcTxnEvict(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val base = gateTmpDir("graft_txn_evict", d)
-    val staged =
-      gateTmpDir(s"graft_txn_evict_staged_v$StagedFixtureVersion", d)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val (evDir, mtDir, outDir, ck) =
       (s"$base/ev", s"$base/mt", s"$base/out", s"$base/ck")
-    stageOnce(s, staged) { st =>
+    val staged = stageOnce(s, "graft_txn_evict_staged", d) { st =>
       val (ev, meta) = txnFixture(s, d)
       ev.write.parquet(s"$st/gen1_ev")
       meta.write.parquet(s"$st/gen1_mt")
-      graft.cdc.JdbcIncremental.freeLocalCheckpoint(ev)
+      ev.unpersist(blocking = true) // frees the Materialize.stage cache
       import s.implicits._
       Seq(graft.streaming.TxnEventTs(-1L, 0L, "",
         new java.sql.Timestamp(FixedTs + 86400000L))).toDS()

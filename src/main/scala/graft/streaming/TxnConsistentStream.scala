@@ -48,6 +48,18 @@ final case class TxnVerdict(tx: Long, lsn: Long, value: String,
 final case class TxnState(expected: Option[Int],
     buffered: Map[Long, String], released: Boolean, seenTs: Long = 0L)
 
+/** State shape for the NoTimeout [[TxnConsistentStream.release]] path —
+  * deliberately WITHOUT the evicting mode's `seenTs` field. Round-6
+  * added `seenTs` to [[TxnState]], which changes the state-store encoder
+  * schema; a checkpoint of the release() operator written before that
+  * round would fail Spark's state schema compatibility check on restore
+  * (round-7 advisory). Keeping release() on the original three-field
+  * shape preserves those checkpoints; the evicting path needs `seenTs`
+  * and keeps the extended shape (its gates always start fresh).
+  */
+final case class TxnReleaseState(expected: Option[Int],
+    buffered: Map[Long, String], released: Boolean)
+
 /** Streaming twin of `q_cdc_txn_consistent`: release change events to
   * downstream consumers only in whole transactions. Events buffer in
   * per-`txId` state until the transaction's END metadata has arrived AND
@@ -176,8 +188,9 @@ object TxnConsistentStream {
     * it directly against hand-built states.
     */
   private[graft] def releaseTxn(tx: Long, it: Iterator[TxnTagged],
-      state: GroupState[TxnState]): Iterator[TxnEvent] = {
-    val st = state.getOption.getOrElse(TxnState(None, Map.empty, false))
+      state: GroupState[TxnReleaseState]): Iterator[TxnEvent] = {
+    val st = state.getOption
+      .getOrElse(TxnReleaseState(None, Map.empty, false))
     if (st.released) {
       // replayed events/metadata of an already-released transaction:
       // keep the tombstone, emit nothing (exactly-once downstream)
@@ -190,11 +203,11 @@ object TxnConsistentStream {
         else buf = buf.updated(r.lsn, r.value)
       }
       if (expected.contains(buf.size)) {
-        state.update(TxnState(expected, Map.empty, released = true))
+        state.update(TxnReleaseState(expected, Map.empty, released = true))
         buf.toSeq.sortBy(_._1).iterator
           .map { case (lsn, v) => TxnEvent(tx, lsn, v) }
       } else {
-        state.update(TxnState(expected, buf, released = false))
+        state.update(TxnReleaseState(expected, buf, released = false))
         Iterator.empty
       }
     }

@@ -340,10 +340,10 @@ class PropertySpec extends SparkSpec {
 
   test("property: txn release emits exactly the complete transactions, " +
     "once, under any batching and duplication") {
-    import graft.streaming.{TxnConsistentStream, TxnEvent, TxnState, TxnTagged}
+    import graft.streaming.{TxnConsistentStream, TxnEvent, TxnReleaseState, TxnTagged}
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    def freshState(prev: Option[TxnState]) =
-      org.apache.spark.sql.streaming.TestGroupState.create[TxnState](
+    def freshState(prev: Option[TxnReleaseState]) =
+      org.apache.spark.sql.streaming.TestGroupState.create[TxnReleaseState](
         org.apache.spark.api.java.Optional.fromNullable(prev.orNull),
         GroupStateTimeout.NoTimeout(), 0L,
         org.apache.spark.api.java.Optional.empty[Long](),
@@ -369,7 +369,7 @@ class PropertySpec extends SparkSpec {
             if (records.isEmpty) batches0
             else batches0.init :+ (batches0.last :+
               records(dupIdx % records.size))
-          var st: Option[TxnState] = None
+          var st: Option[TxnReleaseState] = None
           val emitted = batches.flatMap { b =>
             val gs = freshState(st)
             val outs = TxnConsistentStream.releaseTxn(t.toLong,

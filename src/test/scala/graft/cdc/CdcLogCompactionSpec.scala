@@ -104,6 +104,34 @@ class CdcLogCompactionSpec extends SparkSpec {
     assert(survivors.exists(_.contains("no-op-field")))
   }
 
+  test("nullLsnTsMsFallback: an unpositioned record that is the NEWEST " +
+    "state for its key wins by ts_ms under the opt-in, still loses " +
+    "under the default") {
+    val in = tmpDir("compact-tsfb-in")
+    val envNullTs =
+      """{"before":null,"after":%s,"source":{"version":"1","connector":"postgresql","name":"dbserver1","ts_ms":1,"snapshot":"false","db":"inventory","schema":"public","table":"customers","txId":null,"lsn":null},"op":"%s","ts_ms":%d}"""
+    val lines = Seq(
+      // id 5: positioned update at lsn 51 (ts_ms 1, from `env`) vs a
+      // LIVE null-lsn event whose ts_ms is far newer than the lsn value
+      env.format("null", pay(5, "POSITIONED"), 51, "u"),
+      envNullTs.format(pay(5, "LIVE_NULL_LSN"), "u", 9999L))
+    Files.write(Paths.get(in, "0000000001.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val outDefault = tmpDir("compact-tsfb-out-a") + "/log"
+    CdcLogCompaction.compact(spark, in, outDefault)
+    val defSurv = spark.read.text(outDefault).collect()
+      .map(_.getString(0)).toSet
+    assert(defSurv.exists(_.contains("POSITIONED")) &&
+      !defSurv.exists(_.contains("LIVE_NULL_LSN")),
+      "default policy: unpositioned records rank at -infinity")
+    val outFb = tmpDir("compact-tsfb-out-b") + "/log"
+    CdcLogCompaction.compact(spark, in, outFb, nullLsnTsMsFallback = true)
+    val fbSurv = spark.read.text(outFb).collect().map(_.getString(0)).toSet
+    assert(fbSurv.exists(_.contains("LIVE_NULL_LSN")) &&
+      !fbSurv.exists(_.contains("POSITIONED")),
+      "fallback: the null-lsn record ranks at its ts_ms (9999 > 51)")
+  }
+
   test("retainTombstones keeps the winning delete envelope") {
     val in = tmpDir("compact-tomb-in")
     val out = tmpDir("compact-tomb-out") + "/log"

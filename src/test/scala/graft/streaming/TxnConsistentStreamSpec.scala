@@ -60,7 +60,7 @@ class TxnConsistentStreamSpec extends SparkSpec {
 
   test("transition function: duplicate events don't inflate completeness; " +
     "overshoot stays buffered") {
-    def state(init: Option[TxnState]) = TestGroupState.create[TxnState](
+    def state(init: Option[TxnReleaseState]) = TestGroupState.create[TxnReleaseState](
       org.apache.spark.api.java.Optional.fromNullable(init.orNull),
       GroupStateTimeout.NoTimeout(), 0L,
       org.apache.spark.api.java.Optional.empty[Long](),
