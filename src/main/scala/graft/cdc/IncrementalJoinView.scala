@@ -1,0 +1,80 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a keyed two-table INNER-JOIN view from CDC
+  * deltas — the next consumer capability after incremental aggregates
+  * (`q_cdc_incremental_agg`): a warehouse keeps `V = A ⋈ B` materialized
+  * and applies each change batch in O(|Δ|), never re-scanning the base
+  * tables (the reference's consumers build exactly such enriched
+  * materializations from the change topics,
+  * `/root/reference/docs/architecture.md:49-66`).
+  *
+  * Keyed-equi-join IVM (the Materialize / Delta-Live-Tables shape): each
+  * side holds at most one live row per key, so a change batch can only
+  * affect view rows whose key it TOUCHES. A maintenance step therefore:
+  *   1. collects the touched-key set from both delta batches;
+  *   2. refreshes each side's state for touched keys only — maintained
+  *      state rows enter the same max-lsn/delete-wins reduction as the
+  *      delta rows (a semi-join pulls exactly the touched state rows);
+  *   3. rebuilds the view rows for touched keys from the refreshed
+  *      states (inner join — a key missing on either side leaves the
+  *      view), and CARRIES every untouched view row via an anti-join.
+  *
+  * Scale shape: all joins are key-equi (hash-partitioned once on the
+  * key); the window reduction runs over |touched state| + |Δ| rows, not
+  * the corpus; carried rows move through an anti-join whose probe side
+  * is the broadcast-sized touched-key set when |Δ| is small. Cost per
+  * batch is O(|Δ|) plus the carried-view pass — the recompute-from-
+  * scratch alternative is O(|A| + |B|) scans plus a full re-join.
+  */
+object IncrementalJoinView {
+
+  /** One side's live state from a delta frame `(key, op, lsn, payload…)`:
+    * per key the max-`lsn` row wins (ties broken on op descending — a
+    * replayed pair is identical anyway) and a winning delete removes the
+    * key. Retains `lsn` so the state can re-enter later reductions.
+    */
+  def sideState(deltas: DataFrame, key: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("lsn").desc, col("op").desc)
+    deltas.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "d")
+      .drop("__rn", "op")
+  }
+
+  /** One maintenance step. `view` must be the inner join of the two
+    * maintained states (key + both payloads); `aState`/`bState` carry
+    * (key, lsn, payload). Returns `(view', aState', bState')` with a
+    * `touchedCol` marker on the view (`"refreshed"` for keys the deltas
+    * touched, `"carried"` for rows that moved through untouched).
+    */
+  def step(view: DataFrame, aState: DataFrame, bState: DataFrame,
+      aDelta: DataFrame, bDelta: DataFrame, key: String,
+      touchedCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val touched = aDelta.select(col(key))
+      .unionByName(bDelta.select(col(key))).distinct()
+    def refreshed(state: DataFrame, delta: DataFrame): DataFrame =
+      sideState(
+        state.join(touched, Seq(key), "left_semi")
+          .withColumn("op", lit("r"))
+          .unionByName(delta),
+        key)
+    val aT = refreshed(aState, aDelta)
+    val bT = refreshed(bState, bDelta)
+    val viewCols = view.columns.filter(_ != touchedCol)
+    val vCarried = view.select(viewCols.map(col).toIndexedSeq: _*)
+      .join(touched, Seq(key), "left_anti")
+      .withColumn(touchedCol, lit("carried"))
+    val vRefreshed = aT.drop("lsn")
+      .join(bT.drop("lsn"), key)
+      .withColumn(touchedCol, lit("refreshed"))
+      .select((viewCols.map(col) :+ col(touchedCol)).toIndexedSeq: _*)
+    def carryState(state: DataFrame, t: DataFrame): DataFrame =
+      state.join(touched, Seq(key), "left_anti").unionByName(t)
+    (vCarried.unionByName(vRefreshed),
+      carryState(aState, aT), carryState(bState, bT))
+  }
+}

@@ -520,6 +520,63 @@ object Cdc {
       .orderBy(col("email_domain"))
   }
 
+  /** Incremental JOIN-view maintenance ([[graft.cdc.IncrementalJoinView]]
+    * — round-6 verdict stretch item #8): maintain `V = customers ⋈
+    * balances` (two independent change streams keyed on the customer id)
+    * across two change generations, recomputing ONLY delta-touched keys
+    * in generation 2 and CARRYING every untouched view row.
+    *
+    * Fixture lifecycles (closed-form, so the oracle folds them
+    * directly): stream A = the customer recipe (snapshot all; gen 2
+    * uppercases every 3rd name, deletes every 7th key); stream B =
+    * synthetic balances `id·7 mod 1000` (snapshot all; gen 2 adds 500
+    * to every 4th key's balance, deletes every 5th key). Generation-2
+    * lsns (+10M updates, +20M deletes) strictly follow generation 1's.
+    *
+    * The `maintained_via` column is the INCREMENTALITY WITNESS inside
+    * the hash gate: 'refreshed' exactly for keys generation 2 touched
+    * (among survivors: id%3=0 or id%4=0), 'carried' for the rest — a
+    * recompute-from-scratch implementation has no generation boundary
+    * to derive it from, so the oracle checks the maintenance structure,
+    * not just the final join.
+    */
+  def qCdcJoinView(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.IncrementalJoinView
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"), col("c_name").as("name"))
+    val lsn0 = col("id").cast("long")
+    val a1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"),
+      col("name"))
+    val a2 = cust.filter(col("id") % 3 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        upper(col("name")).as("name"))
+      .unionByName(cust.filter(col("id") % 7 === 0)
+        .select(col("id"), lit("d").as("op"),
+          (lsn0 + 20000000L).as("lsn"),
+          lit(null).cast("string").as("name")))
+    val bal0 = (col("id").cast("long") * 7L % 1000L).as("balance")
+    val b1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"), bal0)
+    val b2 = cust.filter(col("id") % 4 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        (col("id").cast("long") * 7L % 1000L + 500L).as("balance"))
+      .unionByName(cust.filter(col("id") % 5 === 0)
+        .select(col("id"), lit("d").as("op"),
+          (lsn0 + 20000000L).as("lsn"),
+          lit(null).cast("long").as("balance")))
+    // generation 1: bootstrap states + the materialized view
+    val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val v1 = aState1.drop("lsn").join(bState1.drop("lsn"), "id")
+      .select(col("id"), col("name"), col("balance"))
+      .stage() // the maintained materialization generation 2 carries
+    // generation 2: delta-driven refresh of touched keys only
+    val (v2, _, _) = IncrementalJoinView.step(
+      v1, aState1, bState1, a2, b2, "id", "maintained_via")
+    v2.select(col("id"), col("name"), col("balance"),
+        col("maintained_via"))
+      .orderBy(col("id"))
+  }
+
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
     * unit, exactly the production tool's knob (pt-table-checksum's
     * `--chunk-size`).
@@ -965,6 +1022,23 @@ object Cdc {
         |  UNION ALL
         |  SELECT '_unrouted', CAST(7 AS BIGINT), CAST(NULL AS BIGINT))
         |ORDER BY source_table""".stripMargin,
+    // closed-form fold of both fixture lifecycles: survivors are keys
+    // deleted on NEITHER side (id%7≠0 ∧ id%5≠0); name/balance reflect
+    // the generation-2 updates; maintained_via = 'refreshed' exactly
+    // where generation 2 touched a surviving key (id%3=0 ∨ id%4=0)
+    "q_cdc_join_view" ->
+      """SELECT CAST(c_custkey AS INT) AS id,
+        |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+        |       ELSE c_name END AS name,
+        |  CAST(c_custkey * 7 % 1000
+        |    + CASE WHEN c_custkey % 4 = 0 THEN 500 ELSE 0 END
+        |    AS BIGINT) AS balance,
+        |  CASE WHEN c_custkey % 3 = 0 OR c_custkey % 4 = 0
+        |       THEN 'refreshed' ELSE 'carried' END AS maintained_via
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
+        |ORDER BY id""".stripMargin,
+
     // closed-form from the change-mix mod rules (see changeMix): every
     // customer snapshots (+1), every 3rd updates (0), every 7th deletes
     // (−1) — so the maintained counters fold back to per-segment counts.
@@ -1169,6 +1243,7 @@ object Cdc {
     "q_cdc_latest_state" -> (qCdcLatestState _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
+    "q_cdc_join_view" -> (qCdcJoinView _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),
     "q_cdc_txn_evict" -> (qCdcTxnEvict _),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Round-7 hardening: the trained-PQ recall floor (the LSH/IVF floors'
   * missing sibling — round-6 verdict "What's wrong #3": PQ recall was
@@ -87,5 +88,65 @@ class Round7OpsSpec extends SparkSpec {
     }
     assert(dupSides.size >= 6,
       s"value→id expansion must fan out over duplicate names: $dupSides")
+  }
+
+  test("incremental join view == full recompute under RANDOM multi-" +
+    "generation lifecycles (inserts, updates, deletes, re-inserts, " +
+    "absent keys); carried/refreshed marker tracks the last batch's " +
+    "touched set exactly") {
+    import spark.implicits._
+    import graft.cdc.IncrementalJoinView
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(41L + seed)
+      val keys = 1 to 25
+      val Gens = 3
+      // per (gen, side): each key independently absent or one of r/u/d
+      def genDeltas(gen: Int, side: String): Seq[(Int, String, Long, String)] =
+        keys.flatMap { k =>
+          // ~5/8 untouched per (key, side, gen) so the carried path is
+          // guaranteed to occur alongside refreshes and deletes
+          rnd.nextInt(8) match {
+            case 5 => Some((k, "r", gen * 1000L + k, s"$side-r$gen-$k"))
+            case 6 => Some((k, "u", gen * 1000L + k, s"$side-u$gen-$k"))
+            case 7 => Some((k, "d", gen * 1000L + k, null))
+            case _ => None // untouched this generation
+          }
+        }
+      val aGens = (0 until Gens).map(g => genDeltas(g, "a"))
+      val bGens = (0 until Gens).map(g => genDeltas(g, "b"))
+      def df(rows: Seq[(Int, String, Long, String)], v: String) =
+        rows.toDF("id", "op", "lsn", v)
+      // bootstrap from generation 0, then two incremental steps
+      var aState = IncrementalJoinView.sideState(df(aGens(0), "va"), "id")
+      var bState = IncrementalJoinView.sideState(df(bGens(0), "vb"), "id")
+      var view = aState.drop("lsn").join(bState.drop("lsn"), "id")
+        .select(col("id"), col("va"), col("vb"))
+      var lastTouched = Set.empty[Int]
+      for (g <- 1 until Gens) {
+        val (v2, a2, b2) = IncrementalJoinView.step(view, aState, bState,
+          df(aGens(g), "va"), df(bGens(g), "vb"), "id", "via")
+        view = v2; aState = a2; bState = b2
+        lastTouched = (aGens(g) ++ bGens(g)).map(_._1).toSet
+      }
+      val got = view.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+      // reference: plain latest-state fold over ALL generations per side
+      def fold(gens: Seq[Seq[(Int, String, Long, String)]])
+          : Map[Int, String] =
+        gens.flatten.groupBy(_._1).flatMap { case (k, rows) =>
+          val w = rows.maxBy(r => (r._3, r._2))
+          if (w._2 == "d") None else Some(k -> w._4)
+        }
+      val fa = fold(aGens); val fb = fold(bGens)
+      val want = keys.flatMap(k => for (va <- fa.get(k); vb <- fb.get(k))
+        yield (k, va, vb,
+          if (lastTouched(k)) "refreshed" else "carried")).toSet
+      assert(got == want, s"seed $seed:\n got=${got.toSeq.sorted}\n" +
+        s"want=${want.toSeq.sorted}")
+      // both markers genuinely occur across the run
+      assert(got.exists(_._4 == "carried") && got.exists(_._4 == "refreshed"),
+        s"seed $seed: fixture must exercise both maintenance paths")
+    }
   }
 }
