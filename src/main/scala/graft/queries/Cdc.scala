@@ -215,13 +215,22 @@ object Cdc {
     val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
     val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    // sweep stale versions + orphaned builds of THIS gate's fixture
+    // sweep stale fixture trees of THIS gate: any other-version tree
+    // (builds included) is dead by construction; a SAME-version foreign
+    // build may belong to a LIVE concurrent process mid-build (verify
+    // and bench side by side), so it is only swept once its mtime says
+    // abandoned — deleting it live would let that process publish a
+    // partially-rebuilt tree
+    val abandonedMs = 60L * 60L * 1000L
     Option(tmpRoot.list()).getOrElse(Array.empty[String]).foreach { n =>
-      val stale =
-        (n.startsWith(s"${prefix}_v") &&
-          !n.startsWith(s"${prefix}_v$StagedFixtureVersion" + "_")) ||
-          (n.contains("_build_") && n.startsWith(s"${prefix}_v") &&
-            !n.endsWith(s"_build_$jvm"))
+      val otherVersion = n.startsWith(s"${prefix}_v") &&
+        !n.startsWith(s"${prefix}_v$StagedFixtureVersion" + "_")
+      val foreignBuild = n.startsWith(s"${prefix}_v") && !otherVersion &&
+        n.contains("_build_") && !n.endsWith(s"_build_$jvm")
+      val f0 = new java.io.File(tmpRoot, n)
+      val stale = otherVersion ||
+        (foreignBuild &&
+          System.currentTimeMillis() - f0.lastModified() > abandonedMs)
       if (stale)
         fs.delete(new org.apache.hadoop.fs.Path(tmpRoot.getPath, n), true)
     }

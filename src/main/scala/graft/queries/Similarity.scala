@@ -346,27 +346,10 @@ object Similarity {
       transform(col("embedding"),
         x => round(x.cast("double") * PqQuant).cast("long")).as("q"))
 
-  /** 256-row codebook frame `(m, k, c: array<bigint>)` from driver-side
-    * centroids — a LocalRelation with a known row bound, broadcast into
-    * every pass. Keeping the codebook as ROWS (not literal expressions)
-    * keeps every per-row expression tiny: a literal-expression
-    * formulation (M·K = 256 distance expressions per projection)
-    * measured 6.7-15 s at sf0.01, ~all of it Catalyst analysis + codegen
-    * compilation of thousand-term projections, re-paid per training
-    * round because each round's literals differ.
-    */
-  private def codebookDf(s: SparkSession,
-      cb: Array[Array[Array[Long]]]): DataFrame = {
-    import s.implicits._
-    (for (m <- cb.indices; k <- cb(m).indices)
-      yield (m, k, cb(m)(k).toSeq)).toDF("m", "k", "c")
-  }
-
-  /** Integer subspace squared L2 between row-columns: `q`'s `m`-th
-    * [[PqSub]]-dim block vs codeword array `c` — Σᵢ (qᵢ − cᵢ)². One
-    * small expression evaluated once per (vector, m, k) ROW; the
-    * oracle's `list_transform(range(…))` sum is its verbatim twin
-    * (integer addition, any order exact).
+  /** Integer subspace squared L2 between `q`'s `m`-th [[PqSub]]-dim
+    * block and codeword array column `c`: Σᵢ (qᵢ − cᵢ)². The oracle's
+    * `list_transform(range(…))` sum is its verbatim twin (integer
+    * addition, any order exact).
     */
   private def subDist(q: Column, m: Column, c: Column): Column =
     aggregate(
@@ -374,36 +357,55 @@ object Similarity {
         (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, e) => acc + e)
 
-  /** Per-(vector, subspace) nearest-codeword frame `(vec_id, m, k, sub)`
-    * against broadcast codebook `cbDf`: one crossJoin scan (M·K rows per
-    * vector, no shuffle — the broadcast keeps partitioning), argmin via
-    * map-side-combining `max_by` on (−dist, −k) (ties → smaller k; the
-    * oracle's `row_number() OVER (ORDER BY dist, k) = 1`), with the
-    * subvector carried by `first()` so training needs no join back.
+  /** Subspace-m codebook as ONE nested-array literal — O(1) expression
+    * size however large K is. Two earlier formulations measured worse:
+    * M·K named distance-expression columns cost seconds of re-paid
+    * Catalyst analysis/codegen per training round (the literals change
+    * every round), and a broadcast codebook-ROWS crossJoin costs a
+    * (vec, m)-keyed shuffle per pass plus ~20 scheduler stages for the
+    * gate (5.4 s warm at sf0.1). One literal + HOF argmin keeps every
+    * pass a NARROW scan.
     */
-  private def assignCodes(qf: DataFrame, cbDf: DataFrame): DataFrame =
-    qf.crossJoin(broadcast(cbDf))
-      .select(col("vec_id"), col("m"), col("k"),
-        subDist(col("q"), col("m"), col("c")).as("dist"),
-        slice(col("q"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(col("k"),
-          struct((-col("dist")).as("a"), (-col("k")).as("b"))).as("k"),
-        first(col("sub")).as("sub"))
+  private def cbLit(cbm: Array[Array[Long]]): Column =
+    typedLit(cbm.map(_.toSeq).toSeq)
+
+  /** Per-row argmin code for subspace `m`: `array_min` over
+    * `struct(dist(k), k)` built by a `transform` over the codeword
+    * indices (lexicographic struct order → ties pick the smaller k; the
+    * oracle's `row_number() OVER (ORDER BY dist, k) = 1`).
+    */
+  private def argminCode(q: Column, m: Int,
+      cbm: Array[Array[Long]]): Column = {
+    val cb = cbLit(cbm)
+    array_min(transform(sequence(lit(0), lit(cbm.length - 1)), k =>
+      struct(subDist(q, lit(m), element_at(cb, k + 1)).as("d"),
+        k.cast("int").as("k")))).getField("k")
+  }
+
+  /** `(vec_id, a0..a{M−1}, sub0..sub{M−1})` — all M nearest-codeword
+    * assignments AND the subvectors in one narrow projection (no join,
+    * no shuffle: the codebook rides as literals).
+    */
+  private def assignCodes(qf: DataFrame,
+      cb: Array[Array[Array[Long]]]): DataFrame =
+    qf.select(col("vec_id") +:
+      (0 until PqM).map(m => argminCode(col("q"), m, cb(m)).as(s"a$m")) ++:
+      (0 until PqM).map(m =>
+        slice(col("q"), m * PqSub + 1, PqSub).as(s"sub$m")): _*)
 
   /** Per-subspace k-means codebook: seed from the capped seed set, then
-    * [[PqIters]] Lloyd rounds. Each round is ONE distributed pass — the
-    * broadcast-codebook assignment scan, a map-side-combining groupBy on
-    * (m, k, i) (≤ M·K·[[PqSub]] = 1024 groups), and an O(10 KB) driver
-    * collect for the centroid update (the vocab-sized driver boundary
-    * `q_bpe_train` established: collected state is codebook-sized,
-    * never corpus-sized). Empty clusters carry the previous centroid.
-    * Centroid mean = truncating integer division with the sign applied
-    * outside (both engines replicate it verbatim).
+    * [[PqIters]] Lloyd rounds. Each round is ONE narrow assignment scan
+    * (codebook as literals — no join, no assignment shuffle) feeding a
+    * single map-side-combining groupBy on (m, k, i) (≤ M·K·[[PqSub]] =
+    * 1024 groups) and an O(10 KB) driver collect for the centroid
+    * update (the vocab-sized driver boundary `q_bpe_train` established:
+    * collected state is codebook-sized, never corpus-sized). Empty
+    * clusters carry the previous centroid. Centroid mean = truncating
+    * integer division with the sign applied outside (both engines
+    * replicate it verbatim).
     */
   private[queries] def pqTrainCodebook(qf: DataFrame)
       : Array[Array[Array[Long]]] = {
-    val s = qf.sparkSession
     val seeds = qf
       .filter(col("vec_id") % PqSeedMod === 0 && col("vec_id") < PqSeedCap)
       .orderBy(col("vec_id")).collect()
@@ -412,8 +414,12 @@ object Similarity {
     var cb = Array.tabulate(PqM)(m =>
       seeds.map(v => v.slice(m * PqSub, (m + 1) * PqSub)))
     for (_ <- 1 to PqIters) {
-      val sums = assignCodes(qf, codebookDf(s, cb))
-        .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("i", "v")))
+      val sums = assignCodes(qf, cb)
+        .select(explode(array((0 until PqM).map(m => struct(
+          lit(m).as("m"), col(s"a$m").as("k"),
+          col(s"sub$m").as("sub"))): _*)).as("x"))
+        .select(col("x.m"), col("x.k"),
+          posexplode(col("x.sub")).as(Seq("i", "v")))
         .groupBy(col("m"), col("k"), col("i"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -446,30 +452,33 @@ object Similarity {
     * corpus vector is ever shuffled or re-read at query time.
     */
   def qAnnPq(s: SparkSession, d: String): DataFrame = {
-    val qf = quantizedVecs(s, d)
+    // the assignment scans evaluate interpreted higher-order argmins, so
+    // an under-partitioned input (one small parquet file here) would run
+    // them single-threaded: widen to core count ONLY in that case — on a
+    // real corpus (partitions ≥ cores) this branch is a no-op and the
+    // natural partitioning stands. Measured: 3.2 s → 0.6 s training at
+    // sf0.1/local[32].
+    val raw = quantizedVecs(s, d)
+    val qf = (if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        raw.repartition(s.sparkContext.defaultParallelism)
+      else raw)
       .stage() // seed collect + 3 training passes + encode + LUT share it
     val cb = pqTrainCodebook(qf)
     val nK = cb(0).length
-    val cbDf = codebookDf(s, cb)
-    // ENCODE: nearest codeword per (vector, subspace), pivoted to one
-    // row of M code columns per vector (both aggs combine map-side)
-    val codes = assignCodes(qf, cbDf)
-      .groupBy(col("vec_id"))
-      .agg(max(when(col("m") === 0, col("k"))).as("code0"),
-        (1 until PqM).map(m =>
-          max(when(col("m") === m, col("k"))).as(s"code$m")): _*)
-      .withColumnRenamed("vec_id", "neighbor_id")
+    // ENCODE: one narrow literal-codebook projection — M code columns
+    // per vector, no join, no shuffle
+    val codes = assignCodes(qf, cb)
+      .select(col("vec_id").as("neighbor_id") +:
+        (0 until PqM).map(m => col(s"a$m").as(s"code$m")): _*)
     // QUERY LUTs: exact subspace distance query<->codeword, one flat
-    // M*K array per query (slot m*K + k + 1; array_sort on the unique
-    // (m, k) prefix fixes the slot order)
+    // M*K array per query (slot m*K + k + 1) — again a pure projection
     val lutArr = qf.filter(isQuery(col("vec_id"))).limit(MaxQueries)
-      .crossJoin(broadcast(cbDf))
-      .select(col("vec_id").as("query_id"), col("m"), col("k"),
-        subDist(col("q"), col("m"), col("c")).as("l"))
-      .groupBy(col("query_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("m"), col("k"), col("l")))),
-        x => x.getField("l")).as("lut"))
+      .select(col("vec_id").as("query_id"),
+        flatten(array((0 until PqM).map { m =>
+          val cbm = cbLit(cb(m))
+          transform(sequence(lit(0), lit(nK - 1)), k =>
+            subDist(col("q"), lit(m), element_at(cbm, k + 1)))
+        }: _*)).as("lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     codes
