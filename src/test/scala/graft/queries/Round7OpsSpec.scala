@@ -21,6 +21,25 @@ class Round7OpsSpec extends SparkSpec {
       s"training regressed (the untrained placeholder sat at 1000)")
   }
 
+  test("pq rerank recall floor: the exact re-rank over the ADC-top-50 " +
+    "shortlist holds recall@5 ≥ 0.7 at sf0.01 (raw ADC@5 measures " +
+    "0.425 there; rerank measures 0.875) and strictly beats raw ADC") {
+    val sf = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.qAnnBruteforce(spark, sf)
+      .select(col("query_id"), col("neighbor_id")))
+    val rr = pairs(Similarity.qAnnPqRerank(spark, sf)
+      .select(col("query_id"), col("neighbor_id")))
+    val pq = pairs(Similarity.qAnnPq(spark, sf)
+      .select(col("query_id"), col("neighbor_id")))
+    val rrRecall = (bf & rr).size * 10000L / bf.size
+    val pqRecall = (bf & pq).size * 10000L / bf.size
+    assert(rrRecall >= 7000, s"rerank recall $rrRecall < 0.7")
+    assert(rrRecall > pqRecall,
+      s"re-ranking must beat raw ADC: $rrRecall vs $pqRecall")
+  }
+
   test("global ed-join == brute id-level quadratic on an adversarial " +
     "corpus: CROSS-BRAND pairs found (the within-brand gates' blind " +
     "spot), duplicate names expand to all id pairs, short/long paths " +
