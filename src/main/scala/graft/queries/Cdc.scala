@@ -246,6 +246,14 @@ object Cdc {
         if (fs.exists(done)) fs.delete(tmp, true)
         else throw new java.io.IOException(
           s"stageOnce: publish rename failed for $stagedBase")
+      } else {
+        // paranoia against Hadoop local-fs rename semantics: when the
+        // destination EXISTS (a concurrent winner landed between our
+        // delete and rename), some fallbacks "succeed" by moving the
+        // source INTO it — the winner's tree is byte-identical, so just
+        // remove the nested stray
+        val nested = new org.apache.hadoop.fs.Path(base, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       }
     }
     stagedBase

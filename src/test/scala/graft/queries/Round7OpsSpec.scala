@@ -109,6 +109,35 @@ class Round7OpsSpec extends SparkSpec {
       s"value→id expansion must fan out over duplicate names: $dupSides")
   }
 
+  test("Materialize.barrier upgrades to a RELIABLE checkpoint once a " +
+    "checkpoint dir is set (the one-line cluster deployment step): " +
+    "results identical to the local fallback, checkpoint files on disk") {
+    import org.apache.spark.GraftSparkInternals
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "spec session must start on the local-fallback branch")
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("v", (col("id") * 37) % 101)
+    def ranks(): Set[(Long, Long)] =
+      graft.operators.GlobalRank
+        .withRank(df, Seq(col("v"), col("id")), "rk", "n")
+        .select(col("id"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val localRes = ranks() // barrier -> localCheckpoint (no dir)
+    val dir = tmpDir("reliable-ckpt")
+    sc.setCheckpointDir(dir)
+    try {
+      val reliableRes = ranks() // barrier -> reliable checkpoint()
+      assert(reliableRes == localRes,
+        "reliable-checkpoint path must be result-identical")
+      def anyFiles(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFiles))
+      assert(anyFiles(new java.io.File(dir)),
+        s"no reliable checkpoint data written under $dir")
+    } finally GraftSparkInternals.setCheckpointDirRaw(sc, None)
+    assert(sc.getCheckpointDir.isEmpty, "shared session state restored")
+  }
+
   test("incremental join view == full recompute under RANDOM multi-" +
     "generation lifecycles (inserts, updates, deletes, re-inserts, " +
     "absent keys); carried/refreshed marker tracks the last batch's " +
