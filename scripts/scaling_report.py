@@ -39,8 +39,8 @@ FAMILIES = [
      r"sampled_percentiles$|zscore_outliers$|winsorize$|"
      r"profile_orders$)"),
     ("Graph / linkage / retrieval",
-     r"^q_(pagerank$|fuzzy_match|bm25_topk$|"
-     r"hybrid_search$|kmeans_update$)"),
+     r"^q_(pagerank$|triangle_count$|fuzzy_match|entity_resolution$|"
+     r"bm25_topk$|hybrid_search$|kmeans_update$)"),
     ("Layout / ordering",
      r"^q_(zorder_curve$|equidepth_bins$|shuffle_shard$)"),
     ("Media (multimodal)", r"^q_media_"),

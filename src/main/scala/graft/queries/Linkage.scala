@@ -227,10 +227,36 @@ object Linkage {
     * `levenshtein`; ed-0 (identical names) is excluded by construction.
     */
   def qFuzzyMatchGlobal(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ids = Tables.part(s, d)
       .select(col("p_partkey"), col("p_name"))
       .stage() // feeds the value rollup AND both expansion joins
+    val matched = matchedValuePairs(ids)
+    // expansion: matched value pairs are a bounded set → broadcast;
+    // output id pairs oriented part_a < part_b with names following ids
+    matched.hint("broadcast")
+      .join(ids.select(col("p_name").as("name_lo"),
+        col("p_partkey").as("id_lo")), Seq("name_lo"))
+      .join(ids.select(col("p_name").as("name_hi"),
+        col("p_partkey").as("id_hi")), Seq("name_hi"))
+      .select(
+        least(col("id_lo"), col("id_hi")).as("part_a"),
+        greatest(col("id_lo"), col("id_hi")).as("part_b"),
+        when(col("id_lo") < col("id_hi"), col("name_lo"))
+          .otherwise(col("name_hi")).as("name_a"),
+        when(col("id_lo") < col("id_hi"), col("name_hi"))
+          .otherwise(col("name_lo")).as("name_b"),
+        col("ed").cast("int").as("edit_dist"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** Corpus-wide matched VALUE pairs (name_lo < name_hi, ed ∈ [1, k]) —
+    * the bounded value-level match table both [[qFuzzyMatchGlobal]] (id
+    * expansion) and [[qEntityResolution]] (component clustering) consume.
+    * `ids` carries (p_partkey, p_name); every quadratic-flavored step
+    * below runs over its DISTINCT name values only.
+    */
+  private def matchedValuePairs(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val vals = ids.select(col("p_name"), length(col("p_name")).as("len"))
       .distinct()
       .stage() // value spine: grams, short fallback, and verify names
@@ -270,26 +296,94 @@ object Linkage {
         col("len").as("lb")), Seq("lb"))
       .filter(col("name_lo") < col("name_hi"))
       .select(col("name_lo"), col("name_hi"))
-    val matched = prefixCands.unionByName(shortCands)
+    prefixCands.unionByName(shortCands)
       .withColumn("ed", levenshtein(col("name_lo"), col("name_hi"), MaxEdit))
       .filter(col("ed") >= 1)
       .dropDuplicates("name_lo", "name_hi")
-    // expansion: matched value pairs are a bounded set → broadcast;
-    // output id pairs oriented part_a < part_b with names following ids
-    matched.hint("broadcast")
-      .join(ids.select(col("p_name").as("name_lo"),
-        col("p_partkey").as("id_lo")), Seq("name_lo"))
-      .join(ids.select(col("p_name").as("name_hi"),
-        col("p_partkey").as("id_hi")), Seq("name_hi"))
-      .select(
-        least(col("id_lo"), col("id_hi")).as("part_a"),
-        greatest(col("id_lo"), col("id_hi")).as("part_b"),
-        when(col("id_lo") < col("id_hi"), col("name_lo"))
-          .otherwise(col("name_hi")).as("name_a"),
-        when(col("id_lo") < col("id_hi"), col("name_hi"))
-          .otherwise(col("name_lo")).as("name_b"),
-        col("ed").cast("int").as("edit_dist"))
-      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** ENTITY RESOLUTION — the composite every record-linkage pipeline ends
+    * with: fuzzy match pairs → transitive closure into entity CLUSTERS →
+    * one canonical id per real-world entity, assigned back to every
+    * record. Matching alone leaves "A≈B, B≈C" as two facts; resolution
+    * makes {A,B,C} one entity even though A and C never matched directly
+    * (edit distance is not transitive — that chain is the POINT of the
+    * closure step).
+    *
+    * Scale shape: the whole graph lives at the DISTINCT-VALUE level
+    * ([[matchedValuePairs]] — nodes are name values, edges the bounded
+    * ed-matched value pairs), so the connected-components loop runs over
+    * a vertex set that grows sublinearly with the corpus. Each iteration
+    * is one equi-join + one aggregate (the [[Dedup.qDedupClusters]]
+    * min-label-propagation shape, iterations = component diameter);
+    * record assignment is ONE broadcast hash join of the tiny
+    * value→entity map onto the corpus — records never enter the loop.
+    * Deterministic: labels monotonically decrease to the component's
+    * lexicographic minimum name; sizes are exact counts.
+    */
+  def qEntityResolution(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"))
+      .stage() // feeds the value rollup AND the final assignment join
+    val pairs = matchedValuePairs(ids)
+      .select(col("name_lo"), col("name_hi"))
+      .stage() // both edge directions + the node spine read it
+    val edges = pairs.unionByName(
+      pairs.select(col("name_hi").as("name_lo"), col("name_lo").as("name_hi")))
+    val sc = s.sparkContext
+    // min-label propagation to convergence, labels = name strings; same
+    // tracked-checkpoint loop as qDedupClusters (Materialize.barrier's
+    // loop case: an unbounded lineage chain across iterations is what the
+    // eager checkpoint exists to cut), with superseded generations freed
+    var labelIds = Set.empty[Int]
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint()
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    var labels = {
+      val (ck, cids) = checkpointTracked(
+        ids.select(col("p_name")).distinct()
+          .withColumn("label", col("p_name")))
+      labelIds = cids; ck
+    }
+    var converged = false
+    var iter = 0
+    val maxIter = 100
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("name_hi") === labels("p_name"))
+        .groupBy(col("name_lo").as("nb_name"))
+        .agg(min(col("label")).as("nbr_min"))
+      val (updated, newIds) = checkpointTracked(labels
+        .join(nbrMin, col("p_name") === col("nb_name"), "left_outer")
+        .select(col("p_name"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label"))
+            .as("changed")))
+      converged = updated.filter(col("changed")).isEmpty
+      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      labelIds = newIds
+      labels = updated.select(col("p_name"), col("label"))
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIter iterations")
+    // value→entity map is |V|-sized → broadcast onto the corpus; entity
+    // stats aggregate over the assigned corpus, then ride back on the
+    // same bounded label domain
+    val assigned = ids.join(broadcast(labels), "p_name")
+      .select(col("p_partkey"), col("p_name"), col("label"))
+      .stage() // feeds the stats rollup and the output join
+    val stats = assigned.groupBy(col("label").as("st_label"))
+      .agg(count(lit(1)).as("entity_size"),
+        countDistinct(col("p_name")).as("n_variants"))
+    assigned.join(broadcast(stats), col("label") === col("st_label"))
+      .select(col("p_partkey").as("part_id"), col("p_name").as("name"),
+        col("label").as("entity_id"),
+        col("entity_size"), col("n_variants"))
+      .orderBy(col("part_id"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -316,6 +410,38 @@ object Linkage {
          |  CASE WHEN ia < ib THEN nb ELSE na END AS name_b,
          |  CAST(ed AS INT) AS edit_dist
          |FROM e ORDER BY part_a, part_b""".stripMargin,
+    // same quadratic value-level match as q_fuzzy_match_global, closed
+    // transitively by a recursive CTE (the value graph is bounded, so
+    // the closure is cheap); label = lexicographic min name reachable
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE v AS (SELECT DISTINCT p_name FROM part),
+         |m AS (SELECT a.p_name AS na, b.p_name AS nb
+         |      FROM v a JOIN v b ON a.p_name < b.p_name
+         |        AND abs(length(a.p_name) - length(b.p_name)) <= $MaxEdit
+         |      WHERE levenshtein(a.p_name, b.p_name)
+         |        BETWEEN 1 AND $MaxEdit),
+         |e AS (SELECT na AS a, nb AS b FROM m
+         |      UNION ALL SELECT nb, na FROM m),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |comp AS (SELECT v.p_name AS name,
+         |           coalesce(least(v.p_name, rm.mn), v.p_name) AS label
+         |         FROM v LEFT JOIN (SELECT a, min(b) AS mn
+         |                           FROM reach GROUP BY a) rm
+         |           ON rm.a = v.p_name),
+         |pe AS (SELECT p.p_partkey, p.p_name, c.label
+         |       FROM part p JOIN comp c ON c.name = p.p_name),
+         |st AS (SELECT label, count(*) AS entity_size,
+         |         count(DISTINCT p_name) AS n_variants
+         |       FROM pe GROUP BY 1)
+         |SELECT pe.p_partkey AS part_id, pe.p_name AS name,
+         |  pe.label AS entity_id,
+         |  CAST(st.entity_size AS BIGINT) AS entity_size,
+         |  CAST(st.n_variants AS BIGINT) AS n_variants
+         |FROM pe JOIN st USING (label)
+         |ORDER BY part_id""".stripMargin,
     // plain quadratic within brand + length band: the ORACLE pays the
     // all-pairs cost so losslessness of the Spark side's prefix filter
     // sits inside the hash gate (a missed pair breaks the compare)
@@ -345,6 +471,7 @@ object Linkage {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_fuzzy_match_qgram" -> (qFuzzyMatchQgram _),
-    "q_fuzzy_match_global" -> (qFuzzyMatchGlobal _)
+    "q_fuzzy_match_global" -> (qFuzzyMatchGlobal _),
+    "q_entity_resolution" -> (qEntityResolution _)
   )
 }

@@ -197,4 +197,78 @@ class Round7OpsSpec extends SparkSpec {
         s"seed $seed: fixture must exercise both maintenance paths")
     }
   }
+
+  test("triangle count == brute-force triple enumeration: orientation " +
+    "counts each triangle exactly once, sub-threshold pairs drop out, " +
+    "edge-free suppliers report zeros") {
+    import spark.implicits._
+    val dir = tmpDir("triangles")
+    // co-order graph by construction: one order per (pair, repeat) puts
+    // exactly that supplier pair in the order. Supports: the 2-3-4
+    // triangle rim and the 1-2-3 triangle all at MinSupport; (4,5) one
+    // BELOW threshold — its triangle-with-nothing and its degree must
+    // both vanish; (5,6) above; supplier 7 appears in no lineitem.
+    val pairSupport = Seq(
+      (1L, 2L) -> Graph.MinSupport, (1L, 3L) -> (Graph.MinSupport + 2),
+      (2L, 3L) -> Graph.MinSupport, (2L, 4L) -> (Graph.MinSupport + 1),
+      (3L, 4L) -> Graph.MinSupport, (4L, 5L) -> (Graph.MinSupport - 1),
+      (5L, 6L) -> Graph.MinSupport)
+    val li = pairSupport.zipWithIndex.flatMap {
+      case (((a, b), s), pi) =>
+        (0 until s).flatMap { r =>
+          val ok = (pi * 100 + r).toLong
+          Seq((ok, a), (ok, b))
+        }
+    }
+    li.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 7L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Graph.qTriangleCount(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute reference: thresholded edge set, all C(n,3) triples
+    val edges = pairSupport.collect {
+      case ((a, b), s) if s >= Graph.MinSupport => Set(a, b)
+    }.toSet
+    val nodes = edges.flatten
+    val triangles = (for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if edges(Set(a, b)) && edges(Set(b, c)) && edges(Set(a, c))
+    } yield Set(a, b, c)).toSet
+    val want = (1L to 7L).map { n =>
+      (n, edges.count(_.contains(n)).toLong,
+        triangles.count(_.contains(n)).toLong)
+    }.toSet
+    assert(got == want, s"got=$got\nwant=$want")
+    // each triangle credited exactly 3 node-units — double counting would
+    // inflate this even if per-node spot values happened to collide
+    assert(got.toSeq.map(_._3).sum == 3L * triangles.size)
+    assert(want.exists { case (n, deg, tri) => deg == 0 && tri == 0 },
+      "fixture must include an edge-free supplier")
+  }
+
+  test("entity resolution closes NON-transitive match chains: A≈B≈C with " +
+    "lev(A,C)=4 lands in ONE entity labeled by the min name; duplicate " +
+    "names share the entity; singletons keep their own label") {
+    import spark.implicits._
+    val dir = tmpDir("entity-res")
+    val rows = Seq(
+      (0L, "mmmm aaaa"), // chain end A
+      (1L, "mmmm aabb"), // B: ed 2 of A, ed 2 of C
+      (2L, "mmmm bbbb"), // C: ed 4 of A — only reachable via B
+      (3L, "mmmm aaaa"), // duplicate of A: same entity, not a new variant
+      (4L, "zzzz qqqq")) // singleton
+    rows.toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Linkage.qEntityResolution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toList
+    val want = List(
+      (0L, "mmmm aaaa", "mmmm aaaa", 4L, 3L),
+      (1L, "mmmm aabb", "mmmm aaaa", 4L, 3L),
+      (2L, "mmmm bbbb", "mmmm aaaa", 4L, 3L),
+      (3L, "mmmm aaaa", "mmmm aaaa", 4L, 3L),
+      (4L, "zzzz qqqq", "zzzz qqqq", 1L, 1L))
+    assert(got == want, s"got=$got\nwant=$want")
+  }
 }
