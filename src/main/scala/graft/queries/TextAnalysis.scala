@@ -767,6 +767,177 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   // DuckDB oracles. NOTE: DuckDB lists are 1-indexed; Spark arrays 0-indexed.
   // hash56 twin: CAST('0x'||substr(md5(x),1,14) AS BIGINT).
+  /** Max piece length for the unigram segmenter's vocabulary. */
+  val UnigramMaxPiece = 3
+  /** Multi-char vocabulary budget, cut by (freq desc, piece asc); every
+    * single character seen in the corpus is ALWAYS kept, which makes the
+    * Viterbi lattice total (no word can fail to segment).
+    */
+  val UnigramVocabTopK = 200
+  /** Gate coverage bound: the oracle unrolls the DP positionally, so
+    * BOTH engines filter to words of at most this length — longer words
+    * are out of the gate's contract (corpus max is 8, so nothing is
+    * excluded in practice; a spec pins the exclusion behavior). The HOF
+    * DP construction itself has no length limit.
+    */
+  val UnigramUnroll = 16
+  /** DP state packs (total cost, piece count) into one integer:
+    * combined = cost·1024 + n_pieces. Minimizing combined is exactly
+    * lexicographic (cost, fewer pieces); remaining ties break on the
+    * segmentation string itself, so the argmin is total in both engines.
+    */
+  val UnigramTieScale = 1024L
+
+  /** Corpus word rollup the unigram gate runs over: distinct [a-z]+
+    * words with counts — the tokenizer-cache move (segment each VALUE
+    * once, weight by corpus frequency) that makes subword inference a
+    * vocabulary-sized problem instead of a corpus-sized one.
+    */
+  private def unigramWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all(
+        lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .filter(length(col("word")) <= UnigramUnroll)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** UNIGRAM-LM subword segmentation (the SentencePiece/Kudo-2018 family
+    * — BPE's sibling and the other tokenizer algorithm in real-world
+    * use): score every candidate piece by corpus frequency, then Viterbi-
+    * segment each word into the minimum-cost piece sequence. BPE greedily
+    * MERGES; unigram globally OPTIMIZES over a piece lattice — given the
+    * same corpus they produce genuinely different segmentations, which is
+    * why pipelines ship both.
+    *
+    * Integer-exact cross-engine trick: piece cost is the QUANTIZED
+    * negative log2 probability `bitlen(T) − bitlen(freq) + 1` (bitlen via
+    * `length(bin(x))`, exact in both engines — no float log anywhere),
+    * and the DP minimizes `cost·1024 + n_pieces` with the segmentation
+    * string as the final tiebreak — a total order, so Spark's `array_min`
+    * over transform-built structs and the oracle's `row_number` pick the
+    * SAME segmentation everywhere.
+    *
+    * Scale shape: one corpus scan collapses to the distinct-word rollup
+    * (the only aggregation that sees corpus volume); piece counting and
+    * the DP run over VALUES. The vocabulary (≤ [[UnigramVocabTopK]] +
+    * alphabet) is the model being trained — the justified vocab-bounded
+    * driver boundary, same as BPE's merge table — and rides into the DP
+    * as one map literal inside a codegen'd HOF: no joins, no shuffles,
+    * no per-position stages. Applying the tokenizer to a 100 TB corpus
+    * is then one broadcast hash join of this per-value table onto the
+    * raw words.
+    */
+  def qUnigramSegment(s: SparkSession, d: String): DataFrame = {
+    val wd = unigramWords(s, d).stage() // vocab rollup + the DP scan
+    // candidate pieces: every (start, len≤MaxPiece) substring occurrence,
+    // weighted by word count — multiplicity within a word counts, exactly
+    // as the oracle's (st, ln) cross-join enumerates
+    val pieceArr = flatten(transform(
+      sequence(lit(1), length(col("word"))),
+      st => transform(
+        sequence(lit(1),
+          least(lit(UnigramMaxPiece), length(col("word")) - st + 1)),
+        ln => col("word").substr(st, ln))))
+    val freqs = wd.select(explode(pieceArr).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .stage() // the single-char spine and the top-K cut both read it
+    val vocabRows: Seq[(String, Long)] =
+      (freqs.filter(length(col("piece")) === 1).collect() ++
+        freqs.filter(length(col("piece")) >= 2)
+          .orderBy(col("freq").desc, col("piece"))
+          .limit(UnigramVocabTopK).collect())
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    def bitlen(x: Long): Int = java.lang.Long.toBinaryString(x).length
+    val t = vocabRows.map(_._2).sum
+    val costMap = map(vocabRows.sortBy(_._1).flatMap { case (p, f) =>
+      Seq(lit(p), lit(bitlen(t) - bitlen(f) + 1L))
+    }: _*)
+    // Viterbi over positions 0..n, state per position = (combined, seg),
+    // built as ONE aggregate HOF — the PQ lesson's shape: nested-array
+    // literals + argmin-by-struct keep the expression O(1) in vocab size
+    // and the scan codegen-friendly
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0L).as("c"), lit("").as("seg"))),
+      (acc, i) => concat(acc, array(array_min(filter(
+        transform(
+          sequence(greatest(i - lit(UnigramMaxPiece), lit(0)), i - lit(1)),
+          j => {
+            val piece = col("word").substr(j + lit(1), i - j)
+            struct(
+              (element_at(acc, j + lit(1))("c")
+                + element_at(costMap, piece) * lit(UnigramTieScale)
+                + lit(1L)).as("c"),
+              concat(element_at(acc, j + lit(1))("seg"), lit(" "), piece)
+                .as("seg"))
+          }),
+        st => st("c").isNotNull)))))
+    val fin = element_at(dp, length(col("word")) + 1)
+    wd.select(col("word"), col("cnt"),
+        (fin("c") % UnigramTieScale).as("n_pieces"),
+        idiv(fin("c"), lit(UnigramTieScale)).as("cost_bits"),
+        trim(fin("seg")).as("pieces"))
+      .orderBy(col("word"))
+  }
+
+  /** Oracle twin of [[qUnigramSegment]]: vocabulary + costs in SQL, then
+    * the Viterbi DP unrolled as [[UnigramUnroll]] CTE stages (each stage
+    * extends the lattice by one position and keeps the per-word argmin
+    * row — `row_number` ordered exactly like Spark's struct `array_min`).
+    * Stages are MATERIALIZED: each references its predecessor twice, and
+    * DuckDB's default CTE inlining would otherwise expand the chain into
+    * 2^[[UnigramUnroll]] scans.
+    */
+  private def unigramOracle: String = {
+    val stages = (1 to UnigramUnroll).map { k =>
+      s"""b$k AS MATERIALIZED (SELECT * FROM b${k - 1} UNION ALL
+         |  SELECT word, cnt, $k AS pos, c2 AS c, seg2 AS seg FROM (
+         |    SELECT b.word, b.cnt,
+         |      b.c + v.cost * $UnigramTieScale + 1 AS c2,
+         |      b.seg || ' ' || substring(b.word, b.pos + 1, $k - b.pos)
+         |        AS seg2,
+         |      row_number() OVER (PARTITION BY b.word
+         |        ORDER BY b.c + v.cost * $UnigramTieScale + 1,
+         |          b.seg || ' ' || substring(b.word, b.pos + 1, $k - b.pos))
+         |        AS rk
+         |    FROM b${k - 1} b JOIN vc v
+         |      ON v.piece = substring(b.word, b.pos + 1, $k - b.pos)
+         |    WHERE b.pos >= $k - $UnigramMaxPiece AND b.pos <= ${k - 1}
+         |      AND length(b.word) >= $k)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |          AS word FROM documents)
+       |  WHERE length(word) <= $UnigramUnroll GROUP BY 1),
+       |pc AS MATERIALIZED (SELECT substring(word, st, ln) AS piece,
+       |         CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM wd
+       |  CROSS JOIN unnest(range(1, ${UnigramUnroll + 1})) s(st)
+       |  CROSS JOIN unnest(range(1, ${UnigramMaxPiece + 1})) l(ln)
+       |  WHERE st + ln <= length(word) + 1
+       |  GROUP BY 1),
+       |mult AS (SELECT piece, freq FROM (
+       |  SELECT piece, freq,
+       |    row_number() OVER (ORDER BY freq DESC, piece) AS rk
+       |  FROM pc WHERE length(piece) >= 2) WHERE rk <= $UnigramVocabTopK),
+       |vb AS (SELECT piece, freq FROM pc WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, freq FROM mult),
+       |tt AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM vb),
+       |vc AS MATERIALIZED (SELECT piece,
+       |  CAST(length(bin(t)) - length(bin(freq)) + 1 AS BIGINT) AS cost
+       |  FROM vb CROSS JOIN tt),
+       |b0 AS MATERIALIZED (SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS c,
+       |         '' AS seg FROM wd),
+       |$stages
+       |SELECT word, cnt,
+       |  CAST(c % $UnigramTieScale AS BIGINT) AS n_pieces,
+       |  CAST(c // $UnigramTieScale AS BIGINT) AS cost_bits,
+       |  trim(seg) AS pieces
+       |FROM b$UnigramUnroll
+       |WHERE pos = length(word)
+       |ORDER BY word""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
 
   private val enMarkers = TextOps.LangMarkers("en").map(w => s"'$w'").mkString(", ")
@@ -1015,7 +1186,8 @@ object TextAnalysis {
          |    AS n_gold_pass,
          |  CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) * 10000
          |    // count(*) AS BIGINT) AS gold_rate_x10000
-         |FROM j GROUP BY 1 ORDER BY band""".stripMargin)
+         |FROM j GROUP BY 1 ORDER BY band""".stripMargin) +
+    ("q_unigram_segment" -> unigramOracle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
@@ -1033,6 +1205,7 @@ object TextAnalysis {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_encode_fixpoint" -> (qBpeEncodeFixpoint _),
+    "q_unigram_segment" -> (qUnigramSegment _),
     "q_source_scorecard" -> (qSourceScorecard _),
     "q_quality_calibration" -> (qQualityCalibration _)
   )
