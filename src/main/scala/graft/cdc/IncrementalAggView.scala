@@ -1,0 +1,104 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of an AGGREGATE-over-join view from CDC
+  * deltas — the step past [[IncrementalJoinView]]: a warehouse keeps
+  * `V = SELECT g, count(*), sum(m) FROM A ⋈ B GROUP BY g` materialized
+  * and applies each change batch ALGEBRAICALLY, in O(|Δ|), without
+  * re-scanning the base tables or re-aggregating untouched groups (the
+  * reference's consumers maintain exactly such per-group rollups from
+  * the change topics, `/root/reference/docs/architecture.md:49-66`).
+  *
+  * count/sum are self-maintainable aggregates: the view moves by the
+  * DIFFERENCE between the touched keys' new and old contributions, so a
+  * step never needs any untouched key's row. A maintenance step:
+  *   1. collects the touched-key set from both delta batches;
+  *   2. reads those keys' OLD joined contributions from the maintained
+  *      states — the retraction set;
+  *   3. refreshes both side states for touched keys only
+  *      ([[IncrementalJoinView.sideState]] reduction) and reads the NEW
+  *      contributions — the insertion set;
+  *   4. folds insertions(+1) and retractions(−1) to per-group
+  *      (Δcount, Δsum) and merges them into the view by one group-keyed
+  *      outer join: groups reaching count 0 leave the view, groups the
+  *      delta touched are marked `delta_applied` (even on a net-zero
+  *      delta — the marker witnesses MAINTENANCE structure, not change),
+  *      all other groups are `carried` untouched.
+  *
+  * This handles every keyed-CDC mutation shape: a payload update shifts
+  * a group's sum; a GROUP-attribute update retracts from the old group
+  * and inserts into the new one (the case plain re-aggregation of the
+  * delta rows gets wrong); a delete on either side retracts the joined
+  * contribution.
+  *
+  * Scale shape: contributions and state refreshes are key-equi joins
+  * semi-filtered to the touched set (O(|Δ|)); the per-group delta fold
+  * partially aggregates map-side; only the final merge touches the view,
+  * which is GROUP-sized — orders of magnitude below the base tables it
+  * summarizes. Per-batch cost is O(|Δ| + |groups|) versus the full
+  * recompute's O(|A| + |B|) scan + join + aggregate.
+  */
+object IncrementalAggView {
+
+  /** Joined per-key contributions `(key, g, m)` of the two live states:
+    * `groupCol` rides on side A, `metricCol` on side B.
+    */
+  def contribs(aState: DataFrame, bState: DataFrame, key: String,
+      groupCol: String, metricCol: String): DataFrame =
+    aState.drop("lsn").join(bState.drop("lsn"), key)
+      .select(col(key), col(groupCol).as("g"), col(metricCol).as("m"))
+
+  /** Bootstrap the maintained aggregate from the two initial states. */
+  def bootstrap(aState: DataFrame, bState: DataFrame, key: String,
+      groupCol: String, metricCol: String): DataFrame =
+    contribs(aState, bState, key, groupCol, metricCol)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_members"), sum(col("m")).as("total"))
+
+  /** One maintenance step. `agg` is the maintained view
+    * `(g, n_members, total)`; deltas carry `(key, op, lsn, payload…)`.
+    * Returns `(agg', aState', bState')`, with `touchedCol` on the view.
+    */
+  def step(agg: DataFrame, aState: DataFrame, bState: DataFrame,
+      aDelta: DataFrame, bDelta: DataFrame, key: String,
+      groupCol: String, metricCol: String, touchedCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val touched = aDelta.select(col(key))
+      .unionByName(bDelta.select(col(key))).distinct()
+    def touchedOnly(state: DataFrame): DataFrame =
+      state.join(touched, Seq(key), "left_semi")
+    // retractions: what the touched keys contribute NOW (pre-batch)
+    val oldC = contribs(touchedOnly(aState), touchedOnly(bState),
+      key, groupCol, metricCol)
+    // refreshed side states for touched keys (max-lsn/delete-wins over
+    // touched state rows + delta rows — the sideState reduction)
+    def refreshed(state: DataFrame, delta: DataFrame): DataFrame =
+      IncrementalJoinView.sideState(
+        touchedOnly(state).withColumn("op", lit("r")).unionByName(delta),
+        key)
+    val aT = refreshed(aState, aDelta)
+    val bT = refreshed(bState, bDelta)
+    val newC = contribs(aT, bT, key, groupCol, metricCol)
+    // per-group algebraic delta; sign folds map-side before any shuffle
+    val delta = newC.withColumn("sign", lit(1L))
+      .unionByName(oldC.withColumn("sign", lit(-1L)))
+      .groupBy(col("g"))
+      .agg(sum(col("sign")).as("dn"), sum(col("m") * col("sign")).as("dm"))
+    val merged = agg
+      .join(delta.select(col("g").as("dg"), col("dn"), col("dm")),
+        col("g") === col("dg"), "full_outer")
+      .select(coalesce(col("g"), col("dg")).as("g"),
+        (coalesce(col("n_members"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_members"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("dm"), lit(0L)))
+          .as("total"),
+        when(col("dg").isNotNull, lit("delta_applied"))
+          .otherwise(lit("carried")).as(touchedCol))
+      .filter(col("n_members") > 0)
+    def carryState(state: DataFrame, t: DataFrame): DataFrame =
+      state.join(touched, Seq(key), "left_anti").unionByName(t)
+    (merged, carryState(aState, aT), carryState(bState, bT))
+  }
+}

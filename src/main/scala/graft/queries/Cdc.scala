@@ -594,6 +594,70 @@ object Cdc {
       .orderBy(col("id"))
   }
 
+  /** Delta horizon for [[qCdcAggView]]'s generation 2: only keys below
+    * this id change, so groups all of whose members sit above it are
+    * provably untouched — the carried path exists at every gated SF
+    * (without the horizon every group contains some multiple of 3 and
+    * the carried branch would never be exercised).
+    */
+  private val AggViewHorizon = 512
+
+  /** Incremental AGGREGATE-over-join maintenance
+    * ([[graft.cdc.IncrementalAggView]]): maintain `V = SELECT g,
+    * count(*), sum(balance) FROM customers ⋈ balances GROUP BY g`
+    * across two change generations, applying generation 2 as an
+    * algebraic delta — retract touched keys' old contributions, insert
+    * their refreshed ones, merge per group — never re-aggregating
+    * untouched groups.
+    *
+    * The fixture forces every IVM shape: metric updates (every 4th key
+    * +500 shifts its group's sum), GROUP MOVES (every 3rd key's segment
+    * changes to 'moved', retracting from its old group and inserting
+    * into a new one — the case naive delta re-aggregation gets wrong),
+    * and deletes on either side (every 5th/7th key retracts its joined
+    * contribution). `maintained_via` is the incrementality witness
+    * inside the hash gate: 'delta_applied' exactly for groups the
+    * batch's retraction∪insertion sets touch, 'carried' for groups the
+    * merge provably never rewrote.
+    */
+  def qCdcAggView(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      lower(col("c_mktsegment")).as("seg"))
+    val lsn0 = col("id").cast("long")
+    val bucket = expr("id div 100").cast("string")
+    val inH = col("id") < AggViewHorizon
+    val a1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"),
+      concat(col("seg"), lit("-"), bucket).as("g"))
+    val a2 = cust.filter(inH && col("id") % 3 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        concat(lit("moved-"), bucket).as("g"))
+      .unionByName(cust.filter(inH && col("id") % 7 === 0)
+        .select(col("id"), lit("d").as("op"), (lsn0 + 20000000L).as("lsn"),
+          lit(null).cast("string").as("g")))
+    val bal0 = (col("id").cast("long") * 7L % 1000L).as("balance")
+    val b1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"), bal0)
+    val b2 = cust.filter(inH && col("id") % 4 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        (col("id").cast("long") * 7L % 1000L + 500L).as("balance"))
+      .unionByName(cust.filter(inH && col("id") % 5 === 0)
+        .select(col("id"), lit("d").as("op"), (lsn0 + 20000000L).as("lsn"),
+          lit(null).cast("long").as("balance")))
+    // generation 1: bootstrap states + the materialized aggregate
+    val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val agg1 = IncrementalAggView
+      .bootstrap(aState1, bState1, "id", "g", "balance")
+      .stage() // the maintained materialization generation 2 merges into
+    // generation 2: algebraic delta application
+    val (agg2, _, _) = IncrementalAggView.step(agg1, aState1, bState1,
+      a2, b2, "id", "g", "balance", "maintained_via")
+    agg2.select(col("g"), col("n_members"),
+        col("total").as("total_balance"), col("maintained_via"))
+      .orderBy(col("g"))
+  }
+
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
     * unit, exactly the production tool's knob (pt-table-checksum's
     * `--chunk-size`).
@@ -1056,6 +1120,38 @@ object Cdc {
         |WHERE c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
         |ORDER BY id""".stripMargin,
 
+    // closed-form fold of the agg-view lifecycles: survivors' final
+    // group/balance aggregate per group; a group is 'delta_applied' iff
+    // it appears among the touched keys' OLD (gen-1 segment) or NEW
+    // (post-gen-2) group memberships — the retraction∪insertion set the
+    // incremental merge rewrites
+    "q_cdc_agg_view" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |f AS (SELECT id, seg,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000
+         |      + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+         |  FROM c
+         |  WHERE NOT (id < $AggViewHorizon
+         |             AND (id % 7 = 0 OR id % 5 = 0))),
+         |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(bal) AS BIGINT) AS total_balance FROM f GROUP BY 1),
+         |tg AS (SELECT DISTINCT g FROM (
+         |    SELECT seg || '-' || CAST(id // 100 AS VARCHAR) AS g
+         |    FROM c WHERE id < $AggViewHorizon
+         |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)
+         |    UNION ALL
+         |    SELECT g FROM f WHERE id < $AggViewHorizon
+         |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)))
+         |SELECT v.g AS g, v.n_members, v.total_balance,
+         |  CASE WHEN tg.g IS NOT NULL THEN 'delta_applied'
+         |       ELSE 'carried' END AS maintained_via
+         |FROM v LEFT JOIN tg ON v.g = tg.g ORDER BY v.g""".stripMargin,
+
     // closed-form from the change-mix mod rules (see changeMix): every
     // customer snapshots (+1), every 3rd updates (0), every 7th deletes
     // (−1) — so the maintained counters fold back to per-segment counts.
@@ -1261,6 +1357,7 @@ object Cdc {
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_join_view" -> (qCdcJoinView _),
+    "q_cdc_agg_view" -> (qCdcAggView _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),
     "q_cdc_txn_evict" -> (qCdcTxnEvict _),

@@ -331,4 +331,96 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.exists(_._5.split(" ").exists(_.length >= 2)),
       "fixture must produce at least one multi-char piece")
   }
+
+  test("incremental aggregate-over-join view == full recompute under " +
+    "RANDOM lifecycles incl. GROUP MOVES; delta_applied marks exactly " +
+    "the last batch's retraction∪insertion groups") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(97L + seed)
+      val keys = 1 to 40
+      // enough groups that every generation provably leaves some
+      // untouched — the carried branch must occur, not just may
+      val groups = (1 to 20).map(i => f"g$i%02d").toVector
+      val Gens = 3
+      // side A payload = the GROUP; side B payload = the metric. Group
+      // updates are the move case the delta merge must retract+insert.
+      def genA(gen: Int): Seq[(Int, String, Long, String)] =
+        keys.flatMap { k =>
+          rnd.nextInt(8) match {
+            case 5 => Some((k, "r", gen * 1000L + k, groups(rnd.nextInt(groups.size))))
+            case 6 => Some((k, "u", gen * 1000L + k, groups(rnd.nextInt(groups.size))))
+            case 7 => Some((k, "d", gen * 1000L + k, null))
+            case _ => None
+          }
+        }
+      def genB(gen: Int): Seq[(Int, String, Long, java.lang.Long)] =
+        keys.flatMap { k =>
+          rnd.nextInt(8) match {
+            case 5 => Some((k, "r", gen * 1000L + k,
+              java.lang.Long.valueOf(rnd.nextInt(100).toLong)))
+            case 6 => Some((k, "u", gen * 1000L + k,
+              java.lang.Long.valueOf(rnd.nextInt(100).toLong)))
+            case 7 => Some((k, "d", gen * 1000L + k, null))
+            case _ => None
+          }
+        }
+      val aGens = (0 until Gens).map(genA)
+      val bGens = (0 until Gens).map(genB)
+      var aState = IncrementalJoinView.sideState(
+        aGens(0).toDF("id", "op", "lsn", "g"), "id")
+      var bState = IncrementalJoinView.sideState(
+        bGens(0).toDF("id", "op", "lsn", "m"), "id")
+      var agg = IncrementalAggView.bootstrap(aState, bState, "id", "g", "m")
+      var lastTouched = Set.empty[Int]
+      var lastOldStates: (Map[Int, String], Map[Int, Long]) = (null, null)
+      def foldA(upTo: Int): Map[Int, String] =
+        aGens.take(upTo).flatten.groupBy(_._1).flatMap { case (k, rows) =>
+          val w = rows.maxBy(r => (r._3, r._2))
+          if (w._2 == "d") None else Some(k -> w._4)
+        }
+      def foldB(upTo: Int): Map[Int, Long] =
+        bGens.take(upTo).flatten.groupBy(_._1).flatMap { case (k, rows) =>
+          val w = rows.maxBy(r => (r._3, r._2))
+          if (w._2 == "d") None else Some(k -> w._4.longValue)
+        }
+      for (g <- 1 until Gens) {
+        lastOldStates = (foldA(g), foldB(g))
+        val (a2, as2, bs2) = IncrementalAggView.step(agg, aState, bState,
+          aGens(g).toDF("id", "op", "lsn", "g"),
+          bGens(g).toDF("id", "op", "lsn", "m"),
+          "id", "g", "m", "via")
+        // the marker column rides into the next step's input harmlessly:
+        // step() never references it and the merge re-derives it
+        agg = a2; aState = as2; bState = bs2
+        lastTouched = (aGens(g).map(_._1) ++ bGens(g).map(_._1)).toSet
+      }
+      val got = agg.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      // reference: full-recompute aggregate over the final fold
+      val fa = foldA(Gens); val fb = foldB(Gens)
+      val contribs = keys.flatMap(k =>
+        for (g0 <- fa.get(k); m <- fb.get(k)) yield (g0, m))
+      // marker reference: groups in the last batch's retraction set
+      // (touched keys' pre-batch joined groups) or insertion set
+      // (touched keys' post-batch joined groups)
+      val (oa, ob) = lastOldStates
+      val touchedGroups =
+        lastTouched.flatMap(k =>
+          for (g0 <- oa.get(k); _ <- ob.get(k)) yield g0) ++
+        lastTouched.flatMap(k =>
+          for (g0 <- fa.get(k); _ <- fb.get(k)) yield g0)
+      val want = contribs.groupBy(_._1).map { case (g0, rows) =>
+        (g0, rows.size.toLong, rows.map(_._2).sum,
+          if (touchedGroups(g0)) "delta_applied" else "carried")
+      }.toSet
+      assert(got == want, s"seed $seed:\n got=${got.toSeq.sorted}\n" +
+        s"want=${want.toSeq.sorted}")
+      assert(got.exists(_._4 == "carried") &&
+        got.exists(_._4 == "delta_applied"),
+        s"seed $seed: fixture must exercise both maintenance paths")
+    }
+  }
 }
