@@ -20,7 +20,7 @@ FAMILIES = [
      r"^q_(dedup_|simhash_|semdedup$|corpus_overlap$)"),
     ("ANN / embeddings", r"^q_(ann_|embedding_|knn_)"),
     ("Text analysis / BPE / quality",
-     r"^q_(bpe_|lang_id$|quality_|token_counts$|doc_fingerprint$|"
+     r"^q_(bpe_|unigram_segment$|lang_id$|quality_|token_counts$|doc_fingerprint$|"
      r"gopher_rules$|repetition$|oov_rate$|lm_score$|classifier_filter$|"
      r"source_scorecard$|text_stats$|vocab_stats$|length_buckets$)"),
     ("Events / windows / sessions",
