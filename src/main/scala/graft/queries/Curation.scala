@@ -493,7 +493,92 @@ object Curation {
   // DuckDB oracles.
   // ---------------------------------------------------------------------
 
+  /** Content-defined boundary modulus: a token CLOSES its chunk when its
+    * 56-bit hash ≡ 0 (mod this) — expected chunk length equals the
+    * modulus, and a boundary is a pure function of LOCAL content.
+    */
+  val CdChunkMod = 8
+
+  /** CONTENT-DEFINED chunking (the Rabin/rolling-hash boundary family —
+    * rsync, LBFS, modern dedup stores): unlike [[qChunkDocuments]]'s
+    * fixed-size windows, boundaries fall where the CONTENT says (token
+    * hash ≡ 0 mod [[CdChunkMod]]), so inserting one sentence shifts
+    * every fixed-window frame but leaves all content-defined chunks
+    * after the next boundary IDENTICAL — the property that makes
+    * chunk-level dedup survive edits. The gate emits per-doc chunk
+    * stats plus how much of each doc duplicates ACROSS the corpus at
+    * chunk granularity (chunk-hash document frequency ≥ 2).
+    *
+    * Scale shape: one doc-keyed explode+window assigns chunk ids (a
+    * per-doc running boundary count — the only per-doc sequential
+    * dependency), one (doc, chunk) aggregate folds chunk hashes, and
+    * the chunk-hash df rollup is keyed on the 8-byte hash with map-side
+    * partials — the [[Dedup.qDedupSubstring]] skeleton at chunk
+    * granularity, every stage shrinking, no all-pairs anything.
+    */
+  def qContentChunks(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextOps
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        when(TextOps.hash56(col("tok")) % CdChunkMod === 0, 1L)
+          .otherwise(0L).as("b"))
+    // chunk id = boundaries strictly BEFORE this token: the closing
+    // token stays in the chunk it closes, the next one starts fresh
+    val withChunk = toks.withColumn("cid",
+      coalesce(sum(col("b")).over(w), lit(0L)))
+    val chunks = withChunk.groupBy(col("doc_id"), col("cid"))
+      .agg(
+        TextOps.hash56(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")))).as("chash"),
+        count(lit(1)).as("clen"))
+      .stage() // chunk-hash df rollup + per-doc aggregate both read it
+    val dfTab = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col("doc_id")).as("cdf"))
+    chunks.join(dfTab, "chash")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("clen")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_x10000",
+        graft.text.TextOps.idiv(col("n_dup_chunks") * 10000L, col("n_chunks")))
+      .orderBy(col("doc_id"))
+  }
+
+  private def h56sql(x: String) = s"CAST('0x'||substr(md5($x),1,14) AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    "q_content_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, i AS pos, toks[i] AS tok,
+         |        CASE WHEN ${h56sql("toks[i]")} % $CdChunkMod = 0
+         |             THEN 1 ELSE 0 END AS b
+         |      FROM t CROSS JOIN unnest(range(1, len(toks) + 1)) u(i)),
+         |c AS (SELECT doc_id, pos, tok,
+         |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cid
+         |      FROM p),
+         |ch AS (SELECT doc_id, cid,
+         |         ${h56sql("string_agg(tok, ' ' ORDER BY pos)")} AS chash,
+         |         count(*) AS clen
+         |       FROM c GROUP BY 1, 2),
+         |dfc AS (SELECT chash, count(DISTINCT doc_id) AS cdf
+         |        FROM ch GROUP BY 1)
+         |SELECT ch.doc_id,
+         |  CAST(sum(clen) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS dup_chunk_x10000
+         |FROM ch JOIN dfc USING (chash)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_data_mixture" ->
       s"""WITH base AS (SELECT doc_id, source FROM documents),
          |c AS (SELECT source, count(*) AS n_src,
@@ -693,6 +778,7 @@ object Curation {
     "q_length_buckets" -> (qLengthBuckets _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_chunk_documents" -> (qChunkDocuments _),
+    "q_content_chunks" -> (qContentChunks _),
     "q_data_mixture" -> (qDataMixture _)
   )
 }

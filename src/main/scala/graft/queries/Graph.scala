@@ -123,17 +123,26 @@ object Graph {
     * wedges key on the shared source, closure keys on (x, y). The explode
     * credit partially aggregates map-side onto the node-id domain.
     */
-  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+  /** Support-thresholded supplier co-order edges, one row per a<b pair;
+    * shared spine of [[qTriangleCount]] and [[qCommunityLp]]. The
+    * per-order pair enumeration keys on the order id — blowup bounded
+    * by order width (≤7 lineitems), never corpus size.
+    */
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
     val lo = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
-    // support-thresholded undirected edges, one row per a<b pair
-    val edges = lo.as("x").join(lo.as("y"),
+    lo.as("x").join(lo.as("y"),
         col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
       .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= MinSupport)
       .select(col("a"), col("b"))
+  }
+
+  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    // support-thresholded undirected edges, one row per a<b pair
+    val edges = coOrderEdges(s, d)
       .stage() // feeds the degree rollup and the orientation join
     val deg = edges.select(col("a").as("n"))
       .unionByName(edges.select(col("b").as("n")))
@@ -173,7 +182,86 @@ object Graph {
       .orderBy(col("supplier"))
   }
 
+  /** Synchronous label-propagation rounds for [[qCommunityLp]] — fixed
+    * so the oracle unrolls to exactly K stages (the PageRank pattern;
+    * LPA convergence is probabilistic in general, so production runs
+    * fix a round budget anyway).
+    */
+  val LpRounds = 3
+
+  /** COMMUNITY DETECTION via synchronous label propagation (Raghavan/
+    * Albert/Kumara LPA) on the supplier co-order graph: every node
+    * starts as its own label; each round every node adopts the MOST
+    * FREQUENT label among its neighbors (ties → smallest label, which
+    * makes the classically random-tie-break algorithm deterministic and
+    * engine-exact). After K rounds, nodes sharing a label are a
+    * community; sizes ride along. Completes the graph family:
+    * PageRank = centrality, triangles = local density, components =
+    * reachability, LPA = mesoscale structure.
+    *
+    * Scale shape: one round = one edge⋈label equi-join (edges
+    * pre-partitioned on the probe key, the exchange reused across
+    * rounds) + one (node, label)-keyed count with map-side partials +
+    * one per-node argmax window over the label-frequency rows (O(deg)
+    * per node, the same row set the count produced). K rounds = K such
+    * passes — the Pregel cost profile, no step sees more than
+    * O(edges) rows.
+    */
+  def qCommunityLp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = coOrderEdges(s, d)
+    val edges = e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .stage() // every round's neighbor join re-reads it
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to LpRounds) {
+      val freq = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("c").desc, col("label"))
+      labels = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("label"))
+    }
+    val fin = labels.stage() // sizes rollup + output join both read it
+    val sizes = fin.groupBy(col("label").as("sz_label"))
+      .agg(count(lit(1)).as("community_size"))
+    fin.join(broadcast(sizes), col("label") === col("sz_label"))
+      .select(col("node").as("supplier"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("supplier"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_community_lp" -> {
+      val rounds = (1 to LpRounds).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT a AS node, label FROM (
+           |  SELECT e.a, l.label, count(*) AS c,
+           |    row_number() OVER (PARTITION BY e.a
+           |      ORDER BY count(*) DESC, l.label) AS rk
+           |  FROM e JOIN l${k - 1} l ON e.b = l.node
+           |  GROUP BY e.a, l.label)
+           |WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |            FROM lineitem),
+         |e0 AS (SELECT a.sk AS a, b.sk AS b
+         |       FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk < b.sk
+         |       GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |e AS MATERIALIZED (SELECT a, b FROM e0
+         |     UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label
+         |                    FROM e),
+         |$rounds,
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l$LpRounds GROUP BY 1)
+         |SELECT l.node AS supplier, l.label AS community,
+         |  sz.community_size
+         |FROM l$LpRounds l JOIN sz USING (label)
+         |ORDER BY supplier""".stripMargin
+    },
     "q_triangle_count" ->
       s"""WITH lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
          |            FROM lineitem),
@@ -234,6 +322,7 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
-    "q_triangle_count" -> (qTriangleCount _)
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_community_lp" -> (qCommunityLp _)
   )
 }

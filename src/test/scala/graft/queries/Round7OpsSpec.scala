@@ -423,4 +423,95 @@ class Round7OpsSpec extends SparkSpec {
         s"seed $seed: fixture must exercise both maintenance paths")
     }
   }
+
+  test("community label propagation == brute synchronous LPA with the " +
+    "min-label tie rule: two cliques joined by a weak bridge keep " +
+    "distinct communities; sizes exact") {
+    import spark.implicits._
+    val dir = tmpDir("community")
+    // two 4-cliques bridged by one edge; all edges at MinSupport
+    val cliqueEdges = (for {
+      grp <- Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L))
+      i <- grp.indices; j <- grp.indices if i < j
+    } yield (grp(i), grp(j))) :+ ((4L, 5L))
+    val li = cliqueEdges.zipWithIndex.flatMap { case ((a, b), pi) =>
+      (0 until Graph.MinSupport).flatMap { r =>
+        val ok = (pi * 100 + r).toLong
+        Seq((ok, a), (ok, b))
+      }
+    }
+    li.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.qCommunityLp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute reference: K synchronous rounds, mode of neighbor labels,
+    // ties to the smallest label
+    val nbrs = cliqueEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to Graph.LpRounds)
+      lab = nbrs.map { case (n, ns) =>
+        val freq = ns.groupBy(lab).view.mapValues(_.size)
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val want = lab.map { case (n, l) => (n, l, sizes(l)) }.toSet
+    assert(got == want, s"got=$got\nwant=$want")
+    // structure: the bridge must not merge the cliques
+    assert(lab(1L) != lab(8L), "fixture must yield ≥2 communities")
+  }
+
+  test("content-defined chunking == brute reference, and boundaries are " +
+    "SHIFT-ROBUST: a head insertion leaves every chunk after the next " +
+    "boundary identical (the fixed-window failure case)") {
+    import spark.implicits._
+    val dir = tmpDir("cdchunks")
+    def h56(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    }
+    // a long shared passage; doc B = doc A with one token INSERTED at
+    // the head, doc C = unrelated
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val texts = Seq((0L, shared), (1L, s"inserted $shared"),
+      (2L, (100 to 140).map(i => s"zz$i").mkString(" ")))
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // brute reference chunking
+    def chunksOf(text: String): Seq[Seq[String]] = {
+      val toks = text.split(" ").toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.foreach { t =>
+        cur += t
+        if (h56(t) % Curation.CdChunkMod == 0) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val byDoc = texts.map { case (id, t) => id -> chunksOf(t) }.toMap
+    val hashesByDoc = byDoc.view.mapValues(_.map(c => h56(c.mkString(" "))).toSeq).toMap
+    val dfMap = hashesByDoc.toSeq.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = texts.map { case (id, _) =>
+      val hs = hashesByDoc(id)
+      val dups = hs.count(h => dfMap(h) >= 2).toLong
+      (id, byDoc(id).map(_.size).sum.toLong, hs.size.toLong, dups,
+        dups * 10000L / hs.size)
+    }.toSet
+    val got = Curation.qContentChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want, s"got=$got\nwant=$want")
+    // the shift-robustness claim itself: all of doc A's chunks except
+    // (at most) the first survive the head insertion verbatim
+    val a = hashesByDoc(0L); val b = hashesByDoc(1L)
+    assert(a.tail.forall(b.contains),
+      "content-defined chunks after the first boundary must survive a " +
+        "head insertion")
+    assert(a.toSet.intersect(hashesByDoc(2L).toSet).isEmpty,
+      "unrelated docs must share no chunks")
+  }
 }
