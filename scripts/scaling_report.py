@@ -31,7 +31,7 @@ FAMILIES = [
     ("Curation / packing / splits",
      r"^q_(contamination$|tfidf_keywords$|redact_pii$|"
      r"stratified_sample$|data_mixture$|pack_sequences$|"
-     r"chunk_documents$|split_leakage_safe$|train_test_split$|"
+     r"chunk_documents$|content_chunks$|split_leakage_safe$|train_test_split$|"
      r"select_best$|weighted_sample$|curation_pipeline$)"),
     ("Sketches / profiling / stats",
      r"^q_(approx_|cms_topk$|sketch_rollup$|histogram_prices$|"
@@ -39,7 +39,7 @@ FAMILIES = [
      r"sampled_percentiles$|zscore_outliers$|winsorize$|"
      r"profile_orders$)"),
     ("Graph / linkage / retrieval",
-     r"^q_(pagerank$|triangle_count$|fuzzy_match|entity_resolution$|"
+     r"^q_(pagerank$|triangle_count$|community_lp$|fuzzy_match|entity_resolution$|"
      r"bm25_topk$|hybrid_search$|kmeans_update$)"),
     ("Layout / ordering",
      r"^q_(zorder_curve$|equidepth_bins$|shuffle_shard$)"),
