@@ -65,21 +65,22 @@ object IncrementalAggView {
       aDelta: DataFrame, bDelta: DataFrame, key: String,
       groupCol: String, metricCol: String, touchedCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val touched = aDelta.select(col(key))
-      .unionByName(bDelta.select(col(key))).distinct()
+    import graft.Materialize.Ops
+    val touched = IncrementalJoinView.touchedKeys(aDelta, bDelta, key)
+      .stage() // semi-probes (×2), both refreshes, and both carries
     def touchedOnly(state: DataFrame): DataFrame =
-      state.join(touched, Seq(key), "left_semi")
+      state.join(touched, Seq(key), "left_semi").stage() // oldC + refresh
+    val aTouched = touchedOnly(aState)
+    val bTouched = touchedOnly(bState)
     // retractions: what the touched keys contribute NOW (pre-batch)
-    val oldC = contribs(touchedOnly(aState), touchedOnly(bState),
-      key, groupCol, metricCol)
+    val oldC = contribs(aTouched, bTouched, key, groupCol, metricCol)
     // refreshed side states for touched keys (max-lsn/delete-wins over
-    // touched state rows + delta rows — the sideState reduction)
-    def refreshed(state: DataFrame, delta: DataFrame): DataFrame =
-      IncrementalJoinView.sideState(
-        touchedOnly(state).withColumn("op", lit("r")).unionByName(delta),
-        key)
-    val aT = refreshed(aState, aDelta)
-    val bT = refreshed(bState, bDelta)
+    // touched state rows + delta rows — the shared sideState reduction,
+    // with the empty-op re-tag so an equal-lsn delta supersedes state)
+    val aT = IncrementalJoinView.refreshTouched(aTouched, aDelta, touched, key)
+      .stage() // newC + state carry
+    val bT = IncrementalJoinView.refreshTouched(bTouched, bDelta, touched, key)
+      .stage() // newC + state carry
     val newC = contribs(aT, bT, key, groupCol, metricCol)
     // per-group algebraic delta; sign folds map-side before any shuffle
     val delta = newC.withColumn("sign", lit(1L))
@@ -97,8 +98,8 @@ object IncrementalAggView {
         when(col("dg").isNotNull, lit("delta_applied"))
           .otherwise(lit("carried")).as(touchedCol))
       .filter(col("n_members") > 0)
-    def carryState(state: DataFrame, t: DataFrame): DataFrame =
-      state.join(touched, Seq(key), "left_anti").unionByName(t)
-    (merged, carryState(aState, aT), carryState(bState, bT))
+    (merged,
+      IncrementalJoinView.carryState(aState, touched, aT, key),
+      IncrementalJoinView.carryState(bState, touched, bT, key))
   }
 }

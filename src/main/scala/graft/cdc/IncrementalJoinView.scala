@@ -45,6 +45,35 @@ object IncrementalJoinView {
       .drop("__rn", "op")
   }
 
+  /** Touched-key set of one change batch (both sides' delta keys) —
+    * shared by [[step]] and [[IncrementalAggView.step]].
+    */
+  private[cdc] def touchedKeys(aDelta: DataFrame, bDelta: DataFrame,
+      key: String): DataFrame =
+    aDelta.select(col(key)).unionByName(bDelta.select(col(key))).distinct()
+
+  /** Refresh one side's state for the touched keys: the touched state
+    * rows re-enter the [[sideState]] reduction alongside the delta rows.
+    * Carried state re-tags with the EMPTY op sentinel, which sorts BELOW
+    * every real op in the tie order — so a delta at the SAME lsn as the
+    * stored row (a tombstone compacted onto the final change's lsn, a
+    * same-position snapshot re-read) supersedes the stored row instead
+    * of losing the tie. With op='r' re-tagging, an equal-lsn delete was
+    * silently ignored and the phantom key survived every later batch.
+    */
+  private[cdc] def refreshTouched(state: DataFrame, delta: DataFrame,
+      touched: DataFrame, key: String): DataFrame =
+    sideState(
+      state.join(touched, Seq(key), "left_semi")
+        .withColumn("op", lit(""))
+        .unionByName(delta),
+      key)
+
+  /** Untouched state rows carried verbatim, refreshed rows appended. */
+  private[cdc] def carryState(state: DataFrame, touched: DataFrame,
+      refreshed: DataFrame, key: String): DataFrame =
+    state.join(touched, Seq(key), "left_anti").unionByName(refreshed)
+
   /** One maintenance step. `view` must be the inner join of the two
     * maintained states (key + both payloads); `aState`/`bState` carry
     * (key, lsn, payload). Returns `(view', aState', bState')` with a
@@ -54,16 +83,13 @@ object IncrementalJoinView {
   def step(view: DataFrame, aState: DataFrame, bState: DataFrame,
       aDelta: DataFrame, bDelta: DataFrame, key: String,
       touchedCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val touched = aDelta.select(col(key))
-      .unionByName(bDelta.select(col(key))).distinct()
-    def refreshed(state: DataFrame, delta: DataFrame): DataFrame =
-      sideState(
-        state.join(touched, Seq(key), "left_semi")
-          .withColumn("op", lit("r"))
-          .unionByName(delta),
-        key)
-    val aT = refreshed(aState, aDelta)
-    val bT = refreshed(bState, bDelta)
+    import graft.Materialize.Ops
+    val touched = touchedKeys(aDelta, bDelta, key)
+      .stage() // both refreshes, the view anti-join, and both carries
+    val aT = refreshTouched(aState, aDelta, touched, key)
+      .stage() // view rebuild + state carry
+    val bT = refreshTouched(bState, bDelta, touched, key)
+      .stage() // view rebuild + state carry
     val viewCols = view.columns.filter(_ != touchedCol)
     val vCarried = view.select(viewCols.map(col).toIndexedSeq: _*)
       .join(touched, Seq(key), "left_anti")
@@ -72,9 +98,8 @@ object IncrementalJoinView {
       .join(bT.drop("lsn"), key)
       .withColumn(touchedCol, lit("refreshed"))
       .select((viewCols.map(col) :+ col(touchedCol)).toIndexedSeq: _*)
-    def carryState(state: DataFrame, t: DataFrame): DataFrame =
-      state.join(touched, Seq(key), "left_anti").unionByName(t)
     (vCarried.unionByName(vRefreshed),
-      carryState(aState, aT), carryState(bState, bT))
+      carryState(aState, touched, aT, key),
+      carryState(bState, touched, bT, key))
   }
 }

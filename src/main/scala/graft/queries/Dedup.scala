@@ -289,12 +289,11 @@ object Dedup {
   /** Near-dup CLUSTERS: connected components over the minhash candidate
     * pairs via iterative min-label propagation — the step that turns pair
     * lists into canonical keep/drop decisions in a real corpus dedup.
-    *
-    * Scale shape: each iteration is one join + one aggregate (shuffle on
-    * doc_id); iterations = graph diameter (near-dup clusters are tiny, so
-    * a handful). The driver loop only checks a converged flag — no data is
-    * collected. Deterministic: labels monotonically decrease to the
-    * component minimum.
+    * The propagation loop itself is the shared
+    * [[graft.operators.MinLabelComponents]] engine (also behind entity
+    * resolution): one join + one aggregate per iteration, iterations =
+    * graph diameter, eager tracked checkpoints with immediate block
+    * reclamation, converged-flag-only driver traffic.
     */
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     // undirected edges from the LSH candidate pairs (verified >= 6/12);
@@ -302,55 +301,11 @@ object Dedup {
     val pairs = QueryMemo.lookup("q_dedup_minhash", d)
       .getOrElse(qDedupMinhash(s, d)).select(col("doc_a"), col("doc_b"))
       .stage()
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val sc = s.sparkContext
-    var labelIds = Set.empty[Int] // checkpoint blocks of the live `labels`
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      // eager localCheckpoint, kept deliberately (Materialize.barrier's
-      // loop case) BUT with RDD-id tracking so superseded generations
-      // free immediately; on a cluster this loop would run over reliable
-      // checkpoints (setCheckpointDir) at the cost of that tracking
-      val ck = df.localCheckpoint() // eager: materializes here
-      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    var labels = {
-      val (ck, ids) = checkpointTracked(
-        pairs.select(col("doc_a").as("node"))
-          .unionByName(pairs.select(col("doc_b").as("node")))
-          .distinct()
-          .withColumn("label", col("node")))
-      labelIds = ids; ck
-    }
-    var converged = false
-    var iter = 0
-    val maxIter = 100 // iterations = component diameter; near-dup
-    // clusters are tiny, but never return silently-wrong labels
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("node"))
-        .groupBy(col("doc_a").as("node2"))
-        .agg(min(col("label")).as("nbr_min"))
-      // One real pass per iteration: the new label AND a `changed` flag are
-      // materialized together by the eager localCheckpoint; the convergence
-      // probe below only scans the just-cached blocks (no recompute, no
-      // second join). Superseded checkpoint blocks are freed immediately —
-      // at scale an unbounded checkpoint chain multiplies resident memory
-      // by the iteration count.
-      val (updated, newIds) = checkpointTracked(labels
-        .join(neighborMin, col("node") === col("node2"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).as("changed")))
-      converged = updated.filter(col("changed")).isEmpty
-      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      labelIds = newIds
-      labels = updated.select(col("node"), col("label"))
-      iter += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"label propagation did not converge in $maxIter iterations")
+    val nodes = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .distinct()
+    val labels = graft.operators.MinLabelComponents.components(
+      nodes, pairs, "node", "doc_a", "doc_b")
     labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         sort_array(collect_list(col("node"))).as("members"))

@@ -104,6 +104,23 @@ object Graph {
     */
   val MinSupport = 5
 
+  /** Support-thresholded supplier co-order edges, one row per a<b pair;
+    * shared spine of [[qTriangleCount]] and [[qCommunityLp]]. The
+    * per-order pair enumeration keys on the order id — blowup bounded
+    * by order width (≤7 lineitems), never corpus size.
+    */
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+    val lo = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    lo.as("x").join(lo.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= MinSupport)
+      .select(col("a"), col("b"))
+  }
+
   /** Per-node TRIANGLE counts on the supplier co-order graph — the classic
     * clustering-coefficient / community-density primitive, in the
     * degree-ordered ORIENTATION formulation (Suri & Vassilvitskii, WWW'11;
@@ -123,23 +140,6 @@ object Graph {
     * wedges key on the shared source, closure keys on (x, y). The explode
     * credit partially aggregates map-side onto the node-id domain.
     */
-  /** Support-thresholded supplier co-order edges, one row per a<b pair;
-    * shared spine of [[qTriangleCount]] and [[qCommunityLp]]. The
-    * per-order pair enumeration keys on the order id — blowup bounded
-    * by order width (≤7 lineitems), never corpus size.
-    */
-  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val lo = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    lo.as("x").join(lo.as("y"),
-        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= MinSupport)
-      .select(col("a"), col("b"))
-  }
-
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
     // support-thresholded undirected edges, one row per a<b pair
     val edges = coOrderEdges(s, d)

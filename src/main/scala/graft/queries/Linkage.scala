@@ -328,48 +328,12 @@ object Linkage {
     val pairs = matchedValuePairs(ids)
       .select(col("name_lo"), col("name_hi"))
       .stage() // both edge directions + the node spine read it
-    val edges = pairs.unionByName(
-      pairs.select(col("name_hi").as("name_lo"), col("name_lo").as("name_hi")))
-    val sc = s.sparkContext
-    // min-label propagation to convergence, labels = name strings; same
-    // tracked-checkpoint loop as qDedupClusters (Materialize.barrier's
-    // loop case: an unbounded lineage chain across iterations is what the
-    // eager checkpoint exists to cut), with superseded generations freed
-    var labelIds = Set.empty[Int]
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val ck = df.localCheckpoint()
-      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    var labels = {
-      val (ck, cids) = checkpointTracked(
-        ids.select(col("p_name")).distinct()
-          .withColumn("label", col("p_name")))
-      labelIds = cids; ck
-    }
-    var converged = false
-    var iter = 0
-    val maxIter = 100
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels, edges("name_hi") === labels("p_name"))
-        .groupBy(col("name_lo").as("nb_name"))
-        .agg(min(col("label")).as("nbr_min"))
-      val (updated, newIds) = checkpointTracked(labels
-        .join(nbrMin, col("p_name") === col("nb_name"), "left_outer")
-        .select(col("p_name"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label"))
-            .as("changed")))
-      converged = updated.filter(col("changed")).isEmpty
-      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      labelIds = newIds
-      labels = updated.select(col("p_name"), col("label"))
-      iter += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"label propagation did not converge in $maxIter iterations")
+    // min-label propagation to convergence, labels = name strings — the
+    // shared tracked-checkpoint loop (see MinLabelComponents for why the
+    // eager per-iteration checkpoint and block reclamation live there)
+    val labels = graft.operators.MinLabelComponents.components(
+      ids.select(col("p_name")).distinct(), pairs,
+      "p_name", "name_lo", "name_hi")
     // value→entity map is |V|-sized → broadcast onto the corpus; entity
     // stats aggregate over the assigned corpus, then ride back on the
     // same bounded label domain

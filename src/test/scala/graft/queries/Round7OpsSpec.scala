@@ -424,6 +424,40 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("equal-lsn delta supersedes carried state in a view refresh: a " +
+    "tombstone compacted onto the stored row's own lsn deletes the key " +
+    "from the join view AND retracts its aggregate contribution " +
+    "(with op='r' re-tagging both silently survived the tie)") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    val a1 = Seq((1, "r", 10L, "g1"), (2, "r", 20L, "g1"))
+      .toDF("id", "op", "lsn", "g")
+    val b1 = Seq((1, "r", 10L, 5L), (2, "r", 20L, 7L))
+      .toDF("id", "op", "lsn", "m")
+    // the tombstone lands at lsn 10 — EXACTLY the stored row's position
+    val aDelta = Seq((1, "d", 10L, null.asInstanceOf[String]))
+      .toDF("id", "op", "lsn", "g")
+    val bDelta = Seq.empty[(Int, String, Long, java.lang.Long)]
+      .toDF("id", "op", "lsn", "m")
+    val aS = IncrementalJoinView.sideState(a1, "id")
+    val bS = IncrementalJoinView.sideState(b1, "id")
+    val view = aS.drop("lsn").join(bS.drop("lsn"), "id")
+      .select(col("id"), col("g"), col("m"))
+    val (v2, aS2, _) = IncrementalJoinView.step(
+      view, aS, bS, aDelta, bDelta, "id", "via")
+    assert(v2.collect().map(_.getInt(0)).toSet == Set(2),
+      "the equal-lsn tombstone must remove key 1 from the view")
+    assert(aS2.collect().map(_.getInt(0)).toSet == Set(2),
+      "the deleted key must also leave the maintained side state")
+    val agg1 = IncrementalAggView.bootstrap(aS, bS, "id", "g", "m")
+    val (agg2, _, _) = IncrementalAggView.step(
+      agg1, aS, bS, aDelta, bDelta, "id", "g", "m", "via")
+    val got = agg2.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("g1", 1L, 7L)),
+      s"key 1's contribution must be retracted on the lsn tie: $got")
+  }
+
   test("community label propagation == brute synchronous LPA with the " +
     "min-label tie rule: two cliques joined by a weak bridge keep " +
     "distinct communities; sizes exact") {
