@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * ([[graft.queries.Dedup]] `qDedupClusters`) and entity resolution
   * ([[graft.queries.Linkage]] `qEntityResolution`). Extracted (round-7
   * review) because the tracked-checkpoint loop is subtle enough that two
-  * hand-kept copies WILL drift: eager localCheckpoint per iteration,
+  * hand-kept copies WILL drift: an eager lineage barrier per iteration,
   * persistent-RDD-id diffing so superseded generations free immediately,
   * a convergence probe that only scans the just-cached blocks, and a
   * loud failure if the diameter bound is exceeded.
@@ -41,7 +41,12 @@ object MinLabelComponents {
     var labelIds = Set.empty[Int] // checkpoint blocks of the live labels
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val ck = df.localCheckpoint() // eager: materializes here
+      // Materialize.barrier: reliable checkpoint() when a dir is set
+      // (cluster posture — the id diff then finds nothing to reclaim,
+      // which is correct: reliable checkpoints hold no executor
+      // blocks), localCheckpoint otherwise; eager either way, so the
+      // convergence probe below never recomputes the iteration
+      val ck = graft.Materialize.barrier(df)
       (ck, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     var labels = {
