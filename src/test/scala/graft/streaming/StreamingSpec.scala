@@ -587,4 +587,97 @@ class StreamingSpec extends SparkSpec {
     assert(daily.exceptAll(batchDaily).isEmpty &&
       batchDaily.exceptAll(daily).isEmpty)
   }
+
+  test("streaming aggregate-over-join view: foreachBatch drives " +
+    "IncrementalAggView.step per micro-batch with versioned state " +
+    "publishes, survives a restart, and equals a full recompute") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    val in = tmpDir("aggview-in")
+    val ckpt = tmpDir("aggview-ckpt")
+    val store = tmpDir("aggview-store")
+    // one delta stream carrying both sides; side A's payload is the
+    // GROUP, side B's the metric (encoded in one string payload column)
+    def writeBatch(rows: Seq[(String, Int, String, Long, String)]): Unit =
+      rows.toDF("side", "id", "op", "lsn", "payload")
+        .coalesce(1).write.mode("append").parquet(in)
+    def latestVersion(kind: String): Option[Long] = {
+      val d = new java.io.File(s"$store/$kind")
+      Option(d.listFiles).map(_.filter(_.getName.startsWith("v"))
+        .map(_.getName.drop(1).toLong)).filter(_.nonEmpty).map(_.max)
+    }
+    def readLatest(kind: String): Option[DataFrame] =
+      latestVersion(kind).map(v => spark.read.parquet(s"$store/$kind/v$v"))
+    // versioned publish keyed by BATCH id: a replayed micro-batch after
+    // a crash overwrites its own version — idempotent, newest-wins reads
+    def publish(kind: String, id: Long, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$store/$kind/v$id")
+    def run(): Unit =
+      spark.readStream
+        .schema("side STRING, id INT, op STRING, lsn LONG, payload STRING")
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.cache()
+          val aDelta = b.filter(col("side") === "a")
+            .select(col("id"), col("op"), col("lsn"),
+              col("payload").as("g"))
+          val bDelta = b.filter(col("side") === "b")
+            .select(col("id"), col("op"), col("lsn"),
+              col("payload").cast("long").as("m"))
+          val (agg2, aS2, bS2) =
+            (readLatest("aState"), readLatest("bState"), readLatest("agg")) match {
+              case (Some(aS), Some(bS), Some(agg)) =>
+                IncrementalAggView.step(agg.drop("via"), aS, bS,
+                  aDelta, bDelta, "id", "g", "m", "via")
+              case _ => // first batch bootstraps from the deltas alone
+                val aS = IncrementalJoinView.sideState(aDelta, "id")
+                val bS = IncrementalJoinView.sideState(bDelta, "id")
+                (IncrementalAggView.bootstrap(aS, bS, "id", "g", "m")
+                  .withColumn("via", lit("bootstrap")), aS, bS)
+            }
+          publish("agg", id, agg2)
+          publish("aState", id, aS2)
+          publish("bState", id, bS2)
+          b.unpersist(): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    val gen1 = (1 to 20).flatMap(k => Seq(
+      ("a", k, "r", k.toLong, s"g${k % 4}"),
+      ("b", k, "r", k.toLong, (k * 10L).toString)))
+    writeBatch(gen1)
+    run()
+    // generation 2 AFTER a restart: metric updates, a group MOVE, and
+    // deletes on both sides
+    val gen2 = Seq(
+      ("a", 3, "u", 1000L, "moved"), // group move
+      ("b", 4, "u", 1001L, "999"), // metric update
+      ("a", 5, "d", 1002L, null), // A-side delete
+      ("b", 8, "d", 1003L, null)) // B-side delete
+    writeBatch(gen2)
+    run()
+    val got = readLatest("agg").get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: latest-state fold over ALL deltas, join, group
+    val all = gen1 ++ gen2
+    def fold(side: String): Map[Int, String] =
+      all.filter(_._1 == side).groupBy(_._2).flatMap { case (k, rows) =>
+        val w = rows.maxBy(r => (r._4, r._3))
+        if (w._3 == "d") None else Some(k -> w._5)
+      }
+    val fa = fold("a"); val fb = fold("b")
+    val want = (1 to 20).flatMap(k =>
+        for (g <- fa.get(k); m <- fb.get(k)) yield (g, m.toLong))
+      .groupBy(_._1).map { case (g, rows) =>
+        (g, rows.size.toLong, rows.map(_._2).sum)
+      }.toSet
+    assert(got == want, s"got=$got\nwant=$want")
+    // the second run must have applied deltas, not re-bootstrapped
+    assert(readLatest("agg").get.collect()
+      .exists(_.getString(3) == "carried"),
+      "restarted run must carry untouched groups through step()")
+  }
 }
