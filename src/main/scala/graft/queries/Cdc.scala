@@ -658,6 +658,80 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** N:1 FOREIGN-KEY incremental join-view maintenance
+    * ([[graft.cdc.IncrementalFkJoinView]] — round-7 verdict item #1):
+    * maintain `V = orders ⋈ customers ON orders.cust_id = d_id` — the
+    * fact-dim enrichment every warehouse materializes — across two
+    * change generations, where a SINGLE dim delta fans out to MANY
+    * fact-side view rows through touched-key propagation.
+    *
+    * Fixture lifecycles (closed-form, so the oracle folds them
+    * directly): fact stream = orders snapshot (amount = orderkey·3 mod
+    * 1000); gen 2 RE-POINTS every 9th order's fk to (orderkey mod
+    * 100)+1 with +5000 amount (the fk-move case — the new dim may be
+    * UNTOUCHED, so the rebuild must read the full post-batch dim
+    * state) and deletes every 11th order. Dim stream = customers
+    * snapshot; gen 2 prefixes every 10th customer's segment with
+    * 'vip:' (fans out to ALL its orders) and deletes every 13th
+    * customer (drops ALL its orders' view rows). Generation-2 lsns
+    * strictly follow generation 1's.
+    *
+    * `maintained_via` is the incrementality witness inside the hash
+    * gate: 'refreshed' exactly for orders the batch touched — directly
+    * (orderkey%9=0) or through the dim fan-out (pre-batch custkey%10=0
+    * ∨ %13=0) — and 'carried' for the rest; a recompute-from-scratch
+    * has no generation boundary to derive the fan-out frontier from.
+    */
+  def qCdcFkView(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalFkJoinView, IncrementalJoinView}
+    val ords = Tables.orders(s, d).select(
+      col("o_orderkey").cast("int").as("order_id"),
+      col("o_custkey").cast("int").as("cust_id"))
+    val flsn = col("order_id").cast("long")
+    val amt0 = col("order_id").cast("long") * 3L % 1000L
+    val f1 = ords.select(col("order_id"), lit("r").as("op"),
+      flsn.as("lsn"), col("cust_id"), amt0.as("amount"))
+    val f2 = ords.filter(col("order_id") % 9 === 0)
+      .select(col("order_id"), lit("u").as("op"),
+        (flsn + 10000000L).as("lsn"),
+        (col("order_id") % 100 + 1).as("cust_id"),
+        (amt0 + 5000L).as("amount"))
+      .unionByName(ords.filter(col("order_id") % 11 === 0)
+        .select(col("order_id"), lit("d").as("op"),
+          (flsn + 20000000L).as("lsn"),
+          lit(null).cast("int").as("cust_id"),
+          lit(null).cast("long").as("amount")))
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("d_id"),
+      lower(col("c_mktsegment")).as("seg"))
+    val dlsn = col("d_id").cast("long")
+    val d1 = cust.select(col("d_id"), lit("r").as("op"), dlsn.as("lsn"),
+      col("seg"))
+    val d2 = cust.filter(col("d_id") % 10 === 0)
+      .select(col("d_id"), lit("u").as("op"),
+        (dlsn + 10000000L).as("lsn"),
+        concat(lit("vip:"), col("seg")).as("seg"))
+      .unionByName(cust.filter(col("d_id") % 13 === 0)
+        .select(col("d_id"), lit("d").as("op"),
+          (dlsn + 20000000L).as("lsn"),
+          lit(null).cast("string").as("seg")))
+    // generation 1: bootstrap states + the materialized fact-dim view
+    val fState1 = IncrementalJoinView.sideState(f1, "order_id").stage()
+    val dState1 = IncrementalJoinView.sideState(d1, "d_id").stage()
+    val v1 = fState1.drop("lsn")
+      .join(dState1.drop("lsn"), col("cust_id") === col("d_id"))
+      .drop("d_id")
+      .select(col("order_id"), col("cust_id"), col("amount"), col("seg"))
+      .stage() // the maintained materialization generation 2 carries
+    // generation 2: touched-key propagation through the N:1 join
+    val (v2, _, _) = IncrementalFkJoinView.step(
+      v1, fState1, dState1, f2, d2, "order_id", "cust_id", "d_id",
+      "maintained_via")
+    v2.select(col("order_id"), col("cust_id"), col("amount"),
+        col("seg"), col("maintained_via"))
+      .orderBy(col("order_id"))
+  }
+
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
     * unit, exactly the production tool's knob (pt-table-checksum's
     * `--chunk-size`).
@@ -1120,6 +1194,35 @@ object Cdc {
         |WHERE c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
         |ORDER BY id""".stripMargin,
 
+    // closed-form fold of both FK-view lifecycles: surviving facts
+    // (orderkey%11≠0) with their post-gen-2 fk/amount join surviving
+    // dims (custkey%13≠0) with post-gen-2 segments; maintained_via =
+    // 'refreshed' exactly where generation 2 touched the fact — its own
+    // delta (%9=0) or the dim fan-out probe on the PRE-batch fk
+    // (custkey%10=0 ∨ %13=0)
+    "q_cdc_fk_view" ->
+      """WITH f AS (
+        |  SELECT CAST(o_orderkey AS INT) AS order_id,
+        |    CASE WHEN o_orderkey % 9 = 0
+        |         THEN CAST(o_orderkey % 100 + 1 AS INT)
+        |         ELSE CAST(o_custkey AS INT) END AS cust_id,
+        |    CAST(o_orderkey * 3 % 1000
+        |      + CASE WHEN o_orderkey % 9 = 0 THEN 5000 ELSE 0 END
+        |      AS BIGINT) AS amount,
+        |    (o_orderkey % 9 = 0 OR o_custkey % 10 = 0
+        |      OR o_custkey % 13 = 0) AS touched
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |d AS (
+        |  SELECT CAST(c_custkey AS INT) AS d_id,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'vip:' || lower(c_mktsegment)
+        |         ELSE lower(c_mktsegment) END AS seg
+        |  FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT f.order_id, f.cust_id, f.amount, d.seg,
+        |  CASE WHEN f.touched THEN 'refreshed' ELSE 'carried' END
+        |    AS maintained_via
+        |FROM f JOIN d ON f.cust_id = d.d_id
+        |ORDER BY order_id""".stripMargin,
+
     // closed-form fold of the agg-view lifecycles: survivors' final
     // group/balance aggregate per group; a group is 'delta_applied' iff
     // it appears among the touched keys' OLD (gen-1 segment) or NEW
@@ -1358,6 +1461,7 @@ object Cdc {
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_join_view" -> (qCdcJoinView _),
     "q_cdc_agg_view" -> (qCdcAggView _),
+    "q_cdc_fk_view" -> (qCdcFkView _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),
     "q_cdc_txn_evict" -> (qCdcTxnEvict _),

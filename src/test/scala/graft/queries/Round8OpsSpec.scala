@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Round8OpsSpec extends SparkSpec {
+
+  test("FK (N:1) incremental join view == full recompute under RANDOM " +
+    "multi-generation lifecycles: dim updates fan out to every " +
+    "referencing fact, dim deletes drop them, fact fk-moves re-point " +
+    "to possibly-untouched dims; refreshed/carried marker tracks the " +
+    "touched-∪-fan-out frontier exactly") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalFkJoinView, IncrementalJoinView}
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(83L + seed)
+      val fids = 1 to 40
+      val pks = 1 to 8
+      val Gens = 3
+      // fact deltas: (fid, op, lsn, fk, payload)
+      def factGen(g: Int): Seq[(Int, String, Long, Integer, String)] =
+        fids.flatMap { k =>
+          rnd.nextInt(8) match {
+            case 5 => Some((k, "r", g * 1000L + k,
+              Integer.valueOf(1 + rnd.nextInt(pks.size)), s"f-r$g-$k"))
+            case 6 => Some((k, "u", g * 1000L + k,
+              Integer.valueOf(1 + rnd.nextInt(pks.size)), s"f-u$g-$k"))
+            case 7 => Some((k, "d", g * 1000L + k, null, null))
+            case _ => None
+          }
+        }
+      // dim deltas: (pk, op, lsn, payload) — sparse, so most facts ride
+      // the carried path unless the fan-out catches them
+      def dimGen(g: Int): Seq[(Int, String, Long, String)] =
+        pks.flatMap { k =>
+          rnd.nextInt(4) match {
+            case 2 => Some((k, if (g == 0) "r" else "u", g * 1000L + k,
+              s"d-$g-$k"))
+            case 3 if g > 0 => Some((k, "d", g * 1000L + k, null))
+            case _ =>
+              if (g == 0) Some((k, "r", k.toLong, s"d-0-$k")) else None
+          }
+        }
+      val fGens = (0 until Gens).map(factGen)
+      val dGens = (0 until Gens).map(dimGen)
+      def fdf(rows: Seq[(Int, String, Long, Integer, String)]) =
+        rows.toDF("fid", "op", "lsn", "fk", "fv")
+      def ddf(rows: Seq[(Int, String, Long, String)]) =
+        rows.toDF("pk", "op", "lsn", "dv")
+      var fState = IncrementalJoinView.sideState(fdf(fGens(0)), "fid")
+      var dState = IncrementalJoinView.sideState(ddf(dGens(0)), "pk")
+      var view = fState.drop("lsn")
+        .join(dState.drop("lsn"), col("fk") === col("pk")).drop("pk")
+        .select(col("fid"), col("fk"), col("fv"), col("dv"))
+      // reference fold per side up to generation g (inclusive)
+      def foldFact(upto: Int): Map[Int, (Int, String)] =
+        fGens.take(upto + 1).flatten.groupBy(_._1).flatMap {
+          case (k, rows) =>
+            val w = rows.maxBy(r => (r._3, r._2))
+            if (w._2 == "d") None else Some(k -> ((w._4.intValue, w._5)))
+        }
+      def foldDim(upto: Int): Map[Int, String] =
+        dGens.take(upto + 1).flatten.groupBy(_._1).flatMap {
+          case (k, rows) =>
+            val w = rows.maxBy(r => (r._3, r._2))
+            if (w._2 == "d") None else Some(k -> w._4)
+        }
+      var lastTouched = Set.empty[Int]
+      for (g <- 1 until Gens) {
+        // pre-batch fact state for the fan-out frontier
+        val pre = foldFact(g - 1)
+        val touchedDims = dGens(g).map(_._1).toSet
+        lastTouched = fGens(g).map(_._1).toSet ++
+          pre.collect { case (fid, (fk, _)) if touchedDims(fk) => fid }
+        val (v2, f2, d2) = IncrementalFkJoinView.step(view, fState, dState,
+          fdf(fGens(g)), ddf(dGens(g)), "fid", "fk", "pk", "via")
+        view = v2; fState = f2; dState = d2
+      }
+      val got = view.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+          r.getString(3), r.getString(4))).toSet
+      val ff = foldFact(Gens - 1); val fd = foldDim(Gens - 1)
+      val want = fids.flatMap(fid =>
+        for ((fk, fv) <- ff.get(fid); dv <- fd.get(fk))
+          yield (fid, fk, fv, dv,
+            if (lastTouched(fid)) "refreshed" else "carried")).toSet
+      assert(got == want, s"seed $seed:\n got=${got.toSeq.sorted}\n" +
+        s"want=${want.toSeq.sorted}")
+      assert(got.exists(_._5 == "carried") && got.exists(_._5 == "refreshed"),
+        s"seed $seed: fixture must exercise both maintenance paths")
+    }
+  }
+
+  test("FK view fan-out surgical cases: one dim update rewrites ALL " +
+    "referencing view rows, one dim delete drops them all, a fact " +
+    "fk-move lands on an untouched dim read from the carried state") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalFkJoinView, IncrementalJoinView}
+    // 6 facts over 3 dims; dim 1 updated, dim 2 deleted, dim 3 untouched
+    val f1 = Seq((1, "r", 1L, 1, "a"), (2, "r", 2L, 1, "b"),
+      (3, "r", 3L, 2, "c"), (4, "r", 4L, 2, "d"),
+      (5, "r", 5L, 3, "e"), (6, "r", 6L, 3, "f"))
+      .toDF("fid", "op", "lsn", "fk", "fv")
+    val d1 = Seq((1, "r", 1L, "X"), (2, "r", 2L, "Y"), (3, "r", 3L, "Z"))
+      .toDF("pk", "op", "lsn", "dv")
+    val fS = IncrementalJoinView.sideState(f1, "fid")
+    val dS = IncrementalJoinView.sideState(d1, "pk")
+    val v1 = fS.drop("lsn").join(dS.drop("lsn"), col("fk") === col("pk"))
+      .drop("pk").select(col("fid"), col("fk"), col("fv"), col("dv"))
+    // gen 2: dim 1 → X', dim 2 deleted; fact 5 re-points to dim 1
+    val f2 = Seq((5, "u", 100L, Integer.valueOf(1), "e2"))
+      .toDF("fid", "op", "lsn", "fk", "fv")
+    val d2 = Seq((1, "u", 101L, "X2"), (2, "d", 102L, null))
+      .toDF("pk", "op", "lsn", "dv")
+    val (v2, _, _) = IncrementalFkJoinView.step(
+      v1, fS, dS, f2, d2, "fid", "fk", "pk", "via")
+    val got = v2.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (1, 1, "a", "X2", "refreshed"), // fan-out: dim-1 update, fact rows
+      (2, 1, "b", "X2", "refreshed"), //   1 and 2 rewritten
+      // facts 3 and 4: dim-2 delete drops both view rows
+      (5, 1, "e2", "X2", "refreshed"), // fk-move onto the updated dim
+      (6, 3, "f", "Z", "carried")), // untouched fact on untouched dim
+      s"got=$got")
+  }
+
+  test("FK view: fact insert referencing an UNTOUCHED dim joins against " +
+    "the carried dim state (the rebuild must read post-batch state, " +
+    "not just refreshed dim rows)") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalFkJoinView, IncrementalJoinView}
+    val f1 = Seq((1, "r", 1L, 1, "a")).toDF("fid", "op", "lsn", "fk", "fv")
+    val d1 = Seq((1, "r", 1L, "X"), (2, "r", 2L, "Y"))
+      .toDF("pk", "op", "lsn", "dv")
+    val fS = IncrementalJoinView.sideState(f1, "fid")
+    val dS = IncrementalJoinView.sideState(d1, "pk")
+    val v1 = fS.drop("lsn").join(dS.drop("lsn"), col("fk") === col("pk"))
+      .drop("pk").select(col("fid"), col("fk"), col("fv"), col("dv"))
+    // new fact 2 references dim 2, which no delta touches
+    val f2 = Seq((2, "c", 100L, 2, "b")).toDF("fid", "op", "lsn", "fk", "fv")
+    val d2 = spark.emptyDataset[(Int, String, Long, String)]
+      .toDF("pk", "op", "lsn", "dv")
+    val (v2, _, _) = IncrementalFkJoinView.step(
+      v1, fS, dS, f2, d2, "fid", "fk", "pk", "via")
+    val got = v2.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (1, 1, "a", "X", "carried"),
+      (2, 2, "b", "Y", "refreshed")), s"got=$got")
+  }
+}
