@@ -88,12 +88,15 @@ object IncrementalFkJoinView {
       .withColumn(touchedCol, lit("carried"))
     val fT = factT.drop("lsn")
     val dA = dimAfter.drop("lsn")
-    val vRefreshed = fT
-      .join(dA, fT(fkCol) === dA(dimKey))
-      .drop(dA(dimKey))
+    val joined = fT.join(dA, fT(fkCol) === dA(dimKey)).drop(dA(dimKey))
+    // pre-drift view order first, then any drift-added columns (the
+    // carried rows NULL-backfill them — see IncrementalJoinView.step)
+    val outCols = viewCols ++ joined.columns.filterNot(viewCols.contains)
+    val vRefreshed = joined
       .withColumn(touchedCol, lit("refreshed"))
-      .select((viewCols.map(col) :+ col(touchedCol)).toIndexedSeq: _*)
-    (vCarried.unionByName(vRefreshed),
+      .select((outCols.map(col) :+ col(touchedCol)).toIndexedSeq: _*)
+    (vCarried.unionByName(vRefreshed, allowMissingColumns = true)
+      .select((outCols.map(col) :+ col(touchedCol)).toIndexedSeq: _*),
       IncrementalJoinView.carryState(factState, touchedFacts, factT, factKey),
       dimAfter)
   }

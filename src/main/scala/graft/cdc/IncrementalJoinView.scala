@@ -60,25 +60,40 @@ object IncrementalJoinView {
     * same-position snapshot re-read) supersedes the stored row instead
     * of losing the tie. With op='r' re-tagging, an equal-lsn delete was
     * silently ignored and the phantom key survived every later batch.
+    *
+    * SCHEMA DRIFT: the union is name-based with missing columns
+    * allowed, so a delta batch that ADDS a payload column (the upstream
+    * table gained one — the warehouse convention is widen + null
+    * backfill) widens the refreshed state in place: pre-drift state
+    * rows carry NULL in the new column, delta rows carry their value.
     */
   private[cdc] def refreshTouched(state: DataFrame, delta: DataFrame,
       touched: DataFrame, key: String): DataFrame =
     sideState(
       state.join(touched, Seq(key), "left_semi")
         .withColumn("op", lit(""))
-        .unionByName(delta),
+        .unionByName(delta, allowMissingColumns = true),
       key)
 
-  /** Untouched state rows carried verbatim, refreshed rows appended. */
+  /** Untouched state rows carried verbatim, refreshed rows appended;
+    * name-based with missing columns allowed, so a drift-widened
+    * refresh widens the carried rows too (NULL backfill).
+    */
   private[cdc] def carryState(state: DataFrame, touched: DataFrame,
       refreshed: DataFrame, key: String): DataFrame =
-    state.join(touched, Seq(key), "left_anti").unionByName(refreshed)
+    state.join(touched, Seq(key), "left_anti")
+      .unionByName(refreshed, allowMissingColumns = true)
 
   /** One maintenance step. `view` must be the inner join of the two
     * maintained states (key + both payloads); `aState`/`bState` carry
     * (key, lsn, payload). Returns `(view', aState', bState')` with a
     * `touchedCol` marker on the view (`"refreshed"` for keys the deltas
     * touched, `"carried"` for rows that moved through untouched).
+    *
+    * Under schema drift (a delta batch adds a payload column) the view
+    * WIDENS: refreshed rows carry the new column's values, carried rows
+    * NULL-backfill it, and the new column lands after the pre-drift
+    * view columns — the warehouse `ALTER TABLE ADD COLUMN` convention.
     */
   def step(view: DataFrame, aState: DataFrame, bState: DataFrame,
       aDelta: DataFrame, bDelta: DataFrame, key: String,
@@ -94,11 +109,14 @@ object IncrementalJoinView {
     val vCarried = view.select(viewCols.map(col).toIndexedSeq: _*)
       .join(touched, Seq(key), "left_anti")
       .withColumn(touchedCol, lit("carried"))
-    val vRefreshed = aT.drop("lsn")
-      .join(bT.drop("lsn"), key)
+    val joined = aT.drop("lsn").join(bT.drop("lsn"), key)
+    // pre-drift view order first, then any drift-added columns
+    val outCols = viewCols ++ joined.columns.filterNot(viewCols.contains)
+    val vRefreshed = joined
       .withColumn(touchedCol, lit("refreshed"))
-      .select((viewCols.map(col) :+ col(touchedCol)).toIndexedSeq: _*)
-    (vCarried.unionByName(vRefreshed),
+      .select((outCols.map(col) :+ col(touchedCol)).toIndexedSeq: _*)
+    (vCarried.unionByName(vRefreshed, allowMissingColumns = true)
+      .select((outCols.map(col) :+ col(touchedCol)).toIndexedSeq: _*),
       carryState(aState, touched, aT, key),
       carryState(bState, touched, bT, key))
   }

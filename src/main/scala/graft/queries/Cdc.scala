@@ -594,6 +594,60 @@ object Cdc {
       .orderBy(col("id"))
   }
 
+  /** Schema-DRIFT-tolerant incremental view maintenance (round-7
+    * verdict item #7): the same customers ⋈ balances view as
+    * [[qCdcJoinView]], but generation 2's customer delta ADDS a payload
+    * column (`tier`) the generation-1 snapshot never had — the upstream
+    * table gained a column mid-stream. The maintained view must WIDEN
+    * in place, warehouse-style (`ALTER TABLE ADD COLUMN` + null
+    * backfill): refreshed rows whose winning image is a gen-2 update
+    * carry the new value ('gold'), refreshed rows whose winner is still
+    * the gen-1 image (keys touched only through the OTHER side's delta)
+    * and all carried rows backfill NULL. The tier column sits inside
+    * the hash gate next to the maintained_via witness, so a dropped
+    * column, a misplaced backfill, or a widened-but-reordered schema
+    * all break the compare. ([[qCdcSchemaDrift]] gates drift for log
+    * MATERIALIZATIONS; this gates drift through the IVM state/view
+    * machinery.)
+    */
+  def qCdcViewDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.IncrementalJoinView
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"), col("c_name").as("name"))
+    val lsn0 = col("id").cast("long")
+    // generation 1: NO tier column anywhere
+    val a1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"),
+      col("name"))
+    // generation 2: updates arrive WITH the drift column
+    val a2 = cust.filter(col("id") % 3 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        upper(col("name")).as("name"), lit("gold").as("tier"))
+      .unionByName(cust.filter(col("id") % 7 === 0)
+        .select(col("id"), lit("d").as("op"),
+          (lsn0 + 20000000L).as("lsn"),
+          lit(null).cast("string").as("name"),
+          lit(null).cast("string").as("tier")))
+    val bal0 = (col("id").cast("long") * 7L % 1000L).as("balance")
+    val b1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"), bal0)
+    val b2 = cust.filter(col("id") % 4 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        (col("id").cast("long") * 7L % 1000L + 500L).as("balance"))
+      .unionByName(cust.filter(col("id") % 5 === 0)
+        .select(col("id"), lit("d").as("op"),
+          (lsn0 + 20000000L).as("lsn"),
+          lit(null).cast("long").as("balance")))
+    val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val v1 = aState1.drop("lsn").join(bState1.drop("lsn"), "id")
+      .select(col("id"), col("name"), col("balance"))
+      .stage() // the pre-drift materialization generation 2 widens
+    val (v2, _, _) = IncrementalJoinView.step(
+      v1, aState1, bState1, a2, b2, "id", "maintained_via")
+    v2.select(col("id"), col("name"), col("balance"), col("tier"),
+        col("maintained_via"))
+      .orderBy(col("id"))
+  }
+
   /** Delta horizon for [[qCdcAggView]]'s generation 2: only keys below
     * this id change, so groups all of whose members sit above it are
     * provably untouched — the carried path exists at every gated SF
@@ -1194,6 +1248,24 @@ object Cdc {
         |WHERE c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
         |ORDER BY id""".stripMargin,
 
+    // same closed form as q_cdc_join_view plus the drift column: tier
+    // is 'gold' exactly where the gen-2 A-update is the winning image
+    // (id%3=0 among survivors), NULL everywhere else — carried rows AND
+    // keys refreshed only through the B side
+    "q_cdc_view_drift" ->
+      """SELECT CAST(c_custkey AS INT) AS id,
+        |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+        |       ELSE c_name END AS name,
+        |  CAST(c_custkey * 7 % 1000
+        |    + CASE WHEN c_custkey % 4 = 0 THEN 500 ELSE 0 END
+        |    AS BIGINT) AS balance,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'gold' ELSE NULL END AS tier,
+        |  CASE WHEN c_custkey % 3 = 0 OR c_custkey % 4 = 0
+        |       THEN 'refreshed' ELSE 'carried' END AS maintained_via
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
+        |ORDER BY id""".stripMargin,
+
     // closed-form fold of both FK-view lifecycles: surviving facts
     // (orderkey%11≠0) with their post-gen-2 fk/amount join surviving
     // dims (custkey%13≠0) with post-gen-2 segments; maintained_via =
@@ -1462,6 +1534,7 @@ object Cdc {
     "q_cdc_join_view" -> (qCdcJoinView _),
     "q_cdc_agg_view" -> (qCdcAggView _),
     "q_cdc_fk_view" -> (qCdcFkView _),
+    "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),
     "q_cdc_txn_evict" -> (qCdcTxnEvict _),

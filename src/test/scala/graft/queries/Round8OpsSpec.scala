@@ -126,6 +126,47 @@ class Round8OpsSpec extends SparkSpec {
       s"got=$got")
   }
 
+  test("schema drift through IVM: a delta batch that ADDS a column " +
+    "widens state and view with NULL backfill; a later delta WITHOUT " +
+    "the column nulls it on its winners; pre-drift rows never see it") {
+    import spark.implicits._
+    import graft.cdc.IncrementalJoinView
+    val a1 = Seq((1, "r", 1L, "a1"), (2, "r", 2L, "a2"), (3, "r", 3L, "a3"))
+      .toDF("id", "op", "lsn", "va")
+    val b1 = Seq((1, "r", 1L, 10L), (2, "r", 2L, 20L), (3, "r", 3L, 30L))
+      .toDF("id", "op", "lsn", "vb")
+    var aS = IncrementalJoinView.sideState(a1, "id")
+    var bS = IncrementalJoinView.sideState(b1, "id")
+    var view = aS.drop("lsn").join(bS.drop("lsn"), "id")
+      .select(col("id"), col("va"), col("vb"))
+    // gen 2: A gains `tier`; key 1 updated with it, key 2 only via B
+    val a2 = Seq((1, "u", 100L, "a1x", "gold"))
+      .toDF("id", "op", "lsn", "va", "tier")
+    val b2 = Seq((2, "u", 101L, 21L)).toDF("id", "op", "lsn", "vb")
+    val s2 = IncrementalJoinView.step(view, aS, bS, a2, b2, "id", "via")
+    view = s2._1; aS = s2._2; bS = s2._3
+    assert(view.columns.toSeq == Seq("id", "va", "vb", "tier", "via"))
+    val got2 = view.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getLong(2), Option(r.getString(3)), r.getString(4))).toSet
+    assert(got2 == Set(
+      (1, "a1x", 10L, Some("gold"), "refreshed"),
+      (2, "a2", 21L, None, "refreshed"), // B-touched: widened, NULL
+      (3, "a3", 30L, None, "carried")), s"got=$got2") // NULL backfill
+    // gen 3: key 3 updated by a delta WITHOUT the drift column — the
+    // new image lacks it, so its tier nulls; key 1 carries 'gold'
+    val a3 = Seq((3, "u", 200L, "a3x")).toDF("id", "op", "lsn", "va")
+    val b3 = spark.emptyDataset[(Int, String, Long, Long)]
+      .toDF("id", "op", "lsn", "vb")
+    val s3 = IncrementalJoinView.step(view.drop("via"), aS, bS, a3, b3,
+      "id", "via")
+    val got3 = s3._1.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getLong(2), Option(r.getString(3)), r.getString(4))).toSet
+    assert(got3 == Set(
+      (1, "a1x", 10L, Some("gold"), "carried"),
+      (2, "a2", 21L, None, "carried"),
+      (3, "a3x", 30L, None, "refreshed")), s"got=$got3")
+  }
+
   test("FK view: fact insert referencing an UNTOUCHED dim joins against " +
     "the carried dim state (the rebuild must read post-batch state, " +
     "not just refreshed dim rows)") {
