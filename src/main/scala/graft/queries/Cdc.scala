@@ -674,8 +674,13 @@ object Cdc {
     * batch's retraction∪insertion sets touch, 'carried' for groups the
     * merge provably never rewrote.
     */
-  def qCdcAggView(s: SparkSession, d: String): DataFrame = {
-    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+  /** The agg-view fixture's four delta generations `(a1, a2, b1, b2)` —
+    * ONE recipe shared by the batch gate [[qCdcAggView]] and the
+    * streaming gate [[qCdcStreamIvm]], so the two gates (and their
+    * common oracle closed form) can never drift apart.
+    */
+  private def aggViewFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cust = Tables.customer(s, d).select(
       col("c_custkey").cast("int").as("id"),
       lower(col("c_mktsegment")).as("seg"))
@@ -698,6 +703,12 @@ object Cdc {
       .unionByName(cust.filter(inH && col("id") % 5 === 0)
         .select(col("id"), lit("d").as("op"), (lsn0 + 20000000L).as("lsn"),
           lit(null).cast("long").as("balance")))
+    (a1, a2, b1, b2)
+  }
+
+  def qCdcAggView(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    val (a1, a2, b1, b2) = aggViewFixture(s, d)
     // generation 1: bootstrap states + the materialized aggregate
     val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
     val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
@@ -709,6 +720,115 @@ object Cdc {
       a2, b2, "id", "g", "balance", "maintained_via")
     agg2.select(col("g"), col("n_members"),
         col("total").as("total_balance"), col("maintained_via"))
+      .orderBy(col("g"))
+  }
+
+  /** The STREAMING drive of incremental aggregate-view maintenance
+    * inside the hash gate (round-7 verdict item #2 — previously only a
+    * spec): the same two-generation fixture as [[qCdcAggView]], but
+    * delivered as micro-batches through a real Structured Streaming
+    * query with a FULL CHECKPOINT RESTART between the generations.
+    * Each micro-batch's foreachBatch reads the newest published state
+    * generation, applies [[graft.cdc.IncrementalAggView.step]] (or
+    * bootstraps on the first batch), and publishes agg + both side
+    * states under a version keyed by the BATCH ID — the idempotent
+    * MV-upsert pattern: a crash-replayed micro-batch overwrites its own
+    * version, newest-wins reads see either the old or the complete new
+    * generation, never a torn one.
+    *
+    * What the hash proves beyond the batch gate: the maintenance
+    * algebra composes with streaming delivery — the restarted run must
+    * RESUME from the checkpoint (gen 1 files must not replay into a
+    * re-bootstrap, which would flip every marker to `delta_applied`'s
+    * bootstrap shape), published state must round-trip parquet
+    * losslessly, and the final `maintained_via` markers must equal the
+    * batch gate's closed form exactly.
+    *
+    * Scale shape: per micro-batch cost is the batch step's
+    * O(|Δ| + |touched groups|) plus one state read/write — the
+    * standard streaming-MV posture (Delta/iceberg MERGE targets);
+    * state partition count is a config sized to state volume.
+    */
+  def qCdcStreamIvm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    val base = gateTmpDir("graft_stream_ivm", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, store, ck) = (s"$base/in", s"$base/store", s"$base/ck")
+    // side-tagged delta stream: one source carries both sides, split
+    // per batch (the one-topic-per-view transport layout)
+    val staged = stageOnce(s, "graft_stream_ivm_staged", d) { st =>
+      val (a1, a2, b1, b2) = aggViewFixture(s, d)
+      def tag(df: DataFrame, side: String, hasG: Boolean): DataFrame =
+        df.select(lit(side).as("side"), col("id"), col("op"), col("lsn"),
+          (if (hasG) col("g") else lit(null).cast("string")).as("g"),
+          (if (hasG) lit(null).cast("long") else col("balance")).as("bal"))
+      tag(a1, "a", hasG = true).unionByName(tag(b1, "b", hasG = false))
+        .coalesce(1).write.parquet(s"$st/gen1")
+      // gen 2 MUST land as one file → one micro-batch, so the final
+      // markers are the single-step touched set the oracle folds
+      tag(a2, "a", hasG = true).unionByName(tag(b2, "b", hasG = false))
+        .coalesce(1).write.parquet(s"$st/gen2")
+    }
+    def latestVersion: Option[Long] = {
+      val dir = new java.io.File(s"$store/agg")
+      Option(dir.listFiles).map(_.filter(_.getName.startsWith("v"))
+        .map(_.getName.drop(1).toLong)).filter(_.nonEmpty).map(_.max)
+    }
+    def readLatest(kind: String): Option[DataFrame] = latestVersion.map {
+      v => s.read.parquet(s"$store/$kind/v$v")
+    }
+    def publish(kind: String, id: Long, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$store/$kind/v$id")
+    def run(): Unit =
+      s.readStream
+        .schema("side STRING, id INT, op STRING, lsn LONG, g STRING, bal LONG")
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.cache()
+          val aDelta = b.filter(col("side") === "a")
+            .select(col("id"), col("op"), col("lsn"), col("g"))
+          val bDelta = b.filter(col("side") === "b")
+            .select(col("id"), col("op"), col("lsn"),
+              col("bal").as("balance"))
+          val next =
+            (readLatest("aState"), readLatest("bState"), readLatest("agg"))
+              match {
+              case (Some(aS), Some(bS), Some(agg)) =>
+                IncrementalAggView.step(agg.drop("via"), aS, bS,
+                  aDelta, bDelta, "id", "g", "balance", "via")
+              case _ =>
+                val aS = IncrementalJoinView.sideState(aDelta, "id")
+                val bS = IncrementalJoinView.sideState(bDelta, "id")
+                (IncrementalAggView
+                  .bootstrap(aS, bS, "id", "g", "balance")
+                  .withColumn("via", lit("bootstrap")), aS, bS)
+            }
+          publish("agg", id, next._1)
+          publish("aState", id, next._2)
+          publish("bState", id, next._3)
+          b.unpersist(): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    // state/store partitions sized to state volume (see qCdcTxnStream)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      copyStaged(s, s"$staged/gen1", inDir, "g1")
+      run() // generation 1 bootstraps the maintained state
+      // generation 2 lands while the stream is DOWN; the restarted run
+      // must resume from the checkpoint and APPLY it as one step
+      copyStaged(s, s"$staged/gen2", inDir, "g2")
+      run()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    readLatest("agg").get
+      .select(col("g"), col("n_members"), col("total").as("total_balance"),
+        col("via").as("maintained_via"))
       .orderBy(col("g"))
   }
 
@@ -1199,6 +1319,36 @@ object Cdc {
       |  FROM customer WHERE c_custkey % 3 = 0)
       |ORDER BY op""".stripMargin
 
+  /** Shared closed form for [[qCdcAggView]] and [[qCdcStreamIvm]] —
+    * the batch step and its streaming drive fold the same fixture.
+    */
+  private lazy val aggViewOracle: String =
+    s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+       |    lower(c_mktsegment) AS seg FROM customer),
+       |f AS (SELECT id, seg,
+       |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+       |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+       |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+       |    CAST(id * 7 % 1000
+       |      + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+       |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+       |  FROM c
+       |  WHERE NOT (id < $AggViewHorizon
+       |             AND (id % 7 = 0 OR id % 5 = 0))),
+       |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(bal) AS BIGINT) AS total_balance FROM f GROUP BY 1),
+       |tg AS (SELECT DISTINCT g FROM (
+       |    SELECT seg || '-' || CAST(id // 100 AS VARCHAR) AS g
+       |    FROM c WHERE id < $AggViewHorizon
+       |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)
+       |    UNION ALL
+       |    SELECT g FROM f WHERE id < $AggViewHorizon
+       |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)))
+       |SELECT v.g AS g, v.n_members, v.total_balance,
+       |  CASE WHEN tg.g IS NOT NULL THEN 'delta_applied'
+       |       ELSE 'carried' END AS maintained_via
+       |FROM v LEFT JOIN tg ON v.g = tg.g ORDER BY v.g""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_cdc_dsv2_scan" -> dsv2PerOpOracle,
     "q_cdc_dsv2_tail" -> dsv2PerOpOracle,
@@ -1300,32 +1450,14 @@ object Cdc {
     // it appears among the touched keys' OLD (gen-1 segment) or NEW
     // (post-gen-2) group memberships — the retraction∪insertion set the
     // incremental merge rewrites
-    "q_cdc_agg_view" ->
-      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
-         |    lower(c_mktsegment) AS seg FROM customer),
-         |f AS (SELECT id, seg,
-         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
-         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
-         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
-         |    CAST(id * 7 % 1000
-         |      + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
-         |             THEN 500 ELSE 0 END AS BIGINT) AS bal
-         |  FROM c
-         |  WHERE NOT (id < $AggViewHorizon
-         |             AND (id % 7 = 0 OR id % 5 = 0))),
-         |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
-         |    CAST(sum(bal) AS BIGINT) AS total_balance FROM f GROUP BY 1),
-         |tg AS (SELECT DISTINCT g FROM (
-         |    SELECT seg || '-' || CAST(id // 100 AS VARCHAR) AS g
-         |    FROM c WHERE id < $AggViewHorizon
-         |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)
-         |    UNION ALL
-         |    SELECT g FROM f WHERE id < $AggViewHorizon
-         |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)))
-         |SELECT v.g AS g, v.n_members, v.total_balance,
-         |  CASE WHEN tg.g IS NOT NULL THEN 'delta_applied'
-         |       ELSE 'carried' END AS maintained_via
-         |FROM v LEFT JOIN tg ON v.g = tg.g ORDER BY v.g""".stripMargin,
+    "q_cdc_agg_view" -> aggViewOracle,
+
+    // IDENTICAL closed form: the streaming drive delivers the same two
+    // generations through foreachBatch micro-batches with a checkpoint
+    // restart between them, and must land on the same maintained view
+    // (a re-bootstrap on restart would flip every marker; a torn state
+    // publish or parquet round-trip loss would shift a group)
+    "q_cdc_stream_ivm" -> aggViewOracle,
 
     // closed-form from the change-mix mod rules (see changeMix): every
     // customer snapshots (+1), every 3rd updates (0), every 7th deletes
@@ -1533,6 +1665,7 @@ object Cdc {
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_join_view" -> (qCdcJoinView _),
     "q_cdc_agg_view" -> (qCdcAggView _),
+    "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
     "q_cdc_fk_view" -> (qCdcFkView _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
