@@ -496,7 +496,9 @@ object JdbcIncremental {
     * reachable). A sentinel-less but parseable next is ALSO promoted
     * when the log holds committed data files (the upgrade window for
     * pre-sentinel writers — see the inline comment for why that is
-    * loss-free). An incomplete next over a data-less log can only be a
+    * loss-free), bounded BELOW by the max fence encoded in the
+    * committed data file names so a torn prefix cannot widen the
+    * re-capture window. An incomplete next over a data-less log can only be a
     * crashed first `initializeWatermark` commit, where uninitialized is
     * the correct answer and the overwrite is safe.
     */
@@ -532,16 +534,50 @@ object JdbcIncremental {
       // watermark, so the worst case is at-least-once re-capture of
       // rows the log's lsn-dedup readers already tolerate — never a
       // silently skipped range.
+      val dataFiles = f.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          n.endsWith(".jsonl")
+      }
       val legacyComplete = !complete &&
-        scala.util.Try(raw.trim.toLong).isSuccess &&
-        f.listStatus(dir).exists { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-            n.endsWith(".jsonl")
-        }
-      if ((complete || legacyComplete) && !f.rename(next, marker))
-        throw new java.io.IOException(
-          s"JdbcIncremental: watermark repair rename failed in $dir")
+        scala.util.Try(raw.trim.toLong).isSuccess && dataFiles.nonEmpty
+      // TIGHTEN the legacy promotion against the data file names
+      // (round-8 advisory): every committed range/chunk file encodes
+      // its fence as `<prefix><lo12>-<hi12>-…` , and a dangling next
+      // with an absent current marker is only reachable AFTER a
+      // publish's data renames completed — so max(hi) across the
+      // committed names is a watermark the log PROVABLY holds data up
+      // to. A torn decimal prefix of the intended value parses LOWER;
+      // promoting max(parsed, max hi) shrinks the at-least-once
+      // re-capture window to zero in the crashed-first-commit case
+      // while never exceeding a value the file set substantiates
+      // (dataless poll commits can legitimately exceed it — the parsed
+      // value wins there). The bounded value is committed via a
+      // write-then-rename sibling so no crash state leaves a torn
+      // CURRENT marker.
+      val nameHi = """^[a-z](\d{12})-(\d{12})-.*\.jsonl$""".r
+      val maxHi = dataFiles.flatMap(st => st.getPath.getName match {
+        case nameHi(_, hi) => Some(hi.toLong)
+        case _ => None
+      }).maxOption
+      val bounded = maxHi.filter(h =>
+        legacyComplete && h > raw.trim.toLong)
+      bounded match {
+        case Some(h) =>
+          val repair = new Path(dir, "_watermark_repair")
+          val out = f.create(repair, true)
+          try out.write((h.toString + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (!f.rename(repair, marker))
+            throw new java.io.IOException(
+              s"JdbcIncremental: watermark repair rename failed in $dir")
+          f.delete(next, false)
+        case None =>
+          if ((complete || legacyComplete) && !f.rename(next, marker))
+            throw new java.io.IOException(
+              s"JdbcIncremental: watermark repair rename failed in $dir")
+      }
     }
   }
 }

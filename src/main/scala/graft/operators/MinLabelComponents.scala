@@ -39,21 +39,48 @@ object MinLabelComponents {
       .unionByName(edges
         .select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
     var labelIds = Set.empty[Int] // checkpoint blocks of the live labels
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    // Reliable-checkpoint mode also tracks each generation's rdd-N
+    // directories inside the (session-unique, setCheckpointDir-UUID'd)
+    // checkpoint dir, by before/after listing, so superseded
+    // generations' files are DELETED on rotation (round-8 advisory: a
+    // K-iteration run otherwise accretes K full label-frame copies on
+    // the cluster store for the app lifetime). Assumes the session
+    // checkpoints sequentially during the loop — true for this repo's
+    // Verify/Bench/spec drivers. The FINAL generation's blocks/files
+    // intentionally outlive the call (the caller consumes the frame);
+    // Verify/Bench free blocks in their per-query sweep, and the final
+    // checkpoint files go with the app's checkpoint dir.
+    def ckptDirsNow(): Set[String] = sc.getCheckpointDir match {
+      case Some(d) =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString).toSet
+        else Set.empty[String]
+      case None => Set.empty[String]
+    }
+    var labelDirs = Set.empty[String]
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int], Set[String]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
+      val dirsBefore = ckptDirsNow()
       // Materialize.barrier: reliable checkpoint() when a dir is set
       // (cluster posture — the id diff then finds nothing to reclaim,
       // which is correct: reliable checkpoints hold no executor
-      // blocks), localCheckpoint otherwise; eager either way, so the
-      // convergence probe below never recomputes the iteration
+      // blocks; the DIR diff reclaims instead), localCheckpoint
+      // otherwise; eager either way, so the convergence probe below
+      // never recomputes the iteration
       val ck = graft.Materialize.barrier(df)
-      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before,
+        ckptDirsNow() -- dirsBefore)
+    }
+    def dropCheckpointDirs(dirs: Set[String]): Unit = dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
     }
     var labels = {
-      val (ck, ids) = checkpointTracked(
+      val (ck, ids, dirs) = checkpointTracked(
         nodes.select(col(nodeCol).as("__node"))
           .withColumn("__label", col("__node")))
-      labelIds = ids; ck
+      labelIds = ids; labelDirs = dirs; ck
     }
     var converged = false
     var iter = 0
@@ -67,7 +94,7 @@ object MinLabelComponents {
       // probe below only scans the just-cached blocks. Superseded
       // generations free immediately — an unbounded checkpoint chain
       // multiplies resident memory by the iteration count.
-      val (updated, newIds) = checkpointTracked(labels
+      val (updated, newIds, newDirs) = checkpointTracked(labels
         .join(nbrMin, col("__node") === col("__probe"), "left_outer")
         .select(col("__node"),
           least(col("__label"),
@@ -77,7 +104,9 @@ object MinLabelComponents {
       converged = updated.filter(col("__changed")).isEmpty
       labelIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      dropCheckpointDirs(labelDirs)
       labelIds = newIds
+      labelDirs = newDirs
       labels = updated.select(col("__node"), col("__label"))
       iter += 1
     }

@@ -220,8 +220,16 @@ object Cdc {
     // build may belong to a LIVE concurrent process mid-build (verify
     // and bench side by side), so it is only swept once its mtime says
     // abandoned — deleting it live would let that process publish a
-    // partially-rebuilt tree
+    // partially-rebuilt tree. Liveness = the MAX mtime across the whole
+    // tree (round-8 advisory): the build dir ROOT's mtime does not
+    // advance while Spark writes inside subdirectories (gen1_ev/ …) on
+    // most filesystems, so a root-only check could sweep a live build
+    // whose root happened to be created >1h ago.
     val abandonedMs = 60L * 60L * 1000L
+    def treeMtime(f: java.io.File): Long = {
+      val kids = Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+      (f.lastModified() +: kids.map(treeMtime)).max
+    }
     Option(tmpRoot.list()).getOrElse(Array.empty[String]).foreach { n =>
       val otherVersion = n.startsWith(s"${prefix}_v") &&
         !n.startsWith(s"${prefix}_v$StagedFixtureVersion" + "_")
@@ -230,7 +238,7 @@ object Cdc {
       val f0 = new java.io.File(tmpRoot, n)
       val stale = otherVersion ||
         (foreignBuild &&
-          System.currentTimeMillis() - f0.lastModified() > abandonedMs)
+          System.currentTimeMillis() - treeMtime(f0) > abandonedMs)
       if (stale)
         fs.delete(new org.apache.hadoop.fs.Path(tmpRoot.getPath, n), true)
     }

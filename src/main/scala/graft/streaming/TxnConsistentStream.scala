@@ -56,6 +56,13 @@ final case class TxnState(expected: Option[Int],
   * (round-7 advisory). Keeping release() on the original three-field
   * shape preserves those checkpoints; the evicting path needs `seenTs`
   * and keeps the extended shape (its gates always start fresh).
+  *
+  * COMPATIBILITY NOTE (one-way trade, round-8 advisory): a checkpoint
+  * of release() written by ROUND-6 code — whose state encoder was the
+  * four-field [[TxnState]] — does NOT restore against this three-field
+  * shape; only the pre-round-6 direction is preserved. Operators
+  * holding a round-6-era release() checkpoint must restart that stream
+  * fresh (re-deliver from the source); the evicting path is unaffected.
   */
 final case class TxnReleaseState(expected: Option[Int],
     buffered: Map[Long, String], released: Boolean)

@@ -126,6 +126,75 @@ class Round8OpsSpec extends SparkSpec {
       s"got=$got")
   }
 
+  test("legacy watermark promotion is bounded below by the max fence " +
+    "encoded in committed data file names: a torn lower prefix promotes " +
+    "to the substantiated fence; a higher parsed value (dataless " +
+    "commits) wins unchanged") {
+    import graft.cdc.JdbcIncremental
+    val dir = tmpDir("wm-bound")
+    val p = java.nio.file.Paths.get(dir)
+    def write(n: String, s: String): Unit =
+      java.nio.file.Files.write(p.resolve(n), s.getBytes)
+    def del(n: String): Unit = {
+      java.nio.file.Files.deleteIfExists(p.resolve(n))
+      java.nio.file.Files.deleteIfExists(p.resolve(s".$n.crc"))
+    }
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    // committed snapshot + poll files fence the log at 40
+    write("a000000000000-000000000025-p00000.jsonl", "{}")
+    write("c000000000025-000000000040-p00000.jsonl", "{}")
+    write("_watermark_next", "12") // torn prefix of a larger value
+    JdbcIncremental.repairInterruptedCommit(f, hp)
+    assert(JdbcIncremental.lastWatermark(spark, dir).contains(40L),
+      "promotion must rise to the max committed fence")
+    // a parsed value ABOVE every fence is legitimate (dataless poll
+    // commits advance the watermark without data files) — kept as-is
+    del("_watermark"); del("_watermark_next")
+    write("_watermark_next", "77")
+    JdbcIncremental.repairInterruptedCommit(f, hp)
+    assert(JdbcIncremental.lastWatermark(spark, dir).contains(77L),
+      "a parsed value above the fences must win unchanged")
+  }
+
+  test("MinLabelComponents reclaims superseded reliable-checkpoint " +
+    "generations: after convergence only the FINAL generation's rdd " +
+    "dir remains under the checkpoint dir, and labels equal the " +
+    "local-fallback run") {
+    import spark.implicits._
+    import org.apache.spark.GraftSparkInternals
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "spec session must start on the local-fallback branch")
+    // a path graph (diameter 6 → several iterations) plus singletons
+    val nodes = (1 to 12).toDF("n")
+    val edges = (1 to 6).map(i => (i, i + 1)).toDF("a", "b")
+    def run(): Set[(Int, Int)] =
+      graft.operators.MinLabelComponents
+        .components(nodes, edges, "n", "a", "b")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val localRes = run()
+    val want = ((1 to 7).map(i => (i, 1)) ++
+      (8 to 12).map(i => (i, i))).toSet
+    assert(localRes == want, s"got=$localRes")
+    val dir = tmpDir("minlabel-ckpt")
+    sc.setCheckpointDir(dir)
+    try {
+      assert(run() == want, "reliable-checkpoint run must be identical")
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap { c =>
+          (if (c.isDirectory && c.getName.startsWith("rdd-")) Seq(c)
+           else Nil) ++ (if (c.isDirectory) rddDirs(c) else Nil)
+        }
+      val remaining = rddDirs(new java.io.File(dir))
+      assert(remaining.size == 1,
+        s"superseded generations must be deleted on rotation; " +
+          s"found ${remaining.map(_.getName)}")
+    } finally GraftSparkInternals.setCheckpointDirRaw(sc, None)
+    assert(sc.getCheckpointDir.isEmpty, "shared session state restored")
+  }
+
   test("schema drift through IVM: a delta batch that ADDS a column " +
     "widens state and view with NULL backfill; a later delta WITHOUT " +
     "the column nulls it on its winners; pre-drift rows never see it") {
