@@ -126,6 +126,24 @@ class Round8OpsSpec extends SparkSpec {
       s"got=$got")
   }
 
+  test("k-means clustering partitions the corpus deterministically: " +
+    "assignments cover every vector exactly once, sizes are consistent, " +
+    "and a re-run is bit-identical") {
+    val d = "/root/testdata/sf0.001"
+    val r1 = graft.queries.Similarity.qKmeansCluster(spark, d).collect()
+    val r2 = graft.queries.Similarity.qKmeansCluster(spark, d).collect()
+    assert(r1.toSeq == r2.toSeq, "k-means must be deterministic")
+    assert(r1.map(_.getLong(0)).distinct.length == 500 && r1.length == 500,
+      "every vector assigned exactly once")
+    val byCluster = r1.groupBy(_.getInt(1))
+    assert(byCluster.keys.forall(k => k >= 0 && k < 8))
+    byCluster.foreach { case (_, rows) =>
+      assert(rows.forall(_.getLong(3) == rows.length),
+        "cluster_size must equal the actual member count")
+    }
+    assert(r1.forall(_.getLong(2) >= 0L), "squared distances non-negative")
+  }
+
   test("legacy watermark promotion is bounded below by the max fence " +
     "encoded in committed data file names: a torn lower prefix promotes " +
     "to the substantiated fence; a higher parsed value (dataless " +
