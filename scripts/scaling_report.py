@@ -18,7 +18,7 @@ FAMILIES = [
     ("CDC (batch + streaming gates)", r"^q_cdc_"),
     ("Dedup (ngram/minhash/simhash/substring/span/embedding)",
      r"^q_(dedup_|simhash_|semdedup$|corpus_overlap$)"),
-    ("ANN / embeddings", r"^q_(ann_|embedding_|knn_)"),
+    ("ANN / embeddings", r"^q_(ann_|embedding_|knn_|kmeans_cluster$)"),
     ("Text analysis / BPE / quality",
      r"^q_(bpe_|unigram_segment$|lang_id$|quality_|token_counts$|doc_fingerprint$|"
      r"gopher_rules$|repetition$|oov_rate$|lm_score$|classifier_filter$|"

@@ -20,6 +20,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR: run the whole suite on the CLUSTER
+    // materialization posture — every Materialize.barrier becomes a
+    // reliable checkpoint instead of the local[] fallback. Used for the
+    // committed RELIABLE_CKPT proof run (no gate may silently depend on
+    // localCheckpoint semantics); unset in driver runs.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
