@@ -82,12 +82,27 @@ object IncrementalAggView {
     val bT = IncrementalJoinView.refreshTouched(bTouched, bDelta, touched, key)
       .stage() // newC + state carry
     val newC = contribs(aT, bT, key, groupCol, metricCol)
+    (mergeDelta(agg, newC, oldC, touchedCol),
+      IncrementalJoinView.carryState(aState, touched, aT, key),
+      IncrementalJoinView.carryState(bState, touched, bT, key))
+  }
+
+  /** Fold insertion(+1)/retraction(−1) contribution sets `(key, g, m)`
+    * to per-group (Δcount, Δsum) and merge them into the maintained
+    * aggregate by ONE group-keyed outer join — shared by the shared-key
+    * step above and [[IncrementalFkAggView.step]]. Groups reaching
+    * count 0 leave the view; groups present in EITHER contribution set
+    * mark `delta_applied` (even net-zero — the marker witnesses
+    * maintenance structure), all others `carried`.
+    */
+  private[cdc] def mergeDelta(agg: DataFrame, newC: DataFrame,
+      oldC: DataFrame, touchedCol: String): DataFrame = {
     // per-group algebraic delta; sign folds map-side before any shuffle
     val delta = newC.withColumn("sign", lit(1L))
       .unionByName(oldC.withColumn("sign", lit(-1L)))
       .groupBy(col("g"))
       .agg(sum(col("sign")).as("dn"), sum(col("m") * col("sign")).as("dm"))
-    val merged = agg
+    agg
       .join(delta.select(col("g").as("dg"), col("dn"), col("dm")),
         col("g") === col("dg"), "full_outer")
       .select(coalesce(col("g"), col("dg")).as("g"),
@@ -98,8 +113,5 @@ object IncrementalAggView {
         when(col("dg").isNotNull, lit("delta_applied"))
           .otherwise(lit("carried")).as(touchedCol))
       .filter(col("n_members") > 0)
-    (merged,
-      IncrementalJoinView.carryState(aState, touched, aT, key),
-      IncrementalJoinView.carryState(bState, touched, bT, key))
   }
 }

@@ -914,6 +914,86 @@ object Cdc {
       .orderBy(col("order_id"))
   }
 
+  /** Delta horizon for [[qCdcFkAggView]]'s generation 2: both delta
+    * streams only touch keys whose (pre-batch) customer id sits below
+    * it, so every group over higher id-buckets is provably untouched —
+    * the carried path exists at both gated SFs (customer buckets reach
+    * 14 at sf0.01, 149 at sf0.1; re-pointed fks land ≤ 100 < 512).
+    */
+  private val FkAggHorizon = 512
+
+  /** AGGREGATE over the N:1 foreign-key join, incrementally maintained
+    * ([[graft.cdc.IncrementalFkAggView]] — the composition of the
+    * round-8 FK fan-out machinery with the algebraic group deltas):
+    * maintain `V = SELECT dim.g, count(*), sum(orders.amount) FROM
+    * orders ⋈ customers GROUP BY dim.g` — the metric on the FACT side,
+    * the group on the DIM side — across two change generations.
+    *
+    * The fixture forces every composite shape: a dim update REWRITES
+    * its group attribute (`seg-bucket` → `vip-bucket`), MOVING all its
+    * orders' contributions between groups (the fan-out × group-move
+    * case neither parent gate exercises); a dim delete retracts all
+    * its orders' contributions; a fact fk re-point moves one
+    * contribution between possibly-untouched dims' groups; a fact
+    * delete retracts one. All deltas respect [[FkAggHorizon]] so
+    * high-bucket groups ride the carried path. `maintained_via` is the
+    * incrementality witness: `delta_applied` exactly for groups in the
+    * retraction∪insertion sets, `carried` for groups the merge never
+    * rewrote — a recompute has no generation boundary to derive it.
+    */
+  def qCdcFkAggView(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalFkAggView, IncrementalJoinView}
+    val H = FkAggHorizon
+    val ords = Tables.orders(s, d).select(
+      col("o_orderkey").cast("int").as("order_id"),
+      col("o_custkey").cast("int").as("cust_id"))
+    val flsn = col("order_id").cast("long")
+    val amt0 = col("order_id").cast("long") * 3L % 1000L
+    val inH = col("cust_id") < H
+    val f1 = ords.select(col("order_id"), lit("r").as("op"),
+      flsn.as("lsn"), col("cust_id"), amt0.as("amount"))
+    val f2 = ords.filter(col("order_id") % 9 === 0 && inH)
+      .select(col("order_id"), lit("u").as("op"),
+        (flsn + 10000000L).as("lsn"),
+        (col("order_id") % 100 + 1).as("cust_id"),
+        (amt0 + 5000L).as("amount"))
+      .unionByName(ords.filter(col("order_id") % 11 === 0 && inH)
+        .select(col("order_id"), lit("d").as("op"),
+          (flsn + 20000000L).as("lsn"),
+          lit(null).cast("int").as("cust_id"),
+          lit(null).cast("long").as("amount")))
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("d_id"),
+      lower(col("c_mktsegment")).as("seg"))
+    val bucket = expr("d_id div 100").cast("string")
+    val dlsn = col("d_id").cast("long")
+    val dInH = col("d_id") < H
+    val d1 = cust.select(col("d_id"), lit("r").as("op"), dlsn.as("lsn"),
+      concat(col("seg"), lit("-"), bucket).as("g"))
+    val d2 = cust.filter(col("d_id") % 10 === 0 && dInH)
+      .select(col("d_id"), lit("u").as("op"),
+        (dlsn + 10000000L).as("lsn"),
+        concat(lit("vip-"), bucket).as("g"))
+      .unionByName(cust.filter(col("d_id") % 13 === 0 && dInH)
+        .select(col("d_id"), lit("d").as("op"),
+          (dlsn + 20000000L).as("lsn"),
+          lit(null).cast("string").as("g")))
+    // generation 1: bootstrap states + the materialized rollup
+    val fState1 = IncrementalJoinView.sideState(f1, "order_id").stage()
+    val dState1 = IncrementalJoinView.sideState(d1, "d_id").stage()
+    val agg1 = IncrementalFkAggView
+      .bootstrap(fState1, dState1, "order_id", "cust_id", "d_id",
+        "g", "amount")
+      .stage() // the maintained materialization generation 2 merges into
+    // generation 2: fan-out retraction/insertion deltas
+    val (agg2, _, _) = IncrementalFkAggView.step(agg1, fState1, dState1,
+      f2, d2, "order_id", "cust_id", "d_id", "g", "amount",
+      "maintained_via")
+    agg2.select(col("g"), col("n_members"),
+        col("total").as("total_amount"), col("maintained_via"))
+      .orderBy(col("g"))
+  }
+
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
     * unit, exactly the production tool's knob (pt-table-checksum's
     * `--chunk-size`).
@@ -1424,6 +1504,62 @@ object Cdc {
         |WHERE c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
         |ORDER BY id""".stripMargin,
 
+    // closed-form fold of the FK-agg lifecycles: the final rollup over
+    // surviving facts' post-gen-2 fks/amounts joined to surviving dims'
+    // post-gen-2 groups; a group is 'delta_applied' iff it appears in
+    // the touched facts' OLD (pre-batch fk → pre-batch group) or NEW
+    // (post-batch fk → post-batch group, survivors only) contribution
+    // sets — exactly the retraction∪insertion frontier the merge
+    // rewrites. Touched facts = own deltas ∪ dim fan-out, all inside
+    // the horizon.
+    "q_cdc_fk_agg_view" ->
+      s"""WITH f AS (
+         |  SELECT o_orderkey AS oid, CAST(o_custkey AS INT) AS fk_old,
+         |    CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
+         |         THEN CAST(o_orderkey % 100 + 1 AS INT)
+         |         ELSE CAST(o_custkey AS INT) END AS fk_new,
+         |    CAST(o_orderkey * 3 % 1000
+         |      + CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
+         |             THEN 5000 ELSE 0 END AS BIGINT) AS amount
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 11 = 0 AND o_custkey < $FkAggHorizon)),
+         |d AS (
+         |  SELECT CAST(c_custkey AS INT) AS d_id,
+         |    lower(c_mktsegment) || '-' || CAST(c_custkey // 100 AS VARCHAR)
+         |      AS g_pre,
+         |    CASE WHEN c_custkey % 10 = 0 AND c_custkey < $FkAggHorizon
+         |         THEN 'vip-' || CAST(c_custkey // 100 AS VARCHAR)
+         |         ELSE lower(c_mktsegment) || '-'
+         |           || CAST(c_custkey // 100 AS VARCHAR) END AS g_post,
+         |    NOT (c_custkey % 13 = 0 AND c_custkey < $FkAggHorizon)
+         |      AS alive
+         |  FROM customer),
+         |v AS (SELECT d.g_post AS g, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(f.amount) AS BIGINT) AS total_amount
+         |  FROM f JOIN d ON f.fk_new = d.d_id AND d.alive GROUP BY 1),
+         |tf AS (
+         |  SELECT o_orderkey AS oid, CAST(o_custkey AS INT) AS fk_old,
+         |    CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
+         |         THEN CAST(o_orderkey % 100 + 1 AS INT)
+         |         ELSE CAST(o_custkey AS INT) END AS fk_new,
+         |    (o_orderkey % 11 = 0 AND o_custkey < $FkAggHorizon) AS deleted
+         |  FROM orders
+         |  WHERE ((o_orderkey % 9 = 0 OR o_orderkey % 11 = 0)
+         |         AND o_custkey < $FkAggHorizon)
+         |     OR ((o_custkey % 10 = 0 OR o_custkey % 13 = 0)
+         |         AND o_custkey < $FkAggHorizon)),
+         |tg AS (SELECT DISTINCT g FROM (
+         |    SELECT d.g_pre AS g FROM tf JOIN d ON tf.fk_old = d.d_id
+         |    UNION ALL
+         |    SELECT d.g_post FROM tf
+         |    JOIN d ON tf.fk_new = d.d_id AND d.alive
+         |    WHERE NOT tf.deleted))
+         |SELECT v.g, v.n_members, v.total_amount,
+         |  CASE WHEN tg.g IS NOT NULL THEN 'delta_applied'
+         |       ELSE 'carried' END AS maintained_via
+         |FROM v LEFT JOIN tg ON v.g = tg.g
+         |ORDER BY v.g""".stripMargin,
+
     // closed-form fold of both FK-view lifecycles: surviving facts
     // (orderkey%11≠0) with their post-gen-2 fk/amount join surviving
     // dims (custkey%13≠0) with post-gen-2 segments; maintained_via =
@@ -1675,6 +1811,7 @@ object Cdc {
     "q_cdc_agg_view" -> (qCdcAggView _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
     "q_cdc_fk_view" -> (qCdcFkView _),
+    "q_cdc_fk_agg_view" -> (qCdcFkAggView _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),

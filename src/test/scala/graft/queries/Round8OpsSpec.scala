@@ -213,6 +213,98 @@ class Round8OpsSpec extends SparkSpec {
     assert(sc.getCheckpointDir.isEmpty, "shared session state restored")
   }
 
+  test("FK aggregate view == full recompute under RANDOM multi-" +
+    "generation lifecycles: dim group-attribute rewrites move every " +
+    "referencing fact's contribution, dim deletes retract them, fact " +
+    "fk-moves/deletes move/retract single contributions; the " +
+    "delta_applied marker tracks the retraction∪insertion groups") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalFkAggView, IncrementalJoinView}
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(157L + seed)
+      val fids = 1 to 40
+      val pks = 1 to 8
+      val Gens = 3
+      def factGen(g: Int): Seq[(Int, String, Long, Integer, Long)] =
+        fids.flatMap { k =>
+          rnd.nextInt(8) match {
+            case 5 => Some((k, "r", g * 1000L + k,
+              Integer.valueOf(1 + rnd.nextInt(pks.size)),
+              (rnd.nextInt(100) + 1).toLong))
+            case 6 => Some((k, "u", g * 1000L + k,
+              Integer.valueOf(1 + rnd.nextInt(pks.size)),
+              (rnd.nextInt(100) + 1).toLong))
+            case 7 => Some((k, "d", g * 1000L + k, null, 0L))
+            case _ => None
+          }
+        }
+      // dim groups drawn from a tiny label set so group COLLISIONS and
+      // MOVES both occur; sparse deltas keep carried groups alive
+      def dimGen(g: Int): Seq[(Int, String, Long, String)] =
+        pks.flatMap { k =>
+          rnd.nextInt(4) match {
+            case 2 => Some((k, if (g == 0) "r" else "u", g * 1000L + k,
+              s"g${rnd.nextInt(3)}"))
+            case 3 if g > 0 => Some((k, "d", g * 1000L + k, null))
+            case _ =>
+              if (g == 0) Some((k, "r", k.toLong, s"g${rnd.nextInt(3)}"))
+              else None
+          }
+        }
+      val fGens = (0 until Gens).map(factGen)
+      val dGens = (0 until Gens).map(dimGen)
+      def fdf(rows: Seq[(Int, String, Long, Integer, Long)]) =
+        rows.toDF("fid", "op", "lsn", "fk", "m")
+      def ddf(rows: Seq[(Int, String, Long, String)]) =
+        rows.toDF("pk", "op", "lsn", "grp")
+      var fState = IncrementalJoinView.sideState(fdf(fGens(0)), "fid")
+      var dState = IncrementalJoinView.sideState(ddf(dGens(0)), "pk")
+      var agg = IncrementalFkAggView.bootstrap(fState, dState,
+        "fid", "fk", "pk", "grp", "m")
+      def foldFact(upto: Int): Map[Int, (Int, Long)] =
+        fGens.take(upto + 1).flatten.groupBy(_._1).flatMap {
+          case (k, rows) =>
+            val w = rows.maxBy(r => (r._3, r._2))
+            if (w._2 == "d") None else Some(k -> ((w._4.intValue, w._5)))
+        }
+      def foldDim(upto: Int): Map[Int, String] =
+        dGens.take(upto + 1).flatten.groupBy(_._1).flatMap {
+          case (k, rows) =>
+            val w = rows.maxBy(r => (r._3, r._2))
+            if (w._2 == "d") None else Some(k -> w._4)
+        }
+      var lastTouchedGroups = Set.empty[String]
+      for (g <- 1 until Gens) {
+        val preF = foldFact(g - 1); val preD = foldDim(g - 1)
+        val postF = foldFact(g); val postD = foldDim(g)
+        val touchedDims = dGens(g).map(_._1).toSet
+        val touchedFacts = fGens(g).map(_._1).toSet ++
+          preF.collect { case (fid, (fk, _)) if touchedDims(fk) => fid }
+        lastTouchedGroups =
+          touchedFacts.flatMap(f => preF.get(f)
+            .flatMap { case (fk, _) => preD.get(fk) }) ++
+          touchedFacts.flatMap(f => postF.get(f)
+            .flatMap { case (fk, _) => postD.get(fk) })
+        val r = IncrementalFkAggView.step(agg.drop("via"), fState, dState,
+          fdf(fGens(g)), ddf(dGens(g)), "fid", "fk", "pk", "grp", "m",
+          "via")
+        agg = r._1; fState = r._2; dState = r._3
+      }
+      val got = agg.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      val ff = foldFact(Gens - 1); val fd = foldDim(Gens - 1)
+      val want = ff.toSeq
+        .flatMap { case (_, (fk, m)) => fd.get(fk).map(g => (g, m)) }
+        .groupBy(_._1).map { case (g, rows) =>
+          (g, rows.size.toLong, rows.map(_._2).sum,
+            if (lastTouchedGroups(g)) "delta_applied" else "carried")
+        }.toSet
+      assert(got == want, s"seed $seed:\n got=${got.toSeq.sorted}\n" +
+        s"want=${want.toSeq.sorted}")
+    }
+  }
+
   test("schema drift through IVM: a delta batch that ADDS a column " +
     "widens state and view with NULL backfill; a later delta WITHOUT " +
     "the column nulls it on its winners; pre-drift rows never see it") {
