@@ -932,7 +932,13 @@ object Similarity {
     * irreducible floor.
     */
   def qKmeansCluster(s: SparkSession, d: String): DataFrame = {
-    val qf = quantizedVecs(s, d).stage() // seeds + K+1 training scans
+    // interpreted-HOF argmin scans on an under-partitioned input would
+    // run single-threaded — widen ONLY in that case (see pqRanked)
+    val raw = quantizedVecs(s, d)
+    val qf = (if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        raw.repartition(s.sparkContext.defaultParallelism)
+      else raw)
+      .stage() // seeds + K+1 training scans
     val cb = kmTrain(qf)
     val assigned = kmAssign(qf, cb).drop("q")
     val sizes = assigned.groupBy(col("cluster").as("sz_k"))
