@@ -144,6 +144,145 @@ class Round8OpsSpec extends SparkSpec {
     assert(r1.forall(_.getLong(2) >= 0L), "squared distances non-negative")
   }
 
+  test("FK IVM batching CONFLUENCE: splitting one delta batch into " +
+    "random sequential micro-batches converges to the same view and " +
+    "states as the single batch (the property the streaming drive " +
+    "relies on): max-lsn reduction is batching-invariant, and the " +
+    "fan-out of a later slice probes the post-slice fact state " +
+    "correctly even when an earlier slice moved fks or revived dims") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalFkJoinView, IncrementalJoinView}
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(211L + seed)
+      val fids = 1 to 30
+      val pks = 1 to 6
+      // generation 0: full snapshots
+      val f0 = fids.map(k => (k, "r", k.toLong,
+        Integer.valueOf(1 + rnd.nextInt(pks.size)), s"f0-$k"))
+      val d0 = pks.map(k => (k, "r", k.toLong, s"d0-$k"))
+      // generation 1: a dense mixed batch (updates, deletes, revives —
+      // including the adversarial orders: delete a dim in one slice,
+      // revive it in a later one; re-point a fact then update its dim)
+      val f1 = fids.flatMap { k =>
+        rnd.nextInt(4) match {
+          case 2 => Some((k, "u", 1000L + k,
+            Integer.valueOf(1 + rnd.nextInt(pks.size)), s"f1-$k"))
+          case 3 => Some((k, "d", 1000L + k, null, null))
+          case _ => None
+        }
+      }
+      val d1 = pks.flatMap { k =>
+        rnd.nextInt(3) match {
+          case 1 => Some((k, "u", 1000L + k, s"d1-$k"))
+          case 2 => Some((k, "d", 1000L + k, null))
+          case _ => None
+        }
+      } ++ pks.flatMap(k => // occasional second event per dim (revive)
+        if (rnd.nextInt(4) == 0) Some((k, "u", 2000L + k, s"d2-$k"))
+        else None)
+      def fdf(rows: Seq[(Int, String, Long, Integer, String)]) =
+        rows.toDF("fid", "op", "lsn", "fk", "fv")
+      def ddf(rows: Seq[(Int, String, Long, String)]) =
+        rows.toDF("pk", "op", "lsn", "dv")
+      val fS0 = IncrementalJoinView.sideState(fdf(f0), "fid")
+      val dS0 = IncrementalJoinView.sideState(ddf(d0), "pk")
+      val v0 = fS0.drop("lsn")
+        .join(dS0.drop("lsn"), col("fk") === col("pk")).drop("pk")
+        .select(col("fid"), col("fk"), col("fv"), col("dv"))
+      def viewSet(v: org.apache.spark.sql.DataFrame): Set[(Int, Int, String, String)] =
+        v.select(col("fid"), col("fk"), col("fv"), col("dv")).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+            r.getString(3))).toSet
+      // single-batch application
+      val (vSingle, _, _) = IncrementalFkJoinView.step(
+        v0, fS0, dS0, fdf(f1), ddf(d1), "fid", "fk", "pk", "via")
+      val wantView = viewSet(vSingle)
+      // random split into 2-3 sequential slices (events stay ordered
+      // per key by lsn because slices are assigned by coin flip and the
+      // reduction is max-lsn — order WITHIN the union is irrelevant)
+      val nSlices = 2 + rnd.nextInt(2)
+      val fSlices = f1.groupBy(_ => rnd.nextInt(nSlices))
+      val dSlices = d1.groupBy(_ => rnd.nextInt(nSlices))
+      var view = v0; var fS = fS0; var dS = dS0
+      for (sl <- 0 until nSlices) {
+        val r = IncrementalFkJoinView.step(view.drop("via"), fS, dS,
+          fdf(fSlices.getOrElse(sl, Nil)), ddf(dSlices.getOrElse(sl, Nil)),
+          "fid", "fk", "pk", "via")
+        view = r._1; fS = r._2; dS = r._3
+      }
+      assert(viewSet(view) == wantView,
+        s"seed $seed ($nSlices slices):\n sliced=${viewSet(view).toSeq.sorted}\n single=${wantView.toSeq.sorted}")
+      // and both equal the full recompute from folded deltas
+      val fAll = IncrementalJoinView.sideState(fdf(f0 ++ f1), "fid")
+      val dAll = IncrementalJoinView.sideState(ddf(d0 ++ d1), "pk")
+      val vRecompute = fAll.drop("lsn")
+        .join(dAll.drop("lsn"), col("fk") === col("pk")).drop("pk")
+        .select(col("fid"), col("fk"), col("fv"), col("dv"))
+      assert(viewSet(view) == viewSet(vRecompute),
+        s"seed $seed: sliced result must equal the full recompute")
+    }
+  }
+
+  test("agg-view batching CONFLUENCE: the property q_cdc_stream_ivm " +
+    "relies on — one delta batch applied as random sequential " +
+    "micro-batch slices lands on the same aggregate as the single " +
+    "step and the full recompute, including group moves and deletes " +
+    "split across slices") {
+    import spark.implicits._
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(223L + seed)
+      val keys = 1 to 30
+      val a0 = keys.map(k => (k, "r", k.toLong, s"g${k % 4}"))
+      val b0 = keys.map(k => (k, "r", k.toLong, (k * 10L).toString))
+      val a1 = keys.flatMap { k =>
+        rnd.nextInt(4) match {
+          case 2 => Some((k, "u", 1000L + k, s"g${rnd.nextInt(4)}"))
+          case 3 => Some((k, "d", 1000L + k, null))
+          case _ => None
+        }
+      }
+      val b1 = keys.flatMap { k =>
+        rnd.nextInt(4) match {
+          case 2 => Some((k, "u", 1000L + k, (k * 10L + 7).toString))
+          case 3 => Some((k, "d", 1000L + k, null))
+          case _ => None
+        }
+      }
+      def adf(rows: Seq[(Int, String, Long, String)]) =
+        rows.toDF("id", "op", "lsn", "g")
+      def bdf(rows: Seq[(Int, String, Long, String)]) =
+        rows.toDF("id", "op", "lsn", "mstr")
+          .withColumn("m", col("mstr").cast("long")).drop("mstr")
+      val aS0 = IncrementalJoinView.sideState(adf(a0), "id")
+      val bS0 = IncrementalJoinView.sideState(bdf(b0), "id")
+      val agg0 = IncrementalAggView.bootstrap(aS0, bS0, "id", "g", "m")
+      def aggSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+        df.select(col("g"), col("n_members"), col("total")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val (aggSingle, _, _) = IncrementalAggView.step(agg0, aS0, bS0,
+        adf(a1), bdf(b1), "id", "g", "m", "via")
+      val want = aggSet(aggSingle)
+      val nSlices = 2 + rnd.nextInt(2)
+      val aSl = a1.groupBy(_ => rnd.nextInt(nSlices))
+      val bSl = b1.groupBy(_ => rnd.nextInt(nSlices))
+      var agg = agg0; var aS = aS0; var bS = bS0
+      for (sl <- 0 until nSlices) {
+        val r = IncrementalAggView.step(agg.drop("via"), aS, bS,
+          adf(aSl.getOrElse(sl, Nil)), bdf(bSl.getOrElse(sl, Nil)),
+          "id", "g", "m", "via")
+        agg = r._1; aS = r._2; bS = r._3
+      }
+      assert(aggSet(agg) == want,
+        s"seed $seed ($nSlices slices):\n sliced=${aggSet(agg).toSeq.sorted}\n single=${want.toSeq.sorted}")
+      val aAll = IncrementalJoinView.sideState(adf(a0 ++ a1), "id")
+      val bAll = IncrementalJoinView.sideState(bdf(b0 ++ b1), "id")
+      assert(aggSet(agg) ==
+        aggSet(IncrementalAggView.bootstrap(aAll, bAll, "id", "g", "m")),
+        s"seed $seed: sliced result must equal the full recompute")
+    }
+  }
+
   test("legacy watermark promotion is bounded below by the max fence " +
     "encoded in committed data file names: a torn lower prefix promotes " +
     "to the substantiated fence; a higher parsed value (dataless " +
