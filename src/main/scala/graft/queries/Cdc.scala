@@ -469,6 +469,49 @@ object Cdc {
       .orderBy(col("id"), col("version"))
   }
 
+  /** INCREMENTALLY-maintained SCD2 history
+    * ([[graft.cdc.IncrementalScd2]]): the same history table as
+    * [[qCdcScd2]], but built by a maintenance STEP instead of a
+    * full-log recompute — generation 1 (the snapshot events) bootstraps
+    * the history, generation 2 (the update/delete mix) applies as a
+    * delta batch that re-derives ONLY the touched keys' version chains
+    * (their open intervals close, versions renumber) and carries every
+    * untouched key's rows verbatim. `maintained_via` is the
+    * incrementality witness inside the hash gate: 'refreshed' on every
+    * row of a touched key (id%3=0 ∨ id%7=0 — including its OLD
+    * version-1 row, whose interval the step closed), 'carried'
+    * elsewhere; the history columns must simultaneously equal the
+    * recompute's closed form, so a lost interval close, a version
+    * renumbering error, or a carried row that should have refreshed
+    * all break the compare.
+    *
+    * Scale shape: one key window over |touched history| + |Δ| rows and
+    * one anti-join carry — O(|Δ| · avg versions) per batch where the
+    * batch gate's recompute re-windows the entire log.
+    */
+  def qCdcScd2Incremental(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.IncrementalScd2
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"), col("c_name").as("name"))
+    val lsn0 = col("id").cast("long")
+    val e1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"),
+      col("name"))
+    // the delete's payload is the BEFORE image (the envelope's only
+    // side on op='d') — the original name, as in the batch gate
+    val e2 = cust.filter(col("id") % 3 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        upper(col("name")).as("name"))
+      .unionByName(cust.filter(col("id") % 7 === 0)
+        .select(col("id"), lit("d").as("op"),
+          (lsn0 + 20000000L).as("lsn"), col("name")))
+    val h1 = IncrementalScd2.fromEvents(e1)
+      .select(col("id"), col("version"), col("op"), col("name"),
+        col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+      .stage() // the maintained history generation 2 steps
+    IncrementalScd2.step(h1, e2, "maintained_via")
+      .orderBy(col("id"), col("version"))
+  }
+
   /** Point-in-time (temporal) join against the SCD2 history: for every
     * order, the customer VERSION that was valid at the order's query LSN —
     * "what did this row look like when the order happened". The probe LSN
@@ -1736,6 +1779,30 @@ object Cdc {
         |FROM customer WHERE c_custkey % 7 != 0
         |ORDER BY id""".stripMargin,
 
+    // the batch gate's closed form + the per-key maintenance marker
+    "q_cdc_scd2_incremental" ->
+      """WITH ch AS (
+        |  SELECT CAST(c_custkey AS INT) AS id, 'r' AS op,
+        |    CAST(c_custkey AS BIGINT) AS lsn, c_name AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS INT), 'u',
+        |    CAST(c_custkey + 10000000 AS BIGINT), upper(c_name)
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS INT), 'd',
+        |    CAST(c_custkey + 20000000 AS BIGINT), c_name
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |h AS (SELECT *, row_number() OVER w AS version,
+        |        coalesce(lead(lsn) OVER w, -1) AS valid_to_lsn
+        |      FROM ch WINDOW w AS (PARTITION BY id ORDER BY lsn))
+        |SELECT id, CAST(version AS INT) AS version, op, name,
+        |  lsn AS valid_from_lsn, CAST(valid_to_lsn AS BIGINT) AS valid_to_lsn,
+        |  (valid_to_lsn = -1 AND op != 'd') AS is_current,
+        |  CASE WHEN id % 3 = 0 OR id % 7 = 0 THEN 'refreshed'
+        |       ELSE 'carried' END AS maintained_via
+        |FROM h ORDER BY id, version""".stripMargin,
+
     "q_cdc_scd2" ->
       """WITH ch AS (
         |  SELECT CAST(c_custkey AS INT) AS id, 'r' AS op,
@@ -1806,6 +1873,7 @@ object Cdc {
     "q_cdc_enrich" -> (qCdcEnrich _),
     "q_cdc_latest_state" -> (qCdcLatestState _),
     "q_cdc_scd2" -> (qCdcScd2 _),
+    "q_cdc_scd2_incremental" -> (qCdcScd2Incremental _),
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_join_view" -> (qCdcJoinView _),
     "q_cdc_agg_view" -> (qCdcAggView _),

@@ -223,6 +223,60 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental SCD2 == full-recompute history under random " +
+    "multi-generation lifecycles INCLUDING late events: an " +
+    "out-of-order lsn splices into its true position and the touched " +
+    "key's versions/intervals renumber; untouched keys carry verbatim") {
+    import spark.implicits._
+    import graft.cdc.IncrementalScd2
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(307L + seed)
+      val keys = 1 to 20
+      val Gens = 3
+      // per gen, each key gets 0-2 events whose lsn BASES deliberately
+      // overlap across generations (gen g draws from [g*10, g*10+25))
+      // so later batches contain events older than already-applied
+      // ones; the (base, key, gen) encoding makes every lsn unique by
+      // construction — no dedup, so both compute paths see the exact
+      // same event set
+      def gen(g: Int): Seq[(Int, String, Long, String)] =
+        keys.flatMap { k =>
+          val bases = Seq.fill(rnd.nextInt(3))(g * 10 + rnd.nextInt(25))
+            .distinct
+          bases.map { b =>
+            val op = Seq("r", "u", "d")(rnd.nextInt(3))
+            (k, op, (b * 100L + k) * 10L + g, s"$op$g-$b-$k")
+          }
+        }
+      val gens = (0 until Gens).map(gen)
+      def edf(rows: Seq[(Int, String, Long, String)]) =
+        rows.toDF("id", "op", "lsn", "name")
+      var hist = IncrementalScd2.fromEvents(edf(gens(0)))
+        .select(col("id"), col("version"), col("op"), col("name"),
+          col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+      var lastTouched = Set.empty[Int]
+      for (g <- 1 until Gens) {
+        hist = IncrementalScd2.step(hist.drop("via"), edf(gens(g)), "via")
+        lastTouched = gens(g).map(_._1).toSet
+      }
+      val got = hist.collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getString(2), r.getString(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6), r.getString(7))).toSet
+      // reference: recompute over the union of all generations (every
+      // lsn unique by construction, so the union IS the event set)
+      val allEvents = (0 until Gens).map(g => edf(gens(g)))
+        .reduce((a, b) => a.unionByName(b))
+      val want = IncrementalScd2.fromEvents(allEvents)
+        .select(col("id"), col("version"), col("op"), col("name"),
+          col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+          r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+          if (lastTouched(r.getInt(0))) "refreshed" else "carried")).toSet
+      assert(got == want, s"seed $seed:\n got=${got.toSeq.sorted}\n" +
+        s"want=${want.toSeq.sorted}")
+    }
+  }
+
   test("agg-view batching CONFLUENCE: the property q_cdc_stream_ivm " +
     "relies on — one delta batch applied as random sequential " +
     "micro-batch slices lands on the same aggregate as the single " +
