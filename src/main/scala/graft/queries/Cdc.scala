@@ -883,6 +883,84 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** Transaction span for [[qCdcTxnIvm]]: gen-2 delta events commit in
+    * transactions of `tx = id div 24 + 1` — each transaction straddles
+    * BOTH side tables (the same entity's customer row and balance row
+    * change together), so atomicity is genuinely multi-table.
+    */
+  private val TxnIvmSpan = 24
+
+  /** TRANSACTION-CONSISTENT incremental view maintenance — the
+    * composition of the suite's two flagship CDC guarantees:
+    * [[qCdcTxnConsistent]]'s whole-transaction release (never observe a
+    * torn transaction) driving [[qCdcAggView]]'s algebraic aggregate
+    * maintenance (never rescan untouched groups). This is the contract a
+    * real warehouse MV under CDC actually needs: applying half a
+    * transaction to the view shows phantom states no source snapshot
+    * ever exhibited (a balance moved but its owning segment not yet,
+    * sums that never existed), even though every individual delta row is
+    * valid — exactly why Debezium ships a transaction-metadata topic
+    * alongside the data topics
+    * (`/root/reference/docs/architecture.md:49-66` consumers).
+    *
+    * Fixture: the [[aggViewFixture]] generations, with gen-2 events
+    * committed in cross-table transactions ([[TxnIvmSpan]]) and BOTH
+    * real-world incompleteness modes injected — transactions whose END
+    * metadata hasn't arrived (`tx % 5 = 0`, all data present but
+    * unappliable) and transactions with a TORN tail (member events for
+    * keys ≡ 0 mod 11 still in the capture pipe, so their observed count
+    * undershoots the END event's). The consumer counts observed events
+    * per txId across both sides, joins the metadata, gates the
+    * incremental step to exactly the complete transactions' events, and
+    * holds everything else back — those keys' groups must come out
+    * `carried` with gen-1 values, NOT `delta_applied` with half a
+    * transaction folded in. The oracle re-derives the complete-set from
+    * the mod rules closed-form, so applying a torn/in-flight transaction
+    * (or dropping a complete one) hash-mismatches.
+    *
+    * Scale shape: completeness adds ONE map-side-combined count per txId
+    * (txIds are dense and tiny relative to events) and two txId-keyed
+    * semi-joins on top of the agg-view step's O(|Δ| + |touched groups|);
+    * the held-back events are a filter, not state — re-presented by the
+    * transport on the next poll (the streaming twin buffers them in
+    * [[graft.streaming.TxnConsistentStream]] state instead).
+    */
+  def qCdcTxnIvm(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    val (a1, a2raw, b1, b2raw) = aggViewFixture(s, d)
+    val txOf = (expr(s"id div $TxnIvmSpan").cast("long") + 1L).as("tx")
+    val a2t = a2raw.withColumn("tx", txOf)
+    val b2t = b2raw.withColumn("tx", txOf)
+    // transaction topic: END events (tx, n_expected) for every txn whose
+    // END the capture has already emitted — counts over the FULL event
+    // set (the producer knows them), arrival-independent
+    val meta = a2t.select(col("tx")).unionByName(b2t.select(col("tx")))
+      .groupBy(col("tx")).agg(count(lit(1)).as("n_expected"))
+      .filter(col("tx") % 5 =!= 0)
+    // the data stream: events that have actually arrived
+    val arrA = a2t.filter(col("id") % 11 =!= 0)
+    val arrB = b2t.filter(col("id") % 11 =!= 0)
+    val seen = arrA.select(col("tx")).unionByName(arrB.select(col("tx")))
+      .groupBy(col("tx")).agg(count(lit(1)).as("n_seen"))
+    val ok = seen.join(meta, "tx")
+      .filter(col("n_seen") === col("n_expected"))
+      .select(col("tx"))
+      .stage() // both sides' release semi-joins read it
+    val a2 = arrA.join(ok, Seq("tx"), "left_semi").drop("tx")
+    val b2 = arrB.join(ok, Seq("tx"), "left_semi").drop("tx")
+    // released events flow through the UNCHANGED agg-view machinery
+    val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val agg1 = IncrementalAggView
+      .bootstrap(aState1, bState1, "id", "g", "balance")
+      .stage()
+    val (agg2, _, _) = IncrementalAggView.step(agg1, aState1, bState1,
+      a2, b2, "id", "g", "balance", "maintained_via")
+    agg2.select(col("g"), col("n_members"),
+        col("total").as("total_balance"), col("maintained_via"))
+      .orderBy(col("g"))
+  }
+
   /** N:1 FOREIGN-KEY incremental join-view maintenance
     * ([[graft.cdc.IncrementalFkJoinView]] — round-7 verdict item #1):
     * maintain `V = orders ⋈ customers ON orders.cust_id = d_id` — the
@@ -1646,6 +1724,54 @@ object Cdc {
     // publish or parquet round-trip loss would shift a group)
     "q_cdc_stream_ivm" -> aggViewOracle,
 
+    // the agg-view closed form GATED on transaction completeness: a
+    // gen-2 event applies iff its txn has END metadata (tx%5≠0) AND all
+    // member events arrived (no member key ≡ 0 mod 11). `ap` is the
+    // applied-key set; everything else folds gen-1 values and stays
+    // 'carried' — a consumer that applied a torn or in-flight
+    // transaction (or dropped a complete one) hash-mismatches
+    "q_cdc_txn_ivm" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |del AS (
+         |  SELECT id, id // $TxnIvmSpan + 1 AS tx FROM c
+         |    WHERE id < $AggViewHorizon AND id % 3 = 0
+         |  UNION ALL SELECT id, id // $TxnIvmSpan + 1 FROM c
+         |    WHERE id < $AggViewHorizon AND id % 7 = 0
+         |  UNION ALL SELECT id, id // $TxnIvmSpan + 1 FROM c
+         |    WHERE id < $AggViewHorizon AND id % 4 = 0
+         |  UNION ALL SELECT id, id // $TxnIvmSpan + 1 FROM c
+         |    WHERE id < $AggViewHorizon AND id % 5 = 0),
+         |ok AS (SELECT tx FROM (
+         |    SELECT tx, count(*) AS n_expected,
+         |      sum(CASE WHEN id % 11 <> 0 THEN 1 ELSE 0 END) AS n_seen
+         |    FROM del GROUP BY 1)
+         |  WHERE tx % 5 <> 0 AND n_seen = n_expected),
+         |ap AS (SELECT DISTINCT id FROM del JOIN ok USING (tx)),
+         |st AS (SELECT c.id, c.seg, ap.id IS NOT NULL AS app
+         |  FROM c LEFT JOIN ap ON ap.id = c.id),
+         |live AS (SELECT id, seg, app,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0 AND app
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000
+         |      + CASE WHEN id < $AggViewHorizon AND id % 4 = 0 AND app
+         |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+         |  FROM st
+         |  WHERE NOT (id < $AggViewHorizon AND app
+         |             AND (id % 7 = 0 OR id % 5 = 0))),
+         |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(bal) AS BIGINT) AS total_balance FROM live GROUP BY 1),
+         |tg AS (SELECT DISTINCT g FROM (
+         |    SELECT seg || '-' || CAST(id // 100 AS VARCHAR) AS g
+         |    FROM c JOIN ap USING (id)
+         |    UNION ALL
+         |    SELECT g FROM live WHERE app))
+         |SELECT v.g AS g, v.n_members, v.total_balance,
+         |  CASE WHEN tg.g IS NOT NULL THEN 'delta_applied'
+         |       ELSE 'carried' END AS maintained_via
+         |FROM v LEFT JOIN tg ON v.g = tg.g ORDER BY v.g""".stripMargin,
+
     // closed-form from the change-mix mod rules (see changeMix): every
     // customer snapshots (+1), every 3rd updates (0), every 7th deletes
     // (−1) — so the maintained counters fold back to per-segment counts.
@@ -1878,6 +2004,7 @@ object Cdc {
     "q_cdc_join_view" -> (qCdcJoinView _),
     "q_cdc_agg_view" -> (qCdcAggView _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
+    "q_cdc_txn_ivm" -> (qCdcTxnIvm _),
     "q_cdc_fk_view" -> (qCdcFkView _),
     "q_cdc_fk_agg_view" -> (qCdcFkAggView _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),

@@ -549,9 +549,107 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Selected fraction for [[qDsirSample]]: the top quarter by importance. */
+  val DsirKeepDen = 4L
+
+  /** Importance-weight scale for [[qDsirSample]]: weights are parity-
+    * centered millionths. Arithmetic headroom: the weight numerator is
+    * `Scale · (c_t+1) · (T_r+V)` — with 10^6 scale that stays under 2^63
+    * up to ~10^5 occurrences of a word in the target × ~10^8 total raw
+    * occurrences; larger corpora lower the scale (the weights only need
+    * to rank) or move the factor into the per-document sum.
+    */
+  val DsirScale = 1000000L
+
+  /** DSIR-style IMPORTANCE RESAMPLING (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its words are under a TARGET
+    * unigram LM than under the RAW-corpus LM, then keep the top slice —
+    * the standard way to tilt a web-scale crawl toward a high-quality
+    * target domain without training a classifier. Target here = the
+    * `lang = 'en'` slice (the in-corpus stand-in for "looks like the
+    * reference corpus"); raw = everything.
+    *
+    * Per-word weight: the FIRST-ORDER (linear-space) importance
+    * `wgt(w) = ⌊S·(c_t+1)·(T_r+V) / ((c_r+1)·(T_t+V))⌋ − S` — the
+    * add-one-smoothed probability ratio p_t(w)/p_r(w), parity-centered
+    * and scaled to exact integers ([[DsirScale]]). For the small
+    * per-word deviations real corpora exhibit this is the Taylor
+    * expansion of the log weight (`ln(1+x) ≈ x`), and unlike a
+    * bit-quantized log2 it keeps SUB-BIT deviations — on a
+    * near-exchangeable corpus a 1-bit quantizer rounds every weight to
+    * zero and the sampler degenerates to doc-id order. A document's
+    * score sums wgt over its word OCCURRENCES; the kept set is the top
+    * ⌊N/[[DsirKeepDen]]⌋ under the total order (score DESC, doc_id) —
+    * DSIR's Gumbel-noise draw replaced by the deterministic top-k (the
+    * zero-temperature special case) so the gate is engine-exact.
+    *
+    * Scale shape: one tokenize pass feeds a word-keyed rollup with
+    * map-side combine carrying both counts (raw via count, target via a
+    * conditional sum — the target model costs no second scan); totals
+    * reduce to ONE broadcast row; scoring is a word-keyed equi-join of
+    * occurrences onto the vocab-sized weight table and a doc-keyed sum.
+    * The ranked cut uses [[graft.operators.GlobalRank]] — range-
+    * partitioned sort + offset arithmetic over a NARROW (id, score)
+    * projection, not a single-partition window.
+    */
+  def qDsirSample(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextOps
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .stage() // the weight rollup and the scoring join both read it
+    val wt = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .stage() // totals + weights both read it
+    val tot = wt.agg(count(lit(1)).as("v"),
+      sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val ww = wt.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (idiv(lit(DsirScale) * (col("ct") + 1L) * (col("tr") + col("v")),
+          (col("cr") + 1L) * (col("tt") + col("v"))) - DsirScale).as("wgt"))
+    val sc = toks.join(ww, "w")
+      .groupBy(col("doc_id")).agg(sum(col("wgt")).as("score_scaled"))
+    val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("score_scaled"), lit(0L)).as("score_scaled"))
+    graft.operators.GlobalRank
+      .withRank(scored, Seq(col("score_scaled").desc, col("doc_id")),
+        "rn", "n")
+      .select(col("doc_id"), col("lang"), col("score_scaled"),
+        (col("rn") <= idiv(col("n"), lit(DsirKeepDen))).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   private def h56sql(x: String) = s"CAST('0x'||substr(md5($x),1,14) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_sample" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |wt AS (SELECT w, CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |    CAST(sum(cr) AS BIGINT) AS tr,
+         |    CAST(sum(ct) AS BIGINT) AS tt FROM wt),
+         |ww AS (SELECT w,
+         |    CAST(($DsirScale * (ct + 1) * (tr + v))
+         |      // ((cr + 1) * (tt + v)) - $DsirScale AS BIGINT) AS wgt
+         |  FROM wt CROSS JOIN tot),
+         |sc AS (SELECT tok.doc_id, sum(ww.wgt) AS s
+         |  FROM tok JOIN ww USING (w) GROUP BY 1),
+         |scored AS (SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(sc.s, 0) AS BIGINT) AS score_scaled
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |r AS (SELECT *, row_number() OVER
+         |    (ORDER BY score_scaled DESC, doc_id) AS rn,
+         |    count(*) OVER () AS n FROM scored)
+         |SELECT doc_id, lang, score_scaled,
+         |  rn <= n // $DsirKeepDen AS selected
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_content_chunks" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
          |           FROM documents),
@@ -779,6 +877,7 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_chunk_documents" -> (qChunkDocuments _),
     "q_content_chunks" -> (qContentChunks _),
+    "q_dsir_sample" -> (qDsirSample _),
     "q_data_mixture" -> (qDataMixture _)
   )
 }

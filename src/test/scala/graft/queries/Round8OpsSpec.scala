@@ -564,4 +564,139 @@ class Round8OpsSpec extends SparkSpec {
       (1, 1, "a", "X", "carried"),
       (2, 2, "b", "Y", "refreshed")), s"got=$got")
   }
+
+  test("k-core h-operator: wherever the gate reports converged, core " +
+    "equals the sequential Batagelj–Zaveršnik peel's coreness; " +
+    "everywhere core is a monotone upper bound ≤ degree; the trade " +
+    "graph's coreness is non-degenerate") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.Graph.qKcore(spark, d).collect()
+      .map { r =>
+        val label = r.getAs[String]("node")
+        val id = label.drop(1).toLong * 2 + (if (label.head == 's') 1 else 0)
+        (id, r.getAs[Number]("degree").longValue,
+          r.getAs[Number]("core").longValue,
+          r.getAs[Boolean]("converged"))
+      }
+    // reference: rebuild the same trade graph and peel it sequentially
+    // (min-degree removal; coreness = running max of removal-time degree)
+    val edges = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(spark.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("a"),
+        (col("l_suppkey") * 2L + 1L).as("b"))
+      .distinct().collect()
+      .map(r => (r.getAs[Number]("a").longValue,
+        r.getAs[Number]("b").longValue))
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+    }
+    val degRef = collection.mutable.Map(
+      adj.map { case (k, v) => k -> v.size.toLong }.toSeq: _*)
+    val alive = collection.mutable.Set(adj.keys.toSeq: _*)
+    val coreRef = collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (alive.nonEmpty) {
+      val v = alive.minBy(n => (degRef(n), n))
+      k = math.max(k, degRef(v))
+      coreRef(v) = k
+      alive -= v
+      adj(v).foreach(u => if (alive(u)) degRef(u) -= 1)
+    }
+    assert(rows.length == adj.size, "one output row per graph node")
+    assert(rows.map(_._3).distinct.length > 1 &&
+      rows.exists(r => r._3 < r._2),
+      "coreness must be non-degenerate (not just degree) at sf0.001")
+    rows.foreach { case (id, deg, core, converged) =>
+      val ref = coreRef(id)
+      assert(core <= deg, s"node $id: core $core > degree $deg")
+      assert(core >= ref,
+        s"node $id: h-operator value $core below true coreness $ref")
+      if (converged)
+        assert(core == ref,
+          s"node $id: converged but core $core != coreness $ref")
+    }
+    assert(rows.count(_._4) * 10 >= rows.length * 9,
+      "most nodes should converge within the fixed rounds at sf0.001")
+  }
+
+  test("DSIR importance resampling: exactly ⌊N/4⌋ docs selected, the " +
+    "selected set strictly dominates under (score DESC, doc_id), and " +
+    "the target (en) slice scores higher on average than the rest") {
+    val rows = graft.queries.Curation
+      .qDsirSample(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue,
+        r.getAs[String]("lang"),
+        r.getAs[Number]("score_scaled").longValue,
+        r.getAs[Boolean]("selected")))
+    val n = rows.length
+    val sel = rows.filter(_._4)
+    assert(sel.length == n / 4, s"selected ${sel.length} of $n")
+    // total order: (−score, doc_id) ascending = (score DESC, doc_id)
+    val worstSel = sel.map(r => (-r._3, r._1)).max
+    rows.filterNot(_._4).foreach { r =>
+      assert(Ordering[(Long, Long)].gt((-r._3, r._1), worstSel),
+        s"unselected doc ${r._1} outranks a selected one")
+    }
+    val en = rows.filter(_._2 == "en").map(_._3)
+    val rest = rows.filter(_._2 != "en").map(_._3)
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.sum * rest.length > rest.sum * en.length,
+      "importance weights must tilt toward the target slice")
+  }
+
+  test("txn-consistent IVM holds back incomplete transactions: at least " +
+    "one group the ungated agg view applied stays carried here with its " +
+    "gen-1 value, and the full result matches an independent Scala fold " +
+    "of the mod-rule closed form") {
+    val d = "/root/testdata/sf0.001"
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Number]("n_members").longValue,
+          r.getAs[Number]("total_balance").longValue,
+          r.getAs[String]("maintained_via")))).toMap
+    val gated = toMap(graft.queries.Cdc.qCdcTxnIvm(spark, d))
+    val ungated = toMap(graft.queries.Cdc.qCdcAggView(spark, d))
+    // independent reference fold over the raw customer table
+    val H = 512
+    val custs = spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey").cast("int"), lower(col("c_mktsegment")))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val events = custs.flatMap { case (id, _) =>
+      Seq(3, 7, 4, 5).filter(m => id < H && id % m == 0).map(_ => id)
+    }
+    val byTx = events.groupBy(id => id / 24 + 1)
+    val okTx = byTx.collect { case (tx, ids)
+      if tx % 5 != 0 && ids.forall(_ % 11 != 0) => tx }.toSet
+    val ap = byTx.filter(kv => okTx(kv._1)).values.flatten.toSet
+    val live = custs.flatMap { case (id, seg) =>
+      val app = ap(id)
+      if (id < H && app && (id % 7 == 0 || id % 5 == 0)) None
+      else Some((id, seg,
+        if (id < H && id % 3 == 0 && app) s"moved-${id / 100}"
+        else s"$seg-${id / 100}",
+        id.toLong * 7 % 1000 +
+          (if (id < H && id % 4 == 0 && app) 500L else 0L)))
+    }
+    val tgRef = custs.collect { case (id, seg) if ap(id) =>
+      s"$seg-${id / 100}" }.toSet ++
+      live.collect { case (id, _, g, _) if ap(id) => g }
+    val want = live.groupBy(_._3).map { case (g, rows) =>
+      g -> ((rows.length.toLong, rows.map(_._4).sum,
+        if (tgRef(g)) "delta_applied" else "carried"))
+    }
+    assert(gated == want,
+      s"diff=${(gated.toSet diff want.toSet) ++ (want.toSet diff gated.toSet)}")
+    // the txn gate must actually HOLD BACK something the ungated view
+    // applied — otherwise the fixture exercises nothing
+    assert(gated.exists { case (g, (_, _, via)) =>
+      via == "carried" && ungated.get(g).exists(_._3 == "delta_applied")
+    }, "no group was held back: incompleteness modes not exercised")
+    assert(gated.exists(_._2._3 == "delta_applied"),
+      "some complete transaction must apply")
+  }
 }
