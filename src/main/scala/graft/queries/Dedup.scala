@@ -314,6 +314,69 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** INCREMENTAL cluster maintenance ([[graft.operators
+    * .IncrementalComponents]]): the near-dup cluster table maintained
+    * under a batch of NEW candidate pairs without re-running corpus-wide
+    * propagation — the contracted-graph step: delta edges map through
+    * the current labeling, the min-label loop runs over the
+    * delta-sized quotient graph only, and one broadcast relabel pass
+    * touches the corpus. Candidate-pair streams are append-only (a new
+    * crawl shard adds near-dup pairs; none retract), which is exactly
+    * the regime where incremental CC is sound.
+    *
+    * Fixture (closed-form mod rules on customer ids, so the oracle
+    * recomputes the final clustering independently via a recursive
+    * CTE): generation 1 = intra-decade chains {10k+1..10k+4}
+    * (id→id+1 for id%10∈{1,2,3}); the delta merges a chain with an
+    * isolated node (id%20=4: id→id+1), merges chains ACROSS decades
+    * (id%40=1: id→id+10 — transitively composing with the other
+    * rules into multi-component merges), adds an edge INTERNAL to an
+    * existing component (id%80=31: id→id+2 — the net-zero merge whose
+    * cluster must still mark `merged`, membership unchanged), and
+    * links a NEVER-SEEN node (id%40=11: id→id+10⁷ — the unseen-
+    * endpoint path). Chains in decades ≡ 7 (mod 8) are touched by no
+    * rule and must come out `carried` verbatim, as must every isolated
+    * singleton.
+    *
+    * Scale shape: the maintained label table is touched by exactly one
+    * join against the delta-bounded remap (broadcast: one row per
+    * touched component); the iterative propagation — the part whose
+    * cost is iterations × corpus in the batch operator — runs over the
+    * quotient graph, O(|Δ|) rows. Per-batch cost O(|Δ| + one corpus
+    * map pass) vs the recompute's O(diameter × edges).
+    */
+  def qDedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("int").as("id"))
+      .stage() // gen-1 edges, four delta rules, and the endpoint guard
+    val nodes = c.select(col("id").as("node"))
+    val e1 = c.filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels1 = graft.operators.MinLabelComponents
+      .components(nodes, e1, "node", "a", "b")
+    val d0 = c.filter(col("id") % 20 === 4)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .unionByName(c.filter(col("id") % 40 === 1)
+        .select(col("id").as("a"), (col("id") + 10).as("b")))
+      .unionByName(c.filter(col("id") % 80 === 31)
+        .select(col("id").as("a"), (col("id") + 2).as("b")))
+      // endpoint-existence guard: +k edges stay inside the corpus at
+      // any SF (table sizes aren't multiples of the rule spans)
+      .join(c.select(col("id").as("b")), Seq("b"), "left_semi")
+    val delta = d0.unionByName(c.filter(col("id") % 40 === 11)
+      .select(col("id").as("a"), (col("id") + 10000000).as("b")))
+    val stepped = graft.operators.IncrementalComponents
+      .step(labels1, delta, "node", "label", "a", "b", "via")
+    // via is uniform per final cluster (a merged cluster's members all
+    // carry touched old labels or are fresh); max() just reduces it
+    stepped.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws(",", sort_array(collect_list(col("node"))))
+          .as("members"),
+        max(col("via")).as("maintained_via"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Window length (tokens) for substring-level dedup. */
   val SubstrK = 8
 
@@ -716,6 +779,52 @@ object Dedup {
          |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
          |FROM comp GROUP BY label ORDER BY cluster_id""".stripMargin,
 
+    // independent recompute: recursive-CTE CC over gen-1 ∪ delta edges
+    // (the q_dedup_clusters pattern); the merged/carried marker derives
+    // from the CLOSED-FORM gen-1 labeling (chains {10k+1..10k+4} label
+    // 10k+1, everything else self) — a cluster is 'merged' iff any
+    // member's gen-1 component label was an endpoint label of the delta
+    "q_dedup_clusters_incremental" ->
+      """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS INT) AS id
+        |                     FROM customer),
+        |e1 AS (SELECT id AS a, id + 1 AS b FROM c
+        |       WHERE id % 10 IN (1, 2, 3)),
+        |d0 AS (SELECT a, b FROM (
+        |    SELECT id AS a, id + 1 AS b FROM c WHERE id % 20 = 4
+        |    UNION ALL SELECT id, id + 10 FROM c WHERE id % 40 = 1
+        |    UNION ALL SELECT id, id + 2 FROM c WHERE id % 80 = 31)
+        |  WHERE b IN (SELECT id FROM c)),
+        |dn AS (SELECT id AS a, id + 10000000 AS b FROM c
+        |       WHERE id % 40 = 11),
+        |ae AS (SELECT a, b FROM e1 UNION ALL SELECT a, b FROM d0
+        |       UNION ALL SELECT a, b FROM dn),
+        |edges AS (SELECT a, b FROM ae UNION ALL SELECT b, a FROM ae),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp0 AS (SELECT a AS node, least(a, min(b)) AS label
+        |          FROM reach GROUP BY a),
+        |an AS (SELECT id AS node FROM c UNION ALL SELECT b FROM dn),
+        |comp AS (SELECT an.node, coalesce(comp0.label, an.node) AS label
+        |         FROM an LEFT JOIN comp0 ON comp0.node = an.node),
+        |g1 AS (SELECT node, CASE WHEN node >= 10000000 THEN node
+        |    WHEN node % 10 IN (1, 2, 3, 4) THEN node - node % 10 + 1
+        |    ELSE node END AS l1 FROM an),
+        |dend AS (SELECT a AS node FROM d0 UNION ALL SELECT b FROM d0
+        |  UNION ALL SELECT a FROM dn UNION ALL SELECT b FROM dn),
+        |tl AS (SELECT DISTINCT g1.l1 FROM dend JOIN g1 USING (node)),
+        |f AS (SELECT comp.node, comp.label, tl.l1 IS NOT NULL AS touched
+        |      FROM comp JOIN g1 USING (node)
+        |      LEFT JOIN tl ON g1.l1 = tl.l1)
+        |SELECT label AS cluster_id, CAST(count(*) AS BIGINT)
+        |    AS cluster_size,
+        |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
+        |    AS members,
+        |  CASE WHEN bool_or(touched) THEN 'merged' ELSE 'carried' END
+        |    AS maintained_via
+        |FROM f GROUP BY label ORDER BY cluster_id""".stripMargin,
+
     // DuckDB range(a,b) is [a,b) ascending-or-empty, so the short-doc
     // guard Spark needs is implicit; list slices are 1-indexed inclusive.
     "q_dedup_substring" ->
@@ -911,6 +1020,7 @@ object Dedup {
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_clusters_incremental" -> (qDedupClustersIncremental _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_dedup_substring" -> (qDedupSubstring _),

@@ -649,6 +649,54 @@ class Round8OpsSpec extends SparkSpec {
       "importance weights must tilt toward the target slice")
   }
 
+  test("incremental connected components == full recompute under RANDOM " +
+    "append-only edge batches (multi-component merges, edges internal " +
+    "to a component, never-seen endpoints); the merged marker equals " +
+    "the touched-component frontier of each batch") {
+    import spark.implicits._
+    import graft.operators.{IncrementalComponents, MinLabelComponents}
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(419L + seed)
+      def randEdges(hi: Int, n: Int): Seq[(Int, Int)] =
+        Seq.fill(n) {
+          val a = 1 + rnd.nextInt(hi); val b = 1 + rnd.nextInt(hi)
+          (math.min(a, b), math.max(a, b) + 1) // a < b, both ≤ hi+1
+        }.distinct
+      val nodes0 = (1 to 30)
+      val e0 = randEdges(25, 8)
+      var labels: org.apache.spark.sql.DataFrame =
+        MinLabelComponents.components(nodes0.toDF("node"),
+          e0.toDF("a", "b"), "node", "a", "b")
+      var allEdges = e0
+      var allNodes = nodes0.toSet
+      for (g <- 1 to 2) {
+        // later batches reach into ids the labeling has never seen
+        val delta = randEdges(30 + g * 8, 6)
+        val cur = labels.collect()
+          .map(r => r.getInt(0) -> r.getInt(1)).toMap
+        val touched = delta.flatMap { case (a, b) => Seq(a, b) }
+          .map(n => cur.getOrElse(n, n)).toSet
+        labels = IncrementalComponents.step(labels, delta.toDF("a", "b"),
+          "node", "label", "a", "b", "via")
+        allEdges ++= delta
+        allNodes ++= delta.flatMap { case (a, b) => Seq(a, b) }
+        val got = labels.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+        val want = MinLabelComponents.components(
+            allNodes.toSeq.toDF("node"), allEdges.toDF("a", "b"),
+            "node", "a", "b")
+          .collect().map { r =>
+            val n = r.getInt(0)
+            val fresh = !cur.contains(n)
+            (n, r.getInt(1),
+              if (fresh || touched(cur(n))) "merged" else "carried")
+          }.toSet
+        assert(got == want, s"seed $seed gen $g:\n got=${got.toSeq.sorted}" +
+          s"\nwant=${want.toSeq.sorted}")
+      }
+    }
+  }
+
   test("txn-consistent IVM holds back incomplete transactions: at least " +
     "one group the ungated agg view applied stays carried here with its " +
     "gen-1 value, and the full result matches an independent Scala fold " +
