@@ -549,6 +549,108 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ — the COMPOSED index (Jégou et al.'s IVFADC, the layout
+    * FAISS ships for billion-vector search): a coarse inverted file
+    * partitions the corpus into cells, each vector is PQ-encoded on its
+    * RESIDUAL to the cell center (residuals are tighter-distributed than
+    * raw vectors, so the same codebook budget quantizes finer), and a
+    * query probes only its [[NProbe]] nearest cells with a PER-CELL
+    * ADC lookup table built from the query's residual to THAT cell.
+    *
+    * What composition buys over the standalone gates: [[qAnnIvf]] prunes
+    * candidates but re-reads raw vectors inside probed cells; [[qAnnPq]]
+    * compresses to 8 B/vector but scans EVERY code. IVF-PQ does both —
+    * the query-time working set is the probed cells' codes only
+    * (corpus/cells × nProbe × 8 B), which is the only shape that fits a
+    * 100 TB corpus in memory.
+    *
+    * Exactness: the coarse quantizer runs on the same ×10⁴ int64
+    * quantization as PQ (assignment = integer L2², ties to the lower
+    * pivot index), residuals are integer subtractions, and the PQ
+    * trainer/encoder/ADC reuse [[pqTrainCodebook]]/[[assignCodes]]
+    * machinery verbatim on the residual frame — zero float anywhere, so
+    * the oracle (coarse CTEs + the SHARED train/encode CTE generator
+    * over residuals) hash-matches exactly.
+    *
+    * Scale shape: pivots are a capped literal (codebook-sized driver
+    * boundary); cell assignment and residual computation are ONE narrow
+    * scan (argmin over the pivot literal — no join, no shuffle);
+    * training/encode are the PQ gate's scans on residuals; the query
+    * pass broadcasts nProbe·queries per-cell LUTs and equi-joins them
+    * on the cell id — the inverted file: codes in unprobed cells never
+    * leave the scan.
+    */
+  def qAnnIvfpq(s: SparkSession, d: String): DataFrame = {
+    val raw = quantizedVecs(s, d)
+    val qf = (if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        raw.repartition(s.sparkContext.defaultParallelism)
+      else raw)
+      .stage() // pivot collect + assignment + training + queries share it
+    // coarse centroids: the capped pivot rule, collected (pivot-sized
+    // driver boundary, ≤ MaxPivots rows) and inlined as ONE literal
+    val pivots: Array[Array[Long]] = qf
+      .filter(col("vec_id") % PivotMod === 0 && col("vec_id") < PivotCap)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(pivots.nonEmpty, "IVF-PQ: no pivot vectors in corpus")
+    val pvLit = typedLit(pivots.map(_.toSeq).toSeq)
+    val nP = pivots.length
+    def fullDist(q: Column, pv: Column): Column =
+      aggregate(zip_with(q, pv, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e)
+    // nearest cell per vector + integer residual — one narrow scan
+    val cidx = array_min(transform(sequence(lit(0), lit(nP - 1)), p =>
+      struct(fullDist(col("q"), element_at(pvLit, p + 1)).as("d"),
+        p.cast("int").as("p")))).getField("p")
+    val assigned = qf
+      .select(col("vec_id"), col("q"), cidx.as("cidx"))
+      .select(col("vec_id"), col("cidx"),
+        zip_with(col("q"), element_at(pvLit, col("cidx") + 1),
+          (x, y) => x - y).as("rq"))
+      .stage() // training passes + encode + the query residuals read it
+    val resFrame = assigned.select(col("vec_id"), col("rq").as("q"))
+    val cb = QueryMemo
+      .lookupDerived[Array[Array[Array[Long]]]]("ivfpq_codebook", d)
+      .getOrElse {
+        val c = pqTrainCodebook(resFrame)
+        QueryMemo.seedDerived("ivfpq_codebook", d, c)
+        c
+      }
+    // encode residuals, cell id riding along — still one narrow scan
+    val codes = assigned.select(
+      col("vec_id").as("neighbor_id") +: col("cidx") +:
+        (0 until PqM).map(m => argminCode(col("rq"), m, cb(m)).as(s"code$m")): _*)
+    // queries probe their NProbe nearest cells; LUTs build on the
+    // query's residual TO EACH PROBED CELL
+    val probeArr = slice(array_sort(transform(sequence(lit(0), lit(nP - 1)),
+      p => struct(fullDist(col("q"), element_at(pvLit, p + 1)).as("d"),
+        p.cast("int").as("p")))), 1, NProbe)
+    val probes = qf.filter(isQuery(col("vec_id"))).limit(MaxQueries)
+      .select(col("vec_id").as("query_id"), col("q"),
+        explode(probeArr).as("pr"))
+      .select(col("query_id"), col("pr.p").as("cidx"),
+        zip_with(col("q"), element_at(pvLit, col("pr.p") + 1),
+          (x, y) => x - y).as("rq"))
+    val lutArr = probes.select(col("query_id"), col("cidx"),
+      flatten(array((0 until PqM).map { m =>
+        val cbm = cbLit(cb(m))
+        transform(sequence(lit(0), lit(PqK - 1)), k =>
+          subDist(col("rq"), lit(m), element_at(cbm, k + 1)))
+      }: _*)).as("lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes.join(broadcast(lutArr), Seq("cidx"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", (0 until PqM).map(m =>
+        element_at(col("lut"), col(s"code$m") + lit(m * PqK) + 1))
+        .reduce(_ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adist").as("adist_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** int8 scalar quantization of embeddings (per-vector symmetric absmax
     * — the 4× compression step before vectors ship to an ANN index or
     * cold storage): qᵢ = round(vᵢ·127/max|v|), plus the L1
@@ -756,23 +858,33 @@ object Similarity {
     * `q_ann_pq` oracle (rank <= TopK) and the `q_ann_pq_rerank` oracle
     * (shortlist rank <= PqRerankC + exact brute-force cosine).
     */
-  private def pqCtesSql: String = {
-    // sum_i (q[m*16+i] - c[i])^2 over the m-th 16-dim block, m a column
-    def sqd(q: String, c: String): String =
-      s"list_aggregate(list_transform(range(1, ${PqSub + 1}), " +
-        s"i -> ($q[CAST(cb.m * $PqSub + i AS INT)] - $c[CAST(i AS INT)])" +
-        s" * ($q[CAST(cb.m * $PqSub + i AS INT)] - $c[CAST(i AS INT)]))" +
-        ", 'sum')"
+  // sum_i (q[m*16+i] - c[i])^2 over the m-th sub-dim block, m a column —
+  // shared by the plain-PQ and IVF-PQ oracle generators
+  private def pqSqdSql(q: String, c: String): String =
+    s"list_aggregate(list_transform(range(1, ${PqSub + 1}), " +
+      s"i -> ($q[CAST(cb.m * $PqSub + i AS INT)] - $c[CAST(i AS INT)])" +
+      s" * ($q[CAST(cb.m * $PqSub + i AS INT)] - $c[CAST(i AS INT)]))" +
+      ", 'sum')"
+
+  /** The PQ train+encode CTE chain over source CTE `src` (columns
+    * `vec_id`, `q`): seeds, [[PqIters]] Lloyd rounds (cb0..cbN), final
+    * assignment, and `enc(vec_id, code0..code{M−1})`. Shared verbatim by
+    * the plain-PQ oracle (src = quantized vectors) and the IVF-PQ
+    * oracle (src = cell RESIDUALS) — the trainer is source-agnostic on
+    * both engines, so the twins can't drift.
+    */
+  private def pqTrainEncodeCtes(src: String): String = {
     val rounds = (1 to PqIters).map { t =>
-      s"""d$t AS (SELECT qv.vec_id, cb.m, cb.k, ${sqd("qv.q", "cb.c")} AS dist
-         |  FROM qv CROSS JOIN cb${t - 1} cb),
+      s"""d$t AS (SELECT $src.vec_id, cb.m, cb.k,
+         |    ${pqSqdSql(s"$src.q", "cb.c")} AS dist
+         |  FROM $src CROSS JOIN cb${t - 1} cb),
          |a$t AS (SELECT vec_id, m, k FROM (
          |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
          |      ORDER BY dist, k) AS rn FROM d$t) WHERE rn = 1),
          |s$t AS (SELECT a.m, a.k, CAST(u.i AS INT) AS i,
-         |    CAST(sum(qv.q[CAST(a.m * $PqSub + u.i AS INT)]) AS BIGINT) AS s,
+         |    CAST(sum($src.q[CAST(a.m * $PqSub + u.i AS INT)]) AS BIGINT) AS s,
          |    CAST(count(*) AS BIGINT) AS n
-         |  FROM a$t a JOIN qv USING (vec_id)
+         |  FROM a$t a JOIN $src USING (vec_id)
          |  CROSS JOIN unnest(range(1, ${PqSub + 1})) u(i)
          |  GROUP BY 1, 2, 3),
          |u$t AS (SELECT m, k,
@@ -783,35 +895,45 @@ object Similarity {
          |  FROM cb${t - 1} p LEFT JOIN u$t u ON u.m = p.m AND u.k = p.k)"""
         .stripMargin
     }.mkString(",\n")
-    val lutJoins = (1 until PqM).map(m =>
-      s"JOIN lut l$m ON l$m.query_id = l0.query_id AND l$m.m = $m " +
-        s"AND l$m.k = e.code$m").mkString("\n      ")
     val encCols = (0 until PqM).map(m =>
       s"max(CASE WHEN m = $m THEN k END) AS code$m").mkString(",\n    ")
-    val adist = (0 until PqM).map(m => s"l$m.l").mkString(" + ")
-    s"""qv AS (SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * ${PqQuant.toLong})
-       |      AS BIGINT)) AS q
-       |  FROM embeddings),
-       |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+    s"""seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |    AS k, q
-       |  FROM qv WHERE vec_id % $PqSeedMod = 0 AND vec_id < $PqSeedCap),
+       |  FROM $src WHERE vec_id % $PqSeedMod = 0 AND vec_id < $PqSeedCap),
        |cb0 AS (SELECT CAST(u.m AS INT) AS m, k,
        |    list_transform(range(1, ${PqSub + 1}),
        |      i -> q[CAST(u.m * $PqSub + i AS INT)]) AS c
        |  FROM seed CROSS JOIN unnest(range(0, $PqM)) u(m)),
        |$rounds,
-       |dF AS (SELECT qv.vec_id, cb.m, cb.k, ${sqd("qv.q", "cb.c")} AS dist
-       |  FROM qv CROSS JOIN cb$PqIters cb),
+       |dF AS (SELECT $src.vec_id, cb.m, cb.k,
+       |    ${pqSqdSql(s"$src.q", "cb.c")} AS dist
+       |  FROM $src CROSS JOIN cb$PqIters cb),
        |encA AS (SELECT vec_id, m, k FROM (
        |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
        |      ORDER BY dist, k) AS rn FROM dF) WHERE rn = 1),
        |enc AS (SELECT vec_id,
        |    $encCols
-       |  FROM encA GROUP BY vec_id),
+       |  FROM encA GROUP BY vec_id)""".stripMargin
+  }
+
+  /** The quantized-embedding source CTE shared by every PQ oracle. */
+  private def pqQvCte: String =
+    s"""qv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * ${PqQuant.toLong})
+       |      AS BIGINT)) AS q
+       |  FROM embeddings)""".stripMargin
+
+  private def pqCtesSql: String = {
+    val lutJoins = (1 until PqM).map(m =>
+      s"JOIN lut l$m ON l$m.query_id = l0.query_id AND l$m.m = $m " +
+        s"AND l$m.k = e.code$m").mkString("\n      ")
+    val adist = (0 until PqM).map(m => s"l$m.l").mkString(" + ")
+    s"""$pqQvCte,
+       |${pqTrainEncodeCtes("qv")},
        |qry AS (SELECT vec_id AS query_id, q FROM qv
        |  WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
-       |lut AS (SELECT qry.query_id, cb.m, cb.k, ${sqd("qry.q", "cb.c")} AS l
+       |lut AS (SELECT qry.query_id, cb.m, cb.k,
+       |    ${pqSqdSql("qry.q", "cb.c")} AS l
        |  FROM qry CROSS JOIN cb$PqIters cb),
        |a AS (SELECT l0.query_id, e.vec_id AS neighbor_id,
        |    CAST($adist AS BIGINT) AS adist
@@ -851,6 +973,62 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
        |  CAST(round(cos*10000) AS BIGINT) AS cos_x10000
        |FROM rr WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle twin of [[qAnnIvfpq]]: coarse assignment + residual CTEs,
+    * then the SHARED train/encode generator over the residual source,
+    * per-(query, probed-cell) LUTs, and cell-restricted ADC.
+    */
+  private def ivfpqOracleSql: String = {
+    def l2(q: String, pv: String): String =
+      s"list_aggregate(list_transform(range(1, ${Dim + 1}), " +
+        s"i -> ($q[CAST(i AS INT)] - $pv[CAST(i AS INT)])" +
+        s" * ($q[CAST(i AS INT)] - $pv[CAST(i AS INT)])), 'sum')"
+    val lutJoins = (1 until PqM).map(m =>
+      s"JOIN lut l$m ON l$m.query_id = l0.query_id AND l$m.cidx = e.cidx " +
+        s"AND l$m.m = $m AND l$m.k = e.code$m").mkString("\n      ")
+    val adist = (0 until PqM).map(m => s"l$m.l").mkString(" + ")
+    val resExpr = s"list_transform(range(1, ${Dim + 1}), " +
+      "i -> qv.q[CAST(i AS INT)] - pvt.pv[CAST(i AS INT)])"
+    s"""WITH $pqQvCte,
+       |pvt AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p,
+       |    q AS pv
+       |  FROM qv WHERE vec_id % $PivotMod = 0 AND vec_id < $PivotCap),
+       |ad AS MATERIALIZED (SELECT qv.vec_id, pvt.p,
+       |    ${l2("qv.q", "pvt.pv")} AS d
+       |  FROM qv CROSS JOIN pvt),
+       |asg AS MATERIALIZED (SELECT vec_id, p AS cidx FROM (
+       |    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d, p) AS rn FROM ad) WHERE rn = 1),
+       |rqv AS MATERIALIZED (SELECT qv.vec_id, $resExpr AS q
+       |  FROM qv JOIN asg USING (vec_id) JOIN pvt ON pvt.p = asg.cidx),
+       |${pqTrainEncodeCtes("rqv")},
+       |encc AS (SELECT enc.*, asg.cidx FROM enc JOIN asg USING (vec_id)),
+       |qpr AS (SELECT vec_id AS query_id, p AS cidx FROM (
+       |    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d, p) AS rn
+       |    FROM ad WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap)
+       |  WHERE rn <= $NProbe),
+       |qres AS (SELECT qpr.query_id, qpr.cidx, $resExpr AS q
+       |  FROM qpr JOIN qv ON qv.vec_id = qpr.query_id
+       |    JOIN pvt ON pvt.p = qpr.cidx),
+       |lut AS (SELECT qres.query_id, qres.cidx, cb.m, cb.k,
+       |    ${pqSqdSql("qres.q", "cb.c")} AS l
+       |  FROM qres CROSS JOIN cb$PqIters cb),
+       |a AS (SELECT l0.query_id, e.vec_id AS neighbor_id,
+       |    CAST($adist AS BIGINT) AS adist
+       |  FROM encc e
+       |  JOIN lut l0 ON l0.cidx = e.cidx AND l0.m = 0 AND l0.k = e.code0
+       |      $lutJoins
+       |  WHERE e.vec_id <> l0.query_id),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS rank
+       |  FROM a)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  adist AS adist_q
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Corpus k-means clustering geometry (round-7 verdict stretch #9):
     * [[KmK]] = 8 clusters over the FULL [[Dim]]-dim embeddings, seeded
@@ -1001,6 +1179,7 @@ object Similarity {
     "q_kmeans_cluster" -> kmeansOracleSql,
     "q_ann_pq" -> pqOracleSql,
     "q_ann_pq_rerank" -> pqRerankOracleSql,
+    "q_ann_ivfpq" -> ivfpqOracleSql,
     // the K power-iteration rounds unroll as CTE stages (the q_bpe_train
     // pattern); all arithmetic int64 — sums CAST from DuckDB's HUGEINT,
     // sign applied outside the truncating division exactly as the query
@@ -1188,6 +1367,7 @@ object Similarity {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_rerank" -> (qAnnPqRerank _),
+    "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_kmeans_cluster" -> (qKmeansCluster _),
     "q_embedding_quantize" -> (qEmbeddingQuantize _),
     "q_embedding_pca" -> (qEmbeddingPca _),

@@ -649,6 +649,62 @@ class Round8OpsSpec extends SparkSpec {
       "importance weights must tilt toward the target slice")
   }
 
+  test("IVF-PQ: every returned neighbor lives in one of its query's " +
+    "probed cells (the inverted-file contract), exactly TopK rows per " +
+    "query, re-runs bit-identical, and recall@5 vs exact cosine clears " +
+    "the floor") {
+    val d = "/root/testdata/sf0.001"
+    val S = graft.queries.Similarity
+    val r1 = S.qAnnIvfpq(spark, d).collect()
+    val r2 = S.qAnnIvfpq(spark, d).collect()
+    assert(r1.toSeq == r2.toSeq, "IVF-PQ must be deterministic")
+    // independent re-derivation of cells and probes: the gate's own
+    // quantization expression (Spark round semantics), then pure-Scala
+    // integer L2 assignment
+    val qvs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long")).as("q"))
+      .collect()
+      .map(r => r.getAs[Number]("vec_id").longValue ->
+        r.getSeq[Long](1).toArray).toMap
+    val pivots = qvs.keys.toSeq.sorted
+      .filter(id => id % S.PivotMod == 0 && id < S.PivotCap)
+      .map(qvs)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def rankedCells(q: Array[Long]): Seq[Int] =
+      pivots.zipWithIndex.map { case (pv, p) => (l2(q, pv), p) }
+        .sorted.map(_._2)
+    val cellOf = qvs.map { case (id, q) => id -> rankedCells(q).head }
+    val byQuery = r1.groupBy(_.getAs[Number]("query_id").longValue)
+    assert(byQuery.values.forall(_.length == S.TopK),
+      "TopK rows per query")
+    byQuery.foreach { case (qid, rows) =>
+      val probed = rankedCells(qvs(qid)).take(S.NProbe).toSet
+      rows.foreach { r =>
+        val nid = r.getAs[Number]("neighbor_id").longValue
+        assert(probed(cellOf(nid)),
+          s"neighbor $nid of query $qid outside probed cells $probed")
+      }
+    }
+    // recall@5 vs exact cosine (measured 0.275 at sf0.001; floor leaves
+    // slack for testdata regeneration, not for a broken index)
+    val vs = qvs.map { case (id, q) => id -> q.map(_.toDouble / 10000d) }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val truth = byQuery.keys.flatMap { qid =>
+      vs.keys.filter(_ != qid).toSeq
+        .map(nid => (cos(vs(qid), vs(nid)), nid))
+        .sortBy { case (c, nid) => (-c, nid) }.take(S.TopK)
+        .map { case (_, nid) => (qid, nid) }
+    }.toSet
+    val got = r1.map(r => (r.getAs[Number]("query_id").longValue,
+      r.getAs[Number]("neighbor_id").longValue)).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.15, s"IVF-PQ recall@5 $recall below floor")
+  }
+
   test("incremental connected components == full recompute under RANDOM " +
     "append-only edge batches (multi-component merges, edges internal " +
     "to a component, never-seen endpoints); the merged marker equals " +
