@@ -938,6 +938,157 @@ object TextAnalysis {
        |ORDER BY word""".stripMargin
   }
 
+  /** WordPiece geometry: longest candidate piece and per-FORM vocabulary
+    * cut. Two forms because WordPiece's defining feature vs BPE/unigram
+    * is the word-INITIAL vs CONTINUATION (`##`) distinction — the same
+    * letters are different vocabulary entries depending on position, and
+    * their corpus frequencies are counted separately.
+    */
+  val WpMaxPiece = 4
+  val WpVocabTopK = 150
+
+  /** WORDPIECE tokenization (Schuster & Nakajima 2012; the BERT-family
+    * tokenizer) — the third real-world subword algorithm beside BPE
+    * (greedy pair MERGING) and unigram-LM (global Viterbi OPTIMIZATION):
+    * WordPiece applies GREEDY LONGEST-MATCH-FIRST (maximal munch) — at
+    * each position consume the longest vocabulary piece that matches,
+    * with continuations drawn from the separate `##` inventory. Given
+    * the same corpus the three produce genuinely different
+    * segmentations, which is why all three ship in production.
+    *
+    * Vocabulary: every single character in BOTH forms (so the encoder is
+    * total — no UNK path to gate) plus the top [[WpVocabTopK]]
+    * multi-char pieces PER FORM by (corpus frequency, piece) — start
+    * pieces counted at word position 1, continuation pieces at
+    * positions > 1, weighted by the word rollup's counts.
+    *
+    * Determinism: the greedy choice is an argmax over piece LENGTH with
+    * at most one candidate per length — no tie to break; membership is
+    * a map-literal lookup in Spark and a vocab equi-join + `row_number
+    * ... ORDER BY l DESC` in the oracle, which agree exactly.
+    *
+    * Scale shape: the same tokenizer-cache spine as
+    * [[qUnigramSegment]] — one corpus scan collapses to the distinct-
+    * word rollup; piece counting is a value-level explode; the
+    * vocabulary is the model (two collects, vocab-sized driver
+    * boundary) and rides into the greedy scan as ONE map literal inside
+    * a codegen'd HOF: no joins, no shuffles, no per-position stages.
+    * Applying the trained tokenizer to a 100 TB corpus is one broadcast
+    * hash join of this per-value table onto the raw words.
+    */
+  def qWordpieceEncode(s: SparkSession, d: String): DataFrame = {
+    val wd = unigramWords(s, d).stage() // vocab rollup + the greedy scan
+    // piece occurrences with their FORM: position 1 = start, else cont
+    val pieceArr = flatten(transform(
+      sequence(lit(1), length(col("word"))),
+      st => transform(
+        sequence(lit(1),
+          least(lit(WpMaxPiece), length(col("word")) - st + 1)),
+        ln => struct(col("word").substr(st, ln).as("txt"),
+          (st === 1).as("is_start")))))
+    val freqs = wd
+      .select(explode(pieceArr).as("p"), col("cnt"))
+      .groupBy(col("p.txt").as("txt"), col("p.is_start").as("is_start"))
+      .agg(sum(col("cnt")).as("freq"))
+      .stage() // the single-char spine and both top-K cuts read it
+    def collectForm(isStart: Boolean): Seq[String] = {
+      val f = freqs.filter(col("is_start") === isStart)
+      (f.filter(length(col("txt")) === 1).collect() ++
+        f.filter(length(col("txt")) >= 2)
+          .orderBy(col("freq").desc, col("txt"))
+          .limit(WpVocabTopK).collect())
+        .map(_.getString(0)).toSeq
+    }
+    val rendered = collectForm(isStart = true) ++
+      collectForm(isStart = false).map("##" + _)
+    val vocabMap = map(rendered.distinct.sorted
+      .flatMap(p => Seq(lit(p), lit(1))): _*)
+    // greedy maximal munch as ONE aggregate HOF: state = (pos, seg, np);
+    // step i advances only when it sits at the consumed frontier
+    val step: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column = (acc, i) => {
+      val p = acc("pos")
+      val cands = filter(
+        transform(sequence(lit(WpMaxPiece), lit(1), lit(-1)), l => {
+          val piece = col("word").substr(p + 1, l)
+          val key = when(p === 0, piece)
+            .otherwise(concat(lit("##"), piece))
+          when(length(piece) === l &&
+            element_at(vocabMap, key).isNotNull,
+            struct(l.as("l"), key.as("k")))
+        }), x => x.isNotNull)
+      val best = element_at(cands, 1) // lengths descend: first = longest
+      when(i - 1 === p,
+        struct((p + best("l")).as("pos"),
+          concat(acc("seg"), lit(" "), best("k")).as("seg"),
+          (acc("np") + 1).as("np")))
+        .otherwise(acc)
+    }
+    val fin = aggregate(
+      sequence(lit(1), length(col("word"))),
+      struct(lit(0).as("pos"), lit("").as("seg"), lit(0).as("np")),
+      step)
+    wd.select(col("word"), col("cnt"),
+        fin("np").cast("long").as("n_pieces"),
+        trim(fin("seg")).as("pieces"))
+      .orderBy(col("word"))
+  }
+
+  /** Oracle twin of [[qWordpieceEncode]]: the per-form vocabulary in
+    * SQL, then the greedy scan unrolled as [[UnigramUnroll]] stages —
+    * stage k admits exactly the rows whose LONGEST match from their
+    * current position lands at k (`row_number … ORDER BY l DESC = 1`
+    * picks the munch; the landing filter places it).
+    */
+  private def wordpieceOracle: String = {
+    val stages = (1 to UnigramUnroll).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT * FROM w${k - 1} UNION ALL
+         |  SELECT word, cnt, pos + l AS pos,
+         |    seg || ' ' || key AS seg, np + 1 AS np
+         |  FROM (
+         |    SELECT b.word, b.cnt, b.pos, u.l,
+         |      CASE WHEN b.pos = 0 THEN v.txt ELSE '##' || v.txt END
+         |        AS key,
+         |      b.seg, b.np,
+         |      row_number() OVER (PARTITION BY b.word, b.pos
+         |        ORDER BY u.l DESC) AS rn
+         |    FROM w${k - 1} b
+         |    CROSS JOIN unnest(range(1, ${WpMaxPiece + 1})) u(l)
+         |    JOIN wv v ON v.is_start = (b.pos = 0)
+         |      AND v.txt = substring(b.word, b.pos + 1, CAST(u.l AS INT))
+         |    WHERE b.pos + u.l <= length(b.word)
+         |      AND b.pos >= $k - $WpMaxPiece AND b.pos <= ${k - 1})
+         |  WHERE rn = 1 AND pos + l = $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |          AS word FROM documents)
+       |  WHERE length(word) <= $UnigramUnroll GROUP BY 1),
+       |pc AS MATERIALIZED (SELECT substring(word, st, ln) AS txt,
+       |    st = 1 AS is_start, CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM wd
+       |  CROSS JOIN unnest(range(1, ${UnigramUnroll + 1})) s(st)
+       |  CROSS JOIN unnest(range(1, ${WpMaxPiece + 1})) l(ln)
+       |  WHERE st + ln <= length(word) + 1
+       |  GROUP BY 1, 2),
+       |mult AS (SELECT txt, is_start FROM (
+       |  SELECT txt, is_start,
+       |    row_number() OVER (PARTITION BY is_start
+       |      ORDER BY freq DESC, txt) AS rk
+       |  FROM pc WHERE length(txt) >= 2) WHERE rk <= $WpVocabTopK),
+       |wv AS MATERIALIZED (SELECT txt, is_start FROM pc
+       |    WHERE length(txt) = 1
+       |  UNION ALL SELECT txt, is_start FROM mult),
+       |w0 AS MATERIALIZED (SELECT word, cnt, 0 AS pos, '' AS seg,
+       |    0 AS np FROM wd),
+       |$stages
+       |SELECT word, cnt, CAST(np AS BIGINT) AS n_pieces,
+       |  trim(seg) AS pieces
+       |FROM w$UnigramUnroll
+       |WHERE pos = length(word)
+       |ORDER BY word""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
 
   private val enMarkers = TextOps.LangMarkers("en").map(w => s"'$w'").mkString(", ")
@@ -1187,7 +1338,8 @@ object TextAnalysis {
          |  CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) * 10000
          |    // count(*) AS BIGINT) AS gold_rate_x10000
          |FROM j GROUP BY 1 ORDER BY band""".stripMargin) +
-    ("q_unigram_segment" -> unigramOracle)
+    ("q_unigram_segment" -> unigramOracle) +
+    ("q_wordpiece_encode" -> wordpieceOracle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
@@ -1206,6 +1358,7 @@ object TextAnalysis {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_encode_fixpoint" -> (qBpeEncodeFixpoint _),
     "q_unigram_segment" -> (qUnigramSegment _),
+    "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_source_scorecard" -> (qSourceScorecard _),
     "q_quality_calibration" -> (qQualityCalibration _)
   )

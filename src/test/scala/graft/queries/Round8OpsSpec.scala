@@ -705,6 +705,66 @@ class Round8OpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF-PQ recall@5 $recall below floor")
   }
 
+  test("WordPiece greedy maximal munch matches a direct imperative " +
+    "reference (separate start/## vocabularies, longest-match-first) " +
+    "and genuinely differs from the unigram Viterbi segmentation on " +
+    "some word") {
+    val d = "/root/testdata/sf0.001"
+    val T = graft.queries.TextAnalysis
+    val rows = T.qWordpieceEncode(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // reference corpus rollup + vocabulary, rebuilt imperatively
+    val words: Map[String, Long] = spark.read
+      .parquet(s"$d/documents.parquet").select(col("text")).collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0).toLowerCase))
+      .filter(_.length <= T.UnigramUnroll)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val freqs = collection.mutable.Map.empty[(String, Boolean), Long]
+    for ((w, c) <- words; st <- 0 until w.length;
+         ln <- 1 to math.min(T.WpMaxPiece, w.length - st)) {
+      val k = (w.substring(st, st + ln), st == 0)
+      freqs(k) = freqs.getOrElse(k, 0L) + c
+    }
+    def form(isStart: Boolean): Set[String] = {
+      val f = freqs.collect { case ((t, s), fr) if s == isStart => (t, fr) }
+      f.collect { case (t, _) if t.length == 1 => t }.toSet ++
+        f.filter(_._1.length >= 2).toSeq
+          .sortBy { case (t, fr) => (-fr, t) }.take(T.WpVocabTopK)
+          .map(_._1)
+    }
+    val (startV, contV) = (form(true), form(false))
+    def encode(w: String): Seq[String] = {
+      var pos = 0; val out = collection.mutable.Buffer.empty[String]
+      while (pos < w.length) {
+        val l = (math.min(T.WpMaxPiece, w.length - pos) to 1 by -1)
+          .find { l =>
+            val p = w.substring(pos, pos + l)
+            if (pos == 0) startV(p) else contV(p)
+          }.get
+        val p = w.substring(pos, pos + l)
+        out += (if (pos == 0) p else "##" + p)
+        pos += l
+      }
+      out.toSeq
+    }
+    assert(rows.keySet == words.keySet)
+    words.foreach { case (w, c) =>
+      val (cnt, np, pieces) = rows(w)
+      val ref = encode(w)
+      assert(cnt == c, s"$w count")
+      assert(np == ref.length && pieces == ref.mkString(" "),
+        s"$w: gate '$pieces' vs reference '${ref.mkString(" ")}'")
+    }
+    // the three tokenizers must be genuinely different algorithms:
+    // greedy munch disagrees with Viterbi somewhere on this corpus
+    val uni = T.qUnigramSegment(spark, d).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(words.keys.exists(w =>
+      rows(w)._3.replace("##", "") != uni(w)),
+      "WordPiece and unigram segmentations must differ on some word")
+  }
+
   test("incremental connected components == full recompute under RANDOM " +
     "append-only edge batches (multi-component merges, edges internal " +
     "to a component, never-seen endpoints); the merged marker equals " +
