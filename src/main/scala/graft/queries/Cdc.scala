@@ -961,6 +961,62 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** BITEMPORAL point-in-time lookup — the dimension [[qCdcPointInTime]]
+    * cannot answer: that gate time-travels along VALID time only ("what
+    * was the name when lsn V committed"); a real warehouse also needs
+    * TRANSACTION time ("what did we BELIEVE about lsn V's state when we
+    * ran the report at time T"), because late-arriving CORRECTIONS
+    * revise history after the fact — the SQL:2011 bitemporal model, and
+    * the reason regulated reporting keeps both axes (a restated number
+    * must be reproducible both as-restated and as-originally-reported).
+    *
+    * Every event carries (valid_lsn, recorded_lsn); the as-of(V, T)
+    * winner per key is max-(valid_lsn, recorded_lsn) among events with
+    * valid_lsn ≤ V AND recorded_lsn ≤ T — a correction shares its
+    * target's valid lsn and supersedes it by recorded lsn, but ONLY for
+    * readers whose knowledge horizon has reached it.
+    *
+    * Fixture (closed-form mod rules): snapshot (V=id, T=id); every 3rd
+    * key a real update (V=T=id+10M); every 4th key a LATE CORRECTION of
+    * the ORIGINAL record (V=id — same valid time — T=id+20M). The gate
+    * emits three beliefs per key: snapshot-era state as known BEFORE
+    * corrections landed (must be the original), the same valid instant
+    * as known AFTER (must be the corrected text for %4 keys — history
+    * revised), and update-era state at full knowledge (the %3 update
+    * where present, else the corrected/original snapshot — %12 keys
+    * prove the update outranks the correction on the valid axis).
+    *
+    * Scale shape: three filtered max_by aggregates over the event
+    * stream, each one key-partitioned shuffle with map-side combine —
+    * the same irreducible cost as latest-state; the three arms join on
+    * the key. No window over unbounded history, no per-(V,T) rescan
+    * beyond the filters.
+    */
+  def qCdcBitemporal(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"), col("c_name").as("name"))
+    val idL = col("id").cast("long")
+    val snap = cust.select(col("id"), col("name"),
+      idL.as("vlsn"), idL.as("rlsn"))
+    val upd = cust.filter(col("id") % 3 === 0)
+      .select(col("id"), upper(col("name")).as("name"),
+        (idL + 10000000L).as("vlsn"), (idL + 10000000L).as("rlsn"))
+    val corr = cust.filter(col("id") % 4 === 0)
+      .select(col("id"), concat(col("name"), lit(" (corrected)")).as("name"),
+        idL.as("vlsn"), (idL + 20000000L).as("rlsn"))
+    val ev = snap.unionByName(upd).unionByName(corr)
+      .stage() // the three as-of arms share one materialization
+    def asOf(vCap: org.apache.spark.sql.Column,
+        tCap: org.apache.spark.sql.Column, out: String): DataFrame =
+      ev.filter(col("vlsn") <= vCap && col("rlsn") <= tCap)
+        .groupBy(col("id"))
+        .agg(max_by(col("name"), struct(col("vlsn"), col("rlsn"))).as(out))
+    asOf(idL + 1L, idL + 15000000L, "name_v1_t1")
+      .join(asOf(idL + 1L, idL + 25000000L, "name_v1_t2"), "id")
+      .join(asOf(idL + 10000001L, idL + 25000000L, "name_v2_t2"), "id")
+      .orderBy(col("id"))
+  }
+
   /** N:1 FOREIGN-KEY incremental join-view maintenance
     * ([[graft.cdc.IncrementalFkJoinView]] — round-7 verdict item #1):
     * maintain `V = orders ⋈ customers ON orders.cust_id = d_id` — the
@@ -1724,6 +1780,20 @@ object Cdc {
     // publish or parquet round-trip loss would shift a group)
     "q_cdc_stream_ivm" -> aggViewOracle,
 
+    // pure mod-rule closed form: belief BEFORE corrections landed is the
+    // original; the same valid instant AFTER is the corrected text for
+    // %4 keys; update-era full knowledge prefers the %3 update (valid
+    // axis outranks), falling back to corrected/original
+    "q_cdc_bitemporal" ->
+      """SELECT CAST(c_custkey AS INT) AS id,
+        |  c_name AS name_v1_t1,
+        |  CASE WHEN c_custkey % 4 = 0 THEN c_name || ' (corrected)'
+        |       ELSE c_name END AS name_v1_t2,
+        |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+        |       WHEN c_custkey % 4 = 0 THEN c_name || ' (corrected)'
+        |       ELSE c_name END AS name_v2_t2
+        |FROM customer ORDER BY id""".stripMargin,
+
     // the agg-view closed form GATED on transaction completeness: a
     // gen-2 event applies iff its txn has END metadata (tx%5≠0) AND all
     // member events arrived (no member key ≡ 0 mod 11). `ap` is the
@@ -2005,6 +2075,7 @@ object Cdc {
     "q_cdc_agg_view" -> (qCdcAggView _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
     "q_cdc_txn_ivm" -> (qCdcTxnIvm _),
+    "q_cdc_bitemporal" -> (qCdcBitemporal _),
     "q_cdc_fk_view" -> (qCdcFkView _),
     "q_cdc_fk_agg_view" -> (qCdcFkAggView _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),

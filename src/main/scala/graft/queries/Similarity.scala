@@ -651,6 +651,76 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Prefix lengths for [[qAnnDimAblation]] — the full dimension last so
+    * the truth arm rides in the same pass.
+    */
+  val AblationDims: Seq[Int] = Seq(16, 32, 64)
+
+  /** DIMENSION-ABLATION recall — the measurement behind Matryoshka-style
+    * truncatable embeddings (Kusupati et al. 2022) and every
+    * "can we afford to store half the vector?" decision: re-rank each
+    * query's neighbors using only the FIRST d′ dimensions and report
+    * recall@[[TopK]] against the full-dimension truth, per query and
+    * per prefix length. On MRL-trained embeddings the curve stays near
+    * 1.0 down to small d′; on non-truncatable embeddings (this
+    * isotropic synthetic corpus) it decays — the gate quantifies which
+    * regime a corpus is in before a storage decision.
+    *
+    * Exactness: prefix cosines are the brute-force gate's arithmetic on
+    * sliced arrays — the same sequential-fold dot ([[VectorFunctions
+    * .dot]]) the oracle mirrors fold-for-fold — and every per-(dims,
+    * query) ranking breaks ties on neighbor id, so both engines pick
+    * identical top-k sets and the recall counts hash-match.
+    *
+    * Scale shape: ONE broadcast(queries) × corpus pass computes all
+    * prefix cosines (the prefix dots are sub-folds of work the full dot
+    * pays anyway); per-prefix norms are precomputed on the staged
+    * vector frame, not per pair; the explode fans each pair to
+    * |[[AblationDims]]| slim (dims, cos) rows; top-k windows partition
+    * by (dims, query). Output is O(dims × queries).
+    */
+  def qAnnDimAblation(s: SparkSession, d: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id") +: v.as("v") +:
+        AblationDims.map(dm => sqrt(VectorFunctions.dot(
+          slice(v, 1, dm), slice(v, 1, dm))).as(s"norm$dm")): _*)
+      .stage() // query + corpus sides reuse one materialization
+    val queries = vecs.filter(isQuery(col("vec_id"))).limit(MaxQueries)
+      .select(col("vec_id").as("query_id") +: col("v").as("qv") +:
+        AblationDims.map(dm => col(s"norm$dm").as(s"qnorm$dm")): _*)
+    val corpus = vecs
+      .select(col("vec_id").as("neighbor_id") +: col("v").as("cv") +:
+        AblationDims.map(dm => col(s"norm$dm").as(s"cnorm$dm")): _*)
+    val perDim = explode(array(AblationDims.map { dm =>
+      struct(lit(dm).as("dims"),
+        (VectorFunctions.dot(slice(col("qv"), 1, dm), slice(col("cv"), 1, dm))
+          / (col(s"qnorm$dm") * col(s"cnorm$dm"))).as("cos"))
+    }: _*))
+    val w = Window.partitionBy(col("dims"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val topk = broadcast(queries).crossJoin(corpus)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), perDim.as("x"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("x.dims").as("dims"), col("x.cos").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .stage() // the truth arm and the hit join both read it
+    val truth = topk.filter(col("dims") === AblationDims.last)
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"),
+        lit(1).as("hit"))
+    topk.join(broadcast(truth),
+        col("query_id") === col("tq") && col("neighbor_id") === col("tn"),
+        "left")
+      .groupBy(col("dims"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("dims"), col("query_id"), col("n_hits"),
+        graft.text.TextOps.idiv(col("n_hits") * 10000L, lit(TopK.toLong))
+          .as("recall_x10000"))
+      .orderBy(col("dims"), col("query_id"))
+  }
+
   /** int8 scalar quantization of embeddings (per-vector symmetric absmax
     * — the 4× compression step before vectors ship to an ANN index or
     * cold storage): qᵢ = round(vᵢ·127/max|v|), plus the L1
@@ -1180,6 +1250,50 @@ object Similarity {
     "q_ann_pq" -> pqOracleSql,
     "q_ann_pq_rerank" -> pqRerankOracleSql,
     "q_ann_ivfpq" -> ivfpqOracleSql,
+    // prefix dots fold i = 1..d′ exactly as the sliced sequential dot;
+    // per-prefix norms mirror the same sub-folds
+    "q_ann_dim_ablation" -> {
+      def pdot(hi: Int) =
+        s"list_aggregate(list_transform(range(1, ${hi + 1}), " +
+          s"i -> q.v[i]*c.v[i]), 'sum')"
+      def pnorm(hi: Int) =
+        s"sqrt(list_aggregate(list_transform(range(1, ${hi + 1}), " +
+          s"i -> v[i]*v[i]), 'sum'))"
+      val normCols = AblationDims
+        .map(dm => s"${pnorm(dm)} AS norm$dm").mkString(",\n    ")
+      val cosArms = AblationDims.map(dm =>
+        s"WHEN u.dims = $dm THEN ${pdot(dm)} / (q.norm$dm * c.norm$dm)")
+        .mkString("\n      ")
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    $normCols
+         |  FROM b),
+         |q AS (SELECT vec_id AS query_id, v,
+         |    ${AblationDims.map(dm => s"norm$dm").mkString(", ")}
+         |  FROM n WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+         |p AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    CAST(u.dims AS INT) AS dims,
+         |    CASE $cosArms END AS cos
+         |  FROM q JOIN n c ON c.vec_id <> q.query_id
+         |  CROSS JOIN unnest([${AblationDims.mkString(", ")}]) u(dims)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY dims, query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rk FROM p),
+         |tk AS (SELECT dims, query_id, neighbor_id FROM r
+         |       WHERE rk <= $TopK),
+         |tr AS (SELECT query_id, neighbor_id FROM tk
+         |       WHERE dims = ${AblationDims.last}),
+         |h AS (SELECT tk.dims, tk.query_id,
+         |    sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS n_hits
+         |  FROM tk LEFT JOIN tr ON tr.query_id = tk.query_id
+         |    AND tr.neighbor_id = tk.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT dims, query_id, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits * 10000 // $TopK AS BIGINT) AS recall_x10000
+         |FROM h ORDER BY dims, query_id""".stripMargin
+    },
     // the K power-iteration rounds unroll as CTE stages (the q_bpe_train
     // pattern); all arithmetic int64 — sums CAST from DuckDB's HUGEINT,
     // sign applied outside the truncating division exactly as the query
@@ -1368,6 +1482,7 @@ object Similarity {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_rerank" -> (qAnnPqRerank _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
+    "q_ann_dim_ablation" -> (qAnnDimAblation _),
     "q_kmeans_cluster" -> (qKmeansCluster _),
     "q_embedding_quantize" -> (qEmbeddingQuantize _),
     "q_embedding_pca" -> (qEmbeddingPca _),

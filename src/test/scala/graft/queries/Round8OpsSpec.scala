@@ -705,6 +705,53 @@ class Round8OpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF-PQ recall@5 $recall below floor")
   }
 
+  test("dimension-ablation recall: one row per (prefix, query), the " +
+    "full-dimension arm is its own truth (recall 1.0), truncated " +
+    "prefixes lose recall on this non-truncatable corpus") {
+    val S = graft.queries.Similarity
+    val rows = S.qAnnDimAblation(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getAs[Number](1).longValue,
+        r.getLong(2), r.getLong(3)))
+    val dims = S.AblationDims
+    assert(rows.length == dims.length * S.MaxQueries)
+    assert(rows.groupBy(_._1).keySet == dims.toSet)
+    rows.filter(_._1 == dims.last).foreach { r =>
+      assert(r._3 == S.TopK && r._4 == 10000L,
+        s"full-dim arm must be its own truth: $r")
+    }
+    val meanAt = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._4).sum / rs.length).toMap
+    assert(meanAt(dims.head) < meanAt(dims.last),
+      "truncation must cost recall on an isotropic corpus")
+  }
+
+  test("bitemporal lookup revises history only past the correction's " +
+    "knowledge horizon: %4 keys change their snapshot-era belief " +
+    "between T1 and T2, %3 keys' update wins the valid axis at T2, " +
+    "untouched keys read identically on every axis") {
+    val rows = graft.queries.Cdc
+      .qCdcBitemporal(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v1t1, v1t2, v2t2) =>
+      // pre-correction knowledge never shows corrected text
+      assert(!v1t1.endsWith("(corrected)"), s"$id: T1 belief leaked")
+      if (id % 4 == 0)
+        assert(v1t2 == s"$v1t1 (corrected)",
+          s"$id: snapshot-era belief must be revised at T2")
+      else assert(v1t2 == v1t1, s"$id: unrevised key changed belief")
+      if (id % 3 == 0)
+        assert(v2t2 == v1t1.toUpperCase,
+          s"$id: update must win the valid axis at T2")
+      else if (id % 4 == 0)
+        assert(v2t2 == v1t2, s"$id: corrected text carries to update era")
+      else assert(v2t2 == v1t1, s"$id: untouched key must be invariant")
+    }
+    assert(rows.exists(_._1 % 12 == 0),
+      "fixture must include keys where update and correction compete")
+  }
+
   test("WordPiece greedy maximal munch matches a direct imperative " +
     "reference (separate start/## vocabularies, longest-match-first) " +
     "and genuinely differs from the unigram Viterbi segmentation on " +
