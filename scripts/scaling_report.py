@@ -20,7 +20,8 @@ FAMILIES = [
      r"^q_(dedup_|simhash_|semdedup$|corpus_overlap$)"),
     ("ANN / embeddings", r"^q_(ann_|embedding_|knn_|kmeans_cluster$)"),
     ("Text analysis / BPE / quality",
-     r"^q_(bpe_|unigram_segment$|lang_id$|quality_|token_counts$|doc_fingerprint$|"
+     r"^q_(bpe_|unigram_segment$|wordpiece_encode$|lang_id$|quality_|"
+     r"token_counts$|doc_fingerprint$|"
      r"gopher_rules$|repetition$|oov_rate$|lm_score$|classifier_filter$|"
      r"source_scorecard$|text_stats$|vocab_stats$|length_buckets$)"),
     ("Events / windows / sessions",
@@ -30,7 +31,7 @@ FAMILIES = [
      r"decayed_engagement$|volume_anomalies$)"),
     ("Curation / packing / splits",
      r"^q_(contamination$|tfidf_keywords$|redact_pii$|"
-     r"stratified_sample$|data_mixture$|pack_sequences$|"
+     r"stratified_sample$|data_mixture$|dsir_sample$|pack_sequences$|"
      r"chunk_documents$|content_chunks$|split_leakage_safe$|train_test_split$|"
      r"select_best$|weighted_sample$|curation_pipeline$)"),
     ("Sketches / profiling / stats",
@@ -39,8 +40,8 @@ FAMILIES = [
      r"sampled_percentiles$|zscore_outliers$|winsorize$|"
      r"profile_orders$)"),
     ("Graph / linkage / retrieval",
-     r"^q_(pagerank$|triangle_count$|community_lp$|fuzzy_match|entity_resolution$|"
-     r"bm25_topk$|hybrid_search$|kmeans_update$)"),
+     r"^q_(pagerank$|triangle_count$|community_lp$|kcore$|fuzzy_match|"
+     r"entity_resolution$|bm25_topk$|hybrid_search$|kmeans_update$)"),
     ("Layout / ordering",
      r"^q_(zorder_curve$|equidepth_bins$|shuffle_shard$)"),
     ("Media (multimodal)", r"^q_media_"),
