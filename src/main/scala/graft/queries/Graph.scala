@@ -290,7 +290,10 @@ object Graph {
       .distinct()
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a"))
+      // pre-partition on b — the PROBE key of every round's value join
+      // (the symmetrized list is balanced either way); the staged layout
+      // then feeds all K joins exchange-free on the big side
+      .repartition(col("b"))
       .stage() // every round's neighbor join re-reads it
     val deg = edges.groupBy(col("a").as("n"))
       .agg(count(lit(1)).as("dg"))

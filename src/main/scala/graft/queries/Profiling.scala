@@ -237,7 +237,102 @@ object Profiling {
       .orderBy(col("check"))
   }
 
+  /** Drift flag threshold: total-variation distance ×10⁶ above which a
+    * dimension is declared drifted (5% mass moved).
+    */
+  val DriftTvFlag = 50000L
+
+  /** DISTRIBUTION DRIFT between two snapshots of the same table — the
+    * monitoring pass that catches a broken upstream filter before it
+    * poisons a training run: per categorical dimension, the exact
+    * TOTAL-VARIATION distance (½·Σ|p_A − p_B|, reported as Σ|·| ×10⁶ …
+    * the L1 form) between snapshot A and snapshot B, plus each
+    * snapshot's Gini impurity (1 − Σp², the concentration witness).
+    * TV and Gini instead of the PSI/KL convention because both are
+    * EXACT in scaled-integer arithmetic — no log, no float, so the
+    * gate hash-matches (the [[Curation.qDsirSample]] lesson: a
+    * quantized log collapses sub-bit signal; TV keeps it linearly).
+    *
+    * Fixture: snapshot A = all orders; snapshot B simulates the broken
+    * filter — every even-keyed URGENT order dropped. The priority
+    * dimension must flag (TV ≈ 18% of mass moved); status and the
+    * price-bucket dimension see only the removal's incidental
+    * correlation (TV ≪ threshold) and must come out clean — the gate
+    * hash-checks the flags, so a monitor that cried wolf on every
+    * dimension (or missed the planted drift) mismatches.
+    *
+    * Scale shape: one melt scan fans each row to |dims| slim
+    * (dim, value) rows with an in-scan B-membership flag — both
+    * snapshots' counts ride ONE map-side-combined aggregate, no second
+    * scan; per-dim totals are a second tiny rollup broadcast back;
+    * output is O(dims). At 100 TB this is the profile-scan cost,
+    * whatever the dimension count.
+    */
+  def qDistributionDrift(s: SparkSession, d: String): DataFrame = {
+    val idiv = graft.text.TextOps.idiv _
+    val ord = Tables.orders(s, d)
+    val inB = !(col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderkey") % 2 === 0)
+    val dims = explode(array(
+      struct(lit("priority").as("dim"), col("o_orderpriority").as("v")),
+      struct(lit("status").as("dim"), col("o_orderstatus").as("v")),
+      struct(lit("price_bucket").as("dim"),
+        floor(col("o_totalprice") / 50000d).cast("string").as("v"))))
+    val counts = ord.select(dims.as("x"), inB.as("in_b"))
+      .groupBy(col("x.dim").as("dim"), col("x.v").as("v"))
+      .agg(count(lit(1)).as("na"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("nb"))
+      .stage() // per-dim totals + the per-value freq pass both read it
+    val totals = counts.groupBy(col("dim").as("tdim"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    counts.join(broadcast(totals), col("dim") === col("tdim"))
+      .select(col("dim"),
+        idiv(col("na") * 1000000L, col("ta")).as("fa"),
+        idiv(col("nb") * 1000000L, col("tb")).as("fb"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        sum(abs(col("fa") - col("fb"))).as("tv_x1e6"),
+        (lit(1000000L) - idiv(sum(col("fa") * col("fa")), lit(1000000L)))
+          .as("gini_a_x1e6"),
+        (lit(1000000L) - idiv(sum(col("fb") * col("fb")), lit(1000000L)))
+          .as("gini_b_x1e6"))
+      .select(col("dim"), col("n_values"), col("tv_x1e6"),
+        col("gini_a_x1e6"), col("gini_b_x1e6"),
+        (col("tv_x1e6") > DriftTvFlag).as("drifted"))
+      .orderBy(col("dim"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // the same melt + double-count pass in SQL; TV and Gini fold the
+    // identical ×1e6 floored frequencies, so the integers agree exactly
+    "q_distribution_drift" ->
+      s"""WITH m AS (SELECT u.dim, u.v,
+         |    NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0)
+         |      AS in_b
+         |  FROM orders
+         |  CROSS JOIN unnest([
+         |    {'dim': 'priority', 'v': o_orderpriority},
+         |    {'dim': 'status', 'v': o_orderstatus},
+         |    {'dim': 'price_bucket',
+         |     'v': CAST(CAST(floor(o_totalprice / 50000) AS BIGINT)
+         |          AS VARCHAR)}]) u(u)),
+         |c AS (SELECT dim, v, CAST(count(*) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM m GROUP BY 1, 2),
+         |t AS (SELECT dim, CAST(sum(na) AS BIGINT) AS ta,
+         |    CAST(sum(nb) AS BIGINT) AS tb FROM c GROUP BY 1),
+         |f AS (SELECT c.dim, (c.na * 1000000) // t.ta AS fa,
+         |    (c.nb * 1000000) // t.tb AS fb
+         |  FROM c JOIN t USING (dim))
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n_values,
+         |  CAST(sum(abs(fa - fb)) AS BIGINT) AS tv_x1e6,
+         |  CAST(1000000 - sum(fa * fa) // 1000000 AS BIGINT)
+         |    AS gini_a_x1e6,
+         |  CAST(1000000 - sum(fb * fb) // 1000000 AS BIGINT)
+         |    AS gini_b_x1e6,
+         |  sum(abs(fa - fb)) > $DriftTvFlag AS drifted
+         |FROM f GROUP BY dim ORDER BY dim""".stripMargin,
     "q_data_validation" ->
       """WITH o AS (SELECT count(*) AS n,
         |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
@@ -364,6 +459,7 @@ object Profiling {
     "q_exact_median" -> (qExactMedian _),
     "q_unpivot_orders" -> (qUnpivotOrders _),
     "q_correlation_stats" -> (qCorrelationStats _),
-    "q_data_validation" -> (qDataValidation _)
+    "q_data_validation" -> (qDataValidation _),
+    "q_distribution_drift" -> (qDistributionDrift _)
   )
 }

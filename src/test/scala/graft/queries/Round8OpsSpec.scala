@@ -752,6 +752,37 @@ class Round8OpsSpec extends SparkSpec {
       "fixture must include keys where update and correction compete")
   }
 
+  test("distribution drift: the planted upstream-filter bias flags " +
+    "exactly the priority dimension; TV and Gini match a direct " +
+    "imperative fold; clean dimensions stay under the threshold") {
+    val rows = graft.queries.Profiling
+      .qDistributionDrift(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rows.keySet == Set("priority", "status", "price_bucket"))
+    assert(rows("priority")._5, "planted drift must flag")
+    assert(!rows("status")._5 && !rows("price_bucket")._5,
+      "clean dimensions must not flag")
+    // imperative reference for the priority dimension
+    val ords = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = ords.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bRows = ords.filterNot { case (k, p) => p == "1-URGENT" && k % 2 == 0 }
+    val b = bRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val (ta, tb) = (ords.length.toLong, bRows.length.toLong)
+    val vals = (a.keySet ++ b.keySet).toSeq
+    val tv = vals.map { v =>
+      math.abs(a.getOrElse(v, 0L) * 1000000L / ta -
+        b.getOrElse(v, 0L) * 1000000L / tb)
+    }.sum
+    val giniA = 1000000L -
+      vals.map(v => { val f = a.getOrElse(v, 0L) * 1000000L / ta; f * f }).sum / 1000000L
+    assert(rows("priority")._2 == tv, s"tv ${rows("priority")._2} != $tv")
+    assert(rows("priority")._3 == giniA)
+    assert(rows("priority")._1 == vals.length.toLong)
+  }
+
   test("WordPiece greedy maximal munch matches a direct imperative " +
     "reference (separate start/## vocabularies, longest-match-first) " +
     "and genuinely differs from the unigram Viterbi segmentation on " +
