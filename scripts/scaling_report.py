@@ -38,7 +38,7 @@ FAMILIES = [
      r"^q_(approx_|cms_topk$|sketch_rollup$|histogram_prices$|"
      r"exact_median$|correlation_stats$|data_validation$|"
      r"sampled_percentiles$|zscore_outliers$|winsorize$|"
-     r"profile_orders$)"),
+     r"profile_orders$|distribution_drift$)"),
     ("Graph / linkage / retrieval",
      r"^q_(pagerank$|triangle_count$|community_lp$|kcore$|fuzzy_match|"
      r"entity_resolution$|bm25_topk$|hybrid_search$|kmeans_update$)"),

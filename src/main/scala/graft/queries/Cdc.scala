@@ -929,8 +929,10 @@ object Cdc {
     import graft.cdc.{IncrementalAggView, IncrementalJoinView}
     val (a1, a2raw, b1, b2raw) = aggViewFixture(s, d)
     val txOf = (expr(s"id div $TxnIvmSpan").cast("long") + 1L).as("tx")
-    val a2t = a2raw.withColumn("tx", txOf)
-    val b2t = b2raw.withColumn("tx", txOf)
+    // staged: each side's fixture lineage feeds the expected count, the
+    // observed count, and the gated delta — three consumers per side
+    val a2t = a2raw.withColumn("tx", txOf).stage()
+    val b2t = b2raw.withColumn("tx", txOf).stage()
     // transaction topic: END events (tx, n_expected) for every txn whose
     // END the capture has already emitted — counts over the FULL event
     // set (the producer knows them), arrival-independent

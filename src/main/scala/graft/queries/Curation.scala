@@ -554,10 +554,13 @@ object Curation {
 
   /** Importance-weight scale for [[qDsirSample]]: weights are parity-
     * centered millionths. Arithmetic headroom: the weight numerator is
-    * `Scale · (c_t+1) · (T_r+V)` — with 10^6 scale that stays under 2^63
-    * up to ~10^5 occurrences of a word in the target × ~10^8 total raw
-    * occurrences; larger corpora lower the scale (the weights only need
-    * to rank) or move the factor into the per-document sum.
+    * `Scale · (c_t+1) · (T_r+V)`, computed with the exact integral `div`
+    * (NOT the floor-of-double idiv, whose exactness window ends at
+    * ~2^52 — review finding, round 8), so the budget is the full int64:
+    * `(c_t+1) · (T_r+V) < 2^63/Scale ≈ 9.2·10^12` — e.g. a 10^4-count
+    * word against ~10^8 total raw occurrences. Larger corpora lower the
+    * scale (the weights only need to rank) or move the scale factor
+    * into the per-document sum.
     */
   val DsirScale = 1000000L
 
@@ -605,10 +608,13 @@ object Curation {
       .stage() // totals + weights both read it
     val tot = wt.agg(count(lit(1)).as("v"),
       sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    // exact int64 division (positive operands: `div` == DuckDB `//`);
+    // idiv's floor-of-double would drift past 2^52 numerators
     val ww = wt.crossJoin(broadcast(tot))
-      .select(col("w"),
-        (idiv(lit(DsirScale) * (col("ct") + 1L) * (col("tr") + col("v")),
-          (col("cr") + 1L) * (col("tt") + col("v"))) - DsirScale).as("wgt"))
+      .withColumn("num",
+        lit(DsirScale) * (col("ct") + 1L) * (col("tr") + col("v")))
+      .withColumn("den", (col("cr") + 1L) * (col("tt") + col("v")))
+      .select(col("w"), (expr("num div den") - DsirScale).as("wgt"))
     val sc = toks.join(ww, "w")
       .groupBy(col("doc_id")).agg(sum(col("wgt")).as("score_scaled"))
     val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"))

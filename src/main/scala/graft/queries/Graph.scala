@@ -236,10 +236,10 @@ object Graph {
 
   /** Rounds of h-operator refinement for [[qKcore]]. Each round can only
     * lower a node's value (monotone from degree toward coreness), and the
-    * sequence is exact coreness once a round is a fixpoint — the gate
-    * carries a per-node `converged` witness (value unchanged by the last
-    * round) so the output is honest about which nodes have provably
-    * reached their core number. Six rounds reach the fixpoint on the
+    * values are exact coreness once a round is a GLOBAL fixpoint — the
+    * gate carries that fixpoint witness in every row's `converged`
+    * column, so the output is honest about whether the core numbers are
+    * proven or still upper bounds. Six rounds reach the fixpoint on the
     * trade graph at every gated SF (measured: 2 at sf0.001, 4 at sf0.01,
     * 6 at sf0.1); fixed rounds keep the oracle an unrolled CTE chain,
     * the same posture as PageRank/LPA.
@@ -313,13 +313,21 @@ object Graph {
     // read it — without the stage the K−1-round prefix would execute twice
     val hPrev = hv.stage()
     val last = round(hPrev).stage() // compare + output both read it
+    // `converged` is a GLOBAL fixpoint witness — the same value on every
+    // row: true iff NO node changed in the last round. Only then is every
+    // value provably the coreness (the h-operator's fixpoint theorem, Lü
+    // 2016); a PER-NODE plateau is NOT a proof — a node on a long
+    // low-degree path holds h two rounds running while the peel wave is
+    // still hops away, so a per-node h_K = h_{K−1} flag would lie on
+    // graphs deeper than the fixed rounds (review finding, round 8).
     val conv = last.join(
         hPrev.select(col("n").as("pn"), col("h").as("ph")),
         col("n") === col("pn"))
-      .select(col("n").as("cn"), (col("h") === col("ph")).as("converged"))
+      .agg((sum(when(col("h") =!= col("ph"), 1L).otherwise(0L)) === 0L)
+        .as("converged"))
     deg
       .join(last.select(col("n").as("ln"), col("h")), col("n") === col("ln"))
-      .join(conv, col("n") === col("cn"))
+      .crossJoin(broadcast(conv))
       .select(
         when(col("n") % 2 === 0, concat(lit("c"), shiftright(col("n"), 1)))
           .otherwise(concat(lit("s"), shiftright(col("n"), 1))).as("node"),
@@ -350,9 +358,10 @@ object Graph {
          |            ELSE 's' || CAST(n // 2 AS VARCHAR) END AS node,
          |  CAST(deg.dg AS BIGINT) AS degree,
          |  CAST(hl.h AS BIGINT) AS core,
-         |  hl.h = hp.h AS converged
+         |  (SELECT count(*) FROM h$KcoreRounds a
+         |     JOIN h${KcoreRounds - 1} b USING (n)
+         |     WHERE a.h <> b.h) = 0 AS converged
          |FROM deg JOIN h$KcoreRounds hl USING (n)
-         |  JOIN h${KcoreRounds - 1} hp USING (n)
          |ORDER BY node""".stripMargin
     },
     "q_community_lp" -> {

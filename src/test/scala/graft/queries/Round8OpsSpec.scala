@@ -611,17 +611,23 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.length > 1 &&
       rows.exists(r => r._3 < r._2),
       "coreness must be non-degenerate (not just degree) at sf0.001")
-    rows.foreach { case (id, deg, core, converged) =>
+    // converged is a GLOBAL fixpoint witness: identical on every row,
+    // and a true flag proves EVERY value is the exact coreness (a
+    // per-node plateau proves nothing — review finding, round 8)
+    assert(rows.map(_._4).distinct.length == 1,
+      "converged must be the same global flag on every row")
+    val converged = rows.head._4
+    assert(converged,
+      "six rounds must reach the fixpoint on the sf0.001 trade graph")
+    rows.foreach { case (id, deg, core, _) =>
       val ref = coreRef(id)
       assert(core <= deg, s"node $id: core $core > degree $deg")
       assert(core >= ref,
         s"node $id: h-operator value $core below true coreness $ref")
       if (converged)
         assert(core == ref,
-          s"node $id: converged but core $core != coreness $ref")
+          s"node $id: global fixpoint but core $core != coreness $ref")
     }
-    assert(rows.count(_._4) * 10 >= rows.length * 9,
-      "most nodes should converge within the fixed rounds at sf0.001")
   }
 
   test("DSIR importance resampling: exactly ⌊N/4⌋ docs selected, the " +
