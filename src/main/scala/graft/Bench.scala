@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reclaims broadcast/shuffle blocks via WEAK refs, so
+      // in a suite-length JVM with little heap pressure the default 30min
+      // periodic GC never fires and ~342 gates' broadcast blocks pile up
+      // in storage memory. 1min bounds that accumulation.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // suite mode: lets deterministic derived values (the PQ trained
@@ -35,9 +40,36 @@ object Bench {
     val memoTwins = Set("q_dedup_ngram", "q_dedup_minhash",
       "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
       "q_bpe_train")
+    // Per-gate RECEIPTS (round-8 verdict item #1): the driver's r8 run
+    // held q_pagerank at 14.8s on both passes vs the committed 4.48s
+    // median, and an exact driver-mode rerun on the build host measured
+    // 4.48s — so the inflation is environmental, not plan or suite state.
+    // These three numbers separate the remaining hypotheses per gate:
+    //   cpu/wall  — JVM process-CPU seconds over wall seconds. Host
+    //               contention (co-located load, CPU steal) collapses it;
+    //               a clean heavy query keeps it near the core count.
+    //   gc_ms     — collector time inside the gate. GC thrash from block
+    //               accumulation shows here, contention does not.
+    //   stor_mb   — block-manager storage in use AFTER the per-gate free.
+    //               Leaked staged blocks would trend upward across the
+    //               suite; memo-pinned seeds are the only expected floor.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def storMb: Long = {
+      val used = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
+      used / (1024 * 1024)
+    }
+    var receipts: Map[String, String] = Map.empty
     def once(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
+      val (gc0, cpu0) = (gcMs, osBean.getProcessCpuTime)
       val t0 = System.nanoTime()
       val err: Option[String] =
         try {
@@ -63,8 +95,17 @@ object Bench {
         .filter { case (id, _) => !graft.queries.QueryMemo.isPinned(id) }
         .values.foreach(_.unpersist(true))
       // stderr progress (stdout carries only the JSON contract): makes a
-      // stalled or anomalously slow query identifiable mid-run
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      // stalled or anomalously slow query identifiable mid-run. The
+      // receipt triple rides both here and in the file artifact (last
+      // measured run per query wins — the one the kept number came from
+      // is adjacent in the stderr log either way).
+      val (dGc, dCpu) = (gcMs - gc0, (osBean.getProcessCpuTime - cpu0) / 1e9)
+      val ratio = if (dt > 0) dCpu / dt else 0.0
+      val sm = storMb
+      receipts += name ->
+        f"""{"cpu_per_wall":$ratio%.2f,"gc_ms":$dGc,"stor_mb":$sm}"""
+      System.err.println(
+        f"[bench] $name%-28s $dt%8.2f s  cpu/wall=$ratio%5.2f gc=${dGc}%5d ms stor=${sm}%5d MB")
       (dt, err)
     }
     // memo twins run first so every composite that can reuse them does
@@ -175,6 +216,11 @@ object Bench {
       else spreads.toSeq.sortBy(_._1).map { case (k, (lo, hi)) =>
         "\"" + k + "\":[" + lo + "," + hi + "]"
       }.mkString(""","spread":{""", ",", "}")
+    // receipts ride only in the FILE artifact (the stdout line must stay
+    // compact); keys are pre-escaped query names, values literal JSON
+    val receiptJson = receipts.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(""","receipts":{""", ",", "}")
     def line(qs: String, extra: String = "") =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir","n_queries":${results.size}}"""
     // Full per-query detail goes to the file; stdout gets a COMPACT line
@@ -185,7 +231,7 @@ object Bench {
     // last thing printed.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      line(qJson(results), spreadJson))
+      line(qJson(results), spreadJson + receiptJson))
     spark.stop()
     println(line(qJson(results.sortBy(-_._2).take(12))))
   }

@@ -823,16 +823,14 @@ object Cdc {
       tag(a2, "a", hasG = true).unionByName(tag(b2, "b", hasG = false))
         .coalesce(1).write.parquet(s"$st/gen2")
     }
-    def latestVersion: Option[Long] = {
-      val dir = new java.io.File(s"$store/agg")
-      Option(dir.listFiles).map(_.filter(_.getName.startsWith("v"))
-        .map(_.getName.drop(1).toLong)).filter(_.nonEmpty).map(_.max)
-    }
-    def readLatest(kind: String): Option[DataFrame] = latestVersion.map {
-      v => s.read.parquet(s"$store/$kind/v$v")
-    }
+    // Versioned state publishing through the Hadoop FileSystem API (the
+    // round-8 java.io.File listing was a cluster-portability bug: on a
+    // non-local store it silently re-bootstrapped every batch). The agg
+    // kind anchors version discovery and is published LAST per batch.
+    val state = new graft.cdc.VersionedState(s, store, "agg")
+    def readLatest(kind: String): Option[DataFrame] = state.readLatest(kind)
     def publish(kind: String, id: Long, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$store/$kind/v$id")
+      state.publish(kind, id, df)
     def run(): Unit =
       s.readStream
         .schema("side STRING, id INT, op STRING, lsn LONG, g STRING, bal LONG")
@@ -858,9 +856,12 @@ object Cdc {
                   .bootstrap(aS, bS, "id", "g", "balance")
                   .withColumn("via", lit("bootstrap")), aS, bS)
             }
-          publish("agg", id, next._1)
+          // side states first, the version-anchoring agg LAST: a crash
+          // between publishes leaves the previous version current
+          // instead of exposing a torn one
           publish("aState", id, next._2)
           publish("bState", id, next._3)
+          publish("agg", id, next._1)
           b.unpersist(): Unit
         }
         .option("checkpointLocation", ck)
@@ -1120,8 +1121,13 @@ object Cdc {
     * retraction∪insertion sets, `carried` for groups the merge never
     * rewrote — a recompute has no generation boundary to derive it.
     */
-  def qCdcFkAggView(s: SparkSession, d: String): DataFrame = {
-    import graft.cdc.{IncrementalFkAggView, IncrementalJoinView}
+  /** The FK-agg change fixture — ONE recipe shared by the batch gate
+    * ([[qCdcFkAggView]]) and its streaming drive ([[qCdcFkStreamIvm]]),
+    * so the two gates and their common oracle can never drift apart.
+    * Returns (factGen1, factGen2, dimGen1, dimGen2).
+    */
+  private def fkAggFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val H = FkAggHorizon
     val ords = Tables.orders(s, d).select(
       col("o_orderkey").cast("int").as("order_id"),
@@ -1157,6 +1163,12 @@ object Cdc {
         .select(col("d_id"), lit("d").as("op"),
           (dlsn + 20000000L).as("lsn"),
           lit(null).cast("string").as("g")))
+    (f1, f2, d1, d2)
+  }
+
+  def qCdcFkAggView(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalFkAggView, IncrementalJoinView}
+    val (f1, f2, d1, d2) = fkAggFixture(s, d)
     // generation 1: bootstrap states + the materialized rollup
     val fState1 = IncrementalJoinView.sideState(f1, "order_id").stage()
     val dState1 = IncrementalJoinView.sideState(d1, "d_id").stage()
@@ -1170,6 +1182,112 @@ object Cdc {
       "maintained_via")
     agg2.select(col("g"), col("n_members"),
         col("total").as("total_amount"), col("maintained_via"))
+      .orderBy(col("g"))
+  }
+
+  /** STREAMING drive of the N:1 foreign-key aggregate maintenance — the
+    * [[qCdcStreamIvm]] pattern over the [[qCdcFkAggView]] machinery,
+    * closing the round-8 gap (the FK family was batch-gated only while
+    * the reference's consumers maintain exactly this shape from live
+    * change streams, `/root/reference/docs/architecture.md:49-66`).
+    *
+    * One side-tagged parquet stream carries both the fact and dim change
+    * feeds (the one-topic-per-view transport layout). Generation 1
+    * arrives as one micro-batch and BOOTSTRAPS the fan-out states + the
+    * rollup; the stream then STOPS, generation 2 lands while it is down,
+    * and a restarted run must RESUME from the checkpoint and apply gen 2
+    * as one [[graft.cdc.IncrementalFkAggView.step]] — a re-bootstrap on
+    * restart would flip every marker to `bootstrap`/`delta_applied`'s
+    * shape, and a torn or non-idempotent state publish would shift a
+    * group. State versions publish through [[graft.cdc.VersionedState]]
+    * (Hadoop FileSystem API, batch-id-keyed idempotent overwrites,
+    * version-anchoring agg kind written last).
+    *
+    * The oracle is IDENTICAL to the batch gate's closed form — the
+    * maintained view must not depend on the delivery mode.
+    *
+    * Scale shape: per micro-batch cost is the batch step's
+    * O(|Δ| + fan-out + |touched groups|) plus one state read/write;
+    * state partition count is a config sized to state volume.
+    */
+  def qCdcFkStreamIvm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.cdc.{IncrementalFkAggView, IncrementalJoinView}
+    val base = gateTmpDir("graft_fk_stream_ivm", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, store, ck) = (s"$base/in", s"$base/store", s"$base/ck")
+    val staged = stageOnce(s, "graft_fk_stream_ivm_staged", d) { st =>
+      val (f1, f2, d1, d2) = fkAggFixture(s, d)
+      def tag(df: DataFrame, side: String, isFact: Boolean): DataFrame =
+        df.select(lit(side).as("side"),
+          (if (isFact) col("order_id") else col("d_id")).as("id"),
+          col("op"), col("lsn"),
+          (if (isFact) col("cust_id") else lit(null).cast("int")).as("fk"),
+          (if (isFact) col("amount") else lit(null).cast("long"))
+            .as("amount"),
+          (if (isFact) lit(null).cast("string") else col("g")).as("g"))
+      // each generation MUST land as one file → one micro-batch, so the
+      // final markers are the single-step touched set the oracle folds
+      tag(f1, "f", isFact = true).unionByName(tag(d1, "d", isFact = false))
+        .coalesce(1).write.parquet(s"$st/gen1")
+      tag(f2, "f", isFact = true).unionByName(tag(d2, "d", isFact = false))
+        .coalesce(1).write.parquet(s"$st/gen2")
+    }
+    val state = new graft.cdc.VersionedState(s, store, "agg")
+    def run(): Unit =
+      s.readStream
+        .schema("side STRING, id INT, op STRING, lsn LONG, " +
+          "fk INT, amount LONG, g STRING")
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.cache()
+          val fDelta = b.filter(col("side") === "f")
+            .select(col("id").as("order_id"), col("op"), col("lsn"),
+              col("fk").as("cust_id"), col("amount"))
+          val dDelta = b.filter(col("side") === "d")
+            .select(col("id").as("d_id"), col("op"), col("lsn"), col("g"))
+          val next =
+            (state.readLatest("fState"), state.readLatest("dState"),
+              state.readLatest("agg")) match {
+              case (Some(fS), Some(dS), Some(agg)) =>
+                IncrementalFkAggView.step(agg.drop("via"), fS, dS,
+                  fDelta, dDelta, "order_id", "cust_id", "d_id", "g",
+                  "amount", "via")
+              case _ =>
+                val fS = IncrementalJoinView.sideState(fDelta, "order_id")
+                val dS = IncrementalJoinView.sideState(dDelta, "d_id")
+                (IncrementalFkAggView
+                  .bootstrap(fS, dS, "order_id", "cust_id", "d_id",
+                    "g", "amount")
+                  .withColumn("via", lit("bootstrap")), fS, dS)
+            }
+          // side states first, the version-anchoring agg LAST: a crash
+          // between publishes leaves the previous version current
+          state.publish("fState", id, next._2)
+          state.publish("dState", id, next._3)
+          state.publish("agg", id, next._1)
+          b.unpersist(): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    // state/store partitions sized to state volume (see qCdcTxnStream)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      copyStaged(s, s"$staged/gen1", inDir, "g1")
+      run() // generation 1 bootstraps the maintained state
+      // generation 2 lands while the stream is DOWN; the restarted run
+      // must resume from the checkpoint and APPLY it as one step
+      copyStaged(s, s"$staged/gen2", inDir, "g2")
+      run()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    state.readLatest("agg").get
+      .select(col("g"), col("n_members"), col("total").as("total_amount"),
+        col("via").as("maintained_via"))
       .orderBy(col("g"))
   }
 
@@ -1616,6 +1734,64 @@ object Cdc {
        |       ELSE 'carried' END AS maintained_via
        |FROM v LEFT JOIN tg ON v.g = tg.g ORDER BY v.g""".stripMargin
 
+  /** Shared closed form for [[qCdcFkAggView]] and [[qCdcFkStreamIvm]] —
+    * the FK batch step and its streaming drive fold the same fixture:
+    * the final rollup over surviving facts' post-gen-2 fks/amounts
+    * joined to surviving dims' post-gen-2 groups; a group is
+    * 'delta_applied' iff it appears in the touched facts' OLD (pre-batch
+    * fk → pre-batch group) or NEW (post-batch fk → post-batch group,
+    * survivors only) contribution sets — exactly the
+    * retraction∪insertion frontier the merge rewrites. Touched facts =
+    * own deltas ∪ dim fan-out, all inside the horizon.
+    */
+  private lazy val fkAggViewOracle: String =
+    s"""WITH f AS (
+       |  SELECT o_orderkey AS oid, CAST(o_custkey AS INT) AS fk_old,
+       |    CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
+       |         THEN CAST(o_orderkey % 100 + 1 AS INT)
+       |         ELSE CAST(o_custkey AS INT) END AS fk_new,
+       |    CAST(o_orderkey * 3 % 1000
+       |      + CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
+       |             THEN 5000 ELSE 0 END AS BIGINT) AS amount
+       |  FROM orders
+       |  WHERE NOT (o_orderkey % 11 = 0 AND o_custkey < $FkAggHorizon)),
+       |d AS (
+       |  SELECT CAST(c_custkey AS INT) AS d_id,
+       |    lower(c_mktsegment) || '-' || CAST(c_custkey // 100 AS VARCHAR)
+       |      AS g_pre,
+       |    CASE WHEN c_custkey % 10 = 0 AND c_custkey < $FkAggHorizon
+       |         THEN 'vip-' || CAST(c_custkey // 100 AS VARCHAR)
+       |         ELSE lower(c_mktsegment) || '-'
+       |           || CAST(c_custkey // 100 AS VARCHAR) END AS g_post,
+       |    NOT (c_custkey % 13 = 0 AND c_custkey < $FkAggHorizon)
+       |      AS alive
+       |  FROM customer),
+       |v AS (SELECT d.g_post AS g, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(f.amount) AS BIGINT) AS total_amount
+       |  FROM f JOIN d ON f.fk_new = d.d_id AND d.alive GROUP BY 1),
+       |tf AS (
+       |  SELECT o_orderkey AS oid, CAST(o_custkey AS INT) AS fk_old,
+       |    CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
+       |         THEN CAST(o_orderkey % 100 + 1 AS INT)
+       |         ELSE CAST(o_custkey AS INT) END AS fk_new,
+       |    (o_orderkey % 11 = 0 AND o_custkey < $FkAggHorizon) AS deleted
+       |  FROM orders
+       |  WHERE ((o_orderkey % 9 = 0 OR o_orderkey % 11 = 0)
+       |         AND o_custkey < $FkAggHorizon)
+       |     OR ((o_custkey % 10 = 0 OR o_custkey % 13 = 0)
+       |         AND o_custkey < $FkAggHorizon)),
+       |tg AS (SELECT DISTINCT g FROM (
+       |    SELECT d.g_pre AS g FROM tf JOIN d ON tf.fk_old = d.d_id
+       |    UNION ALL
+       |    SELECT d.g_post FROM tf
+       |    JOIN d ON tf.fk_new = d.d_id AND d.alive
+       |    WHERE NOT tf.deleted))
+       |SELECT v.g, v.n_members, v.total_amount,
+       |  CASE WHEN tg.g IS NOT NULL THEN 'delta_applied'
+       |       ELSE 'carried' END AS maintained_via
+       |FROM v LEFT JOIN tg ON v.g = tg.g
+       |ORDER BY v.g""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_cdc_dsv2_scan" -> dsv2PerOpOracle,
     "q_cdc_dsv2_tail" -> dsv2PerOpOracle,
@@ -1691,53 +1867,15 @@ object Cdc {
     // sets — exactly the retraction∪insertion frontier the merge
     // rewrites. Touched facts = own deltas ∪ dim fan-out, all inside
     // the horizon.
-    "q_cdc_fk_agg_view" ->
-      s"""WITH f AS (
-         |  SELECT o_orderkey AS oid, CAST(o_custkey AS INT) AS fk_old,
-         |    CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
-         |         THEN CAST(o_orderkey % 100 + 1 AS INT)
-         |         ELSE CAST(o_custkey AS INT) END AS fk_new,
-         |    CAST(o_orderkey * 3 % 1000
-         |      + CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
-         |             THEN 5000 ELSE 0 END AS BIGINT) AS amount
-         |  FROM orders
-         |  WHERE NOT (o_orderkey % 11 = 0 AND o_custkey < $FkAggHorizon)),
-         |d AS (
-         |  SELECT CAST(c_custkey AS INT) AS d_id,
-         |    lower(c_mktsegment) || '-' || CAST(c_custkey // 100 AS VARCHAR)
-         |      AS g_pre,
-         |    CASE WHEN c_custkey % 10 = 0 AND c_custkey < $FkAggHorizon
-         |         THEN 'vip-' || CAST(c_custkey // 100 AS VARCHAR)
-         |         ELSE lower(c_mktsegment) || '-'
-         |           || CAST(c_custkey // 100 AS VARCHAR) END AS g_post,
-         |    NOT (c_custkey % 13 = 0 AND c_custkey < $FkAggHorizon)
-         |      AS alive
-         |  FROM customer),
-         |v AS (SELECT d.g_post AS g, CAST(count(*) AS BIGINT) AS n_members,
-         |    CAST(sum(f.amount) AS BIGINT) AS total_amount
-         |  FROM f JOIN d ON f.fk_new = d.d_id AND d.alive GROUP BY 1),
-         |tf AS (
-         |  SELECT o_orderkey AS oid, CAST(o_custkey AS INT) AS fk_old,
-         |    CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
-         |         THEN CAST(o_orderkey % 100 + 1 AS INT)
-         |         ELSE CAST(o_custkey AS INT) END AS fk_new,
-         |    (o_orderkey % 11 = 0 AND o_custkey < $FkAggHorizon) AS deleted
-         |  FROM orders
-         |  WHERE ((o_orderkey % 9 = 0 OR o_orderkey % 11 = 0)
-         |         AND o_custkey < $FkAggHorizon)
-         |     OR ((o_custkey % 10 = 0 OR o_custkey % 13 = 0)
-         |         AND o_custkey < $FkAggHorizon)),
-         |tg AS (SELECT DISTINCT g FROM (
-         |    SELECT d.g_pre AS g FROM tf JOIN d ON tf.fk_old = d.d_id
-         |    UNION ALL
-         |    SELECT d.g_post FROM tf
-         |    JOIN d ON tf.fk_new = d.d_id AND d.alive
-         |    WHERE NOT tf.deleted))
-         |SELECT v.g, v.n_members, v.total_amount,
-         |  CASE WHEN tg.g IS NOT NULL THEN 'delta_applied'
-         |       ELSE 'carried' END AS maintained_via
-         |FROM v LEFT JOIN tg ON v.g = tg.g
-         |ORDER BY v.g""".stripMargin,
+    "q_cdc_fk_agg_view" -> fkAggViewOracle,
+
+    // IDENTICAL closed form: the streaming drive delivers the same two
+    // FK generations through foreachBatch micro-batches with a
+    // checkpoint restart between them, and must land on the same
+    // maintained rollup (a re-bootstrap on restart would flip every
+    // marker; a torn or non-idempotent state publish would shift a
+    // group; a fan-out miss would leave a moved contribution behind)
+    "q_cdc_fk_stream_ivm" -> fkAggViewOracle,
 
     // closed-form fold of both FK-view lifecycles: surviving facts
     // (orderkey%11≠0) with their post-gen-2 fk/amount join surviving
@@ -2080,6 +2218,7 @@ object Cdc {
     "q_cdc_bitemporal" -> (qCdcBitemporal _),
     "q_cdc_fk_view" -> (qCdcFkView _),
     "q_cdc_fk_agg_view" -> (qCdcFkAggView _),
+    "q_cdc_fk_stream_ivm" -> (qCdcFkStreamIvm _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),

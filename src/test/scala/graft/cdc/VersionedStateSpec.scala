@@ -1,0 +1,72 @@
+package graft.cdc
+
+import graft.SparkSpec
+
+/** A real Hadoop FileSystem registered under a NON-`file:` scheme, backed
+  * by the local disk. Hadoop instantiates it reflectively from the
+  * `fs.graftmock.impl` conf key, exactly as it would an HDFS or object
+  * store client — so any code path that only works through `java.io.File`
+  * breaks under this scheme while FileSystem-API code keeps working.
+  */
+class MockSchemeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI =
+    java.net.URI.create(MockSchemeFileSystem.Scheme + ":///")
+  override def getScheme: String = MockSchemeFileSystem.Scheme
+}
+object MockSchemeFileSystem { val Scheme = "graftmock" }
+
+/** Pins [[VersionedState]]'s cluster portability: version discovery,
+  * reads, and idempotent publishes must all resolve through the Hadoop
+  * FileSystem API, proven against a non-`file:` scheme where the round-8
+  * `java.io.File` listing bug would silently see nothing.
+  */
+class VersionedStateSpec extends SparkSpec {
+
+  private lazy val store: String = {
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.${MockSchemeFileSystem.Scheme}.impl",
+      classOf[MockSchemeFileSystem].getName)
+    s"${MockSchemeFileSystem.Scheme}://${tmpDir("graft-vstate")}/store"
+  }
+
+  private def df(rows: Seq[(String, Long)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("g", "total")
+  }
+
+  test("latestVersion resolves through the Hadoop API on a non-file scheme") {
+    val vs = new VersionedState(spark, store, "agg")
+    assert(vs.latestVersion.isEmpty, "empty store must report no version")
+
+    vs.publish("agg", 0L, df(Seq(("a", 1L))))
+    vs.publish("agg", 3L, df(Seq(("a", 2L), ("b", 5L))))
+    assert(vs.latestVersion.contains(3L))
+
+    // the exact round-8 bug: a java.io.File listing of the same store
+    // sees NOTHING under a non-local scheme (no error, just None-shaped
+    // emptiness) — the regression this spec exists to catch
+    assert(new java.io.File(s"$store/agg").listFiles() == null)
+
+    val latest = vs.readLatest("agg").get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(latest.toSeq == Seq(("a", 2L), ("b", 5L)))
+  }
+
+  test("publish is idempotent under batch-id replay") {
+    val vs = new VersionedState(spark, store, "agg")
+    // checkpoint-replayed foreachBatch re-delivers the same batch id:
+    // the overwrite must land the replayed content, not fail or append
+    vs.publish("agg", 3L, df(Seq(("a", 2L), ("b", 5L))))
+    assert(vs.latestVersion.contains(3L))
+    assert(vs.readLatest("agg").get.count() == 2)
+  }
+
+  test("anchor kind alone drives version discovery") {
+    val vs = new VersionedState(spark, store, "agg")
+    // a newer side-state publish without its anchor (the torn-batch
+    // crash window) must NOT advance the visible version
+    vs.publish("aState", 7L, df(Seq(("x", 9L))))
+    assert(vs.latestVersion.contains(3L))
+    assert(vs.readLatest("agg").get.count() == 2)
+  }
+}
