@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   * corpus-sized label table is touched by exactly ONE broadcast-join
   * relabel pass.
   *
-  * Deletions are intentionally out of scope: decremental connectivity
-  * has no local formulation (removing one bridge can split a component
-  * only a full traversal can certify), and append-only is the real
-  * contract of candidate-pair streams. A deletion-bearing workload
-  * recomputes — the same posture as the batch operator.
+  * Deletions have no local formulation (removing one bridge can split a
+  * component only a full traversal can certify), and append-only is the
+  * real contract of candidate-pair streams — [[step]] therefore handles
+  * insertions only. A deletion-bearing batch goes through
+  * [[stepWithTombstones]], which DETECTS tombstones and falls back to a
+  * witnessed recompute scoped to the affected components (gated by
+  * `q_dedup_clusters_tombstone`), never silently treating the batch as
+  * append-only.
   *
   * The `via` marker witnesses maintenance structure inside the hash
   * gate: 'merged' exactly for rows whose component label the batch
@@ -84,5 +87,77 @@ object IncrementalComponents {
         coalesce(col("__new"), col(labelCol)).as(labelCol),
         lit("merged").as(via))
     relabeled.unionByName(fresh)
+  }
+
+  /** Maintenance step for a batch that MAY carry edge TOMBSTONES
+    * (`opCol` = 'd' rows naming an existing pair in its stored
+    * orientation; anything else is an insertion).
+    *
+    * Dispatch is explicit, never silent: a delete-free batch routes
+    * through the O(|Δ|) [[step]]; a deletion-bearing batch falls back to
+    * a WITNESSED recompute — decremental connectivity has no local form
+    * (only a traversal can certify whether removing a bridge splits a
+    * component) — but the recompute is SCOPED to the affected
+    * components. Deleting or inserting an edge can only change the
+    * component structure of components holding a delta endpoint: every
+    * surviving old edge has both endpoints under one old label, and
+    * every inserted edge's endpoints are delta endpoints, so the
+    * affected subgraph is CLOSED and everything outside it carries
+    * verbatim. At corpus scale a tombstone therefore re-certifies its
+    * own component's subgraph, not the corpus.
+    *
+    * Requires the maintained live edge set (the pair system of record a
+    * real dedup service keeps anyway). Returns `(labels', liveEdges')`;
+    * labels' carries `via` ∈ {'recomputed', 'carried'} on the fallback
+    * path and [[step]]'s {'merged', 'carried'} on the append-only path.
+    * The dispatch read (`isEmpty` on the delta's tombstone slice) is
+    * delta-bounded driver traffic, the same order as the IVM gates'
+    * per-batch bookkeeping.
+    */
+  def stepWithTombstones(labels: DataFrame, liveEdges: DataFrame,
+      delta: DataFrame, opCol: String, nodeCol: String, labelCol: String,
+      srcCol: String, dstCol: String, via: String)
+      : (DataFrame, DataFrame) = {
+    import graft.Materialize.Ops
+    val dels = delta.filter(col(opCol) === "d")
+      .select(col(srcCol), col(dstCol))
+    val ins = delta.filter(col(opCol) =!= "d")
+      .select(col(srcCol), col(dstCol))
+    val survivors = liveEdges.join(dels, Seq(srcCol, dstCol), "left_anti")
+      .unionByName(ins)
+    if (dels.isEmpty)
+      (step(labels, ins, nodeCol, labelCol, srcCol, dstCol, via), survivors)
+    else {
+      val lbl = labels.select(col(nodeCol), col(labelCol))
+      // affected components = labels holding ANY delta endpoint
+      // (deletes and inserts both); unseen endpoints are their own label
+      val ends = delta
+        .select(explode(array(col(srcCol), col(dstCol))).as(nodeCol))
+        .distinct()
+      val touched = ends.join(lbl, Seq(nodeCol), "left")
+        .select(coalesce(col(labelCol), col(nodeCol)).as("__tl"))
+        .distinct()
+        .stage() // semi/anti probes below; delta-bounded build side
+      val fresh = ends.join(lbl.select(col(nodeCol)), Seq(nodeCol),
+        "left_anti")
+      val affNodes = lbl
+        .join(broadcast(touched), col(labelCol) === col("__tl"),
+          "left_semi")
+        .select(col(nodeCol)).unionByName(fresh)
+        .stage() // the recompute's node frame + the edge scope probe
+      // the affected subgraph is closed (see scaladoc), so scoping on
+      // the src endpoint alone keeps the surviving-edge scan one-pass
+      val affEdges = survivors.join(
+        affNodes.select(col(nodeCol).as(srcCol)), Seq(srcCol), "left_semi")
+      val recomputed = MinLabelComponents
+        .components(affNodes, affEdges, nodeCol, srcCol, dstCol)
+        .select(col(nodeCol), col("label").as(labelCol),
+          lit("recomputed").as(via))
+      val carried = lbl
+        .join(broadcast(touched), col(labelCol) === col("__tl"),
+          "left_anti")
+        .select(col(nodeCol), col(labelCol), lit("carried").as(via))
+      (carried.unionByName(recomputed), survivors)
+    }
   }
 }

@@ -377,6 +377,84 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** DELETION-BEARING cluster maintenance ([[graft.operators
+    * .IncrementalComponents.stepWithTombstones]] — round-8 verdict item
+    * #4): the incremental-CC contract under a batch that RETRACTS pairs.
+    * Decremental connectivity has no local form, so the documented
+    * posture is detect-and-recompute — this gate WITNESSES it: the step
+    * must notice the tombstones and certify the affected components by
+    * traversal (splitting a chain the closed form predicts), while
+    * everything untouched carries verbatim, and the `maintained_via`
+    * column proves which path ran per cluster inside the hash.
+    *
+    * Three generations: gen 1 + gen 2 are EXACTLY
+    * [[qDedupClustersIncremental]]'s fixture (bootstrap chains, then the
+    * append-only merge batch — dispatched through the O(Δ) incremental
+    * step, markers 'merged'/'carried'). Generation 3 targets decades
+    * d ≡ 7 (mod 16) — provably untouched by gen 2 (gen-2 rules touch no
+    * decade ≡ 7 mod 8) — with a tombstone on the chain's middle edge
+    * (id ≡ 72 mod 160: delete id→id+1, SPLITTING {10d+1..10d+4} into two
+    * pairs) and an insertion (id ≡ 75 mod 160: id→id+1, merging two
+    * singletons) in the SAME batch. Final markers: 'recomputed' exactly
+    * for gen-3-affected components, else the gen-2 marker — all three
+    * values present, so a silent append-only treatment (the split never
+    * happens), a corpus-wide recompute (carried/merged markers vanish),
+    * or a missed detection each hash-mismatch.
+    *
+    * Scale shape: the fallback's traversal runs over the AFFECTED
+    * subgraph only (closed under both delete and insert endpoints' old
+    * labels); the corpus-sized label table sees one broadcast semi/anti
+    * probe pair. A tombstone re-certifies its own component, not the
+    * corpus.
+    */
+  def qDedupClustersTombstone(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("int").as("id"))
+      .stage() // gen-1 edges, gen-2 rules, gen-3 rules, endpoint guards
+    val nodes = c.select(col("id").as("node"))
+    val e1 = c.filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels1 = graft.operators.MinLabelComponents
+      .components(nodes, e1, "node", "a", "b")
+    val d0 = c.filter(col("id") % 20 === 4)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .unionByName(c.filter(col("id") % 40 === 1)
+        .select(col("id").as("a"), (col("id") + 10).as("b")))
+      .unionByName(c.filter(col("id") % 80 === 31)
+        .select(col("id").as("a"), (col("id") + 2).as("b")))
+      .join(c.select(col("id").as("b")), Seq("b"), "left_semi")
+    val delta2 = d0.unionByName(c.filter(col("id") % 40 === 11)
+      .select(col("id").as("a"), (col("id") + 10000000).as("b")))
+    val labels2 = graft.operators.IncrementalComponents
+      .step(labels1, delta2, "node", "label", "a", "b", "via2")
+      .stage() // the tombstone step's input + the final marker join
+    // generation 3: tombstone + insertion in one batch, endpoint-guarded
+    // so the rules stay inside the corpus at any SF
+    def guarded(f: org.apache.spark.sql.Column): DataFrame =
+      c.filter(f).select(col("id").as("a"), (col("id") + 1).as("b"))
+        .join(c.select(col("id").as("b")), Seq("b"), "left_semi")
+    val delta3 = guarded(col("id") % 160 === 72).withColumn("op", lit("d"))
+      .unionByName(guarded(col("id") % 160 === 75)
+        .withColumn("op", lit("i")))
+    val (labels3, _) = graft.operators.IncrementalComponents
+      .stepWithTombstones(labels2.select(col("node"), col("label")),
+        e1.unionByName(delta2), delta3, "op", "node", "label", "a", "b",
+        "via3")
+    // final marker: the recompute path outranks; carried-through-gen-3
+    // clusters keep their gen-2 witness ('merged'/'carried'). Markers
+    // are uniform per final cluster on both axes; max() just reduces.
+    labels3.join(labels2.select(col("node"), col("via2")), Seq("node"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws(",", sort_array(collect_list(col("node"))))
+          .as("members"),
+        max(col("via3")).as("v3"), max(col("via2")).as("v2"))
+      .select(col("cluster_id"), col("cluster_size"), col("members"),
+        when(col("v3") === "recomputed", lit("recomputed"))
+          .otherwise(col("v2")).as("maintained_via"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Window length (tokens) for substring-level dedup. */
   val SubstrK = 8
 
@@ -825,6 +903,68 @@ object Dedup {
         |    AS maintained_via
         |FROM f GROUP BY label ORDER BY cluster_id""".stripMargin,
 
+    // the incremental-clusters closed form EXTENDED by generation 3:
+    // final edges = (gen-1 ∪ gen-2) minus the guarded tombstones plus
+    // the guarded insertions; a cluster is 'recomputed' iff any member's
+    // gen-1 label (= its pre-gen-3 label — gen-3 decades are provably
+    // gen-2-untouched) is an endpoint label of the gen-3 batch, else the
+    // gen-2 merged/carried marker applies
+    "q_dedup_clusters_tombstone" ->
+      """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS INT) AS id
+        |                     FROM customer),
+        |e1 AS (SELECT id AS a, id + 1 AS b FROM c
+        |       WHERE id % 10 IN (1, 2, 3)),
+        |d0 AS (SELECT a, b FROM (
+        |    SELECT id AS a, id + 1 AS b FROM c WHERE id % 20 = 4
+        |    UNION ALL SELECT id, id + 10 FROM c WHERE id % 40 = 1
+        |    UNION ALL SELECT id, id + 2 FROM c WHERE id % 80 = 31)
+        |  WHERE b IN (SELECT id FROM c)),
+        |dn AS (SELECT id AS a, id + 10000000 AS b FROM c
+        |       WHERE id % 40 = 11),
+        |del3 AS (SELECT id AS a, id + 1 AS b FROM c
+        |         WHERE id % 160 = 72 AND id + 1 IN (SELECT id FROM c)),
+        |ins3 AS (SELECT id AS a, id + 1 AS b FROM c
+        |         WHERE id % 160 = 75 AND id + 1 IN (SELECT id FROM c)),
+        |ae AS (SELECT a, b FROM e1 UNION ALL SELECT a, b FROM d0
+        |       UNION ALL SELECT a, b FROM dn),
+        |ae3 AS (SELECT a, b FROM ae
+        |        WHERE NOT EXISTS (SELECT 1 FROM del3
+        |                          WHERE del3.a = ae.a AND del3.b = ae.b)
+        |        UNION ALL SELECT a, b FROM ins3),
+        |edges AS (SELECT a, b FROM ae3 UNION ALL SELECT b, a FROM ae3),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp0 AS (SELECT a AS node, least(a, min(b)) AS label
+        |          FROM reach GROUP BY a),
+        |an AS (SELECT id AS node FROM c UNION ALL SELECT b FROM dn),
+        |comp AS (SELECT an.node, coalesce(comp0.label, an.node) AS label
+        |         FROM an LEFT JOIN comp0 ON comp0.node = an.node),
+        |g1 AS (SELECT node, CASE WHEN node >= 10000000 THEN node
+        |    WHEN node % 10 IN (1, 2, 3, 4) THEN node - node % 10 + 1
+        |    ELSE node END AS l1 FROM an),
+        |dend AS (SELECT a AS node FROM d0 UNION ALL SELECT b FROM d0
+        |  UNION ALL SELECT a FROM dn UNION ALL SELECT b FROM dn),
+        |tl AS (SELECT DISTINCT g1.l1 FROM dend JOIN g1 USING (node)),
+        |tend3 AS (SELECT a AS node FROM del3 UNION ALL SELECT b FROM del3
+        |  UNION ALL SELECT a FROM ins3 UNION ALL SELECT b FROM ins3),
+        |tl3 AS (SELECT DISTINCT g1.l1 FROM tend3 JOIN g1 USING (node)),
+        |f AS (SELECT comp.node, comp.label,
+        |        tl.l1 IS NOT NULL AS touched,
+        |        tl3.l1 IS NOT NULL AS touched3
+        |      FROM comp JOIN g1 USING (node)
+        |      LEFT JOIN tl ON g1.l1 = tl.l1
+        |      LEFT JOIN tl3 ON g1.l1 = tl3.l1)
+        |SELECT label AS cluster_id, CAST(count(*) AS BIGINT)
+        |    AS cluster_size,
+        |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
+        |    AS members,
+        |  CASE WHEN bool_or(touched3) THEN 'recomputed'
+        |       WHEN bool_or(touched) THEN 'merged'
+        |       ELSE 'carried' END AS maintained_via
+        |FROM f GROUP BY label ORDER BY cluster_id""".stripMargin,
+
     // DuckDB range(a,b) is [a,b) ascending-or-empty, so the short-doc
     // guard Spark needs is implicit; list slices are 1-indexed inclusive.
     "q_dedup_substring" ->
@@ -1021,6 +1161,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_incremental" -> (qDedupClustersIncremental _),
+    "q_dedup_clusters_tombstone" -> (qDedupClustersTombstone _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_dedup_substring" -> (qDedupSubstring _),

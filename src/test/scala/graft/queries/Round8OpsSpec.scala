@@ -897,6 +897,76 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("tombstone-bearing CC maintenance == full recompute under RANDOM " +
+    "insert+delete batches (bridge deletions that SPLIT components); " +
+    "recomputed marks exactly the affected components, and a delete-free " +
+    "batch dispatches to the append-only incremental path") {
+    import spark.implicits._
+    import graft.operators.{IncrementalComponents, MinLabelComponents}
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(733L + seed)
+      def randEdges(hi: Int, n: Int): Seq[(Int, Int)] =
+        Seq.fill(n) {
+          val a = 1 + rnd.nextInt(hi); val b = 1 + rnd.nextInt(hi)
+          (math.min(a, b), math.max(a, b) + 1)
+        }.distinct
+      val nodes0 = (1 to 30)
+      val e0 = randEdges(25, 10)
+      var labels = MinLabelComponents.components(nodes0.toDF("node"),
+        e0.toDF("a", "b"), "node", "a", "b")
+      var live = e0
+      var allNodes = nodes0.toSet
+      for (g <- 1 to 2) {
+        // delete up to 2 random LIVE edges (bridges included — the case
+        // with no local certificate) and insert fresh ones
+        val dels = rnd.shuffle(live).take(1 + rnd.nextInt(2))
+        val ins = randEdges(30 + g * 8, 4)
+          .filterNot(e => live.contains(e) && !dels.contains(e))
+        val cur = labels.select("node", "label").collect()
+          .map(r => r.getInt(0) -> r.getInt(1)).toMap
+        val touched = (dels ++ ins).flatMap { case (a, b) => Seq(a, b) }
+          .map(n => cur.getOrElse(n, n)).toSet
+        val delta = dels.map { case (a, b) => (a, b, "d") } ++
+          ins.map { case (a, b) => (a, b, "i") }
+        val (next, nextLive) = IncrementalComponents.stepWithTombstones(
+          labels.select("node", "label"), live.toDF("a", "b"),
+          delta.toDF("a", "b", "op"), "op", "node", "label", "a", "b",
+          "via")
+        labels = next
+        live = live.filterNot(dels.contains) ++ ins
+        allNodes ++= ins.flatMap { case (a, b) => Seq(a, b) }
+        val got = labels.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+        val want = MinLabelComponents.components(
+            allNodes.toSeq.toDF("node"), live.toDF("a", "b"),
+            "node", "a", "b")
+          .collect().map { r =>
+            val n = r.getInt(0)
+            val fresh = !cur.contains(n)
+            (n, r.getInt(1),
+              if (fresh || touched(cur(n))) "recomputed" else "carried")
+          }.toSet
+        assert(got == want, s"seed $seed gen $g:\n got=${got.toSeq.sorted}" +
+          s"\nwant=${want.toSeq.sorted}")
+        // the returned live-edge state matches the reference fold
+        assert(nextLive.collect().map(r => (r.getInt(0), r.getInt(1)))
+          .toSet == live.toSet, s"seed $seed gen $g: live-edge state drift")
+      }
+      // delete-free dispatch: the same API must route through the O(Δ)
+      // incremental step — witnessed by its 'merged' marker vocabulary
+      val insOnly = randEdges(50, 3).filterNot(live.contains)
+      val (app, _) = IncrementalComponents.stepWithTombstones(
+        labels.select("node", "label"), live.toDF("a", "b"),
+        insOnly.map { case (a, b) => (a, b, "i") }.toDF("a", "b", "op"),
+        "op", "node", "label", "a", "b", "via")
+      val vias = app.select("via").distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(vias.subsetOf(Set("merged", "carried")) && vias("merged"),
+        s"seed $seed: append-only batch must dispatch incrementally, " +
+          s"got markers $vias")
+    }
+  }
+
   test("txn-consistent IVM holds back incomplete transactions: at least " +
     "one group the ungated agg view applied stays carried here with its " +
     "gen-1 value, and the full result matches an independent Scala fold " +
