@@ -608,6 +608,25 @@ object Curation {
       .stage() // totals + weights both read it
     val tot = wt.agg(count(lit(1)).as("v"),
       sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    // LOUD overflow budget (round-8 advisory): Spark's non-ANSI int64
+    // multiplication WRAPS where DuckDB promotes to HUGEINT, so past the
+    // budget the gate would fail as an opaque hash mismatch. This 1-row
+    // receipt (driver-bounded, the vocab-collect convention) turns that
+    // cliff into an explicit error naming the headroom.
+    locally {
+      val r = wt.agg(max(col("ct")).as("mct"), max(col("cr")).as("mcr"),
+        sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+        count(lit(1)).as("v")).head
+      val (mct, mcr, tr, tt, v) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      val num = BigInt(DsirScale) * (mct + 1) * (tr + v)
+      val den = BigInt(mcr + 1) * (tt + v)
+      require(num <= Long.MaxValue && den <= Long.MaxValue,
+        s"DSIR weight arithmetic would wrap int64: max numerator $num, " +
+          s"max denominator $den vs ${Long.MaxValue} — lower DsirScale " +
+          "or shard the corpus")
+    }
     // exact int64 division (positive operands: `div` == DuckDB `//`);
     // idiv's floor-of-double would drift past 2^52 numerators
     val ww = wt.crossJoin(broadcast(tot))

@@ -237,8 +237,12 @@ object Profiling {
       .orderBy(col("check"))
   }
 
-  /** Drift flag threshold: total-variation distance ×10⁶ above which a
-    * dimension is declared drifted (5% mass moved).
+  /** Drift flag threshold on the reported `tv_x1e6` statistic, which is
+    * the L1 form Σ|p_A − p_B| ×10⁶ = 2·TV ×10⁶ — so 50000 flags once
+    * 2.5% of probability mass has moved (TV ≥ 0.025). Stated in L1
+    * terms because that is the exact quantity both engines compute
+    * (round-8 advisory: the earlier doc called it "5% mass moved",
+    * reading the L1 value as TV).
     */
   val DriftTvFlag = 50000L
 
@@ -255,7 +259,8 @@ object Profiling {
     *
     * Fixture: snapshot A = all orders; snapshot B simulates the broken
     * filter — every even-keyed URGENT order dropped. The priority
-    * dimension must flag (TV ≈ 18% of mass moved); status and the
+    * dimension must flag (L1 ≈ 0.18, i.e. TV ≈ 9% of mass moved, well
+    * past the [[DriftTvFlag]] 2.5% line); status and the
     * price-bucket dimension see only the removal's incidental
     * correlation (TV ≪ threshold) and must come out clean — the gate
     * hash-checks the flags, so a monitor that cried wolf on every

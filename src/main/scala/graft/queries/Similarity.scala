@@ -692,10 +692,18 @@ object Similarity {
     val corpus = vecs
       .select(col("vec_id").as("neighbor_id") +: col("v").as("cv") +:
         AblationDims.map(dm => col(s"norm$dm").as(s"cnorm$dm")): _*)
+    // zero-norm guard (round-8 advisory): an all-zero first-d′ prefix
+    // would divide by zero — NaN/Infinity in Spark but NULL in DuckDB,
+    // diverging the engines. Define cos = 0 for zero-norm prefixes in
+    // BOTH (the oracle carries the same CASE); impossible on the current
+    // synthetic corpus, guarded against fixture regeneration.
     val perDim = explode(array(AblationDims.map { dm =>
       struct(lit(dm).as("dims"),
-        (VectorFunctions.dot(slice(col("qv"), 1, dm), slice(col("cv"), 1, dm))
-          / (col(s"qnorm$dm") * col(s"cnorm$dm"))).as("cos"))
+        when(col(s"qnorm$dm") * col(s"cnorm$dm") === 0d, lit(0d))
+          .otherwise(
+            VectorFunctions.dot(slice(col("qv"), 1, dm),
+              slice(col("cv"), 1, dm))
+              / (col(s"qnorm$dm") * col(s"cnorm$dm"))).as("cos"))
     }: _*))
     val w = Window.partitionBy(col("dims"), col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -1261,8 +1269,11 @@ object Similarity {
           s"i -> v[i]*v[i]), 'sum'))"
       val normCols = AblationDims
         .map(dm => s"${pnorm(dm)} AS norm$dm").mkString(",\n    ")
+      // zero-norm guard mirrors the Spark gate: cos = 0 when either
+      // prefix norm is zero (DuckDB would yield NULL, Spark NaN/Inf)
       val cosArms = AblationDims.map(dm =>
-        s"WHEN u.dims = $dm THEN ${pdot(dm)} / (q.norm$dm * c.norm$dm)")
+        s"WHEN u.dims = $dm THEN CASE WHEN q.norm$dm * c.norm$dm = 0 " +
+          s"THEN 0 ELSE ${pdot(dm)} / (q.norm$dm * c.norm$dm) END")
         .mkString("\n      ")
       s"""WITH b AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
