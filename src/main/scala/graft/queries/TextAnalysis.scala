@@ -355,6 +355,97 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Held-out split selector for [[qKnHeldoutLm]]: doc_id % KnTrainMod
+    * == KnTrainRem trains the LM, everything else is scored. The slice
+    * is deliberately SMALL (≈0.1% of docs) so the held-out side really
+    * contains bigrams the train slice never saw — the regime where
+    * smoothing is load-bearing, not decorative (the corpus's 31-word
+    * stock saturates bigram coverage under any large train split).
+    */
+  val KnTrainMod = 1000L
+  val KnTrainRem = 7L
+  /** Probability scale for the KN scores (×10⁶). */
+  val KnScale = 1000000L
+
+  /** HELD-OUT Kneser–Ney-smoothed bigram LM scoring — the CCNet corpus-
+    * filter design (Wenzek et al. 2020): train a small clean LM, score
+    * the rest of the corpus with it, keep what the LM finds fluent.
+    * Unlike [[qLmScore]] (the corpus is its own LM, so every scored
+    * bigram is seen by construction), the held-out split genuinely
+    * contains UNSEEN bigrams and unseen first-words, so the smoothing
+    * arms carry real mass:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁)
+    *              + D·N₁₊(w₁,·)/c(w₁) · N₁₊(·,w₂)/N₁₊(··)      (c(w₁)>0)
+    *   P(w₂|w₁) = N₁₊(·,w₂)/N₁₊(··)                            (c(w₁)=0)
+    *
+    * with absolute discount D = 3/4 (the standard KN value, exact in
+    * quarters: 4c−3 over 4·c(w₁)) and the continuation distribution
+    * N₁₊(·,w₂)/N₁₊(··) as the backoff — "how many contexts does w₂
+    * follow", the KN insight. All arithmetic is exact int64: each term
+    * is a separately floored scaled ratio mirrored term-for-term in the
+    * oracle, so both engines floor identically (the [[Curation
+    * .qDsirSample]] convention — cross-engine exactness over algebraic
+    * elegance). `n_unseen` rides in the output as the smoothing
+    * witness: rows where the scored bigram has no train count.
+    *
+    * Scale shape: the LM tables are vocab²-bounded aggregates of the
+    * TRAIN slice only (map-side combined); scoring is one pass over the
+    * held-out bigrams with broadcast LM joins (un-hinted — AQE degrades
+    * to key-partitioned joins on an open vocabulary) and one doc-keyed
+    * aggregate. The train/score asymmetry is the production shape: the
+    * LM is small and clean, the scored corpus is the 100 TB side.
+    */
+  def qKnHeldoutLm(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val grams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2"))))
+      .otherwise(typedLit(Seq.empty[(String, String)])
+        .cast("array<struct<w1:string,w2:string>>"))
+    def bigrams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val docs = Tables.documents(s, d)
+    val isTrain = col("doc_id") % KnTrainMod === KnTrainRem
+    val tb = bigrams(docs.filter(isTrain))
+      .stage() // all four LM tables fold from it
+    val c12 = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .stage() // the bigram join + nf/np/nbb rollups read it
+    // c(w₁) = count of w₁ as bigram-FIRST (= Σ_w₂ c12), so term1+term2
+    // is a true conditional distribution per seen w₁
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("nf")) // N₁₊(w₁,·) rides the same rollup
+    val np = c12.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val nbb = c12.agg(count(lit(1)).as("nbb"))
+    val S = KnScale
+    // every null (unseen bigram / first-word / second-word) coalesces to
+    // a zero COUNT before the arithmetic, so each term floors exactly as
+    // the oracle's COALESCE-mirrored expression does
+    val term1 =
+      expr(s"(greatest(4 * coalesce(c12, 0) - 3, 0) * $S) div (4 * c1)")
+    val term2 = expr(s"(3 * nf * coalesce(np, 0) * $S) div (4 * c1 * nbb)")
+    val backoff = expr(s"(coalesce(np, 0) * $S) div nbb")
+    bigrams(docs.filter(!isTrain))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(np, Seq("w2"), "left")
+      .crossJoin(broadcast(nbb))
+      .select(col("doc_id"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("unseen"),
+        when(col("c1").isNotNull, term1 + term2)
+          .otherwise(backoff).as("px"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unseen")).as("n_unseen"),
+        sum(col("px")).as("sum_px"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        expr("sum_px div n_bigrams").as("kn_score_x1e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed-feature range for the classifier weights: 2001 buckets mapped
     * to integer weights in [-1000, 1000].
     */
@@ -1117,6 +1208,46 @@ object TextAnalysis {
         |FROM fx GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // term-for-term mirror of the KN gate: each scaled ratio floors
+    // separately with DuckDB `//` == Spark `div` (positive operands);
+    // train-slice LM tables, held-out scoring, continuation backoff
+    "q_kn_heldout_lm" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |           i -> {'w1': toks[i], 'w2': toks[i+1]}),
+         |           recursive := true)
+         |       FROM t),
+         |tb AS (SELECT w1, w2 FROM bg
+         |       WHERE doc_id % $KnTrainMod = $KnTrainRem),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM tb GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |         CAST(count(*) AS BIGINT) AS nf
+         |       FROM c12 GROUP BY 1),
+         |np AS (SELECT w2, CAST(count(*) AS BIGINT) AS np
+         |       FROM c12 GROUP BY 1),
+         |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM c12),
+         |px AS (SELECT sc.doc_id,
+         |    CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS unseen,
+         |    CASE WHEN c1.c1 IS NOT NULL THEN
+         |      (greatest(4 * coalesce(c12.c12, 0) - 3, 0) * $KnScale)
+         |        // (4 * c1.c1)
+         |      + (3 * c1.nf * coalesce(np.np, 0) * $KnScale)
+         |        // (4 * c1.c1 * nbb.nbb)
+         |    ELSE (coalesce(np.np, 0) * $KnScale) // nbb.nbb END AS px
+         |  FROM bg sc
+         |  LEFT JOIN c12 ON c12.w1 = sc.w1 AND c12.w2 = sc.w2
+         |  LEFT JOIN c1 ON c1.w1 = sc.w1
+         |  LEFT JOIN np ON np.w2 = sc.w2
+         |  CROSS JOIN nbb
+         |  WHERE sc.doc_id % $KnTrainMod <> $KnTrainRem)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+         |  CAST(CAST(sum(px) AS BIGINT) // count(*) AS BIGINT)
+         |    AS kn_score_x1e6
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_oov_rate" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
          |            FROM documents),
@@ -1352,6 +1483,7 @@ object TextAnalysis {
     "q_vocab_stats" -> (qVocabStats _),
     "q_oov_rate" -> (qOovRate _),
     "q_lm_score" -> (qLmScore _),
+    "q_kn_heldout_lm" -> (qKnHeldoutLm _),
     "q_classifier_filter" -> (qClassifierFilter _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
