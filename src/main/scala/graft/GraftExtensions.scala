@@ -20,11 +20,14 @@ import graft.text.TextOps
   * This is the library-integration story for a shared cluster: the SQL
   * names bind to the SAME Expression classes as the Scala DSL forms, so
   * they participate in whole-stage codegen identically — no UDF registry
-  * involved. Deliberately NOT included: custom LogicalPlan / Strategy /
-  * optimizer rules — every operator in this engine is expressible in
-  * Catalyst's built-in algebra (the preference ladder's first rung), so
-  * injecting plan machinery would add maintenance surface with zero new
-  * semantics.
+  * involved. Plan machinery stays out of this hook: every OPERATOR in
+  * this engine is expressible in Catalyst's built-in algebra (the
+  * preference ladder's first rung). The one optimizer rule the library
+  * ships — [[graft.plans.MvRewrite]], transparent materialized-view
+  * routing, a semantic no operator composition can express — installs
+  * per-registration via `spark.experimental.extraOptimizations` (see
+  * its scaladoc), not globally here: a rewrite that silently applies to
+  * every session is exactly what a conservative MV story avoids.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =

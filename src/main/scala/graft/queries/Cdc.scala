@@ -1291,6 +1291,64 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** MV-AWARE QUERY REWRITE ([[graft.plans.MvRewrite]]) — the optimizer
+    * half of the IVM family: the `Incremental*` operators keep a rollup
+    * fresh in O(Δ); this gate proves queries can USE it transparently.
+    * A plain aggregate over the RAW base parquet is rewritten by a
+    * Catalyst `Rule[LogicalPlan]` to scan the materialized view
+    * instead; the result must still hash-match a DuckDB oracle that
+    * computes from the BASE table (the rewrite is semantics-preserving
+    * or the gate fails), and an in-gate `require` on the optimized plan
+    * fails LOUDLY if the rewrite did not fire — a silent fall-through
+    * to the base scan cannot masquerade as a pass.
+    *
+    * Scale shape: the rewritten query reads O(groups) rows instead of
+    * scanning + shuffling the base table — the MV-routing payoff that
+    * makes incremental maintenance worth operating at 100 TB.
+    */
+  def qCdcMvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val basePath = s"$d/customer.parquet"
+    val mvPath = gateTmpDir("graft_mv_rewrite", d) + "/mv"
+    val fs = new org.apache.hadoop.fs.Path(mvPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def aggOverBase: DataFrame = s.read.parquet(basePath)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("c_custkey")).as("key_sum"))
+    // (re)materialize the view once per (JVM, sf), rule disabled while
+    // building — the build query matches the registered shape and would
+    // otherwise be rewritten to read the files it is about to overwrite
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS"))) {
+      MvRewrite.enabled = false
+      try aggOverBase.write.mode("overwrite").parquet(mvPath)
+      finally MvRewrite.enabled = true
+    }
+    MvRewrite.install(s, MvRewrite.Registration(
+      baseTag = "customer.parquet",
+      groupCols = Seq("c_mktsegment"),
+      aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
+      mv = () => s.read.parquet(mvPath)))
+    val q = aggOverBase.orderBy(col("c_mktsegment"))
+    // loud witness: the optimized plan must read the MV, not the base.
+    // (The rule stays installed for the session so the caller's write
+    // re-plan rewrites identically; it is a no-op for every other shape
+    // — any filter, cast-bearing projection, or different aggregate
+    // list disqualifies, and all Tables-loaded scans carry casts.)
+    val leaves = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(leaves.exists(_.contains("graft_mv_rewrite")) &&
+      !leaves.exists(_.contains("customer.parquet")),
+      s"MV rewrite did not fire: plan reads $leaves")
+    q
+  }
+
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
     * unit, exactly the production tool's knob (pt-table-checksum's
     * `--chunk-size`).
@@ -1877,6 +1935,14 @@ object Cdc {
     // group; a fan-out miss would leave a moved contribution behind)
     "q_cdc_fk_stream_ivm" -> fkAggViewOracle,
 
+    // computed from the BASE table — the gate's plan reads the MV, so
+    // equality here IS the proof the rewrite preserved semantics
+    "q_cdc_mv_rewrite" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     // closed-form fold of both FK-view lifecycles: surviving facts
     // (orderkey%11≠0) with their post-gen-2 fk/amount join surviving
     // dims (custkey%13≠0) with post-gen-2 segments; maintained_via =
@@ -2219,6 +2285,7 @@ object Cdc {
     "q_cdc_fk_view" -> (qCdcFkView _),
     "q_cdc_fk_agg_view" -> (qCdcFkAggView _),
     "q_cdc_fk_stream_ivm" -> (qCdcFkStreamIvm _),
+    "q_cdc_mv_rewrite" -> (qCdcMvRewrite _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),

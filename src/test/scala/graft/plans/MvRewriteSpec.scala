@@ -1,0 +1,122 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Pins the MV-rewrite rule's safety properties: it fires on exactly
+  * the registered shape, misses on every nearby-but-different shape
+  * (where a false match would corrupt results), preserves values and
+  * output binding, and honors the build-time disable switch.
+  */
+class MvRewriteSpec extends SparkSpec {
+
+  private lazy val basePath = {
+    val p = tmpDir("graft-mv-base") + "/base.parquet"
+    val s = spark; import s.implicits._
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "b", 7L),
+      (5L, "c", 1L))
+      .toDF("id", "seg", "v")
+      .write.parquet(p)
+    p
+  }
+
+  private lazy val mvPath = {
+    val p = tmpDir("graft-mv-view") + "/mv.parquet"
+    spark.read.parquet(basePath).groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .write.parquet(p)
+    p
+  }
+
+  private def installed[T](f: => T): T = {
+    // force both fixtures BEFORE the rule exists: building the MV runs
+    // the exact registered shape, and with the rule live that build
+    // would re-enter the still-initializing lazy (the same read-while-
+    // overwrite hazard the gate's enabled=false build window guards)
+    basePath; mvPath
+    MvRewrite.install(spark, MvRewrite.Registration(
+      baseTag = "base.parquet",
+      groupCols = Seq("seg"),
+      aggSpecs = Seq(("count", None), ("sum", Some("v"))),
+      mv = () => spark.read.parquet(mvPath)))
+    try f
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def agg: DataFrame = spark.read.parquet(basePath)
+    .groupBy(col("seg"))
+    .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+
+  test("the registered shape rewrites to the MV scan with identical " +
+    "values and intact downstream binding") {
+    val plain = agg.orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    installed {
+      val q = agg.orderBy(col("seg"))
+      assert(scanPaths(q).exists(_.contains("mv.parquet")) &&
+        !scanPaths(q).exists(_.contains("base.parquet")),
+        s"rewrite did not fire: ${scanPaths(q)}")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == plain, s"$got != $plain")
+      // downstream operators rebind through the preserved exprIds
+      val filtered = agg.filter(col("n") >= 2).orderBy(col("seg"))
+      assert(filtered.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    }
+  }
+
+  test("nearby-but-different shapes are untouched (false match would " +
+    "corrupt results)") {
+    installed {
+      val differentGroup = spark.read.parquet(basePath)
+        .groupBy(col("id")).agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"))
+      val differentAgg = spark.read.parquet(basePath)
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"),
+          sum(col("id")).as("sv"))
+      val filteredBase = spark.read.parquet(basePath)
+        .filter(col("v") > 5)
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"))
+      val castBearing = spark.read.parquet(basePath)
+        .select(col("seg"), col("v").cast("int").as("v"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"))
+      val distinctAgg = spark.read.parquet(basePath)
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"),
+          sum_distinct(col("v")).as("sv"))
+      for ((q, what) <- Seq(differentGroup -> "different grouping",
+          differentAgg -> "different agg input",
+          filteredBase -> "filtered base",
+          castBearing -> "cast-bearing projection",
+          distinctAgg -> "distinct aggregate"))
+        assert(!scanPaths(q).exists(_.contains("mv.parquet")),
+          s"$what must NOT rewrite: ${scanPaths(q)}")
+      // and the filtered query still computes correctly from base
+      assert(filteredBase.orderBy(col("seg")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 1L)))
+    }
+  }
+
+  test("the enabled switch suppresses the rewrite (the MV build window)") {
+    installed {
+      MvRewrite.enabled = false
+      try assert(scanPaths(agg).exists(_.contains("base.parquet")),
+        "disabled rule must leave the base scan")
+      finally MvRewrite.enabled = true
+      assert(scanPaths(agg).exists(_.contains("mv.parquet")))
+    }
+  }
+}
