@@ -1349,6 +1349,55 @@ object Cdc {
     q
   }
 
+  /** MV SUBSUMPTION rewrite ([[graft.plans.MvRewrite]] cases 2+3): the
+    * registered view is FINER than the query — grouped by (segment,
+    * nation) — and the query filters on one group column and rolls up
+    * to the other. The rule must push the filter onto the MV's group
+    * columns (groups are filter-homogeneous) and RE-AGGREGATE the MV
+    * over the subset (count folds as sum-of-counts, sum as
+    * sum-of-sums), turning an O(base) scan into an O(groups) one. Same
+    * loud witnesses as [[qCdcMvRewrite]]: oracle computed from BASE,
+    * `require` that the optimized plan reads the MV.
+    */
+  def qCdcMvRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val basePath = s"$d/customer.parquet"
+    val mvPath = gateTmpDir("graft_mv_rollup", d) + "/mv"
+    val fs = new org.apache.hadoop.fs.Path(mvPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def mvBuild: DataFrame = s.read.parquet(basePath)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS"))) {
+      MvRewrite.enabled = false
+      try mvBuild.write.mode("overwrite").parquet(mvPath)
+      finally MvRewrite.enabled = true
+    }
+    MvRewrite.install(s, MvRewrite.Registration(
+      baseTag = "customer.parquet",
+      groupCols = Seq("c_mktsegment", "c_nationkey"),
+      aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
+      mv = () => s.read.parquet(mvPath)))
+    val q = s.read.parquet(basePath)
+      .filter(col("c_nationkey") < 13)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("c_custkey")).as("key_sum"))
+      .orderBy(col("c_mktsegment"))
+    val leaves = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(leaves.exists(_.contains("graft_mv_rollup")) &&
+      !leaves.exists(_.contains("customer.parquet")),
+      s"MV rollup rewrite did not fire: plan reads $leaves")
+    q
+  }
+
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
     * unit, exactly the production tool's knob (pt-table-checksum's
     * `--chunk-size`).
@@ -1943,6 +1992,16 @@ object Cdc {
         |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    // computed from the BASE table — the gate's plan filters and
+    // re-aggregates the finer MV, so equality proves the filter
+    // pushdown and the rollup fold are both semantics-preserving
+    "q_cdc_mv_rollup" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_nationkey < 13
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     // closed-form fold of both FK-view lifecycles: surviving facts
     // (orderkey%11≠0) with their post-gen-2 fk/amount join surviving
     // dims (custkey%13≠0) with post-gen-2 segments; maintained_via =
@@ -2286,6 +2345,7 @@ object Cdc {
     "q_cdc_fk_agg_view" -> (qCdcFkAggView _),
     "q_cdc_fk_stream_ivm" -> (qCdcFkStreamIvm _),
     "q_cdc_mv_rewrite" -> (qCdcMvRewrite _),
+    "q_cdc_mv_rollup" -> (qCdcMvRollup _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),

@@ -110,6 +110,43 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("subsumption: a group-column filter pushes onto the MV and a " +
+    "grouping-subset rollup re-aggregates it — both value-exact") {
+    installed {
+      // filter on the group column, same groupings → σ over the MV
+      val f = spark.read.parquet(basePath).filter(col("seg") =!= "b")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(f).exists(_.contains("mv.parquet")),
+        s"filter case did not rewrite: ${scanPaths(f)}")
+      assert(f.orderBy(col("seg")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 30L), ("c", 1L, 1L)))
+      // rollup to the empty grouping (global totals) → re-aggregate MV
+      val g = spark.read.parquet(basePath)
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(g).exists(_.contains("mv.parquet")),
+        s"rollup case did not rewrite: ${scanPaths(g)}")
+      assert(g.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((5L, 43L)))
+      // composed: filter + rollup
+      val fg = spark.read.parquet(basePath).filter(col("seg") =!= "b")
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(fg).exists(_.contains("mv.parquet")))
+      assert(fg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((3L, 31L)))
+      // a filter touching the METRIC must NOT rewrite (not
+      // group-homogeneous — rewriting would be wrong)
+      val metricFilter = spark.read.parquet(basePath)
+        .filter(col("v") > 5).groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(!scanPaths(metricFilter).exists(_.contains("mv.parquet")),
+        "metric filter must not rewrite")
+    }
+  }
+
   test("the enabled switch suppresses the rewrite (the MV build window)") {
     installed {
       MvRewrite.enabled = false
