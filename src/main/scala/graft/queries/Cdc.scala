@@ -114,7 +114,7 @@ object Cdc {
     * even over the same data, e.g. verify and bench side by side — can
     * never race one run's overwrite against the other's in-flight scan.
     */
-  private def gateTmpDir(prefix: String, d: String): String = {
+  private[queries] def gateTmpDir(prefix: String, d: String): String = {
     val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName.replaceAll("[^A-Za-z0-9._-]", "_")
     new java.io.File(sys.props("java.io.tmpdir"),
@@ -206,7 +206,7 @@ object Cdc {
     *    attempt. A pre-existing tree without `_STAGED` is a crashed
     *    pre-publish writer's debris — swept before renaming.
     */
-  private def stageOnce(s: SparkSession, prefix: String, d: String)(
+  private[queries] def stageOnce(s: SparkSession, prefix: String, d: String)(
       build: String => Unit): String = {
     val stagedBase = stagedDir(prefix, d)
     val base = new org.apache.hadoop.fs.Path(stagedBase)
@@ -271,7 +271,7 @@ object Cdc {
     * unique prefix (the tail source needs distinct names across
     * generations). Pure filesystem copies — no Spark job.
     */
-  private def copyStaged(s: SparkSession, from: String, to: String,
+  private[queries] def copyStaged(s: SparkSession, from: String, to: String,
       prefix: String): Unit = {
     val conf = s.sessionState.newHadoopConf()
     val src = new org.apache.hadoop.fs.Path(from)

@@ -469,6 +469,91 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** STREAMING drive of the incremental cluster maintenance — the
+    * `q_cdc_stream_ivm` pattern over [[graft.operators
+    * .IncrementalComponents]]: candidate-pair batches arrive as real
+    * foreachBatch micro-batches with a CHECKPOINT RESTART between the
+    * two generations. Generation 1 bootstraps the corpus labeling (full
+    * min-label CC inside the micro-batch); the stream stops, generation
+    * 2 lands while it is down, and the restarted run must RESUME from
+    * the checkpoint and apply it as ONE quotient-graph step — a
+    * re-bootstrap would flip every marker to `bootstrap`, and a torn or
+    * non-idempotent label publish would shift a cluster. Label-table
+    * versions publish through [[graft.cdc.VersionedState]] (Hadoop
+    * FileSystem API, batch-id-keyed idempotent overwrites).
+    *
+    * The oracle is IDENTICAL to [[qDedupClustersIncremental]]'s closed
+    * form — the maintained clustering must not depend on delivery mode.
+    *
+    * Scale shape: per micro-batch cost is the batch step's O(|Δ| + one
+    * corpus relabel pass) plus one state read/write; the bootstrap
+    * batch pays the one-time full-CC cost any labeling must.
+    */
+  def qDedupClustersStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = Cdc.gateTmpDir("graft_clusters_stream", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, store, ck) = (s"$base/in", s"$base/store", s"$base/ck")
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("int").as("id"))
+      .stage() // nodes + all four delta rules + the endpoint guard
+    val nodes = c.select(col("id").as("node"))
+    val e1 = c.filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val d0 = c.filter(col("id") % 20 === 4)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .unionByName(c.filter(col("id") % 40 === 1)
+        .select(col("id").as("a"), (col("id") + 10).as("b")))
+      .unionByName(c.filter(col("id") % 80 === 31)
+        .select(col("id").as("a"), (col("id") + 2).as("b")))
+      .join(c.select(col("id").as("b")), Seq("b"), "left_semi")
+    val delta = d0.unionByName(c.filter(col("id") % 40 === 11)
+      .select(col("id").as("a"), (col("id") + 10000000).as("b")))
+    // each generation lands as ONE file → one micro-batch, so the final
+    // markers are the single-step touched set the oracle folds
+    e1.coalesce(1).write.parquet(s"$base/gen1")
+    delta.coalesce(1).write.parquet(s"$base/gen2")
+    val state = new graft.cdc.VersionedState(s, store, "labels")
+    def run(): Unit =
+      s.readStream.schema("a INT, b INT").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val bt = batch.cache()
+          val next = state.readLatest("labels") match {
+            case Some(lbl) => graft.operators.IncrementalComponents
+              .step(lbl.select(col("node"), col("label")), bt,
+                "node", "label", "a", "b", "via")
+            case None => graft.operators.MinLabelComponents
+              .components(nodes, bt, "node", "a", "b")
+              .withColumn("via", lit("bootstrap"))
+          }
+          state.publish("labels", id, next)
+          bt.unpersist(): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      Cdc.copyStaged(s, s"$base/gen1", inDir, "g1")
+      run() // generation 1 bootstraps the corpus labeling
+      // generation 2 lands while the stream is DOWN; the restarted run
+      // must resume from the checkpoint and APPLY it as one step
+      Cdc.copyStaged(s, s"$base/gen2", inDir, "g2")
+      run()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    state.readLatest("labels").get
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws(",", sort_array(collect_list(col("node"))))
+          .as("members"),
+        max(col("via")).as("maintained_via"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Window length (tokens) for substring-level dedup. */
   val SubstrK = 8
 
@@ -812,6 +897,51 @@ object Dedup {
        |                JOIN mh y ON cand.doc_b = y.doc_id)""".stripMargin
   }
 
+  /** Shared closed form for [[qDedupClustersIncremental]] and its
+    * streaming drive [[qDedupClustersStream]] — both fold the same
+    * two-generation fixture to the same maintained cluster table.
+    */
+  private lazy val clustersIncrementalOracle: String =
+    """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS INT) AS id
+      |                     FROM customer),
+      |e1 AS (SELECT id AS a, id + 1 AS b FROM c
+      |       WHERE id % 10 IN (1, 2, 3)),
+      |d0 AS (SELECT a, b FROM (
+      |    SELECT id AS a, id + 1 AS b FROM c WHERE id % 20 = 4
+      |    UNION ALL SELECT id, id + 10 FROM c WHERE id % 40 = 1
+      |    UNION ALL SELECT id, id + 2 FROM c WHERE id % 80 = 31)
+      |  WHERE b IN (SELECT id FROM c)),
+      |dn AS (SELECT id AS a, id + 10000000 AS b FROM c
+      |       WHERE id % 40 = 11),
+      |ae AS (SELECT a, b FROM e1 UNION ALL SELECT a, b FROM d0
+      |       UNION ALL SELECT a, b FROM dn),
+      |edges AS (SELECT a, b FROM ae UNION ALL SELECT b, a FROM ae),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp0 AS (SELECT a AS node, least(a, min(b)) AS label
+      |          FROM reach GROUP BY a),
+      |an AS (SELECT id AS node FROM c UNION ALL SELECT b FROM dn),
+      |comp AS (SELECT an.node, coalesce(comp0.label, an.node) AS label
+      |         FROM an LEFT JOIN comp0 ON comp0.node = an.node),
+      |g1 AS (SELECT node, CASE WHEN node >= 10000000 THEN node
+      |    WHEN node % 10 IN (1, 2, 3, 4) THEN node - node % 10 + 1
+      |    ELSE node END AS l1 FROM an),
+      |dend AS (SELECT a AS node FROM d0 UNION ALL SELECT b FROM d0
+      |  UNION ALL SELECT a FROM dn UNION ALL SELECT b FROM dn),
+      |tl AS (SELECT DISTINCT g1.l1 FROM dend JOIN g1 USING (node)),
+      |f AS (SELECT comp.node, comp.label, tl.l1 IS NOT NULL AS touched
+      |      FROM comp JOIN g1 USING (node)
+      |      LEFT JOIN tl ON g1.l1 = tl.l1)
+      |SELECT label AS cluster_id, CAST(count(*) AS BIGINT)
+      |    AS cluster_size,
+      |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
+      |    AS members,
+      |  CASE WHEN bool_or(touched) THEN 'merged' ELSE 'carried' END
+      |    AS maintained_via
+      |FROM f GROUP BY label ORDER BY cluster_id""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH t AS (SELECT doc_id,
@@ -876,46 +1006,14 @@ object Dedup {
     // from the CLOSED-FORM gen-1 labeling (chains {10k+1..10k+4} label
     // 10k+1, everything else self) — a cluster is 'merged' iff any
     // member's gen-1 component label was an endpoint label of the delta
-    "q_dedup_clusters_incremental" ->
-      """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS INT) AS id
-        |                     FROM customer),
-        |e1 AS (SELECT id AS a, id + 1 AS b FROM c
-        |       WHERE id % 10 IN (1, 2, 3)),
-        |d0 AS (SELECT a, b FROM (
-        |    SELECT id AS a, id + 1 AS b FROM c WHERE id % 20 = 4
-        |    UNION ALL SELECT id, id + 10 FROM c WHERE id % 40 = 1
-        |    UNION ALL SELECT id, id + 2 FROM c WHERE id % 80 = 31)
-        |  WHERE b IN (SELECT id FROM c)),
-        |dn AS (SELECT id AS a, id + 10000000 AS b FROM c
-        |       WHERE id % 40 = 11),
-        |ae AS (SELECT a, b FROM e1 UNION ALL SELECT a, b FROM d0
-        |       UNION ALL SELECT a, b FROM dn),
-        |edges AS (SELECT a, b FROM ae UNION ALL SELECT b, a FROM ae),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |comp0 AS (SELECT a AS node, least(a, min(b)) AS label
-        |          FROM reach GROUP BY a),
-        |an AS (SELECT id AS node FROM c UNION ALL SELECT b FROM dn),
-        |comp AS (SELECT an.node, coalesce(comp0.label, an.node) AS label
-        |         FROM an LEFT JOIN comp0 ON comp0.node = an.node),
-        |g1 AS (SELECT node, CASE WHEN node >= 10000000 THEN node
-        |    WHEN node % 10 IN (1, 2, 3, 4) THEN node - node % 10 + 1
-        |    ELSE node END AS l1 FROM an),
-        |dend AS (SELECT a AS node FROM d0 UNION ALL SELECT b FROM d0
-        |  UNION ALL SELECT a FROM dn UNION ALL SELECT b FROM dn),
-        |tl AS (SELECT DISTINCT g1.l1 FROM dend JOIN g1 USING (node)),
-        |f AS (SELECT comp.node, comp.label, tl.l1 IS NOT NULL AS touched
-        |      FROM comp JOIN g1 USING (node)
-        |      LEFT JOIN tl ON g1.l1 = tl.l1)
-        |SELECT label AS cluster_id, CAST(count(*) AS BIGINT)
-        |    AS cluster_size,
-        |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
-        |    AS members,
-        |  CASE WHEN bool_or(touched) THEN 'merged' ELSE 'carried' END
-        |    AS maintained_via
-        |FROM f GROUP BY label ORDER BY cluster_id""".stripMargin,
+    "q_dedup_clusters_incremental" -> clustersIncrementalOracle,
+
+    // IDENTICAL closed form: the streaming drive delivers the same two
+    // generations through foreachBatch micro-batches with a checkpoint
+    // restart between them and must land on the same maintained cluster
+    // table (a re-bootstrap on restart would flip every marker to
+    // 'bootstrap'; a torn label publish would shift a cluster)
+    "q_dedup_clusters_stream" -> clustersIncrementalOracle,
 
     // the incremental-clusters closed form EXTENDED by generation 3:
     // final edges = (gen-1 ∪ gen-2) minus the guarded tombstones plus
@@ -1176,6 +1274,7 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_incremental" -> (qDedupClustersIncremental _),
     "q_dedup_clusters_tombstone" -> (qDedupClustersTombstone _),
+    "q_dedup_clusters_stream" -> (qDedupClustersStream _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_dedup_substring" -> (qDedupSubstring _),
