@@ -20,7 +20,7 @@ FAMILIES = [
      r"^q_(dedup_|simhash_|semdedup$|corpus_overlap$)"),
     ("ANN / embeddings", r"^q_(ann_|embedding_|knn_|kmeans_cluster$)"),
     ("Text analysis / BPE / quality",
-     r"^q_(bpe_|unigram_segment$|wordpiece_encode$|lang_id$|quality_|"
+     r"^q_(bpe_|unigram_segment$|wordpiece_encode$|lang_id$|quality_|kn_heldout_lm$|"
      r"token_counts$|doc_fingerprint$|"
      r"gopher_rules$|repetition$|oov_rate$|lm_score$|classifier_filter$|"
      r"source_scorecard$|text_stats$|vocab_stats$|length_buckets$)"),
