@@ -46,12 +46,7 @@ object Graph {
     // shuffle/sort/join in the iteration loop compares 8-byte keys, not
     // variable-length strings. The presentation strings ("c<id>"/"s<id>")
     // are built once in the final projection only.
-    val pairs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("a"),
-        (col("l_suppkey") * 2L + 1L).as("b"))
-      .distinct()
+    val pairs = tradePairs(s, d)
     // pre-partition on the join key BEFORE the checkpoint: localCheckpoint
     // preserves partitioning, so every iteration's edges⋈ranks starts from
     // an already-hash-partitioned big side — no edges exchange in any
@@ -109,17 +104,38 @@ object Graph {
     * per-order pair enumeration keys on the order id — blowup bounded
     * by order width (≤7 lineitems), never corpus size.
     */
-  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val lo = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    lo.as("x").join(lo.as("y"),
-        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= MinSupport)
-      .select(col("a"), col("b"))
-  }
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame =
+    // shared by triangle counting and LPA: suite runs build the
+    // self-join + support rollup once (QueryMemo.sharedInput), Verify
+    // always recomputes
+    QueryMemo.sharedInput("__coorder_edges", d) {
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      lo.as("x").join(lo.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= MinSupport)
+        .select(col("a"), col("b"))
+    }
+
+  /** The customer↔supplier trade pair list (distinct, long-id-encoded)
+    * shared by PageRank and k-core — the distinct over the
+    * lineitem⋈orders join is those gates' priciest input shuffle, built
+    * once per suite run ([[QueryMemo.sharedInput]]).
+    */
+  private def tradePairs(s: SparkSession, d: String): DataFrame =
+    QueryMemo.sharedInput("__trade_pairs", d) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("a"),
+          (col("l_suppkey") * 2L + 1L).as("b"))
+        .distinct()
+    }
 
   /** Per-node TRIANGLE counts on the supplier co-order graph — the classic
     * clustering-coefficient / community-density primitive, in the
@@ -286,14 +302,7 @@ object Graph {
     * windows, nothing ever materializes more than O(edges) rows.
     */
   def qKcore(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pairs = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("a"),
-        (col("l_suppkey") * 2L + 1L).as("b"))
-      .distinct()
+    val pairs = tradePairs(s, d)
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       // pre-partition on a — the WINDOW/AGG key of every round: the

@@ -49,6 +49,26 @@ object QueryMemo {
   def lookupDerived[T](name: String, dir: String): Option[T] =
     if (suite) derived.get((name, dir)).map(_.asInstanceOf[T]) else None
 
+  /** Whether a suite runner (Bench) owns this JVM — producers use it to
+    * decide whether to publish shared inputs. Never true under Verify.
+    */
+  def suiteMode: Boolean = suite
+
+  /** Suite-memoized SHARED INPUT (e.g. the graph family's edge lists):
+    * in suite mode the first gate to need it builds + seeds it (the
+    * build cost lands in that gate's measured time; the uncounted
+    * warm-up pass usually absorbs it) and every later reader reuses the
+    * pinned frame. Outside suite mode this is exactly `build` — Verify
+    * and the specs always recompute, so gate independence stays
+    * structural.
+    */
+  def sharedInput(name: String, dir: String)(build: => DataFrame)
+      : DataFrame =
+    lookup(name, dir).getOrElse {
+      val df = build
+      if (suite) seed(name, dir, df) else df
+    }
+
   /** Materialize (eager localCheckpoint) and publish a twin's result for
     * `dir`. Returns the checkpointed frame — the caller's execution handle.
     * Pinning is precise: only the RDDs persisted BY this checkpoint are
