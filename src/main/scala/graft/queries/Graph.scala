@@ -310,7 +310,7 @@ object Graph {
       // smaller than the edge list on this fact graph), so the join
       // preserves this layout and NO round exchanges the edge list at
       // all — the per-round full-edge shuffle was the gate's dominant
-      // cost (measured 6.6 → 2.5 s at sf0.1)
+      // cost (committed medians 6.61 → 3.48 s at sf0.1)
       .repartition(col("a"))
       .stage() // every round's neighbor join re-reads it
     val deg = edges.groupBy(col("a").as("n"))
