@@ -103,8 +103,12 @@ object Bench {
       val (dGc, dCpu) = (gcMs - gc0, (osBean.getProcessCpuTime - cpu0) / 1e9)
       val ratio = if (dt > 0) dCpu / dt else 0.0
       val sm = storMb
+      // Double.toString after rounding, NOT an f-interpolation: the
+      // latter is default-locale and a comma-decimal locale would
+      // corrupt the artifact's JSON
+      val ratio2 = math.round(ratio * 100) / 100.0
       receipts += name ->
-        f"""{"cpu_per_wall":$ratio%.2f,"gc_ms":$dGc,"stor_mb":$sm}"""
+        s"""{"cpu_per_wall":$ratio2,"gc_ms":$dGc,"stor_mb":$sm}"""
       System.err.println(
         f"[bench] $name%-28s $dt%8.2f s  cpu/wall=$ratio%5.2f gc=${dGc}%5d ms stor=${sm}%5d MB")
       (dt, err)

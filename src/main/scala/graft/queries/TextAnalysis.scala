@@ -413,6 +413,15 @@ object TextAnalysis {
     val isTrain = col("doc_id") % KnTrainMod === KnTrainRem
     val tb = bigrams(docs.filter(isTrain))
       .stage() // all four LM tables fold from it
+    // loud guard (the DSIR-budget convention): an empty train slice
+    // would put a zero continuation total in every backoff denominator
+    // — NULL in Spark's non-ANSI div but an ERROR in DuckDB, an opaque
+    // engine divergence. Impossible while doc_id ≡ 7 (mod 1000) exists
+    // (true at every gated SF); the cliff names itself if the fixture
+    // is ever regenerated without it.
+    require(!tb.isEmpty,
+      s"KN train slice empty: no doc with doc_id % $KnTrainMod == " +
+        s"$KnTrainRem and >= 2 tokens in $d")
     val c12 = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .stage() // the bigram join + nf/np/nbb rollups read it
     // c(w₁) = count of w₁ as bigram-FIRST (= Σ_w₂ c12), so term1+term2
