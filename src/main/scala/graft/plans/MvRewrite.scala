@@ -2,14 +2,16 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, Expression, Literal, NamedExpression}
+  AttributeReference, Cast, Coalesce, Divide, Expression, Literal,
+  NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Complete, Count, Sum}
+  AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /** MATERIALIZED-VIEW-aware query rewrite — the optimizer half of the
   * IVM story. The `graft.cdc.Incremental*` family keeps aggregate views
@@ -34,19 +36,31 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *     p-homogeneous (every row of a group shares its group values), so
   *     filtering rows before aggregation equals filtering GROUPS after:
   *     rewrite to `σ_p(MV)`.
-  *  3. ROLLUP to a grouping SUBSET — count(1) re-aggregates as
-  *     `sum(n)`, `sum(x)` as `sum(sx)`, both by associativity of + over
-  *     the partition refinement: rewrite to `Aggregate(subset, MV)` —
+  *  3. ROLLUP to a grouping SUBSET — each aggregate re-folds over the
+  *     partition refinement by its own algebra: `count(1)` as `sum(n)`
+  *     (coalesced to 0 so the zero-group global case stays value-exact:
+  *     `count` over zero rows is 0, `sum` over zero rows is NULL),
+  *     `sum(x)` as `sum(sx)` (associativity of +), `min(x)`/`max(x)`
+  *     as `min(mn)`/`max(mx)` (idempotent semilattice folds), and
+  *     `avg(x)` by its sum/count decomposition
+  *     `sum(sx)/sum(n)` (both cast to double exactly as Spark's own
+  *     `Average` evaluates): rewrite to `Aggregate(subset, MV)` —
   *     O(groups) input instead of O(base). Composes with case 2.
   *
+  * `avg` never needs its own MV column: a registration carrying
+  * `("sum", x)` and `("count", None)` answers `avg(x)` in BOTH the
+  * exact case (`sx/n` per group) and the rollup case — sum/count is
+  * the decomposition every IVM engine stores because the average
+  * itself is not self-maintainable.
+  *
   * Matching is deliberately conservative: bare-attribute groupings,
-  * non-distinct `count(1)` / `sum(attr)` drawn from the registration's
-  * aggregate list, attribute-only projections, at most one filter whose
-  * references are all group columns, down to a parquet relation whose
-  * root path contains `baseTag`. Anything else — expression groupings,
-  * casts, avg/min/max, filters touching the metric, distinct — misses:
-  * a conservative miss costs only the base-table recompute, while a
-  * false match would corrupt results.
+  * non-distinct `count(1)` / `sum/min/max/avg(attr)` answerable from
+  * the registration's aggregate list, attribute-only projections, at
+  * most one filter whose references are all group columns, down to a
+  * parquet relation whose root path contains `baseTag`. Anything
+  * else — expression groupings, casts, filters touching the metric,
+  * distinct — misses: a conservative miss costs only the base-table
+  * recompute, while a false match would corrupt results.
   *
   * The rewrite preserves the original output attributes exactly: every
   * produced column is aliased back to the matched aggregate's output
@@ -56,11 +70,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * SEMANTICS CONTRACT: the registered MV must hold exactly the rows the
   * registered aggregate produces over the CURRENT base — keeping that
   * true under change streams is what the incremental maintenance
-  * operators are for. The gates (`q_cdc_mv_rewrite`,
-  * `q_cdc_mv_rollup`) hash-check rewritten queries against DuckDB
-  * oracles computing from the BASE table, and `require` loudly that the
-  * rewrite fired (a silent fall-through to the base scan must not
-  * masquerade as a pass).
+  * operators are for. The gates (`q_cdc_mv_rewrite`, `q_cdc_mv_rollup`,
+  * `q_cdc_mv_stats`, `q_cdc_mv_ivm`) hash-check rewritten queries
+  * against DuckDB oracles computing from the BASE table, and `require`
+  * loudly that the rewrite fired (a silent fall-through to the base
+  * scan must not masquerade as a pass).
+  *
+  * LIFETIME is scoped, not session-global (round-9 advisory):
+  * [[install]] returns the rule as a handle and [[uninstall]] removes
+  * exactly it, so a gate holds the rule only between registration and
+  * its plan-witness check — it returns the ALREADY-ROUTED plan (via
+  * `GraftSqlBridge.ofRows` on the optimized plan) and uninstalls in a
+  * `finally`, leaving nothing behind that could silently reroute a
+  * later query over the same base. Install appends after pruning stale
+  * graft rules (a crashed earlier holder) rather than clobbering the
+  * whole `extraOptimizations` slot, so foreign user rules survive.
   *
   * Scale shape: the rewrite replaces an O(base) scan + shuffle with an
   * O(groups) MV read (plus an O(groups) re-aggregation in the rollup
@@ -79,12 +103,6 @@ object MvRewrite {
   final case class Registration(baseTag: String, groupCols: Seq[String],
       aggSpecs: Seq[(String, Option[String])], mv: () => DataFrame)
 
-  /** Global enable switch: the gate flips it off while (re)building the
-    * MV — the build query itself matches the registered shape, and
-    * rewriting it would read the very files it is about to overwrite.
-    */
-  @volatile var enabled: Boolean = true
-
   /** A matched aggregate, decomposed positionally: one layout entry per
     * output column — Left(groupColName) for grouping passthroughs,
     * Right(aggSpec) for aggregate aliases — plus the optional
@@ -97,6 +115,15 @@ object MvRewrite {
       filter: Option[Expression])
 
   final class RewriteRule(reg: Registration) extends Rule[LogicalPlan] {
+
+    /** Per-RULE disable switch for MV (re)build windows: the build
+      * query matches the registered shape, and rewriting it would read
+      * the very files it is about to overwrite. Rule-scoped (not a
+      * process global — round-9 advisory) so one gate's build window
+      * can never disable another registration's rewrites.
+      */
+    @volatile var enabled: Boolean = true
+
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (!enabled) plan
       else plan.transformUp {
@@ -131,6 +158,17 @@ object MvRewrite {
         case _ => None
       }
 
+    /** Whether the registration can answer `spec`: avg needs its
+      * sum/count decomposition columns, everything else its own column.
+      */
+    private def answerable(spec: (String, Option[String])): Boolean =
+      spec match {
+        case ("avg", Some(c)) =>
+          reg.aggSpecs.contains(("sum", Some(c))) &&
+            reg.aggSpecs.contains(("count", None))
+        case other => reg.aggSpecs.contains(other)
+      }
+
     private def analyze(agg: Aggregate): Option[Match] = {
       val filterOpt = baseChain(agg.child).getOrElse(return None)
       val gnames = agg.groupingExpressions.map {
@@ -156,13 +194,25 @@ object MvRewrite {
                 case a: AttributeReference => Right(("sum", Some(a.name)))
                 case _ => return None
               }
+              case m: Min => m.child match {
+                case a: AttributeReference => Right(("min", Some(a.name)))
+                case _ => return None
+              }
+              case m: Max => m.child match {
+                case a: AttributeReference => Right(("max", Some(a.name)))
+                case _ => return None
+              }
+              case av: Average => av.child match {
+                case a: AttributeReference => Right(("avg", Some(a.name)))
+                case _ => return None
+              }
               case _ => return None
             }
           case _ => return None
         }
-      // every requested aggregate must exist in the registration
+      // every requested aggregate must be answerable from the MV
       if (!layout.forall {
-        case Right(spec) => reg.aggSpecs.contains(spec)
+        case Right(spec) => answerable(spec)
         case Left(_) => true
       }) return None
       Some(Match(gnames, layout, filterOpt))
@@ -189,24 +239,46 @@ object MvRewrite {
         }, mvPlan)
         case None => mvPlan
       }
+      def dbl(e: Expression): Expression = Cast(e, DoubleType)
+      // exact-grouping read: the MV row IS the group's answer; avg
+      // divides its decomposition columns (Spark's own Average for
+      // integral input is exact-long sum / count in double — same op)
+      def direct(spec: (String, Option[String])): Expression = spec match {
+        case ("avg", c) =>
+          Divide(dbl(mvAggAttr(("sum", c))), dbl(mvAggAttr(("count", None))))
+        case other => mvAggAttr(other)
+      }
+      // rollup re-fold over the partition refinement, per algebra; the
+      // count fold coalesces to 0 because a GLOBAL aggregate over zero
+      // groups must yield count=0 where sum(n) yields NULL (round-9
+      // advisory — the one value-inexact shape the old fold had)
+      def fold(spec: (String, Option[String])): Expression = {
+        def sumOf(a: Attribute): Expression =
+          AggregateExpression(Sum(a), Complete, isDistinct = false)
+        spec match {
+          case ("count", None) =>
+            Coalesce(Seq(sumOf(mvAggAttr(("count", None))), Literal(0L)))
+          case ("sum", _) => sumOf(mvAggAttr(spec))
+          case ("min", _) =>
+            AggregateExpression(Min(mvAggAttr(spec)), Complete,
+              isDistinct = false)
+          case ("max", _) =>
+            AggregateExpression(Max(mvAggAttr(spec)), Complete,
+              isDistinct = false)
+          case ("avg", c) =>
+            Divide(dbl(sumOf(mvAggAttr(("sum", c)))),
+              dbl(sumOf(mvAggAttr(("count", None)))))
+          case other =>
+            throw new IllegalStateException(s"unmatchable spec $other")
+        }
+      }
       val out = agg.output
+      val exact = m.groupNames == reg.groupCols
       val replacement: Seq[(Attribute, Expression)] =
-        if (m.groupNames == reg.groupCols)
-          // exact groupings (filter already applied): MV columns map
-          // positionally back onto the query's own output layout
-          out.zip(m.layout).map {
-            case (o, Left(g)) => (o, groupAttr(g))
-            case (o, Right(spec)) => (o, mvAggAttr(spec))
-          }
-        else
-          // rollup to a grouping subset: count(1) folds as sum(n),
-          // sum(x) as sum(sx) — associativity over the refinement
-          out.zip(m.layout).map {
-            case (o, Left(g)) => (o, groupAttr(g))
-            case (o, Right(spec)) =>
-              (o, AggregateExpression(Sum(mvAggAttr(spec)), Complete,
-                isDistinct = false))
-          }
+        out.zip(m.layout).map {
+          case (o, Left(g)) => (o, groupAttr(g))
+          case (o, Right(spec)) => (o, if (exact) direct(spec) else fold(spec))
+        }
       // type guard: re-summing widens some types (decimal sums gain
       // precision), which would break downstream binding — bail to the
       // base plan rather than emit a type-shifted column
@@ -215,16 +287,32 @@ object MvRewrite {
       val aliased: Seq[NamedExpression] = replacement.map { case (o, e) =>
         Alias(e, o.name)(exprId = o.exprId, qualifier = o.qualifier)
       }
-      if (m.groupNames == reg.groupCols) Project(aliased, filtered)
+      if (exact) Project(aliased, filtered)
       else Aggregate(m.groupNames.map(groupAttr), aliased, filtered)
     }
   }
 
-  /** Idempotently install the rule on a session's user-provided
-    * optimizer slot (assignment, not append — re-running the gate in
-    * one JVM must not stack rules).
+  /** Install a registration and return its rule as the uninstall
+    * handle. Appends after pruning any stale graft rules (a crashed
+    * earlier holder must not leave TWO rewriters live), preserving any
+    * foreign user rules in the slot.
     */
   def install(spark: org.apache.spark.sql.SparkSession,
-      reg: Registration): Unit =
-    spark.experimental.extraOptimizations = Seq(new RewriteRule(reg))
+      reg: Registration): RewriteRule = {
+    val rule = new RewriteRule(reg)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[RewriteRule]) :+ rule
+    rule
+  }
+
+  /** Remove exactly `rule` from the session's optimizer slot. Gates
+    * call this in a `finally` once their plan witness is taken, so the
+    * rule's lifetime is the gate body — no later query over the same
+    * base can be silently rerouted.
+    */
+  def uninstall(spark: org.apache.spark.sql.SparkSession,
+      rule: RewriteRule): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
 }

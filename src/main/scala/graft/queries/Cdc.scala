@@ -1306,6 +1306,33 @@ object Cdc {
     * scanning + shuffling the base table — the MV-routing payoff that
     * makes incremental maintenance worth operating at 100 TB.
     */
+  /** Take the MV gates' loud plan witness on `q` — the optimized plan
+    * must read an `mvTag` path and must NOT read the `baseTag` path —
+    * then return the ALREADY-ROUTED plan as a DataFrame. Returning the
+    * routed plan (rather than the lazy query) is what lets the caller
+    * uninstall the rewrite rule at gate exit: the driver's terminal
+    * write re-plans THIS routed tree (the MV scan is a leaf in it), so
+    * the executed plan reads the MV without the rule staying live for
+    * unrelated later queries (round-9 advisory: the session-global rule
+    * could silently reroute any future bare aggregate over the base).
+    */
+  private def routedToMv(s: SparkSession, q: DataFrame, mvTag: String,
+      baseTag: String): DataFrame = {
+    val opt = q.queryExecution.optimizedPlan
+    val leaves = opt.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(leaves.exists(_.contains(mvTag)) &&
+      !leaves.exists(_.contains(baseTag)),
+      s"MV rewrite did not fire: plan reads $leaves")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, opt)
+  }
+
   def qCdcMvRewrite(s: SparkSession, d: String): DataFrame = {
     import graft.plans.MvRewrite
     val basePath = s"$d/customer.parquet"
@@ -1316,37 +1343,19 @@ object Cdc {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("c_custkey")).as("key_sum"))
-    // (re)materialize the view once per (JVM, sf), rule disabled while
-    // building — the build query matches the registered shape and would
-    // otherwise be rewritten to read the files it is about to overwrite
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS"))) {
-      MvRewrite.enabled = false
-      try aggOverBase.write.mode("overwrite").parquet(mvPath)
-      finally MvRewrite.enabled = true
-    }
-    MvRewrite.install(s, MvRewrite.Registration(
+    // (re)materialize the view once per (JVM, sf) BEFORE installing the
+    // rule — the build query matches the registered shape and a live
+    // rule would rewrite it to read the files it is about to overwrite
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
+      aggOverBase.write.mode("overwrite").parquet(mvPath)
+    val rule = MvRewrite.install(s, MvRewrite.Registration(
       baseTag = "customer.parquet",
       groupCols = Seq("c_mktsegment"),
       aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
       mv = () => s.read.parquet(mvPath)))
-    val q = aggOverBase.orderBy(col("c_mktsegment"))
-    // loud witness: the optimized plan must read the MV, not the base.
-    // (The rule stays installed for the session so the caller's write
-    // re-plan rewrites identically; it is a no-op for every other shape
-    // — any filter, cast-bearing projection, or different aggregate
-    // list disqualifies, and all Tables-loaded scans carry casts.)
-    val leaves = q.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Seq.empty[String]
-        }
-    }.flatten
-    require(leaves.exists(_.contains("graft_mv_rewrite")) &&
-      !leaves.exists(_.contains("customer.parquet")),
-      s"MV rewrite did not fire: plan reads $leaves")
-    q
+    try routedToMv(s, aggOverBase.orderBy(col("c_mktsegment")),
+      "graft_mv_rewrite", "customer.parquet")
+    finally MvRewrite.uninstall(s, rule)
   }
 
   /** MV SUBSUMPTION rewrite ([[graft.plans.MvRewrite]] cases 2+3): the
@@ -1368,34 +1377,21 @@ object Cdc {
     def mvBuild: DataFrame = s.read.parquet(basePath)
       .groupBy(col("c_mktsegment"), col("c_nationkey"))
       .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS"))) {
-      MvRewrite.enabled = false
-      try mvBuild.write.mode("overwrite").parquet(mvPath)
-      finally MvRewrite.enabled = true
-    }
-    MvRewrite.install(s, MvRewrite.Registration(
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
+      mvBuild.write.mode("overwrite").parquet(mvPath)
+    val rule = MvRewrite.install(s, MvRewrite.Registration(
       baseTag = "customer.parquet",
       groupCols = Seq("c_mktsegment", "c_nationkey"),
       aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
       mv = () => s.read.parquet(mvPath)))
-    val q = s.read.parquet(basePath)
-      .filter(col("c_nationkey") < 13)
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("c_custkey")).as("key_sum"))
-      .orderBy(col("c_mktsegment"))
-    val leaves = q.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Seq.empty[String]
-        }
-    }.flatten
-    require(leaves.exists(_.contains("graft_mv_rollup")) &&
-      !leaves.exists(_.contains("customer.parquet")),
-      s"MV rollup rewrite did not fire: plan reads $leaves")
-    q
+    try routedToMv(s, s.read.parquet(basePath)
+        .filter(col("c_nationkey") < 13)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("c_custkey")).as("key_sum"))
+        .orderBy(col("c_mktsegment")),
+      "graft_mv_rollup", "customer.parquet")
+    finally MvRewrite.uninstall(s, rule)
   }
 
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory

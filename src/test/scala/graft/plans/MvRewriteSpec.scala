@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
 /** Pins the MV-rewrite rule's safety properties: it fires on exactly
   * the registered shape, misses on every nearby-but-different shape
   * (where a false match would corrupt results), preserves values and
-  * output binding, and honors the build-time disable switch.
+  * output binding — including the zero-group global-aggregate edge
+  * (count must fold to 0, not NULL) and the min/max/avg algebra — and
+  * its lifetime is SCOPED: install returns a handle, uninstall removes
+  * exactly it, and a post-uninstall aggregate over the same base is
+  * untouched.
   */
 class MvRewriteSpec extends SparkSpec {
 
@@ -31,19 +35,41 @@ class MvRewriteSpec extends SparkSpec {
     p
   }
 
-  private def installed[T](f: => T): T = {
+  /** Finer MV carrying the full algebra: count/sum/min/max over v. */
+  private lazy val statsMvPath = {
+    val p = tmpDir("graft-mv-stats") + "/statsmv.parquet"
+    spark.read.parquet(basePath).groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .write.parquet(p)
+    p
+  }
+
+  private def installed[T](f: MvRewrite.RewriteRule => T): T = {
     // force both fixtures BEFORE the rule exists: building the MV runs
     // the exact registered shape, and with the rule live that build
     // would re-enter the still-initializing lazy (the same read-while-
-    // overwrite hazard the gate's enabled=false build window guards)
+    // overwrite hazard the gate's build-before-install ordering guards)
     basePath; mvPath
-    MvRewrite.install(spark, MvRewrite.Registration(
+    val rule = MvRewrite.install(spark, MvRewrite.Registration(
       baseTag = "base.parquet",
       groupCols = Seq("seg"),
       aggSpecs = Seq(("count", None), ("sum", Some("v"))),
       mv = () => spark.read.parquet(mvPath)))
+    try f(rule)
+    finally MvRewrite.uninstall(spark, rule)
+  }
+
+  private def statsInstalled[T](f: => T): T = {
+    basePath; statsMvPath
+    val rule = MvRewrite.install(spark, MvRewrite.Registration(
+      baseTag = "base.parquet",
+      groupCols = Seq("seg"),
+      aggSpecs = Seq(("count", None), ("sum", Some("v")),
+        ("min", Some("v")), ("max", Some("v"))),
+      mv = () => spark.read.parquet(statsMvPath)))
     try f
-    finally spark.experimental.extraOptimizations = Nil
+    finally MvRewrite.uninstall(spark, rule)
   }
 
   private def scanPaths(df: DataFrame): Seq[String] =
@@ -62,7 +88,7 @@ class MvRewriteSpec extends SparkSpec {
     "values and intact downstream binding") {
     val plain = agg.orderBy(col("seg")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    installed {
+    installed { _ =>
       val q = agg.orderBy(col("seg"))
       assert(scanPaths(q).exists(_.contains("mv.parquet")) &&
         !scanPaths(q).exists(_.contains("base.parquet")),
@@ -78,7 +104,7 @@ class MvRewriteSpec extends SparkSpec {
 
   test("nearby-but-different shapes are untouched (false match would " +
     "corrupt results)") {
-    installed {
+    installed { _ =>
       val differentGroup = spark.read.parquet(basePath)
         .groupBy(col("id")).agg(count(lit(1)).as("n"),
           sum(col("v")).as("sv"))
@@ -96,11 +122,15 @@ class MvRewriteSpec extends SparkSpec {
       val distinctAgg = spark.read.parquet(basePath)
         .groupBy(col("seg")).agg(count(lit(1)).as("n"),
           sum_distinct(col("v")).as("sv"))
+      // min/max/avg are NOT answerable from the count+sum registration
+      val unanswerable = spark.read.parquet(basePath)
+        .groupBy(col("seg")).agg(min(col("v")).as("mn"))
       for ((q, what) <- Seq(differentGroup -> "different grouping",
           differentAgg -> "different agg input",
           filteredBase -> "filtered base",
           castBearing -> "cast-bearing projection",
-          distinctAgg -> "distinct aggregate"))
+          distinctAgg -> "distinct aggregate",
+          unanswerable -> "min over a count+sum-only registration"))
         assert(!scanPaths(q).exists(_.contains("mv.parquet")),
           s"$what must NOT rewrite: ${scanPaths(q)}")
       // and the filtered query still computes correctly from base
@@ -112,7 +142,7 @@ class MvRewriteSpec extends SparkSpec {
 
   test("subsumption: a group-column filter pushes onto the MV and a " +
     "grouping-subset rollup re-aggregates it — both value-exact") {
-    installed {
+    installed { _ =>
       // filter on the group column, same groupings → σ over the MV
       val f = spark.read.parquet(basePath).filter(col("seg") =!= "b")
         .groupBy(col("seg"))
@@ -147,12 +177,92 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
-  test("the enabled switch suppresses the rewrite (the MV build window)") {
-    installed {
-      MvRewrite.enabled = false
+  test("a zero-group global aggregate folds count to 0, not NULL " +
+    "(round-9 advisory: the silently-corrupting shape)") {
+    installed { _ =>
+      // the group-column filter matches NO groups; the base query
+      // returns one row (count=0, sum=NULL) — so must the rewrite
+      val q = spark.read.parquet(basePath).filter(col("seg") === "nope")
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(q).exists(_.contains("mv.parquet")),
+        s"zero-group global case did not rewrite: ${scanPaths(q)}")
+      val row = q.collect().head
+      assert(row.getLong(0) == 0L, s"count must be 0, got ${row.get(0)}")
+      assert(row.isNullAt(1), "sum over zero rows stays NULL")
+    }
+  }
+
+  test("min/max/avg: direct reads in the exact case, semilattice and " +
+    "sum/count-decomposition folds in the rollup case — value-exact") {
+    def statsAgg: DataFrame = spark.read.parquet(basePath)
+      .groupBy(col("seg"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        avg(col("v")).as("av"))
+    val plainExact = statsAgg.orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    def statsRollup: DataFrame = spark.read.parquet(basePath)
+      .groupBy()
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        avg(col("v")).as("av"), count(lit(1)).as("n"))
+    val plainRollup = statsRollup.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    statsInstalled {
+      val e = statsAgg.orderBy(col("seg"))
+      assert(scanPaths(e).exists(_.contains("statsmv.parquet")),
+        s"exact stats case did not rewrite: ${scanPaths(e)}")
+      val gotExact = e.collect()
+        .map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(gotExact == plainExact, s"$gotExact != $plainExact")
+      val g = statsRollup
+      assert(scanPaths(g).exists(_.contains("statsmv.parquet")),
+        s"rollup stats case did not rewrite: ${scanPaths(g)}")
+      val gotRollup = g.collect()
+        .map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      assert(gotRollup == plainRollup, s"$gotRollup != $plainRollup")
+    }
+  }
+
+  test("lifetime is scoped: uninstall removes exactly the handle and a " +
+    "post-uninstall aggregate over the same base is untouched") {
+    val before = spark.experimental.extraOptimizations
+    installed { _ =>
+      assert(scanPaths(agg).exists(_.contains("mv.parquet")))
+      assert(spark.experimental.extraOptimizations
+        .count(_.isInstanceOf[MvRewrite.RewriteRule]) == 1)
+    }
+    // the round-9 finding: the rule must NOT outlive its gate — a later
+    // bare aggregate over the same base must read the base
+    assert(scanPaths(agg).exists(_.contains("base.parquet")) &&
+      !scanPaths(agg).exists(_.contains("mv.parquet")),
+      "rule leaked past uninstall")
+    assert(spark.experimental.extraOptimizations == before)
+    // a stale rule left by a crashed holder is pruned by the next install
+    MvRewrite.install(spark, MvRewrite.Registration(
+      baseTag = "base.parquet", groupCols = Seq("seg"),
+      aggSpecs = Seq(("count", None), ("sum", Some("v"))),
+      mv = () => spark.read.parquet(mvPath)))
+    installed { _ =>
+      assert(spark.experimental.extraOptimizations
+        .count(_.isInstanceOf[MvRewrite.RewriteRule]) == 1,
+        "install must prune stale graft rules, not stack them")
+    }
+    spark.experimental.extraOptimizations = Nil
+  }
+
+  test("the per-rule enabled switch suppresses the rewrite (the MV " +
+    "build window) without touching other registrations") {
+    installed { rule =>
+      rule.enabled = false
       try assert(scanPaths(agg).exists(_.contains("base.parquet")),
         "disabled rule must leave the base scan")
-      finally MvRewrite.enabled = true
+      finally rule.enabled = true
       assert(scanPaths(agg).exists(_.contains("mv.parquet")))
     }
   }
