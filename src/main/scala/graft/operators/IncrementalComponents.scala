@@ -123,8 +123,16 @@ object IncrementalComponents {
       .select(col(srcCol), col(dstCol))
     val ins = delta.filter(col(opCol) =!= "d")
       .select(col(srcCol), col(dstCol))
-    val survivors = liveEdges.join(dels, Seq(srcCol, dstCol), "left_anti")
-      .unionByName(ins)
+    // maintained live-edge state stays duplicate-free (round-9
+    // advisory: a re-inserted already-live pair must not accumulate a
+    // second copy across batches — harmless for connectivity, but it
+    // grows the state and skews any count over it). One anti-join of
+    // the corpus-sized live set against the delta-bounded (dels ∪ ins)
+    // probe — broadcastable — then the batch's distinct insertions.
+    val survivors = liveEdges
+      .join(delta.select(col(srcCol), col(dstCol)).distinct(),
+        Seq(srcCol, dstCol), "left_anti")
+      .unionByName(ins.distinct())
     if (dels.isEmpty)
       (step(labels, ins, nodeCol, labelCol, srcCol, dstCol, via), survivors)
     else {

@@ -918,10 +918,12 @@ class Round8OpsSpec extends SparkSpec {
       var allNodes = nodes0.toSet
       for (g <- 1 to 2) {
         // delete up to 2 random LIVE edges (bridges included — the case
-        // with no local certificate) and insert fresh ones
+        // with no local certificate) and insert a mix that may RE-INSERT
+        // an already-live pair (round-9 advisory: the maintained edge
+        // state must stay duplicate-free under exactly that)
         val dels = rnd.shuffle(live).take(1 + rnd.nextInt(2))
-        val ins = randEdges(30 + g * 8, 4)
-          .filterNot(e => live.contains(e) && !dels.contains(e))
+        val ins = randEdges(30 + g * 8, 4) ++
+          rnd.shuffle(live.filterNot(dels.contains)).take(1)
         val cur = labels.select("node", "label").collect()
           .map(r => r.getInt(0) -> r.getInt(1)).toMap
         val touched = (dels ++ ins).flatMap { case (a, b) => Seq(a, b) }
@@ -933,7 +935,7 @@ class Round8OpsSpec extends SparkSpec {
           delta.toDF("a", "b", "op"), "op", "node", "label", "a", "b",
           "via")
         labels = next
-        live = live.filterNot(dels.contains) ++ ins
+        live = (live.filterNot(dels.contains) ++ ins).distinct
         allNodes ++= ins.flatMap { case (a, b) => Seq(a, b) }
         val got = labels.collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
@@ -948,9 +950,14 @@ class Round8OpsSpec extends SparkSpec {
           }.toSet
         assert(got == want, s"seed $seed gen $g:\n got=${got.toSeq.sorted}" +
           s"\nwant=${want.toSeq.sorted}")
-        // the returned live-edge state matches the reference fold
-        assert(nextLive.collect().map(r => (r.getInt(0), r.getInt(1)))
-          .toSet == live.toSet, s"seed $seed gen $g: live-edge state drift")
+        // the returned live-edge state matches the reference fold AND
+        // is duplicate-free (a re-inserted live pair lands exactly once)
+        val liveGot = nextLive.collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSeq
+        assert(liveGot.toSet == live.toSet,
+          s"seed $seed gen $g: live-edge state drift")
+        assert(liveGot.distinct.size == liveGot.size,
+          s"seed $seed gen $g: duplicate rows in maintained edge state")
       }
       // delete-free dispatch: the same API must route through the O(Δ)
       // incremental step — witnessed by its 'merged' marker vocabulary
