@@ -1394,6 +1394,180 @@ object Cdc {
     finally MvRewrite.uninstall(s, rule)
   }
 
+  /** MV SUBSUMPTION across the WIDENED aggregate algebra (round-9
+    * verdict item #5): the registered view is finer — (segment,
+    * nation) — carrying count/sum/min/max columns; the query filters
+    * one group column and rolls up to the other computing `min`, `max`,
+    * and `avg`. The rule must push the filter onto the MV, re-fold
+    * min/max as idempotent semilattice ops over the refinement, and
+    * answer `avg` from the sum/count DECOMPOSITION (`sum(sv)/sum(n)` in
+    * double — exactly how Spark's own `Average` evaluates integral
+    * input, so the value is bit-identical to the base computation; the
+    * oracle spells the same decomposition). Same loud witnesses as
+    * [[qCdcMvRewrite]]: oracle computed from BASE, `require` that the
+    * optimized plan reads the MV.
+    *
+    * Scale shape: identical to [[qCdcMvRollup]] — O(groups) MV read +
+    * re-fold instead of the O(base) scan; min/max/avg are the rest of
+    * the self-maintainable-under-insertion algebra a warehouse rollup
+    * actually serves.
+    */
+  def qCdcMvStats(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val basePath = s"$d/customer.parquet"
+    val mvPath = gateTmpDir("graft_mv_stats", d) + "/mv"
+    val fs = new org.apache.hadoop.fs.Path(mvPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def mvBuild: DataFrame = s.read.parquet(basePath)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"),
+        min(col("c_custkey")).as("mn"), max(col("c_custkey")).as("mx"))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
+      mvBuild.write.mode("overwrite").parquet(mvPath)
+    val rule = MvRewrite.install(s, MvRewrite.Registration(
+      baseTag = "customer.parquet",
+      groupCols = Seq("c_mktsegment", "c_nationkey"),
+      aggSpecs = Seq(("count", None), ("sum", Some("c_custkey")),
+        ("min", Some("c_custkey")), ("max", Some("c_custkey"))),
+      mv = () => s.read.parquet(mvPath)))
+    try routedToMv(s, s.read.parquet(basePath)
+        .filter(col("c_nationkey") < 13)
+        .groupBy(col("c_mktsegment"))
+        .agg(min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"),
+          avg(col("c_custkey")).as("avg_key"))
+        .orderBy(col("c_mktsegment")),
+      "graft_mv_stats", "customer.parquet")
+    finally MvRewrite.uninstall(s, rule)
+  }
+
+  /** One generation of the [[qCdcMvIvm]] fixture's change rules,
+    * scoped to the id band [lo, hi): the [[aggViewFixture]] rule
+    * shapes — group moves (%3), metric updates (%4), deletes on either
+    * side (%7 a-side, %5 b-side) — so every IVM case (retraction,
+    * insertion, group move, delete) runs in EVERY maintenance
+    * generation. Bands are DISJOINT across generations, which is what
+    * keeps the closed form SQL-expressible: the post-gen-2 state of a
+    * band-2 key is its gen-1 state, so "apply the rules where
+    * id < hi₂" is the exact final state.
+    */
+  private def mvIvmDeltas(cust: DataFrame, lo: Int, hi: Int)
+      : (DataFrame, DataFrame) = {
+    val lsn0 = col("id").cast("long")
+    val bucket = expr("id div 100").cast("string")
+    val inB = col("id") >= lo && col("id") < hi
+    val a = cust.filter(inB && col("id") % 3 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        concat(lit("moved-"), bucket).as("g"))
+      .unionByName(cust.filter(inB && col("id") % 7 === 0)
+        .select(col("id"), lit("d").as("op"),
+          (lsn0 + 20000000L).as("lsn"),
+          lit(null).cast("string").as("g")))
+    val b = cust.filter(inB && col("id") % 4 === 0)
+      .select(col("id"), lit("u").as("op"), (lsn0 + 10000000L).as("lsn"),
+        (col("id").cast("long") * 7L % 1000L + 500L).as("balance"))
+      .unionByName(cust.filter(inB && col("id") % 5 === 0)
+        .select(col("id"), lit("d").as("op"),
+          (lsn0 + 20000000L).as("lsn"),
+          lit(null).cast("long").as("balance")))
+    (a, b)
+  }
+
+  /** IVM maintenance COMPOSED with MV routing, end to end (round-9
+    * verdict item #1) — the reference's consumer-materialization shape
+    * (`/root/reference/docs/architecture.md:49-66`) closed into one
+    * loop: an aggregate view is BOOTSTRAPPED, maintained through TWO
+    * change generations by [[graft.cdc.IncrementalAggView.step]] (never
+    * re-aggregating the base), the MAINTAINED state is registered with
+    * [[graft.plans.MvRewrite]], and a plain aggregate over the
+    * post-delta base parquet is transparently ROUTED to it. The DuckDB
+    * oracle computes from the post-delta base closed form, so the hash
+    * proves the maintained-state content is exactly what the routed
+    * query's base semantics demand; the in-gate `require` proves the
+    * plan actually read the MV (a silent fall-through cannot pass).
+    *
+    * `maintained_via` witnesses WHICH generations maintained each
+    * group: 'g2'/'g3'/'g2+g3' per the two steps' touched markers,
+    * 'carried' for groups neither delta ever rewrote. Generations
+    * touch DISJOINT id bands ([0,512) then [512,1024)), which makes
+    * the markers well-defined as well as the closed form foldable: a
+    * group in gen-2's touched set that spans band 2 always keeps its
+    * untouched live band-2 members at gen 2 (gen 2 touches nothing
+    * ≥512), so no gen-2-touched group can vanish from the maintained
+    * view and reappear in gen 3 with its gen-2 witness lost — the only
+    * shape under which a step-marker fold and the oracle's
+    * touched-set fold could disagree.
+    *
+    * Scale shape: each maintenance step is O(|Δ| + touched groups);
+    * the routed query reads O(groups) MV rows instead of scanning the
+    * base — the full IVM payoff measured as one gate. At 100 TB this
+    * is the difference between a consumer dashboard re-scanning the
+    * fact table and reading a metadata-sized, always-fresh rollup.
+    */
+  def qCdcMvIvm(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    import graft.plans.MvRewrite
+    import graft.Materialize.Ops
+    val base = gateTmpDir("graft_mv_ivm", d)
+    val (mvPath, basePath) = (s"$base/ivm_mv", s"$base/ivm_base")
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      lower(col("c_mktsegment")).as("seg"))
+      .stage() // snapshot build + four delta-rule scans
+    val lsn0 = col("id").cast("long")
+    val bucket = expr("id div 100").cast("string")
+    val a1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"),
+      concat(col("seg"), lit("-"), bucket).as("g"))
+    val b1 = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"),
+      (col("id").cast("long") * 7L % 1000L).as("balance"))
+    val (a2, b2) = mvIvmDeltas(cust, 0, 512)
+    val (a3, b3) = mvIvmDeltas(cust, 512, 1024)
+    // generation 1: bootstrap the side states + the materialization
+    val aS1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bS1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val agg1 = IncrementalAggView.bootstrap(aS1, bS1, "id", "g", "balance")
+    // generations 2 and 3: algebraic maintenance, O(|Δ|) each — the
+    // materialization is never rebuilt from the base after bootstrap
+    val (agg2raw, aS2raw, bS2raw) = IncrementalAggView.step(agg1,
+      aS1, bS1, a2, b2, "id", "g", "balance", "via2")
+    val agg2 = agg2raw.stage() // step-3 input + the gen-2 marker join
+    val aS2 = aS2raw.stage() // step-3 touched probe + carry
+    val bS2 = bS2raw.stage()
+    val (agg3raw, aS3, bS3) = IncrementalAggView.step(
+      agg2.select(col("g"), col("n_members"), col("total")),
+      aS2, bS2, a3, b3, "id", "g", "balance", "via3")
+    val agg3 = agg3raw.stage() // MV write + the marker join
+    // publish the MAINTAINED materialization and the post-delta base
+    // (the live joined state a consumer's base table would hold)
+    agg3.select(col("g"), col("n_members"), col("total"))
+      .write.mode("overwrite").parquet(mvPath)
+    IncrementalAggView.contribs(aS3, bS3, "id", "g", "balance")
+      .write.mode("overwrite").parquet(basePath)
+    val markers = agg3.select(col("g"), col("via3"))
+      .join(agg2.select(col("g"), col("via2")), Seq("g"), "left")
+      .select(col("g"),
+        when(col("via2") === "delta_applied" &&
+          col("via3") === "delta_applied", lit("g2+g3"))
+          .when(col("via2") === "delta_applied", lit("g2"))
+          .when(col("via3") === "delta_applied", lit("g3"))
+          .otherwise(lit("carried")).as("maintained_via"))
+    val rule = MvRewrite.install(s, MvRewrite.Registration(
+      baseTag = "ivm_base", groupCols = Seq("g"),
+      aggSpecs = Seq(("count", None), ("sum", Some("m"))),
+      mv = () => s.read.parquet(mvPath)))
+    val routed =
+      try routedToMv(s,
+        s.read.parquet(basePath).groupBy(col("g"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("m")).as("total_balance")),
+        "ivm_mv", "ivm_base")
+      finally MvRewrite.uninstall(s, rule)
+    routed.join(markers, Seq("g"))
+      .select(col("g"), col("n_members"), col("total_balance"),
+        col("maintained_via"))
+      .orderBy(col("g"))
+  }
+
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
     * unit, exactly the production tool's knob (pt-table-checksum's
     * `--chunk-size`).
@@ -1989,6 +2163,62 @@ object Cdc {
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     // computed from the BASE table — the gate's plan filters and
+    // re-folds the finer MV through the widened algebra, so equality
+    // proves the min/max semilattice folds and the avg sum/count
+    // decomposition are all value-exact (avg is spelled as the same
+    // exact-integer-sums double division all three computations use)
+    "q_cdc_mv_stats" ->
+      """SELECT c_mktsegment,
+        |  CAST(min(c_custkey) AS BIGINT) AS min_key,
+        |  CAST(max(c_custkey) AS BIGINT) AS max_key,
+        |  CAST(sum(c_custkey) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_key
+        |FROM customer WHERE c_nationkey < 13
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // computed from the post-delta BASE closed form (both generations'
+    // band rules applied — bands are disjoint, so "rules where
+    // id < 1024" IS the final state): the gate's plan reads the
+    // MAINTAINED MV, so equality proves the two incremental steps kept
+    // the materialization exactly base-consistent; maintained_via folds
+    // each generation's retraction∪insertion group frontier
+    "q_cdc_mv_ivm" ->
+      """WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+        |    lower(c_mktsegment) AS seg FROM customer),
+        |f AS (SELECT id, seg,
+        |    CASE WHEN id < 1024 AND id % 3 = 0
+        |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+        |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+        |    CAST(id * 7 % 1000
+        |      + CASE WHEN id < 1024 AND id % 4 = 0
+        |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+        |  FROM c
+        |  WHERE NOT (id < 1024 AND (id % 7 = 0 OR id % 5 = 0))),
+        |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(bal) AS BIGINT) AS total_balance FROM f GROUP BY 1),
+        |t2 AS (SELECT DISTINCT g FROM (
+        |    SELECT seg || '-' || CAST(id // 100 AS VARCHAR) AS g
+        |    FROM c WHERE id < 512
+        |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)
+        |    UNION ALL
+        |    SELECT g FROM f WHERE id < 512
+        |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0))),
+        |t3 AS (SELECT DISTINCT g FROM (
+        |    SELECT seg || '-' || CAST(id // 100 AS VARCHAR) AS g
+        |    FROM c WHERE id >= 512 AND id < 1024
+        |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)
+        |    UNION ALL
+        |    SELECT g FROM f WHERE id >= 512 AND id < 1024
+        |      AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)))
+        |SELECT v.g AS g, v.n_members, v.total_balance,
+        |  CASE WHEN t2.g IS NOT NULL AND t3.g IS NOT NULL THEN 'g2+g3'
+        |       WHEN t2.g IS NOT NULL THEN 'g2'
+        |       WHEN t3.g IS NOT NULL THEN 'g3'
+        |       ELSE 'carried' END AS maintained_via
+        |FROM v LEFT JOIN t2 ON v.g = t2.g LEFT JOIN t3 ON v.g = t3.g
+        |ORDER BY v.g""".stripMargin,
+
+    // computed from the BASE table — the gate's plan filters and
     // re-aggregates the finer MV, so equality proves the filter
     // pushdown and the rollup fold are both semantics-preserving
     "q_cdc_mv_rollup" ->
@@ -2342,6 +2572,8 @@ object Cdc {
     "q_cdc_fk_stream_ivm" -> (qCdcFkStreamIvm _),
     "q_cdc_mv_rewrite" -> (qCdcMvRewrite _),
     "q_cdc_mv_rollup" -> (qCdcMvRollup _),
+    "q_cdc_mv_stats" -> (qCdcMvStats _),
+    "q_cdc_mv_ivm" -> (qCdcMvIvm _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),
