@@ -554,6 +554,127 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** DELETION-BEARING cluster maintenance under STREAMING delivery —
+    * the remaining untested combination from round 9 (verdict item #4):
+    * [[qDedupClustersTombstone]]'s three generations delivered as real
+    * foreachBatch micro-batches with a CHECKPOINT RESTART before every
+    * generation, dispatching through [[graft.operators
+    * .IncrementalComponents.stepWithTombstones]] inside the stream.
+    * Generation 1 bootstraps the corpus labeling and the live-edge
+    * state (the pair system of record); generation 2 is append-only and
+    * must take the O(Δ) quotient-graph path; generation 3 carries a
+    * tombstone + an insertion in ONE batch and must detect the
+    * tombstone mid-stream, recompute scoped to the affected components,
+    * and combine markers exactly as the batch gate does ('recomputed'
+    * outranks, carried-through-gen-3 clusters keep their gen-2
+    * witness). Both label AND edge state version through
+    * [[graft.cdc.VersionedState]] (labels as the version anchor,
+    * written last — a crash between the two publishes leaves the
+    * previous generation current).
+    *
+    * The oracle is IDENTICAL to the batch tombstone gate's closed
+    * form — maintenance must not depend on delivery mode; a silent
+    * append-only treatment of the tombstone batch (the split never
+    * happens), a re-bootstrap on restart (every marker flips), or a
+    * torn edge/label publish each hash-mismatch.
+    *
+    * Scale shape: per micro-batch cost is the dispatched step's — O(Δ)
+    * for append-only batches, affected-subgraph recompute for
+    * tombstone batches — plus one state read/write per kind.
+    */
+  def qDedupClustersStreamTomb(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = Cdc.gateTmpDir("graft_clusters_stream_tomb", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, store, ck) = (s"$base/in", s"$base/store", s"$base/ck")
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("int").as("id"))
+      .stage() // nodes + all gen-2/gen-3 rules + the endpoint guards
+    val nodes = c.select(col("id").as("node"))
+    val e1 = c.filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val d0 = c.filter(col("id") % 20 === 4)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .unionByName(c.filter(col("id") % 40 === 1)
+        .select(col("id").as("a"), (col("id") + 10).as("b")))
+      .unionByName(c.filter(col("id") % 80 === 31)
+        .select(col("id").as("a"), (col("id") + 2).as("b")))
+      .join(c.select(col("id").as("b")), Seq("b"), "left_semi")
+    val delta2 = d0.unionByName(c.filter(col("id") % 40 === 11)
+      .select(col("id").as("a"), (col("id") + 10000000).as("b")))
+    def guarded(f: org.apache.spark.sql.Column): DataFrame =
+      c.filter(f).select(col("id").as("a"), (col("id") + 1).as("b"))
+        .join(c.select(col("id").as("b")), Seq("b"), "left_semi")
+    val delta3 = guarded(col("id") % 160 === 72).withColumn("op", lit("d"))
+      .unionByName(guarded(col("id") % 160 === 75)
+        .withColumn("op", lit("i")))
+    // each generation lands as ONE file → one micro-batch, so per-batch
+    // dispatch (append-only vs tombstone) is exactly the oracle's fold
+    e1.withColumn("op", lit("i")).coalesce(1).write.parquet(s"$base/gen1")
+    delta2.withColumn("op", lit("i")).coalesce(1)
+      .write.parquet(s"$base/gen2")
+    delta3.coalesce(1).write.parquet(s"$base/gen3")
+    val state = new graft.cdc.VersionedState(s, store, "labels")
+    def run(): Unit =
+      s.readStream.schema("a INT, b INT, op STRING").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val bt = batch.cache()
+          val (labels, edges) =
+            (state.readLatest("labels"), state.readLatest("edges")) match {
+              case (Some(lbl), Some(live)) =>
+                val (l3, e3) = graft.operators.IncrementalComponents
+                  .stepWithTombstones(lbl.select(col("node"), col("label")),
+                    live, bt, "op", "node", "label", "a", "b", "via")
+                // marker combine, exactly the batch gate's: a tombstone
+                // batch's 'recomputed' outranks, its 'carried' keeps the
+                // previous witness; append-only batches emit the step's
+                // own merged/carried markers
+                val out =
+                  if (bt.filter(col("op") === "d").isEmpty) l3
+                  else l3
+                    .join(lbl.select(col("node"), col("via").as("pv")),
+                      Seq("node"), "left")
+                    .select(col("node"), col("label"),
+                      when(col("via") === "recomputed", lit("recomputed"))
+                        .otherwise(col("pv")).as("via"))
+                (out, e3)
+              case _ =>
+                val ins = bt.filter(col("op") =!= "d")
+                  .select(col("a"), col("b"))
+                (graft.operators.MinLabelComponents
+                  .components(nodes, ins, "node", "a", "b")
+                  .withColumn("via", lit("bootstrap")), ins)
+            }
+          // edge state first, the version-anchoring labels LAST
+          state.publish("edges", id, edges)
+          state.publish("labels", id, labels)
+          bt.unpersist(): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      Cdc.copyStaged(s, s"$base/gen1", inDir, "g1")
+      run() // generation 1 bootstraps labels + live edges
+      Cdc.copyStaged(s, s"$base/gen2", inDir, "g2")
+      run() // append-only: resumed stream must take the O(Δ) step
+      Cdc.copyStaged(s, s"$base/gen3", inDir, "g3")
+      run() // tombstone mid-stream: detect, recompute scoped, combine
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    state.readLatest("labels").get
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws(",", sort_array(collect_list(col("node"))))
+          .as("members"),
+        max(col("via")).as("maintained_via"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Window length (tokens) for substring-level dedup. */
   val SubstrK = 8
 
@@ -1021,7 +1142,16 @@ object Dedup {
     // gen-1 label (= its pre-gen-3 label — gen-3 decades are provably
     // gen-2-untouched) is an endpoint label of the gen-3 batch, else the
     // gen-2 merged/carried marker applies
-    "q_dedup_clusters_tombstone" ->
+    "q_dedup_clusters_tombstone" -> clustersTombstoneOracle,
+
+    // IDENTICAL closed form: the streaming drive delivers the same
+    // three generations through foreachBatch micro-batches with a
+    // checkpoint restart before each, dispatching per batch — a silent
+    // append-only treatment of the tombstone batch, a re-bootstrap on
+    // restart, or a torn edge/label publish each hash-mismatch
+    "q_dedup_clusters_stream_tomb" -> clustersTombstoneOracle)
+
+  private lazy val clustersTombstoneOracle: String =
       """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS INT) AS id
         |                     FROM customer),
         |e1 AS (SELECT id AS a, id + 1 AS b FROM c
@@ -1075,8 +1205,9 @@ object Dedup {
         |  CASE WHEN bool_or(touched3) THEN 'recomputed'
         |       WHEN bool_or(touched) THEN 'merged'
         |       ELSE 'carried' END AS maintained_via
-        |FROM f GROUP BY label ORDER BY cluster_id""".stripMargin,
+        |FROM f GROUP BY label ORDER BY cluster_id""".stripMargin
 
+  private val oracleBase2: Map[String, String] = Map(
     // DuckDB range(a,b) is [a,b) ascending-or-empty, so the short-doc
     // guard Spark needs is implicit; list slices are 1-indexed inclusive.
     "q_dedup_substring" ->
@@ -1249,7 +1380,8 @@ object Dedup {
     * verbatim as subqueries — the truth SQL cannot drift from the gated
     * per-method twins (same pattern as Similarity's q_ann_recall).
     */
-  val oracle: Map[String, String] = oracleBase + ("q_dedup_recall" ->
+  val oracle: Map[String, String] = oracleBase ++ oracleBase2 +
+    ("q_dedup_recall" ->
     s"""WITH ex AS (SELECT doc_a, doc_b
        |            FROM (${oracleBase("q_dedup_ngram")})),
        |es AS (SELECT doc_a, doc_b
@@ -1275,6 +1407,7 @@ object Dedup {
     "q_dedup_clusters_incremental" -> (qDedupClustersIncremental _),
     "q_dedup_clusters_tombstone" -> (qDedupClustersTombstone _),
     "q_dedup_clusters_stream" -> (qDedupClustersStream _),
+    "q_dedup_clusters_stream_tomb" -> (qDedupClustersStreamTomb _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_dedup_substring" -> (qDedupSubstring _),
