@@ -221,6 +221,14 @@ object Bench {
       else spreads.toSeq.sortBy(_._1).map { case (k, (lo, hi)) =>
         "\"" + k + "\":[" + lo + "," + hi + "]"
       }.mkString(""","spread":{""", ",", "}")
+    // shared-input builds (QueryMemo.sharedInput) land in the UNCOUNTED
+    // warm-up pass of multi-pass runs, so no measured median ever pays
+    // them — emit each build as its own receipt line-item (round-9
+    // verdict item #2) so committed suite totals are reconstructible
+    graft.queries.QueryMemo.sharedBuildReceipts.foreach { case (k, secs) =>
+      val s2 = math.round(secs * 100) / 100.0
+      receipts += k -> s"""{"build_s":$s2}"""
+    }
     // receipts ride only in the FILE artifact (the stdout line must stay
     // compact); keys are pre-escaped query names, values literal JSON
     val receiptJson = receipts.toSeq.sortBy(_._1)

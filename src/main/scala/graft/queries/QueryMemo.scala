@@ -61,13 +61,31 @@ object QueryMemo {
     * pinned frame. Outside suite mode this is exactly `build` — Verify
     * and the specs always recompute, so gate independence stays
     * structural.
+    *
+    * Each suite build's wall seconds are recorded in
+    * [[sharedBuildReceipts]] (round-9 verdict item #2): multi-pass
+    * committed medians never pay the build (it pins in the uncounted
+    * warm-up), so the bench artifact must carry the cost as its own
+    * line-item or suite totals silently under-report it.
     */
   def sharedInput(name: String, dir: String)(build: => DataFrame)
       : DataFrame =
     lookup(name, dir).getOrElse {
-      val df = build
-      if (suite) seed(name, dir, df) else df
+      if (suite) {
+        val t0 = System.nanoTime()
+        val ck = seed(name, dir, build) // localCheckpoint executes it
+        buildSecs.put(name, (System.nanoTime() - t0) / 1e9)
+        ck
+      } else build
     }
+
+  private val buildSecs = TrieMap.empty[String, Double]
+
+  /** Wall seconds each suite-mode [[sharedInput]] build actually cost,
+    * keyed by its memo name — Bench emits these as receipt line-items
+    * so committed suite totals stay reconstructible.
+    */
+  def sharedBuildReceipts: Map[String, Double] = buildSecs.toMap
 
   /** Materialize (eager localCheckpoint) and publish a twin's result for
     * `dir`. Returns the checkpointed frame — the caller's execution handle.
@@ -101,6 +119,7 @@ object QueryMemo {
   def isPinned(id: Int): Boolean = pinnedIds.contains(id)
 
   def clear(): Unit = {
-    cache.clear(); pinnedIds.clear(); derived.clear(); suite = false
+    cache.clear(); pinnedIds.clear(); derived.clear(); buildSecs.clear()
+    suite = false
   }
 }
