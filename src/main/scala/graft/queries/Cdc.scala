@@ -108,6 +108,16 @@ object Cdc {
     * `sum_after_ids` only for r/u, so image placement (deletes carry
     * `before`, the rest carry `after`) is hash-checked too.
     */
+  /** Root under which ALL gate fixtures stage. Defaults to the local
+    * tmpdir; overridable via the `graft.fixture.root` system property —
+    * including to a non-`file:` Hadoop scheme (the fixture plumbing
+    * below is FileSystem-API-only, spec-pinned in `FixtureStagingSpec`
+    * against a registered mock scheme where the former `java.io.File`
+    * path handling would silently see nothing).
+    */
+  private[queries] def fixtureRoot: String =
+    sys.props.getOrElse("graft.fixture.root", sys.props("java.io.tmpdir"))
+
   /** Fixed per-(JVM, sf-path) scratch dir for the DSv2 gates: reruns
     * within one JVM reuse the directory instead of accumulating temp
     * copies; the JVM name (pid@host) keys it so CONCURRENT processes —
@@ -117,9 +127,9 @@ object Cdc {
   private[queries] def gateTmpDir(prefix: String, d: String): String = {
     val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    new java.io.File(sys.props("java.io.tmpdir"),
+    new org.apache.hadoop.fs.Path(fixtureRoot,
       prefix + "_" + jvm + "_" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
   }
 
   /** Build the streaming txn gates' parquet INPUTS exactly once per
@@ -190,9 +200,9 @@ object Cdc {
     * [[stageOnce]]'s build-then-atomic-rename publish.
     */
   private def stagedDir(prefix: String, d: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
+    new org.apache.hadoop.fs.Path(fixtureRoot,
       s"${prefix}_v$StagedFixtureVersion" + "_" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
   /** Build the staged fixture exactly once per (prefix, version, sf),
     * concurrency- and crash-safe, and sweep stale sibling versions:
@@ -212,7 +222,7 @@ object Cdc {
     val base = new org.apache.hadoop.fs.Path(stagedBase)
     val fs = base.getFileSystem(s.sessionState.newHadoopConf())
     val done = new org.apache.hadoop.fs.Path(base, "_STAGED")
-    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val tmpRoot = new org.apache.hadoop.fs.Path(fixtureRoot)
     val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName.replaceAll("[^A-Za-z0-9._-]", "_")
     // sweep stale fixture trees of THIS gate: any other-version tree
@@ -224,23 +234,30 @@ object Cdc {
     // tree (round-8 advisory): the build dir ROOT's mtime does not
     // advance while Spark writes inside subdirectories (gen1_ev/ …) on
     // most filesystems, so a root-only check could sweep a live build
-    // whose root happened to be created >1h ago.
+    // whose root happened to be created >1h ago. All listing/mtime work
+    // goes through the Hadoop FileSystem API (round-9 verdict item #6 —
+    // the former java.io.File walk saw nothing on a non-local scheme).
     val abandonedMs = 60L * 60L * 1000L
-    def treeMtime(f: java.io.File): Long = {
-      val kids = Option(f.listFiles).getOrElse(Array.empty[java.io.File])
-      (f.lastModified() +: kids.map(treeMtime)).max
+    def treeMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      val kids =
+        if (st.isDirectory) fs.listStatus(p).map(_.getPath)
+        else Array.empty[org.apache.hadoop.fs.Path]
+      (st.getModificationTime +: kids.map(treeMtime)).max
     }
-    Option(tmpRoot.list()).getOrElse(Array.empty[String]).foreach { n =>
+    val rootEntries =
+      if (fs.exists(tmpRoot)) fs.listStatus(tmpRoot).map(_.getPath)
+      else Array.empty[org.apache.hadoop.fs.Path]
+    rootEntries.foreach { p =>
+      val n = p.getName
       val otherVersion = n.startsWith(s"${prefix}_v") &&
         !n.startsWith(s"${prefix}_v$StagedFixtureVersion" + "_")
       val foreignBuild = n.startsWith(s"${prefix}_v") && !otherVersion &&
         n.contains("_build_") && !n.endsWith(s"_build_$jvm")
-      val f0 = new java.io.File(tmpRoot, n)
       val stale = otherVersion ||
         (foreignBuild &&
-          System.currentTimeMillis() - treeMtime(f0) > abandonedMs)
-      if (stale)
-        fs.delete(new org.apache.hadoop.fs.Path(tmpRoot.getPath, n), true)
+          System.currentTimeMillis() - treeMtime(p) > abandonedMs)
+      if (stale) fs.delete(p, true)
     }
     if (!fs.exists(done)) {
       val tmp = new org.apache.hadoop.fs.Path(stagedBase + s"_build_$jvm")
