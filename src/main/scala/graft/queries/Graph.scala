@@ -156,29 +156,42 @@ object Graph {
     * wedges key on the shared source, closure keys on (x, y). The explode
     * credit partially aggregates map-side onto the node-id domain.
     */
-  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
-    // support-thresholded undirected edges, one row per a<b pair
-    val edges = coOrderEdges(s, d)
-      .stage() // feeds the degree rollup and the orientation join
-    val deg = edges.select(col("a").as("n"))
+  /** Degree table (n, dg) of an undirected a<b edge list. */
+  private[queries] def edgeDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("n"))
       .unionByName(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      .stage() // consumed by orientation (×2), dst annotation, and output
-    // total order (dg, id): src is the strictly smaller endpoint. ddg
-    // rides along so the wedge join can order x before y without a third
-    // degree lookup per wedge row.
+
+  /** Degree-ordered orientation of an undirected a<b edge list:
+    * (src, dst, ddg) with src the strictly (dg, id)-smaller endpoint
+    * and ddg the destination's degree riding along so the wedge join
+    * can order x before y without a third lookup. The skew bound this
+    * buys: every oriented out-degree is O(√m) REGARDLESS of the degree
+    * distribution (a node with out-degree k has k higher-ordered
+    * neighbors, each of degree ≥ its own, so k(k+1) ≤ Σdeg = 2m) — a
+    * celebrity hub's edges all point INTO it, so the hub contributes
+    * zero wedges. Spec-pinned on a one-hub fixture in `GraphSkewSpec`.
+    */
+  private[queries] def orientByDegree(edges: DataFrame, deg: DataFrame)
+      : DataFrame = {
     val lower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = edges
+    edges
       .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
       .select(when(lower, col("a")).otherwise(col("b")).as("src"),
         when(lower, col("b")).otherwise(col("a")).as("dst"),
         when(lower, col("db")).otherwise(col("da")).as("ddg"))
-      .stage() // wedge sides w1/w2 AND the closing-edge probe e3
+  }
+
+  /** Each triangle's (u, x, y) witness, exactly once, at its
+    * lowest-ordered vertex: wedges enumerate only at oriented
+    * OUT-neighbors, closure probes the oriented edge set.
+    */
+  private[queries] def orientedTriangles(oriented: DataFrame): DataFrame = {
     val wedgeOrder = col("w1.ddg") < col("w2.ddg") ||
       (col("w1.ddg") === col("w2.ddg") && col("w1.dst") < col("w2.dst"))
-    val tri = oriented.as("w1").join(oriented.as("w2"),
+    oriented.as("w1").join(oriented.as("w2"),
         col("w1.src") === col("w2.src") && wedgeOrder)
       // (x, y) is ordered exactly as the orientation orders it, so the
       // closing edge — if present — is the oriented row (x → y)
@@ -186,6 +199,17 @@ object Graph {
         col("e3.src") === col("w1.dst") && col("e3.dst") === col("w2.dst"))
       .select(col("w1.src").as("u"), col("w1.dst").as("x"),
         col("w2.dst").as("y"))
+  }
+
+  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    // support-thresholded undirected edges, one row per a<b pair
+    val edges = coOrderEdges(s, d)
+      .stage() // feeds the degree rollup and the orientation join
+    val deg = edgeDegrees(edges)
+      .stage() // consumed by orientation (×2), dst annotation, and output
+    val oriented = orientByDegree(edges, deg)
+      .stage() // wedge sides w1/w2 AND the closing-edge probe e3
+    val tri = orientedTriangles(oriented)
     val credit = tri
       .select(explode(array(col("u"), col("x"), col("y"))).as("m"))
       .groupBy(col("m")).agg(count(lit(1)).as("triangles"))
@@ -223,8 +247,33 @@ object Graph {
     * passes — the Pregel cost profile, no step sees more than
     * O(edges) rows.
     */
-  def qCommunityLp(s: SparkSession, d: String): DataFrame = {
+  /** One LPA round's neighbor-label HISTOGRAM: one row per
+    * (node, neighbor-label). This — not the raw neighbor list — is the
+    * adoption window's input, so per-node window work is O(distinct
+    * neighbor labels) ≤ O(deg), and on a hub whose neighborhood has
+    * converged it collapses to ONE row however large the degree — the
+    * same histogram-shrinks-the-window skew bound the k-core h-operator
+    * uses. The count itself partially aggregates map-side. Spec-pinned
+    * on a one-hub fixture in `GraphSkewSpec`.
+    */
+  private[queries] def lpaHistogram(edges: DataFrame, labels: DataFrame)
+      : DataFrame =
+    edges.join(labels, edges("b") === labels("node"))
+      .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+
+  /** The round's adoption: per node, the most frequent neighbor label,
+    * smallest label on ties (the determinism pin).
+    */
+  private[queries] def lpaAdopt(freq: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("c").desc, col("label"))
+    freq.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a").as("node"), col("label"))
+  }
+
+  def qCommunityLp(s: SparkSession, d: String): DataFrame = {
     val e0 = coOrderEdges(s, d)
     val edges = e0.unionByName(
         e0.select(col("b").as("a"), col("a").as("b")))
@@ -232,15 +281,8 @@ object Graph {
       .stage() // every round's neighbor join re-reads it
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to LpRounds) {
-      val freq = edges.join(labels, edges("b") === labels("node"))
-        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("a"))
-        .orderBy(col("c").desc, col("label"))
-      labels = freq.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("a").as("node"), col("label"))
-    }
+    for (_ <- 1 to LpRounds)
+      labels = lpaAdopt(lpaHistogram(edges, labels))
     val fin = labels.stage() // sizes rollup + output join both read it
     val sizes = fin.groupBy(col("label").as("sz_label"))
       .agg(count(lit(1)).as("community_size"))
