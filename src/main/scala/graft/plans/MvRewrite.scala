@@ -1,12 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, Cast, Coalesce, Divide, Expression, Literal,
-  NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression,
+  IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   AggregateFunction, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -56,11 +57,16 @@ import org.apache.spark.sql.types.DoubleType
   * Matching is deliberately conservative: bare-attribute groupings,
   * non-distinct `count(1)` / `sum/min/max/avg(attr)` answerable from
   * the registration's aggregate list, attribute-only projections, at
-  * most one filter whose references are all group columns, down to a
-  * parquet relation whose root path contains `baseTag`. Anything
-  * else — expression groupings, casts, filters touching the metric,
-  * distinct — misses: a conservative miss costs only the base-table
-  * recompute, while a false match would corrupt results.
+  * most one filter whose references are all group columns, down to
+  * the registered BASE — a parquet relation whose root path contains
+  * `baseTag`, or, with a [[JoinSpec]], the exact inner fact⋈dim
+  * equi-join on the registered key names (sides in either order,
+  * tolerating only the optimizer's inferred join-key IsNotNull
+  * guards, which an inner equi-join makes value-transparent).
+  * Anything else — expression groupings, casts, filters touching the
+  * metric, outer joins, other keys, distinct — misses: a conservative
+  * miss costs only the base-table recompute, while a false match
+  * would corrupt results.
   *
   * The rewrite preserves the original output attributes exactly: every
   * produced column is aliased back to the matched aggregate's output
@@ -71,10 +77,10 @@ import org.apache.spark.sql.types.DoubleType
   * registered aggregate produces over the CURRENT base — keeping that
   * true under change streams is what the incremental maintenance
   * operators are for. The gates (`q_cdc_mv_rewrite`, `q_cdc_mv_rollup`,
-  * `q_cdc_mv_stats`, `q_cdc_mv_ivm`) hash-check rewritten queries
-  * against DuckDB oracles computing from the BASE table, and `require`
-  * loudly that the rewrite fired (a silent fall-through to the base
-  * scan must not masquerade as a pass).
+  * `q_cdc_mv_stats`, `q_cdc_mv_ivm`, `q_cdc_mv_fk_ivm`) hash-check
+  * rewritten queries against DuckDB oracles computing from the BASE
+  * table(s), and `require` loudly that the rewrite fired (a silent
+  * fall-through to the base scan must not masquerade as a pass).
   *
   * LIFETIME is scoped, not session-global (round-9 advisory):
   * [[install]] returns the rule as a handle and [[uninstall]] removes
@@ -94,14 +100,30 @@ import org.apache.spark.sql.types.DoubleType
   */
 object MvRewrite {
 
+  /** A JOIN-bearing MV's base shape: the materialization aggregates
+    * `fact ⋈ dim ON fact.factKey = dim.dimKey` (inner, single equality
+    * — the N:1 warehouse rollup [[graft.cdc.IncrementalFkAggView]]
+    * maintains). Tags identify each side's parquet path; keys are
+    * matched by NAME in either join order.
+    */
+  final case class JoinSpec(factTag: String, dimTag: String,
+      factKey: String, dimKey: String)
+
   /** One registered view: `baseTag` identifies the base parquet path
     * (substring of a root path), `groupCols`/`aggSpecs` the exact
     * aggregate shape ((func, input-column) with None = count(1)), `mv`
     * a thunk producing a fresh scan of the materialized data whose
-    * columns are positionally groupCols ++ agg outputs.
+    * columns are positionally groupCols ++ agg outputs. With `join`
+    * set, the base is the JoinSpec's fact⋈dim instead of a single
+    * relation: the subsumption theorems lift verbatim because the MV
+    * is exactly γ(fact ⋈ dim) — the joined stream is "the base table".
+    * Join-case matching accepts no filters (the optimizer pushes
+    * group-column predicates below the join before this rule runs, so
+    * a filtered query conservatively misses rather than half-matching).
     */
   final case class Registration(baseTag: String, groupCols: Seq[String],
-      aggSpecs: Seq[(String, Option[String])], mv: () => DataFrame)
+      aggSpecs: Seq[(String, Option[String])], mv: () => DataFrame,
+      join: Option[JoinSpec] = None)
 
   /** A matched aggregate, decomposed positionally: one layout entry per
     * output column — Left(groupColName) for grouping passthroughs,
@@ -131,30 +153,88 @@ object MvRewrite {
           analyze(agg).map(rewrite(agg, _)).getOrElse(agg)
       }
 
+    /** Whether `cond` is a conjunction of IsNotNull guards on the
+      * registered JOIN KEYS only. The optimizer infers exactly these
+      * onto an inner equi-join's sides (InferFiltersFromConstraints);
+      * they are value-transparent — null keys never survive the inner
+      * join — so tolerating them cannot change the aggregate. Any other
+      * predicate disqualifies.
+      */
+    private def keyNullGuardsOnly(cond: Expression,
+        keys: Set[String]): Boolean = cond match {
+      case And(l, r) =>
+        keyNullGuardsOnly(l, keys) && keyNullGuardsOnly(r, keys)
+      case IsNotNull(a: AttributeReference) => keys.contains(a.name)
+      case _ => false
+    }
+
+    /** Whether `p` is (a projection chain over) the parquet relation
+      * whose root path carries `tag`. Filters disqualify — a filtered
+      * side is not the registered base — EXCEPT join-key IsNotNull
+      * guards when `nullGuardKeys` names the keys (the join case).
+      */
+    private def taggedRelation(p: LogicalPlan, tag: String,
+        nullGuardKeys: Set[String] = Set.empty): Boolean =
+      p match {
+        case Project(projList, child)
+            if projList.forall(_.isInstanceOf[AttributeReference]) =>
+          taggedRelation(child, tag, nullGuardKeys)
+        case Filter(cond, child)
+            if keyNullGuardsOnly(cond, nullGuardKeys) =>
+          taggedRelation(child, tag, nullGuardKeys)
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(tag))
+          case _ => false
+        }
+        case _ => false
+      }
+
+    /** Whether `p` is the registered BASE leaf: the tagged single
+      * relation, or — for a join-bearing registration — the exact
+      * inner fact⋈dim equi-join on the registered key names, sides in
+      * either order.
+      */
+    private def baseLeaf(p: LogicalPlan): Boolean = reg.join match {
+      case None => taggedRelation(p, reg.baseTag)
+      case Some(js) => p match {
+        case j: Join if j.joinType == Inner =>
+          j.condition match {
+            case Some(EqualTo(a: AttributeReference,
+                b: AttributeReference))
+                if Set(a.name, b.name) == Set(js.factKey, js.dimKey) =>
+              val keys = Set(js.factKey, js.dimKey)
+              (taggedRelation(j.left, js.factTag, keys) &&
+                taggedRelation(j.right, js.dimTag, keys)) ||
+                (taggedRelation(j.left, js.dimTag, keys) &&
+                  taggedRelation(j.right, js.factTag, keys))
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+
     /** Walk the aggregate's child: attribute-only projections are
       * transparent, at most ONE filter (kept only if every reference is
-      * a registered group column), ending at the tagged parquet
-      * relation. Returns the filter if the chain qualifies.
+      * a registered group column; single-relation registrations only —
+      * the optimizer pushes filters below a join before this rule
+      * runs, so the join case conservatively misses on any filter),
+      * ending at the registered base leaf. Returns the filter if the
+      * chain qualifies.
       */
     private def baseChain(p: LogicalPlan): Option[Option[Expression]] =
       p match {
+        case _ if baseLeaf(p) => Some(None)
         case Project(projList, child)
             if projList.forall(_.isInstanceOf[AttributeReference]) =>
           baseChain(child)
         case Filter(cond, child)
-            if cond.references.forall(a =>
+            if reg.join.isEmpty && cond.references.forall(a =>
               reg.groupCols.contains(a.name)) =>
           baseChain(child).flatMap {
             case None => Some(Some(cond))
             case Some(_) => None // two filters: out of scope, miss
           }
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation
-              if fs.location.rootPaths
-                .exists(_.toString.contains(reg.baseTag)) =>
-            Some(None)
-          case _ => None
-        }
         case _ => None
       }
 

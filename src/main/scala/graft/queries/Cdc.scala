@@ -1458,6 +1458,71 @@ object Cdc {
     finally MvRewrite.uninstall(s, rule)
   }
 
+  /** JOIN-BEARING MV routing composed with FK-IVM maintenance — the
+    * round-9 verdict named "no join-bearing MVs" as [[graft.plans
+    * .MvRewrite]]'s remaining by-design gap; this gate closes it on the
+    * warehouse's commonest materialization: the rollup over
+    * `fact ⋈ dim ON fact.fk = dim.pk` that
+    * [[graft.cdc.IncrementalFkAggView]] maintains. The view is
+    * bootstrapped, maintained through the FK fixture's change
+    * generation (fan-out retractions/insertions — dim group moves
+    * rewrite every referencing fact's contribution), and registered
+    * with a [[graft.plans.MvRewrite.JoinSpec]]; a query JOINING the
+    * post-delta base parquets and aggregating is transparently routed
+    * to the maintained state. Oracle: the FK batch gate's closed form
+    * verbatim — routing must not change the maintained answer — plus
+    * the loud `require` that the plan reads neither base.
+    *
+    * Scale shape: the routed query replaces a fact-scan + shuffle
+    * join + aggregate with an O(groups) MV read; maintenance stays
+    * O(|Δ| + fan-out + touched groups) per batch. This is the full
+    * consumer-materialization loop for joined rollups at 100 TB.
+    */
+  def qCdcMvFkIvm(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalFkAggView, IncrementalJoinView}
+    import graft.plans.MvRewrite
+    import graft.Materialize.Ops
+    val base = gateTmpDir("graft_mv_fk_ivm", d)
+    val (mvPath, factPath, dimPath) =
+      (s"$base/fkmv", s"$base/fkfact", s"$base/fkdim")
+    val (f1, f2, d1, d2) = fkAggFixture(s, d)
+    val fS1 = IncrementalJoinView.sideState(f1, "order_id").stage()
+    val dS1 = IncrementalJoinView.sideState(d1, "d_id").stage()
+    val agg1 = IncrementalFkAggView
+      .bootstrap(fS1, dS1, "order_id", "cust_id", "d_id", "g", "amount")
+      .stage() // the maintained materialization the step merges into
+    val (agg2raw, fS2, dS2) = IncrementalFkAggView.step(agg1, fS1, dS1,
+      f2, d2, "order_id", "cust_id", "d_id", "g", "amount",
+      "maintained_via")
+    val agg2 = agg2raw.stage() // MV write + the marker join
+    // publish the MAINTAINED rollup and the post-delta base tables
+    agg2.select(col("g"), col("n_members"), col("total"))
+      .write.mode("overwrite").parquet(mvPath)
+    fS2.select(col("order_id"), col("cust_id"), col("amount"))
+      .write.mode("overwrite").parquet(factPath)
+    dS2.select(col("d_id"), col("g"))
+      .write.mode("overwrite").parquet(dimPath)
+    val rule = MvRewrite.install(s, MvRewrite.Registration(
+      baseTag = "fkfact", groupCols = Seq("g"),
+      aggSpecs = Seq(("count", None), ("sum", Some("amount"))),
+      mv = () => s.read.parquet(mvPath),
+      join = Some(MvRewrite.JoinSpec("fkfact", "fkdim",
+        "cust_id", "d_id"))))
+    val routed =
+      try routedToMv(s,
+        s.read.parquet(factPath)
+          .join(s.read.parquet(dimPath), col("cust_id") === col("d_id"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("amount")).as("total_amount")),
+        "fkmv", "fkfact")
+      finally MvRewrite.uninstall(s, rule)
+    routed.join(agg2.select(col("g"), col("maintained_via")), Seq("g"))
+      .select(col("g"), col("n_members"), col("total_amount"),
+        col("maintained_via"))
+      .orderBy(col("g"))
+  }
+
   /** One generation of the [[qCdcMvIvm]] fixture's change rules,
     * scoped to the id band [lo, hi): the [[aggViewFixture]] rule
     * shapes — group moves (%3), metric updates (%4), deletes on either
@@ -2171,6 +2236,13 @@ object Cdc {
     // group; a fan-out miss would leave a moved contribution behind)
     "q_cdc_fk_stream_ivm" -> fkAggViewOracle,
 
+    // IDENTICAL closed form again: here the maintained rollup is read
+    // through the JOIN-bearing MV route — a fact⋈dim aggregate over
+    // the post-delta base parquets rewritten onto the maintained
+    // state — so equality proves routing changed nothing while the
+    // in-gate require proves neither base table was scanned
+    "q_cdc_mv_fk_ivm" -> fkAggViewOracle,
+
     // computed from the BASE table — the gate's plan reads the MV, so
     // equality here IS the proof the rewrite preserved semantics
     "q_cdc_mv_rewrite" ->
@@ -2591,6 +2663,7 @@ object Cdc {
     "q_cdc_mv_rollup" -> (qCdcMvRollup _),
     "q_cdc_mv_stats" -> (qCdcMvStats _),
     "q_cdc_mv_ivm" -> (qCdcMvIvm _),
+    "q_cdc_mv_fk_ivm" -> (qCdcMvFkIvm _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
     "q_cdc_txn_stream" -> (qCdcTxnStream _),

@@ -229,6 +229,114 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  private lazy val factPath = {
+    val p = tmpDir("graft-mv-fact") + "/fact.parquet"
+    val s = spark; import s.implicits._
+    // a null fk exercises the inferred IsNotNull guard the matcher
+    // must tolerate; fk=99 has no dim row (inner join drops it)
+    Seq((1L, Some(10L), 5L), (2L, Some(10L), 7L), (3L, Some(20L), 1L),
+      (4L, Some(30L), 2L), (5L, Some(99L), 9L), (6L, None, 4L))
+      .toDF("id", "fk", "v")
+      .write.parquet(p)
+    p
+  }
+
+  private lazy val dimPath = {
+    val p = tmpDir("graft-mv-dim") + "/dim.parquet"
+    val s = spark; import s.implicits._
+    Seq((10L, "a"), (20L, "b"), (30L, "b")).toDF("pk", "seg")
+      .write.parquet(p)
+    p
+  }
+
+  private lazy val joinMvPath = {
+    val p = tmpDir("graft-mv-join") + "/joinmv.parquet"
+    spark.read.parquet(factPath)
+      .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .write.parquet(p)
+    p
+  }
+
+  private def joinInstalled[T](f: => T): T = {
+    factPath; dimPath; joinMvPath
+    val rule = MvRewrite.install(spark, MvRewrite.Registration(
+      baseTag = "fact.parquet", groupCols = Seq("seg"),
+      aggSpecs = Seq(("count", None), ("sum", Some("v"))),
+      mv = () => spark.read.parquet(joinMvPath),
+      join = Some(MvRewrite.JoinSpec("fact.parquet", "dim.parquet",
+        "fk", "pk"))))
+    try f
+    finally MvRewrite.uninstall(spark, rule)
+  }
+
+  private def joinAgg: DataFrame = spark.read.parquet(factPath)
+    .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
+    .groupBy(col("seg"))
+    .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+
+  test("a JOIN-bearing registration routes the fact-dim aggregate to " +
+    "the MV — value-exact through null keys and unmatched fks — and " +
+    "rolls up to the global grouping") {
+    val plain = joinAgg.orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    joinInstalled {
+      val q = joinAgg.orderBy(col("seg"))
+      assert(scanPaths(q).exists(_.contains("joinmv.parquet")) &&
+        !scanPaths(q).exists(_.contains("fact.parquet")) &&
+        !scanPaths(q).exists(_.contains("dim.parquet")),
+        s"join rewrite did not fire: ${scanPaths(q)}")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == plain, s"$got != $plain")
+      // rollup to the empty grouping re-folds the joined MV
+      val g = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(g).exists(_.contains("joinmv.parquet")))
+      assert(g.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        plain.map(t => (t._2, t._3))
+          .reduceOption((a, b) => (a._1 + b._1, a._2 + b._2)).toSeq)
+    }
+  }
+
+  test("nearby-but-different JOIN shapes are untouched") {
+    joinInstalled {
+      val leftOuter = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath), col("fk") === col("pk"),
+          "left_outer")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val wrongKey = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath), col("id") === col("pk"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val filteredSide = spark.read.parquet(factPath)
+        .filter(col("v") > 2)
+        .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val filteredAbove = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
+        .filter(col("seg") =!= "b")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      for ((q, what) <- Seq(leftOuter -> "left-outer join",
+          wrongKey -> "different join key",
+          filteredSide -> "metric-filtered fact side",
+          filteredAbove ->
+            "filter above the join (pushed below before the rule runs)"))
+        assert(!scanPaths(q).exists(_.contains("joinmv.parquet")),
+          s"$what must NOT rewrite: ${scanPaths(q)}")
+      // and the untouched shapes still compute correctly from base
+      assert(filteredAbove.orderBy(col("seg")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 12L)))
+    }
+  }
+
   test("lifetime is scoped: uninstall removes exactly the handle and a " +
     "post-uninstall aggregate over the same base is untouched") {
     val before = spark.experimental.extraOptimizations
