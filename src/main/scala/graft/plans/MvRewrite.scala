@@ -117,9 +117,10 @@ object MvRewrite {
     * set, the base is the JoinSpec's fact⋈dim instead of a single
     * relation: the subsumption theorems lift verbatim because the MV
     * is exactly γ(fact ⋈ dim) — the joined stream is "the base table".
-    * Join-case matching accepts no filters (the optimizer pushes
-    * group-column predicates below the join before this rule runs, so
-    * a filtered query conservatively misses rather than half-matching).
+    * Group-column filters reach a joined base on the DIM side (the
+    * optimizer pushes them below the join before this rule runs);
+    * the matcher recognizes them there and re-applies them as σ over
+    * the MV, exactly the single-relation filter case's theorem.
     */
   final case class Registration(baseTag: String, groupCols: Seq[String],
       aggSpecs: Seq[(String, Option[String])], mv: () => DataFrame,
@@ -168,74 +169,122 @@ object MvRewrite {
       case _ => false
     }
 
-    /** Whether `p` is (a projection chain over) the parquet relation
-      * whose root path carries `tag`. Filters disqualify — a filtered
-      * side is not the registered base — EXCEPT join-key IsNotNull
-      * guards when `nullGuardKeys` names the keys (the join case).
+    /** Split a conjunction into (join-key IsNotNull guards, group-only
+      * predicates, anything else). The optimizer rewrites a
+      * filter-over-join query into null guards + the pushed predicate
+      * ANDed on the dim side, so the matcher must take conjuncts apart
+      * to recognize the shape it registered.
+      */
+    private def splitConjuncts(cond: Expression, keys: Set[String])
+        : (Seq[Expression], Seq[Expression], Seq[Expression]) =
+      cond match {
+        case And(l, r) =>
+          val (g1, p1, o1) = splitConjuncts(l, keys)
+          val (g2, p2, o2) = splitConjuncts(r, keys)
+          (g1 ++ g2, p1 ++ p2, o1 ++ o2)
+        case IsNotNull(a: AttributeReference) if keys.contains(a.name) =>
+          (Seq(cond), Nil, Nil)
+        case _ if cond.deterministic && cond.references.nonEmpty &&
+            cond.references.forall(a =>
+              reg.groupCols.contains(a.name)) =>
+          (Nil, Seq(cond), Nil)
+        case _ => (Nil, Nil, Seq(cond))
+      }
+
+    /** Match (a projection chain over) the parquet relation whose root
+      * path carries `tag`, tolerating Filters built ONLY from join-key
+      * IsNotNull guards (value-transparent through the inner join) and
+      * — when `allowGroupFilter` — predicates referencing registered
+      * group columns only, which are returned for re-application on
+      * the MV (groups are filter-homogeneous, so σ commutes). Returns
+      * None on a miss, Some(groupPredicates) on a match.
       */
     private def taggedRelation(p: LogicalPlan, tag: String,
-        nullGuardKeys: Set[String] = Set.empty): Boolean =
+        nullGuardKeys: Set[String] = Set.empty,
+        allowGroupFilter: Boolean = false): Option[Seq[Expression]] =
       p match {
         case Project(projList, child)
             if projList.forall(_.isInstanceOf[AttributeReference]) =>
-          taggedRelation(child, tag, nullGuardKeys)
-        case Filter(cond, child)
-            if keyNullGuardsOnly(cond, nullGuardKeys) =>
-          taggedRelation(child, tag, nullGuardKeys)
+          taggedRelation(child, tag, nullGuardKeys, allowGroupFilter)
+        case Filter(cond, child) =>
+          val (_, groupPreds, other) =
+            splitConjuncts(cond, nullGuardKeys)
+          if (other.nonEmpty || (groupPreds.nonEmpty && !allowGroupFilter))
+            None
+          else taggedRelation(child, tag, nullGuardKeys, allowGroupFilter)
+            .map(groupPreds ++ _)
         case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toString.contains(tag))
-          case _ => false
+          case fs: HadoopFsRelation
+              if fs.location.rootPaths
+                .exists(_.toString.contains(tag)) =>
+            Some(Nil)
+          case _ => None
         }
-        case _ => false
+        case _ => None
       }
 
-    /** Whether `p` is the registered BASE leaf: the tagged single
+    /** Match `p` against the registered BASE leaf: the tagged single
       * relation, or — for a join-bearing registration — the exact
       * inner fact⋈dim equi-join on the registered key names, sides in
-      * either order.
+      * either order, with group-column predicates the optimizer pushed
+      * onto the DIM side returned for re-application on the MV.
+      * Returns None on a miss, Some(pushed group predicates) on a
+      * match.
       */
-    private def baseLeaf(p: LogicalPlan): Boolean = reg.join match {
-      case None => taggedRelation(p, reg.baseTag)
-      case Some(js) => p match {
-        case j: Join if j.joinType == Inner =>
-          j.condition match {
-            case Some(EqualTo(a: AttributeReference,
-                b: AttributeReference))
-                if Set(a.name, b.name) == Set(js.factKey, js.dimKey) =>
-              val keys = Set(js.factKey, js.dimKey)
-              (taggedRelation(j.left, js.factTag, keys) &&
-                taggedRelation(j.right, js.dimTag, keys)) ||
-                (taggedRelation(j.left, js.dimTag, keys) &&
-                  taggedRelation(j.right, js.factTag, keys))
-            case _ => false
-          }
-        case _ => false
+    private def baseLeaf(p: LogicalPlan): Option[Seq[Expression]] =
+      reg.join match {
+        case None => taggedRelation(p, reg.baseTag).filter(_.isEmpty)
+        case Some(js) => p match {
+          case j: Join if j.joinType == Inner =>
+            j.condition match {
+              case Some(EqualTo(a: AttributeReference,
+                  b: AttributeReference))
+                  if Set(a.name, b.name) ==
+                    Set(js.factKey, js.dimKey) =>
+                val keys = Set(js.factKey, js.dimKey)
+                def sides(factSide: LogicalPlan, dimSide: LogicalPlan)
+                    : Option[Seq[Expression]] =
+                  for {
+                    fp <- taggedRelation(factSide, js.factTag, keys)
+                    if fp.isEmpty // fact side: null guards only
+                    dp <- taggedRelation(dimSide, js.dimTag, keys,
+                      allowGroupFilter = true)
+                  } yield dp
+                sides(j.left, j.right).orElse(sides(j.right, j.left))
+              case _ => None
+            }
+          case _ => None
+        }
       }
-    }
 
     /** Walk the aggregate's child: attribute-only projections are
-      * transparent, at most ONE filter (kept only if every reference is
-      * a registered group column; single-relation registrations only —
-      * the optimizer pushes filters below a join before this rule
-      * runs, so the join case conservatively misses on any filter),
-      * ending at the registered base leaf. Returns the filter if the
-      * chain qualifies.
+      * transparent, at most ONE filter above a single-relation base
+      * (kept only if deterministic, non-reference-free, and every
+      * reference is a registered group column — a reference-free
+      * predicate like rand()<0.5 is NOT group-homogeneous and must
+      * miss), ending at the registered base leaf. Join-bearing bases
+      * carry their filters on the DIM side (the optimizer pushed them
+      * there before this rule runs) — [[baseLeaf]] returns those.
+      * Returns the combined group predicate if the chain qualifies.
       */
     private def baseChain(p: LogicalPlan): Option[Option[Expression]] =
-      p match {
-        case _ if baseLeaf(p) => Some(None)
-        case Project(projList, child)
-            if projList.forall(_.isInstanceOf[AttributeReference]) =>
-          baseChain(child)
-        case Filter(cond, child)
-            if reg.join.isEmpty && cond.references.forall(a =>
-              reg.groupCols.contains(a.name)) =>
-          baseChain(child).flatMap {
-            case None => Some(Some(cond))
-            case Some(_) => None // two filters: out of scope, miss
-          }
-        case _ => None
+      baseLeaf(p) match {
+        case Some(preds) => Some(preds.reduceOption(And(_, _)))
+        case None => p match {
+          case Project(projList, child)
+              if projList.forall(_.isInstanceOf[AttributeReference]) =>
+            baseChain(child)
+          case Filter(cond, child)
+              if reg.join.isEmpty && cond.deterministic &&
+                cond.references.nonEmpty &&
+                cond.references.forall(a =>
+                  reg.groupCols.contains(a.name)) =>
+            baseChain(child).flatMap {
+              case None => Some(Some(cond))
+              case Some(_) => None // two filters: out of scope, miss
+            }
+          case _ => None
+        }
       }
 
     /** Whether the registration can answer `spec`: avg needs its

@@ -302,6 +302,52 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a group-column filter over the JOIN (pushed to the dim side " +
+    "before the rule runs) re-applies as sigma over the MV; composed " +
+    "with the global rollup it stays value-exact") {
+    joinInstalled {
+      val f = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
+        .filter(col("seg") =!= "b")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(f).exists(_.contains("joinmv.parquet")),
+        s"dim-pushed filter case did not rewrite: ${scanPaths(f)}")
+      assert(f.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 12L)))
+      // composed: filter + rollup to the empty grouping
+      val fg = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
+        .filter(col("seg") === "b")
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(fg).exists(_.contains("joinmv.parquet")))
+      assert(fg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((2L, 3L)))
+    }
+  }
+
+  test("a reference-free non-deterministic filter (rand) is NOT " +
+    "group-homogeneous and must miss — single-relation and join both") {
+    installed { _ =>
+      val q = spark.read.parquet(basePath).filter(rand() < 0.5)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(!scanPaths(q).exists(_.contains("mv.parquet")),
+        "rand() filter must not rewrite (row-level vs group-level)")
+    }
+    joinInstalled {
+      val q = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
+        .filter(rand() < 0.5)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(!scanPaths(q).exists(_.contains("joinmv.parquet")),
+        "rand() filter must not rewrite through the join either")
+    }
+  }
+
   test("nearby-but-different JOIN shapes are untouched") {
     joinInstalled {
       val leftOuter = spark.read.parquet(factPath)
@@ -318,20 +364,13 @@ class MvRewriteSpec extends SparkSpec {
         .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
         .groupBy(col("seg"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-      val filteredAbove = spark.read.parquet(factPath)
-        .join(spark.read.parquet(dimPath), col("fk") === col("pk"))
-        .filter(col("seg") =!= "b")
-        .groupBy(col("seg"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
       for ((q, what) <- Seq(leftOuter -> "left-outer join",
           wrongKey -> "different join key",
-          filteredSide -> "metric-filtered fact side",
-          filteredAbove ->
-            "filter above the join (pushed below before the rule runs)"))
+          filteredSide -> "metric-filtered fact side"))
         assert(!scanPaths(q).exists(_.contains("joinmv.parquet")),
           s"$what must NOT rewrite: ${scanPaths(q)}")
       // and the untouched shapes still compute correctly from base
-      assert(filteredAbove.orderBy(col("seg")).collect()
+      assert(filteredSide.orderBy(col("seg")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
         Seq(("a", 2L, 12L)))
     }
