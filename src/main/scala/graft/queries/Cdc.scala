@@ -1650,6 +1650,98 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** MIN/MAX IVM composed with MV routing — the non-self-maintainable
+    * half of the aggregate algebra, closed into the same loop as
+    * [[qCdcMvIvm]]: min/max cannot be maintained algebraically under
+    * deletion (retracting the row holding a group's extremum leaves no
+    * way to know the runner-up), so
+    * [[graft.cdc.IncrementalStatsView.step]] keeps count/sum on the
+    * O(|Δ|) algebraic path and re-aggregates ONLY the groups whose
+    * boundary a retraction touched, witnessed per group: `recomputed`
+    * (the fallback ran), `delta_applied` (algebra sufficed), `carried`.
+    * The maintained (count, sum, min, max) state is then registered
+    * with [[graft.plans.MvRewrite]] and a plain four-aggregate query
+    * over the post-delta base parquet is transparently routed to it —
+    * exercising the widened min/max routing algebra against a
+    * materialization the INCREMENTAL path produced.
+    *
+    * The fixture's single change generation hits every maintenance
+    * case: deletes (%5, %7 — many land on a group's extremum at any
+    * sf, since every group's min and max rows are themselves touched
+    * with probability ~1 across hundreds of groups), metric updates
+    * (%4, +500 pushes past most group maxima), and group moves (%3 —
+    * retraction from the old group, insertion into a fresh one). The
+    * DuckDB oracle computes the view from the post-delta base closed
+    * form and reproduces the threat test symbolically (pre-batch
+    * extrema vs touched keys' old rows), so the hash pins BOTH the
+    * maintained values and the recompute trigger's exact semantics;
+    * the in-gate `require` proves the plan read the MV.
+    *
+    * Scale shape: the step is O(|Δ| + touched groups) plus a recompute
+    * scoped to threatened groups (semi-join probe, broadcast-sized);
+    * the routed query reads O(groups) MV rows. At 100 TB the fallback
+    * is the only part that touches state beyond the delta, and it
+    * touches exactly the threatened groups' rows — bucket the state by
+    * group to prune it further (documented on the operator).
+    */
+  def qCdcMvMinmaxIvm(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalJoinView, IncrementalStatsView}
+    import graft.plans.MvRewrite
+    import graft.Materialize.Ops
+    val base = gateTmpDir("graft_mv_minmax_ivm", d)
+    val (mvPath, basePath) = (s"$base/minmax_mv", s"$base/minmax_base")
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("int").as("id"),
+      lower(col("c_mktsegment")).as("seg"))
+      .stage() // snapshot build + delta-rule scans
+    val lsn0 = col("id").cast("long")
+    val bucket = expr("id div 100").cast("string")
+    val snap = cust.select(col("id"), lit("r").as("op"), lsn0.as("lsn"),
+      concat(col("seg"), lit("-"), bucket).as("g"),
+      (col("id").cast("long") * 7L % 1000L).as("balance"))
+    val inB = col("id") < 1024
+    val delta = cust
+      .filter(inB && (col("id") % 3 === 0 || col("id") % 4 === 0 ||
+        col("id") % 5 === 0 || col("id") % 7 === 0))
+      .select(col("id"),
+        when(col("id") % 7 === 0 || col("id") % 5 === 0, lit("d"))
+          .otherwise(lit("u")).as("op"),
+        (lsn0 + 10000000L).as("lsn"),
+        when(col("id") % 3 === 0, concat(lit("moved-"), bucket))
+          .otherwise(concat(col("seg"), lit("-"), bucket)).as("g"),
+        (col("id").cast("long") * 7L % 1000L +
+          when(col("id") % 4 === 0, 500L).otherwise(0L)).as("balance"))
+    val st1 = IncrementalJoinView.sideState(snap, "id").stage()
+    val agg1 = IncrementalStatsView.bootstrap(st1, "g", "balance")
+    val (agg2raw, st2) = IncrementalStatsView.step(agg1, st1, delta,
+      "id", "g", "balance", "via")
+    val agg2 = agg2raw.stage() // MV write + the marker join
+    agg2.select(col("g"), col("n_members"), col("total"),
+        col("mn"), col("mx"))
+      .write.mode("overwrite").parquet(mvPath)
+    st2.select(col("g"), col("balance").as("m"))
+      .write.mode("overwrite").parquet(basePath)
+    val rule = MvRewrite.install(s, MvRewrite.Registration(
+      baseTag = "minmax_base", groupCols = Seq("g"),
+      aggSpecs = Seq(("count", None), ("sum", Some("m")),
+        ("min", Some("m")), ("max", Some("m"))),
+      mv = () => s.read.parquet(mvPath)))
+    val routed =
+      try routedToMv(s,
+        s.read.parquet(basePath).groupBy(col("g"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("m")).as("total_balance"),
+            min(col("m")).as("min_balance"),
+            max(col("m")).as("max_balance")),
+        "minmax_mv", "minmax_base")
+      finally MvRewrite.uninstall(s, rule)
+    routed.join(agg2.select(col("g"), col("via").as("maintained_via")),
+        Seq("g"))
+      .select(col("g"), col("n_members"), col("total_balance"),
+        col("min_balance"), col("max_balance"), col("maintained_via"))
+      .orderBy(col("g"))
+  }
+
   /** Chunk width for [[qCdcTableChecksum]] — the resumability/memory
     * unit, exactly the production tool's knob (pt-table-checksum's
     * `--chunk-size`).
@@ -2265,6 +2357,50 @@ object Cdc {
         |FROM customer WHERE c_nationkey < 13
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    // computed from the post-delta BASE closed form, with the threat
+    // test reproduced SYMBOLICALLY (pre-batch extrema joined to the
+    // touched keys' old rows): the gate's plan reads the MV the
+    // incremental min/max step maintained, so equality proves both the
+    // maintained values AND the recompute trigger's exact semantics —
+    // a fallback that fired too narrowly would leave a stale extremum,
+    // one that fired too widely would flip a witness
+    "q_cdc_mv_minmax_ivm" ->
+      """WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+        |    lower(c_mktsegment) AS seg FROM customer),
+        |s1 AS (SELECT id, seg || '-' || CAST(id // 100 AS VARCHAR) AS g,
+        |    CAST(id * 7 % 1000 AS BIGINT) AS bal FROM c),
+        |pre AS (SELECT g, min(bal) AS mn, max(bal) AS mx
+        |    FROM s1 GROUP BY 1),
+        |tk AS (SELECT id FROM c WHERE id < 1024
+        |    AND (id % 3 = 0 OR id % 4 = 0 OR id % 5 = 0 OR id % 7 = 0)),
+        |f AS (SELECT id,
+        |    CASE WHEN id < 1024 AND id % 3 = 0
+        |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+        |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+        |    CAST(id * 7 % 1000
+        |      + CASE WHEN id < 1024 AND id % 4 = 0
+        |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+        |  FROM c
+        |  WHERE NOT (id < 1024 AND (id % 7 = 0 OR id % 5 = 0))),
+        |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(bal) AS BIGINT) AS total_balance,
+        |    CAST(min(bal) AS BIGINT) AS min_balance,
+        |    CAST(max(bal) AS BIGINT) AS max_balance FROM f GROUP BY 1),
+        |rg AS (SELECT DISTINCT s1.g FROM s1
+        |    JOIN tk USING (id) JOIN pre ON s1.g = pre.g
+        |    WHERE s1.bal <= pre.mn OR s1.bal >= pre.mx),
+        |tg AS (SELECT DISTINCT g FROM (
+        |    SELECT s1.g FROM s1 JOIN tk USING (id)
+        |    UNION ALL
+        |    SELECT f.g FROM f JOIN tk USING (id)))
+        |SELECT v.g AS g, v.n_members, v.total_balance,
+        |  v.min_balance, v.max_balance,
+        |  CASE WHEN rg.g IS NOT NULL THEN 'recomputed'
+        |       WHEN tg.g IS NOT NULL THEN 'delta_applied'
+        |       ELSE 'carried' END AS maintained_via
+        |FROM v LEFT JOIN rg ON v.g = rg.g LEFT JOIN tg ON v.g = tg.g
+        |ORDER BY v.g""".stripMargin,
+
     // computed from the post-delta BASE closed form (both generations'
     // band rules applied — bands are disjoint, so "rules where
     // id < 1024" IS the final state): the gate's plan reads the
@@ -2663,6 +2799,7 @@ object Cdc {
     "q_cdc_mv_rollup" -> (qCdcMvRollup _),
     "q_cdc_mv_stats" -> (qCdcMvStats _),
     "q_cdc_mv_ivm" -> (qCdcMvIvm _),
+    "q_cdc_mv_minmax_ivm" -> (qCdcMvMinmaxIvm _),
     "q_cdc_mv_fk_ivm" -> (qCdcMvFkIvm _),
     "q_cdc_view_drift" -> (qCdcViewDrift _),
     "q_cdc_txn_consistent" -> (qCdcTxnConsistent _),
