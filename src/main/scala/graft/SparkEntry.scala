@@ -54,7 +54,8 @@ object SparkEntry {
       graft.queries.Linkage.queries ++
       graft.queries.Graph.queries ++
       graft.queries.Retrieval.queries ++
-      graft.queries.Layout.queries
+      graft.queries.Layout.queries ++
+      graft.queries.Recursive.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.Linkage.oracle ++
       graft.queries.Graph.oracle ++
       graft.queries.Retrieval.oracle ++
-      graft.queries.Layout.oracle
+      graft.queries.Layout.oracle ++
+      graft.queries.Recursive.oracle
 }
