@@ -37,10 +37,11 @@ import org.apache.spark.sql.functions._
   */
 object Recursive {
 
-  /** Node view: id (int, contiguous from 1 in TPC-H-ish data — but
-    * correctness does not depend on contiguity: a missing parent id just
-    * ends that chain, identically in both engines) and an integer weight
-    * drawn from real data.
+  /** Node view: id (int; the testdata's custkeys are contiguous FROM 0,
+    * so node 0 sits outside root 1's tree — the top-down BOM traversal
+    * correctly excludes it, and the upward walks treat it as its own
+    * depth-0 chain; a missing parent id just ends that chain, identically
+    * in both engines) and an integer weight drawn from real data.
     */
   private def nodesView(s: SparkSession, d: String, view: String): Unit =
     Tables.customer(s, d)
@@ -103,6 +104,33 @@ object Recursive {
       "q_recursive_subtree")
   }
 
+  /** BOM quantity explosion: the third recursion mode — TOP-DOWN from
+    * the root with a MULTIPLICATIVE accumulator and no final aggregate
+    * (each node's row is emitted by the loop itself). Extended quantity
+    * = product of per-node quantities along the root path — the classic
+    * manufacturing "how many of part X does one end product need".
+    * qty(id) = id % 5 + 1 keeps the product ≤ 5^14 < 2^63 at any gated
+    * SF. Unlike the closure gates, output is exactly n rows (each node
+    * has one parent), so the loop's per-level frontier IS the output.
+    */
+  def qRecursiveBom(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .select(col("c_custkey").cast("int").as("id"),
+        (col("c_custkey") % 5 + 1).cast("long").as("qty"))
+      .createOrReplaceTempView("graft_rec_nodes_bom")
+    requireUnionLoop(s.sql(
+      """WITH RECURSIVE bom AS (
+        |  SELECT id, 0 AS lvl, qty AS ext_qty
+        |  FROM graft_rec_nodes_bom WHERE id = 1
+        |  UNION ALL
+        |  SELECT n.id, b.lvl + 1, b.ext_qty * n.qty
+        |  FROM bom b JOIN graft_rec_nodes_bom n
+        |    ON n.id > 1 AND n.id DIV 2 = b.id
+        |)
+        |SELECT id, lvl, ext_qty FROM bom ORDER BY id""".stripMargin),
+      "q_recursive_bom")
+  }
+
   val oracle: Map[String, String] = Map(
     // the oracle runs the SAME recursion in DuckDB's WITH RECURSIVE —
     // closure depth/weights are exact integers, so the hash pins the
@@ -133,11 +161,23 @@ object Recursive {
         |)
         |SELECT anc AS id, CAST(count(*) AS BIGINT) AS subtree_members,
         |  CAST(sum(w) AS BIGINT) AS subtree_w
-        |FROM down GROUP BY anc ORDER BY id""".stripMargin
+        |FROM down GROUP BY anc ORDER BY id""".stripMargin,
+    "q_recursive_bom" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(c_custkey AS INT) AS id,
+        |    CAST(c_custkey % 5 + 1 AS BIGINT) AS qty FROM customer),
+        |bom AS (
+        |  SELECT id, 0 AS lvl, qty AS ext_qty FROM nodes WHERE id = 1
+        |  UNION ALL
+        |  SELECT n.id, b.lvl + 1, b.ext_qty * n.qty
+        |  FROM bom b JOIN nodes n ON n.id > 1 AND n.id // 2 = b.id
+        |)
+        |SELECT id, lvl, ext_qty FROM bom ORDER BY id""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recursive_path" -> (qRecursivePath _),
-    "q_recursive_subtree" -> (qRecursiveSubtree _)
+    "q_recursive_subtree" -> (qRecursiveSubtree _),
+    "q_recursive_bom" -> (qRecursiveBom _)
   )
 }

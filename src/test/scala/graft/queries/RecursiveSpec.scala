@@ -51,6 +51,23 @@ class RecursiveSpec extends SparkSpec {
     }
   }
 
+  test("q_recursive_bom matches the closed-form extended quantity") {
+    val out = Recursive.qRecursiveBom(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toList
+    def qty(id: Int): Long = id % 5 + 1
+    def ext(id: Int): Long = if (id == 1) qty(1) else ext(id / 2) * qty(id)
+    // custkeys start at 0 in this data: node 0 is NOT reachable from
+    // root 1 (and only it — every id ≥ 2 halves down to 1), so the BOM
+    // traversal emits exactly the root-reachable nodes
+    def reachable(id: Int): Boolean =
+      id == 1 || (id > 1 && nodes.contains(id / 2) && reachable(id / 2))
+    assert(out.size == nodes.keys.count(reachable))
+    out.foreach { case (id, lvl, e) =>
+      assert(lvl == chain(id).size - 1, s"lvl of $id")
+      assert(e == ext(id), s"ext_qty of $id")
+    }
+  }
+
   test("the optimized plan runs through UnionLoop, and the witness is loud") {
     // positive witness is exercised by the gates above (require inside);
     // prove the guard actually fires on a non-recursive lookalike
