@@ -44,6 +44,7 @@ FAMILIES = [
      r"entity_resolution$|bm25_topk$|hybrid_search$|kmeans_update$)"),
     ("Layout / ordering",
      r"^q_(zorder_curve$|equidepth_bins$|shuffle_shard$)"),
+    ("Recursive closure (UnionLoop)", r"^q_recursive_"),
     ("Media (multimodal)", r"^q_media_"),
 ]
 
