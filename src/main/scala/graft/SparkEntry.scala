@@ -55,7 +55,8 @@ object SparkEntry {
       graft.queries.Graph.queries ++
       graft.queries.Retrieval.queries ++
       graft.queries.Layout.queries ++
-      graft.queries.Recursive.queries
+      graft.queries.Recursive.queries ++
+      graft.queries.Physical.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -75,5 +76,6 @@ object SparkEntry {
       graft.queries.Graph.oracle ++
       graft.queries.Retrieval.oracle ++
       graft.queries.Layout.oracle ++
-      graft.queries.Recursive.oracle
+      graft.queries.Recursive.oracle ++
+      graft.queries.Physical.oracle
 }

@@ -506,7 +506,111 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** STREAM-STREAM watermarked join — click→purchase attribution run as
+    * two live Structured-Streaming sources joined on (user, event-time
+    * range): each purchase is attributed to every click by the same user
+    * in the preceding 2 hours. This is the one join shape whose state
+    * management is genuinely streaming-specific (both sides unbounded;
+    * each side buffers keyed state and emits a pair exactly once when
+    * the partner arrives), and the suite's other streaming gates don't
+    * cover it — they stream one delta source against maintained state.
+    *
+    * Drive: the events table is split into click/purchase parquet
+    * slices by `event_id mod 3` (three files per side), both sides read
+    * with `maxFilesPerTrigger=1` under `AvailableNow` — so the join
+    * processes three deterministic micro-batches per side and matching
+    * pairs STRADDLE batches (a batch-0 click matches a batch-2
+    * purchase), proving cross-batch state, not single-batch join. Both
+    * sides carry event-time watermarks; the delay is deliberately wider
+    * than the corpus span so NOTHING is ever late — streamed inner-join
+    * output is then exactly the batch join, and the DuckDB oracle
+    * recomputes it closed-form from `events`. (Watermark-driven state
+    * EVICTION semantics are pinned separately by `q_cdc_txn_evict` and
+    * the streaming specs; here the watermark bounds state without
+    * touching values, which is what keeps the gate hash-exact.)
+    *
+    * The joined pairs land in an append-mode parquet sink (exactly-once
+    * by sink manifest); one batch rollup over the sink makes the gate
+    * output small and order-canonical. All aggregates are integer/
+    * decimal-exact: pair counts, purchase-id sums, exact-µs latency
+    * sums, decimal value sums.
+    *
+    * Scale shape: stream-stream join state is partitioned by the join
+    * key (user), per-batch work is O(batch + matched state), and the
+    * range condition bounds each side's buffered window once watermarks
+    * advance (at 100 TB/day the delay is set to the real lateness SLA,
+    * not the corpus span — the eviction contract the specs pin).
+    */
+  def qStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = Cdc.gateTmpDir("graft_ss_join", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (cDir, pDir, outDir, ck) =
+      (s"$base/clicks", s"$base/purch", s"$base/out", s"$base/ck")
+    val staged = Cdc.stageOnce(s, "graft_ss_join_staged", d) { st =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      for (i <- 0 until 3) {
+        ev.filter(col("event_type") === "click" &&
+            pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(s"$st/clicks/s$i")
+        ev.filter(col("event_type") === "purchase" &&
+            pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(s"$st/purch/s$i")
+      }
+    }
+    for (i <- 0 until 3) {
+      Cdc.copyStaged(s, s"$staged/clicks/s$i", cDir, s"s$i")
+      Cdc.copyStaged(s, s"$staged/purch/s$i", pDir, s"s$i")
+    }
+    val schema =
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    def src(dir: String): DataFrame =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val clicks = src(cDir)
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+      .withWatermark("c_ts", "365 days")
+    val purch = src(pDir)
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"), col("value"))
+      .withWatermark("p_ts", "365 days")
+    clicks.join(purch,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("c_user"))
+      .agg(count(lit(1)).as("n_attr"),
+        sum(col("purchase_id")).as("pid_sum"),
+        sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("latency_us_sum"),
+        sum(col("value").cast(Tables.Money)).as("value_sum"))
+      .select(col("c_user").as("user_id"), col("n_attr"), col("pid_sum"),
+        col("latency_us_sum"), col("value_sum"))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_stream_stream_join" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_attr,
+        |  CAST(sum(p.event_id) AS BIGINT) AS pid_sum,
+        |  CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+        |    AS latency_us_sum,
+        |  sum(CAST(p.value AS DECIMAL(12,2))) AS value_sum
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dwell_times" ->
       """WITH p AS (SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS t,
@@ -766,6 +870,7 @@ object Events {
     "q_variant_extract" -> (qVariantExtract _),
     "q_volume_anomalies" -> (qVolumeAnomalies _),
     "q_event_transitions" -> (qEventTransitions _),
-    "q_dwell_times" -> (qDwellTimes _)
+    "q_dwell_times" -> (qDwellTimes _),
+    "q_stream_stream_join" -> (qStreamStreamJoin _)
   )
 }

@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** PHYSICAL-layout execution — the three scan-elision mechanisms that
+  * decide whether a 100 TB query reads 100 TB or a sliver of it, each
+  * with a loud in-gate PLAN witness (a silent fallback to the unpruned /
+  * shuffled plan cannot masquerade as a pass) and a DuckDB oracle over
+  * the BASE tables (so the staged physical layout must be value-complete
+  * too):
+  *
+  *  - BUCKETING ([[qBucketedColocatedJoin]], [[qBucketPrunedScan]]):
+  *    fact tables written `bucketBy(k, key).sortBy(key)` join WITHOUT
+  *    exchanges — the shuffle that dominates every large fact⋈fact join
+  *    is paid once at write time and amortized over every later join —
+  *    and equality predicates on the bucket key prune the scan to one
+  *    bucket's files.
+  *  - STATIC partition pruning ([[qPartitionPrunedScan]]): hive-style
+  *    `partitionBy` directories + a literal predicate prune at PLANNING
+  *    time — the scan never lists the other partitions' files.
+  *  - DYNAMIC partition pruning ([[qDppJoin]]): when the predicate is on
+  *    a DIMENSION table, the fact side's partition filter only exists at
+  *    RUNTIME — Spark broadcasts the filtered dim keys and prunes fact
+  *    partitions with them (Spark's DPP, the star-schema scan killer).
+  *
+  * Scale shape: these are not operators so much as CONTRACTS with the
+  * planner — at 1000 executors the difference between a pruned and an
+  * unpruned fact scan is the whole job. The gates pin the contracts so a
+  * plan regression (a cast blocking pruning, a misconfigured bucket
+  * count breaking co-location) fails correctness, not just performance.
+  *
+  * Reference scope: the reference pipeline writes unpartitioned topics
+  * and has no layout planner (its storage is the broker's log —
+  * `/root/reference/docs/architecture.md:22-41`); this family is part of
+  * the driver-mandated warehouse layer beyond it.
+  */
+object Physical {
+
+  /** Buckets for the co-located join tables. Sized so local[32] gets
+    * parallelism; on a cluster this is sized to (table size / target
+    * partition bytes) and becomes part of the table contract — both
+    * sides MUST agree for co-location.
+    */
+  val NBuckets = 8
+
+  /** The physical plan AFTER exchange placement (EnsureRequirements) —
+    * `sparkPlan` is pre-placement (every join looks exchange-free
+    * there), and the AQE wrapper hides the tree from `collect`, so
+    * unwrap to its current (pre-execution: initial) plan.
+    */
+  private def prepared(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def scansOf(df: DataFrame): Seq[FileSourceScanExec] =
+    prepared(df).collect { case f: FileSourceScanExec => f }
+
+  /** Stage lineitem + orders as bucketed, bucket-sorted catalog tables
+    * once per (JVM, sf). `repartition(N, key)` before the write aligns
+    * writer tasks with bucket ids (both are pmod(murmur3, N)), so each
+    * bucket lands in ONE file — the layout under which Spark also
+    * honors `sortBy` at read time and elides the join's sorts. Returns
+    * the two table names (keyed by sf dir: one JVM may serve several
+    * scale factors).
+    */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (liName, ordName) = (s"graft_li_b_$tag", s"graft_ord_b_$tag")
+    val dir = Cdc.gateTmpDir("graft_bucketed", d)
+    def stage(name: String, df: DataFrame, key: String, path: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        df.repartition(NBuckets, col(key))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(NBuckets, key).sortBy(key)
+          .option("path", path).saveAsTable(name)
+      }
+    stage(liName, Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice")),
+      "l_orderkey", s"$dir/lineitem")
+    stage(ordName, Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      "o_orderkey", s"$dir/orders")
+    (liName, ordName)
+  }
+
+  /** CO-LOCATED fact⋈fact join: both sides bucketed on the join key, so
+    * the sort-merge join consumes the scans DIRECTLY — zero exchanges
+    * below the join (the witness), because each bucket pair is already
+    * co-partitioned. The `merge` hint pins SMJ (a broadcast would also
+    * skip the shuffle, but by size, not by layout — the layout is what
+    * survives when both sides are 100 TB). The only exchange in the
+    * whole plan is the final rollup's, whose input is join output, not
+    * base data.
+    */
+  def qBucketedColocatedJoin(s: SparkSession, d: String): DataFrame = {
+    val (liName, ordName) = bucketedTables(s, d)
+    val li = s.table(liName)
+    val ord = s.table(ordName)
+    val q = li.hint("merge")
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"),
+        sum(col("l_extendedprice").cast(Tables.Money)).as("price_sum"))
+      .orderBy(col("o_orderpriority"))
+    val smjs = prepared(q).collect { case j: SortMergeJoinExec => j }
+    require(smjs.nonEmpty,
+      s"q_bucketed_colocated_join: expected a SortMergeJoin; got:\n${prepared(q)}")
+    val shuffles = smjs.flatMap(_.collect { case e: ShuffleExchangeLike => e })
+    require(shuffles.isEmpty,
+      s"q_bucketed_colocated_join: bucketed co-location failed — " +
+        s"${shuffles.size} exchange(s) below the join:\n${prepared(q)}")
+    q
+  }
+
+  /** BUCKET-pruned point lookup: an equality predicate on the bucket
+    * column restricts the scan to the one bucket the key hashes into —
+    * 1/N of the files, no index needed. The witness reads the scan's
+    * own `SelectedBucketsCount` metadata. The key is the max orderkey
+    * (computed from the base table — one scalar driver value; the
+    * oracle recomputes it as a subquery), so the gate tracks the data
+    * rather than pinning a literal that may not exist at every sf.
+    *
+    * Planner interplay (measured, not assumed): a PURE filter has no
+    * "interesting partitioning" requirement, so Spark's
+    * `DisableUnnecessaryBucketedScan` rule silently falls back to the
+    * non-bucketed read — `Bucketed: false (disabled by query planner)`
+    * — and the 1-of-N bucket prune is LOST with it (the join gate is
+    * unaffected: its distribution requirement keeps the bucketed scan).
+    * The gate pins `autoBucketedScan.enabled=false` for exactly its own
+    * window and EXECUTES the lookup inside it ([[graft.Materialize]]
+    * barrier — eager), so the witnessed pruned plan is the plan that
+    * actually ran; the conf is restored in `finally`. On a real cluster
+    * this is the point-lookup posture: you opt the lookup path into the
+    * layout because 1/N of the files beats scan parallelism.
+    */
+  def qBucketPrunedScan(s: SparkSession, d: String): DataFrame = {
+    val (liName, _) = bucketedTables(s, d)
+    val k = Tables.lineitem(s, d).agg(max(col("l_orderkey"))).head.getLong(0)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(conf)
+    s.conf.set(conf, "false")
+    try {
+      val q = s.table(liName)
+        .filter(col("l_orderkey") === k)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_linenumber"))
+      val pruned = scansOf(q).flatMap(_.metadata.get("SelectedBucketsCount"))
+      require(pruned.exists(_.startsWith(s"1 out of $NBuckets")),
+        s"q_bucket_pruned_scan: expected a 1-of-$NBuckets bucket-pruned " +
+          s"scan; scan metadata: $pruned")
+      graft.Materialize.barrier(q)
+    } finally s.conf.set(conf, prev)
+  }
+
+  /** Hive-style partitioned orders, staged once per (version, sf) —
+    * shared across JVMs; deterministic bytes, atomic publish.
+    */
+  private def partitionedOrders(s: SparkSession, d: String): String = {
+    val staged = Cdc.stageOnce(s, "graft_part_orders", d) { st =>
+      Tables.orders(s, d).write.partitionBy("o_orderpriority")
+        .parquet(s"$st/orders")
+    }
+    s"$staged/orders"
+  }
+
+  /** STATIC partition pruning: the table is laid out as one directory
+    * per priority, and the literal predicate becomes a partition filter
+    * — resolved against directory NAMES at planning time, so the four
+    * non-matching partitions' files are never even listed into the scan.
+    * Witness: the scan carries a real (non-IsNotNull) partition filter,
+    * and the predicate does NOT appear as a data (row-level) filter —
+    * pruning replaced filtering. Oracle: same predicate row-filtered
+    * over the unpartitioned base, so the staged layout must also be
+    * value-complete (a partition dropped or mis-keyed by the write
+    * hash-mismatches).
+    */
+  def qPartitionPrunedScan(s: SparkSession, d: String): DataFrame = {
+    val po = s.read.parquet(partitionedOrders(s, d))
+    val q = po.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Tables.Money)).as("total_sum"))
+      .orderBy(col("o_orderstatus"))
+    val scans = scansOf(q)
+    require(scans.exists(f =>
+      f.partitionFilters.exists(e =>
+        !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])),
+      s"q_partition_pruned_scan: no partition filter reached the scan:\n${prepared(q)}")
+    require(scans.forall(_.dataFilters.forall(e =>
+      !e.references.exists(_.name == "o_orderpriority"))),
+      "q_partition_pruned_scan: the priority predicate fell through to a " +
+        "row-level data filter — pruning did not happen")
+    q
+  }
+
+  /** DYNAMIC partition pruning: customers partitioned by nation, the
+    * predicate on the REGION lives on the dimension side — no static
+    * partition filter exists. Spark's DPP reuses the dim side's
+    * broadcast to prune fact partitions at runtime: only the 5 matching
+    * nations' directories are scanned, without any change to the query.
+    * The dim key is cast down to the fact side's (inferred int)
+    * partition type so the fact reference stays a BARE attribute — a
+    * cast on the partition column is exactly the regression that
+    * silently disables DPP, which is why the witness requires the
+    * dynamicpruning expression in the scan's partition filters.
+    */
+  def qDppJoin(s: SparkSession, d: String): DataFrame = {
+    val staged = Cdc.stageOnce(s, "graft_part_cust", d) { st =>
+      Tables.customer(s, d).write.partitionBy("c_nationkey")
+        .parquet(s"$st/customer")
+    }
+    val fact = s.read.parquet(s"$staged/customer")
+    val dim = Tables.nation(s, d).filter(col("n_regionkey") === 2)
+    val q = fact.join(dim,
+        fact("c_nationkey") === dim("n_nationkey").cast("int"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(Tables.Money)).as("bal_sum"))
+      .orderBy(col("n_name"))
+    val dpp = scansOf(q).filter(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains("graft_part_cust")) &&
+        f.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning")))
+    require(dpp.nonEmpty,
+      s"q_dpp_join: no dynamicpruning partition filter on the fact scan:\n${prepared(q)}")
+    q
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_colocated_join" -> (qBucketedColocatedJoin _),
+    "q_bucket_pruned_scan" -> (qBucketPrunedScan _),
+    "q_partition_pruned_scan" -> (qPartitionPrunedScan _),
+    "q_dpp_join" -> (qDppJoin _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bucketed_colocated_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucket_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin,
+
+    "q_partition_pruned_scan" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total_sum
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dpp_join" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** Physical-layout gates ([[Physical]], Events stream-stream join):
+  * value-equality against the straight-over-base computation (the gates'
+  * in-body `require`s already pin the PLAN witnesses — running them here
+  * exercises those too), plus the discriminative control: the same join
+  * WITHOUT the bucketed layout must show the exchanges the witness
+  * forbids, proving the assertion can actually fail.
+  */
+class PhysicalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("bucketed co-located join: values match the plain join; the " +
+    "unbucketed control pays the exchanges the witness forbids") {
+    val got = Physical.qBucketedColocatedJoin(spark, sf)
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"),
+        sum(col("l_extendedprice").cast(Tables.Money)).as("price_sum"))
+      .orderBy(col("o_orderpriority"))
+    assert(canon(got) == canon(want))
+    // control: same join over RAW parquet (no bucket layout) — the SMJ
+    // must require shuffles, so the gate's zero-exchange witness is a
+    // real claim about the layout, not about Spark defaults
+    val raw = Tables.lineitem(spark, sf).hint("merge")
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val plan = raw.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smjs = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty)
+    assert(smjs.flatMap(_.collect { case e: ShuffleExchangeLike => e }).nonEmpty,
+      "control: the unbucketed merge join should shuffle both sides")
+  }
+
+  test("bucket-pruned scan: the 1-of-N bucket read returns exactly the " +
+    "key's rows") {
+    val got = Physical.qBucketPrunedScan(spark, sf)
+    val k = Tables.lineitem(spark, sf)
+      .agg(max(col("l_orderkey"))).head.getLong(0)
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === k)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_linenumber"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+
+  test("partition-pruned scan: pruned-directory read equals the row-" +
+    "filtered base") {
+    val got = Physical.qPartitionPrunedScan(spark, sf)
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Tables.Money)).as("total_sum"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+
+  test("dynamic partition pruning: the dim-filtered join over the " +
+    "partitioned fact equals the base join") {
+    val got = Physical.qDppJoin(spark, sf)
+    val want = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf).filter(col("n_regionkey") === 2),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(Tables.Money)).as("bal_sum"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+
+  test("stream-stream join: three-batch-per-side streamed attribution " +
+    "equals the batch join rollup") {
+    val got = Events.qStreamStreamJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"), col("value"))
+    val want = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+      .groupBy(col("c_user"))
+      .agg(count(lit(1)).as("n_attr"),
+        sum(col("purchase_id")).as("pid_sum"),
+        sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("latency_us_sum"),
+        sum(col("value").cast(Tables.Money)).as("value_sum"))
+      .select(col("c_user").as("user_id"), col("n_attr"), col("pid_sum"),
+        col("latency_us_sum"), col("value_sum"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+}
