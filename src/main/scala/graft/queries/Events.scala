@@ -598,7 +598,122 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER join — the watermark-EVICTION semantics in
+    * a hash gate: a click with no purchase in its 2-hour window emits its
+    * null-extended row only when the global watermark passes the click's
+    * state-retention bound (c_ts + 2h + the 1h delay) — outer results
+    * are produced BY eviction, so unlike [[qStreamStreamJoin]] the
+    * watermark machinery is value-bearing here, not just state-bounding.
+    *
+    * Determinism argument (why this is hash-exact against the batch
+    * LEFT JOIN):
+    *  - Slices are global event-time TERTILES, so batch i+1's rows all
+    *    have event time beyond batch ≤ i's maximum: no input row ever
+    *    arrives behind the watermark → the late-row filter drops
+    *    nothing (the mod-N slicing the inner gate uses would NOT give
+    *    this under a 1h delay).
+    *  - A click is evicted only when the watermark passes c_ts + 2h; any
+    *    purchase inside its window has p_ts ≤ c_ts + 2h, and by the
+    *    tertile ordering it arrives while the watermark is still below
+    *    p_ts — so no pair is lost to early eviction and no click both
+    *    matches and emits null.
+    *  - A final far-future SENTINEL slice on each side (users −1/−2,
+    *    chosen never to satisfy the join's user equality) pushes both
+    *    sides' watermarks past every real click's retention bound, and
+    *    `AvailableNow` runs the trailing no-data batch that fires those
+    *    evictions — so every unmatched click has emitted by termination
+    *    and the sink holds exactly the batch join's rows.
+    * The rollup filters the sentinels (c_user < 0) and aggregates
+    * integer-exact; the oracle is the closed-form LEFT JOIN on `events`.
+    *
+    * Scale shape: same keyed state as the inner join, but the 1h delay
+    * is now a real SLA — state per side is bounded by (delay + window)
+    * of arrivals, the posture a 100 TB/day attribution pipeline runs
+    * with (the inner gate's span-wide delay would buffer a full day).
+    */
+  def qStreamStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = Cdc.gateTmpDir("graft_ss_outer", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (cDir, pDir, outDir, ck) =
+      (s"$base/clicks", s"$base/purch", s"$base/out", s"$base/ck")
+    val staged = Cdc.stageOnce(s, "graft_ss_outer_staged", d) { st =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+        max(unix_millis(col("ts"))).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val step = (hi - lo) / 3 + 1
+      def tertile(t: String, i: Int): DataFrame =
+        ev.filter(col("event_type") === t &&
+          ((unix_millis(col("ts")) - lo) / step).cast("int") === i)
+      def sentinel(t: String, user: Long): DataFrame =
+        s.range(1).select(lit(-1L).as("event_id"),
+          timestamp_millis(lit(hi + 30L * 24 * 3600 * 1000)).as("ts"),
+          lit(user).as("user_id"), lit(t).as("event_type"),
+          lit(0.0).as("value"))
+      for (i <- 0 until 3) {
+        tertile("click", i).coalesce(1).write.parquet(s"$st/clicks/s$i")
+        tertile("purchase", i).coalesce(1).write.parquet(s"$st/purch/s$i")
+      }
+      sentinel("click", -1L).coalesce(1).write.parquet(s"$st/clicks/s3")
+      sentinel("purchase", -2L).coalesce(1).write.parquet(s"$st/purch/s3")
+    }
+    for (i <- 0 until 4) {
+      Cdc.copyStaged(s, s"$staged/clicks/s$i", cDir, s"s$i")
+      Cdc.copyStaged(s, s"$staged/purch/s$i", pDir, s"s$i")
+    }
+    val schema =
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    def src(dir: String): DataFrame =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val clicks = src(cDir)
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val purch = src(pDir)
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purch,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"),
+        "left_outer")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(outDir)
+      .filter(col("c_user") >= 0)
+      .groupBy(col("c_user"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        coalesce(sum(col("purchase_id")), lit(0L)).as("pid_sum"),
+        coalesce(sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))),
+          lit(0L)).as("latency_us_sum"))
+      .select(col("c_user").as("user_id"), col("n_rows"), col("n_matched"),
+        col("pid_sum"), col("latency_us_sum"))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_stream_stream_outer_join" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, count(*) AS n_rows,
+        |  count(p.event_id) AS n_matched,
+        |  CAST(coalesce(sum(p.event_id), 0) AS BIGINT) AS pid_sum,
+        |  CAST(coalesce(sum(epoch_us(p.ts) - epoch_us(c.ts)), 0) AS BIGINT)
+        |    AS latency_us_sum
+        |FROM c LEFT JOIN p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_stream_stream_join" ->
       """SELECT c.user_id AS user_id, count(*) AS n_attr,
         |  CAST(sum(p.event_id) AS BIGINT) AS pid_sum,
@@ -871,6 +986,7 @@ object Events {
     "q_volume_anomalies" -> (qVolumeAnomalies _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_dwell_times" -> (qDwellTimes _),
-    "q_stream_stream_join" -> (qStreamStreamJoin _)
+    "q_stream_stream_join" -> (qStreamStreamJoin _),
+    "q_stream_stream_outer_join" -> (qStreamStreamOuterJoin _)
   )
 }

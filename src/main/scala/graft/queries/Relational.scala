@@ -179,6 +179,41 @@ object Relational {
       .limit(15)
   }
 
+  /** Correlated LATERAL subquery with LIMIT — the SQL-surface twin of
+    * [[qWindowRank]]: "each customer's top-2 orders" written the way an
+    * analyst writes it (a per-row dependent subquery), executed the way a
+    * cluster must run it. Catalyst DECORRELATES the lateral into one
+    * equi-join against a ranked-and-limited orders side, and pushes the
+    * LIMIT down as `WindowGroupLimit` — a map-side per-group top-k BEFORE
+    * the window's shuffle, so each partition forwards at most k rows per
+    * key instead of the whole fact table. The gate `require`s that
+    * operator in the optimized plan: it is the difference between a plan
+    * that scales (shuffle carries ≤ 2·|custkeys| rows) and a naive
+    * per-row re-execution or a full-table window sort — silently losing
+    * the rewrite fails correctness, not just the bench. Cents are exact
+    * integers; `(cents DESC, o_orderkey)` is a total order so the top-2
+    * set is unique and engine-independent.
+    */
+  def qLateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_lat_cust")
+    Tables.orders(s, d).createOrReplaceTempView("graft_lat_ord")
+    val q = s.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.cents
+        |FROM graft_lat_cust c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |             AS cents
+        |         FROM graft_lat_ord o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY cents DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, cents DESC, o_orderkey""".stripMargin)
+    val plan = q.queryExecution.optimizedPlan.toString
+    require(plan.contains("WindowGroupLimit"),
+      s"q_lateral_topk: expected the decorrelated rank-limit pushdown " +
+        s"(WindowGroupLimit) in the optimized plan; got:\n$plan")
+    q
+  }
+
   /** window ranking: top-3 orders per customer by price (row_number with a
     * unique tie-break so ranks are deterministic).
     */
@@ -987,6 +1022,17 @@ object Relational {
         |ORDER BY total_spent DESC, c_custkey
         |LIMIT 15""".stripMargin,
 
+    "q_lateral_topk" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |             AS cents
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY cents DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, cents DESC, o_orderkey""".stripMargin,
+
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, rn
@@ -1145,6 +1191,7 @@ object Relational {
     "q_anti_customers" -> (qAntiCustomers _),
     "q_top_customers" -> (qTopCustomers _),
     "q_window_rank" -> (qWindowRank _),
+    "q_lateral_topk" -> (qLateralTopk _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_pivot_events" -> (qPivotEvents _),
     "q_window_running" -> (qWindowRunning _),

@@ -85,6 +85,53 @@ class PhysicalSpec extends SparkSpec {
     assert(canon(got) == canon(want) && got.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER join: watermark-evicted null emission " +
+    "makes the sink equal the batch left join") {
+    val got = Events.qStreamStreamOuterJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+    val want = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"),
+        "left_outer")
+      .groupBy(col("c_user"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        coalesce(sum(col("purchase_id")), lit(0L)).as("pid_sum"),
+        coalesce(sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))),
+          lit(0L)).as("latency_us_sum"))
+      .select(col("c_user").as("user_id"), col("n_rows"), col("n_matched"),
+        col("pid_sum"), col("latency_us_sum"))
+    assert(canon(got) == canon(want))
+    // the outer path must actually exercise null emission: some clicks
+    // have no purchase in-window at this sf
+    assert(got.filter(col("n_matched") < col("n_rows")).count() > 0)
+  }
+
+  test("lateral top-k: the decorrelated LATERAL LIMIT equals the window " +
+    "formulation") {
+    val got = Relational.qLateralTopk(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    val want = Tables.orders(spark, sf)
+      .withColumn("cents",
+        (col("o_totalprice").cast(Tables.Money) * 100).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+        col("cents"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+
   test("stream-stream join: three-batch-per-side streamed attribution " +
     "equals the batch join rollup") {
     val got = Events.qStreamStreamJoin(spark, sf)

@@ -21,7 +21,8 @@ class SqlSurfaceSpec extends SparkSpec {
   private val AnsiQueries = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q10_returned_items", "q12_ship_priority",
-    "q13_customer_dist", "q18_large_orders", "q22_wealthy_inactive")
+    "q13_customer_dist", "q18_large_orders", "q22_wealthy_inactive",
+    "q_lateral_topk")
 
   /** Sorted multiset, not a Set: row multiplicity differences (e.g. a
     * join-induced fanout on one side only) must fail the cross-check.
