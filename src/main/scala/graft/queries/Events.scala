@@ -631,6 +631,30 @@ object Events {
     * of arrivals, the posture a 100 TB/day attribution pipeline runs
     * with (the inner gate's span-wide delay would buffer a full day).
     */
+  /** Event-time TERTILE boundaries of `ev` (lo epoch-ms, slice width):
+    * slice i = rows with (ts_ms − lo) / step == i, i ∈ 0..2 — three
+    * disjoint, time-ORDERED slices covering the corpus. Streaming gates
+    * feed slices as one-file micro-batches so no arrival ever lands
+    * behind a batch-advanced watermark (the never-late argument in
+    * [[qStreamStreamOuterJoin]]).
+    */
+  private def timeTertiles(ev: DataFrame): (Long, Long) = {
+    val b = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).head()
+    (b.getLong(0), (b.getLong(1) - b.getLong(0)) / 3 + 1)
+  }
+
+  /** Far-future watermark-advancing sentinel row (30 days past `hi`),
+    * with a negative user id real data never carries so rollups filter
+    * it and join conditions never match it.
+    */
+  private def sentinelRow(s: SparkSession, hiMs: Long, user: Long,
+      eventType: String): DataFrame =
+    s.range(1).select(lit(-1L).as("event_id"),
+      timestamp_millis(lit(hiMs + 30L * 24 * 3600 * 1000)).as("ts"),
+      lit(user).as("user_id"), lit(eventType).as("event_type"),
+      lit(0.0).as("value"))
+
   def qStreamStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val base = Cdc.gateTmpDir("graft_ss_outer", d)
@@ -639,28 +663,26 @@ object Events {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val (cDir, pDir, outDir, ck) =
       (s"$base/clicks", s"$base/purch", s"$base/out", s"$base/ck")
-    val staged = Cdc.stageOnce(s, "graft_ss_outer_staged", d) { st =>
+    // _v2 suffix: the sentinel-ts recipe changed after the first staging
+    // (stageOnce trusts same-name trees byte-for-byte, so a recipe change
+    // must land under a fresh prefix — the staged-fixture discipline)
+    val staged = Cdc.stageOnce(s, "graft_ss_outer_staged_v2", d) { st =>
       val ev = events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      val b = ev.agg(min(unix_millis(col("ts"))).as("lo"),
-        max(unix_millis(col("ts"))).as("hi")).head()
-      val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val step = (hi - lo) / 3 + 1
+      val (lo, step) = timeTertiles(ev)
+      val hi = lo + 3 * step
       def tertile(t: String, i: Int): DataFrame =
         ev.filter(col("event_type") === t &&
           ((unix_millis(col("ts")) - lo) / step).cast("int") === i)
-      def sentinel(t: String, user: Long): DataFrame =
-        s.range(1).select(lit(-1L).as("event_id"),
-          timestamp_millis(lit(hi + 30L * 24 * 3600 * 1000)).as("ts"),
-          lit(user).as("user_id"), lit(t).as("event_type"),
-          lit(0.0).as("value"))
       for (i <- 0 until 3) {
         tertile("click", i).coalesce(1).write.parquet(s"$st/clicks/s$i")
         tertile("purchase", i).coalesce(1).write.parquet(s"$st/purch/s$i")
       }
-      sentinel("click", -1L).coalesce(1).write.parquet(s"$st/clicks/s3")
-      sentinel("purchase", -2L).coalesce(1).write.parquet(s"$st/purch/s3")
+      sentinelRow(s, hi, -1L, "click")
+        .coalesce(1).write.parquet(s"$st/clicks/s3")
+      sentinelRow(s, hi, -2L, "purchase")
+        .coalesce(1).write.parquet(s"$st/purch/s3")
     }
     for (i <- 0 until 4) {
       Cdc.copyStaged(s, s"$staged/clicks/s$i", cDir, s"s$i")
@@ -700,7 +722,83 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING sessionization — `session_window` under a real watermark
+    * in append mode, the merge-on-overlap stateful aggregate ([[
+    * qEventsSession]]'s streaming twin, same 30-minute gap, same output
+    * shape, same oracle SQL). A session is held as keyed state, EXTENDED
+    * or MERGED by later events, and emitted only when the watermark
+    * passes its end — so unlike the batch gate this exercises session
+    * state lifecycle, not just the window algebra.
+    *
+    * Hash-exactness argument (same fixture discipline as
+    * [[qStreamStreamOuterJoin]]): event-time tertile slices mean every
+    * arrival is ahead of the watermark (nothing late-dropped), a
+    * finalized session can never be retro-extended — an extending event
+    * would have to lie within the gap of a session whose end the
+    * watermark already passed, but every unprocessed event's time is
+    * ABOVE the watermark by the tertile ordering — and the far-future
+    * sentinel closes every real session by termination. Streamed output
+    * therefore equals the batch `session_window` result row-for-row.
+    *
+    * Scale shape: state is per (user, open session) — bounded by the
+    * gap × arrival rate, the standard streaming-session posture; the
+    * shuffle is the same single user-keyed exchange as the batch twin.
+    */
+  def qStreamSession(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = Cdc.gateTmpDir("graft_stream_session", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, outDir, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    val staged = Cdc.stageOnce(s, "graft_stream_session_staged", d) { st =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (lo, step) = timeTertiles(ev)
+      for (i <- 0 until 3)
+        ev.filter(((unix_millis(col("ts")) - lo) / step).cast("int") === i)
+          .coalesce(1).write.parquet(s"$st/s$i")
+      sentinelRow(s, lo + 3 * step, -1L, "click")
+        .coalesce(1).write.parquet(s"$st/s3")
+    }
+    for (i <- 0 until 4) Cdc.copyStaged(s, s"$staged/s$i", inDir, s"s$i")
+    val schema =
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(MoneyVal).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_stream_session" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_stream_stream_outer_join" ->
       """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
         |     p AS (SELECT * FROM events WHERE event_type = 'purchase')
@@ -987,6 +1085,7 @@ object Events {
     "q_event_transitions" -> (qEventTransitions _),
     "q_dwell_times" -> (qDwellTimes _),
     "q_stream_stream_join" -> (qStreamStreamJoin _),
-    "q_stream_stream_outer_join" -> (qStreamStreamOuterJoin _)
+    "q_stream_stream_outer_join" -> (qStreamStreamOuterJoin _),
+    "q_stream_session" -> (qStreamSession _)
   )
 }

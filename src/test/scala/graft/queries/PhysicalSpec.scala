@@ -114,6 +114,17 @@ class PhysicalSpec extends SparkSpec {
     assert(got.filter(col("n_matched") < col("n_rows")).count() > 0)
   }
 
+  test("streaming sessionization: watermarked session_window over four " +
+    "micro-batches equals the batch session_window") {
+    val got = Events.qStreamSession(spark, sf)
+    val want = Events.qEventsSession(spark, sf)
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // sessions must straddle micro-batches for the merge path to be
+    // exercised: more sessions than micro-batches guarantees state
+    // carried across at least one batch boundary at this gap/sf
+    assert(got.count() > 4)
+  }
+
   test("lateral top-k: the decorrelated LATERAL LIMIT equals the window " +
     "formulation") {
     val got = Relational.qLateralTopk(spark, sf)
