@@ -44,6 +44,10 @@ FAMILIES = [
      r"entity_resolution$|bm25_topk$|hybrid_search$|kmeans_update$)"),
     ("Layout / ordering",
      r"^q_(zorder_curve$|equidepth_bins$|shuffle_shard$)"),
+    ("Physical layout (bucketing / pruning / DPP)",
+     r"^q_(bucketed_|bucket_pruned_|partition_pruned_|dpp_)"),
+    ("Streaming state (stream-stream joins, sessions)",
+     r"^q_(stream_stream_|stream_session$)"),
     ("Recursive closure (UnionLoop)", r"^q_recursive_"),
     ("Media (multimodal)", r"^q_media_"),
 ]

@@ -578,7 +578,14 @@ object Events {
       .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
         col("user_id").as("p_user"), col("value"))
       .withWatermark("p_ts", "365 days")
-    clicks.join(purch,
+    // state partitions sized to state volume (the qCdcTxnStream pattern):
+    // a stream-stream join keeps FOUR state stores per partition per
+    // batch, so 32 shuffle partitions × 4 micro-batches is pure fixed
+    // overhead at any local SF — on a cluster this is sized to state
+    // volume, not defaulted
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try clicks.join(purch,
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
@@ -586,6 +593,7 @@ object Events {
       .option("path", outDir).option("checkpointLocation", ck)
       .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
       .start().awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .groupBy(col("c_user"))
       .agg(count(lit(1)).as("n_attr"),
@@ -700,7 +708,10 @@ object Events {
       .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
         col("user_id").as("p_user"))
       .withWatermark("p_ts", "1 hour")
-    clicks.join(purch,
+    // state partitions sized to state volume (see qStreamStreamJoin)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try clicks.join(purch,
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"),
@@ -709,6 +720,7 @@ object Events {
       .option("path", outDir).option("checkpointLocation", ck)
       .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
       .start().awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .filter(col("c_user") >= 0)
       .groupBy(col("c_user"))
@@ -765,7 +777,10 @@ object Events {
     for (i <- 0 until 4) Cdc.copyStaged(s, s"$staged/s$i", inDir, s"s$i")
     val schema =
       "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    // state partitions sized to state volume (see qStreamStreamJoin)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"),
@@ -777,6 +792,7 @@ object Events {
       .option("path", outDir).option("checkpointLocation", ck)
       .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
       .start().awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("session_start"))
