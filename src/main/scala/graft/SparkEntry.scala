@@ -56,7 +56,8 @@ object SparkEntry {
       graft.queries.Retrieval.queries ++
       graft.queries.Layout.queries ++
       graft.queries.Recursive.queries ++
-      graft.queries.Physical.queries
+      graft.queries.Physical.queries ++
+      graft.queries.Adaptive.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -77,5 +78,6 @@ object SparkEntry {
       graft.queries.Retrieval.oracle ++
       graft.queries.Layout.oracle ++
       graft.queries.Recursive.oracle ++
-      graft.queries.Physical.oracle
+      graft.queries.Physical.oracle ++
+      graft.queries.Adaptive.oracle
 }

@@ -3,7 +3,9 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
@@ -54,11 +56,25 @@ object Physical {
     * there), and the AQE wrapper hides the tree from `collect`, so
     * unwrap to its current (pre-execution: initial) plan.
     */
-  private def prepared(df: DataFrame): SparkPlan =
+  private[queries] def prepared(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+
+  /** Every node of an (adaptively) executed plan, INCLUDING the bodies
+    * of completed query stages: `QueryStageExec` is a leaf to `collect`
+    * (its subtree already ran), so a post-execution witness that stops
+    * at stage boundaries would silently see an empty plan and pass
+    * vacuously — this descends into each stage's plan.
+    */
+  private[queries] def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p.collect { case n => n }
+    here ++ here.flatMap {
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => Nil
+    }
+  }
 
   private def scansOf(df: DataFrame): Seq[FileSourceScanExec] =
     prepared(df).collect { case f: FileSourceScanExec => f }
@@ -71,7 +87,7 @@ object Physical {
     * the two table names (keyed by sf dir: one JVM may serve several
     * scale factors).
     */
-  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+  private[queries] def bucketedTables(s: SparkSession, d: String): (String, String) = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val (liName, ordName) = (s"graft_li_b_$tag", s"graft_ord_b_$tag")
     val dir = Cdc.gateTmpDir("graft_bucketed", d)
@@ -236,11 +252,43 @@ object Physical {
     q
   }
 
+  /** SHUFFLE-FREE pre-aggregation on the bucket key: the bucketed scan's
+    * hash layout already satisfies the aggregate's clustered-distribution
+    * requirement, so the per-orderkey rollup consumes the scan DIRECTLY —
+    * the aggregation shuffle, the single dominant cost of a 100 TB
+    * fact-table rollup, was paid once at write time. The second,
+    * metadata-sized aggregate (a histogram over the per-order rows) and
+    * the presentation sort do shuffle — but their input is aggregate
+    * output, ~|orders| rows, not base data. Witness: every exchange in
+    * the plan has an aggregate BENEATH it — i.e. no shuffle ever touches
+    * un-aggregated base rows; a regression (bucket/agg key mismatch, a
+    * cast on the key) inserts a pre-aggregate exchange and fails loudly.
+    */
+  def qBucketedAggElision(s: SparkSession, d: String): DataFrame = {
+    val (liName, _) = bucketedTables(s, d)
+    val perOrder = s.table(liName)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"))
+    val q = perOrder.groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("qty_sum")).as("qty_total"))
+      .orderBy(col("n_lines"))
+    val shuffles = prepared(q).collect { case e: ShuffleExchangeLike => e }
+    val preAgg = shuffles.filter(
+      _.collectFirst { case a: BaseAggregateExec => a }.isEmpty)
+    require(preAgg.isEmpty,
+      s"q_bucketed_agg_elision: ${preAgg.size} exchange(s) below the first " +
+        s"aggregate — the bucket layout did not elide the rollup shuffle:\n" +
+        s"${prepared(q)}")
+    q
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_colocated_join" -> (qBucketedColocatedJoin _),
     "q_bucket_pruned_scan" -> (qBucketPrunedScan _),
     "q_partition_pruned_scan" -> (qPartitionPrunedScan _),
-    "q_dpp_join" -> (qDppJoin _)
+    "q_dpp_join" -> (qDppJoin _),
+    "q_bucketed_agg_elision" -> (qBucketedAggElision _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -269,6 +317,13 @@ object Physical {
         |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucketed_agg_elision" ->
+      """SELECT n_lines, count(*) AS n_orders, sum(qty_sum) AS qty_total
+        |FROM (SELECT l_orderkey, count(*) AS n_lines,
+        |        sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum
+        |      FROM lineitem GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
