@@ -169,6 +169,74 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Candidate-pool width for the binary-quantization Hamming stage:
+    * 4× the final k, the standard over-fetch that re-ranking prunes.
+    */
+  val BqCandidates: Int = 4 * TopK
+
+  /** BINARY quantization ANN — the 1-bit-per-dimension compression point
+    * on the quantization ladder (int8 = [[qEmbeddingQuantize]], PQ =
+    * [[qAnnPq]]): each 64-dim float vector collapses to the SIGNS of its
+    * components, packed into exactly ONE 64-bit word (`bit i ⇔ v[i] >
+    * 0`), as shipped by production vector stores (Qdrant/Weaviate
+    * "binary quantization"; the sign-random-projection bound is
+    * Charikar SimHash — for mean-centered embeddings, Hamming distance
+    * on sign bits is a monotone estimate of angular distance).
+    *
+    * Two-stage search, the memory-bandwidth scale path:
+    *  1. HAMMING candidates over the CODE table only: `bit_count(qcode ^
+    *     ccode)` — 8 bytes/vector instead of 512 (64× less scan + it's
+    *     XOR+POPCNT, SIMD-trivial); top-[[BqCandidates]] per query by
+    *     (hamming, neighbor_id).
+    *  2. EXACT cosine re-rank of the tiny candidate set against the full
+    *     vectors (an O(queries × candidates) broadcast join — corpus
+    *     vectors are probed, never shuffled).
+    *
+    * The packing fold uses `|` with per-bit `shiftleft`, never `+`/`*2`
+    * Horner steps — bit 63 would sign-overflow a long under ANSI mode.
+    * The oracle computes the SAME semantics without the packing (count
+    * of differing sign indicators per pair), so a packing bug (dropped
+    * bit, wrong index base) changes Hamming values and hash-fails.
+    * Output carries `hamming` as the quantization witness next to the
+    * exact `cos_x10000`.
+    */
+  def qAnnBinaryQuant(s: SparkSession, d: String): DataFrame = {
+    val vecs = vecsWithNorm(s, d).stage() // codes + re-rank share one read
+    val codes = vecs.withColumn("code",
+      expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc | IF(element_at(v, i + 1) > 0.0D, shiftleft(1L, i), 0L))"))
+    val qSide = codes.filter(isQuery(col("vec_id"))).limit(MaxQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .stage() // both stages read the 8-row query side
+    // stage 1: Hamming over codes only — the corpus side is (id, long)
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand = broadcast(qSide.select(col("query_id"), col("qcode")))
+      .crossJoin(codes.select(col("vec_id").as("neighbor_id"),
+        col("code").as("ccode")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr("bit_count(qcode ^ ccode)"))
+      .withColumn("hr", row_number().over(wHam))
+      .filter(col("hr") <= BqCandidates)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    // stage 2: exact re-rank — candidates broadcast INTO the corpus scan
+    val corpus = vecs.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("norm").as("cnorm"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(cand).join(corpus, Seq("neighbor_id"))
+      .join(broadcast(qSide.select(col("query_id"), col("qv"),
+        col("qnorm"))), Seq("query_id"))
+      .withColumn("cos", dotQC / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("hamming"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Sign-sketch band keys for a double vector column: array of
     * "band:bits" strings. All plane dots run in ONE codegen expression
     * ([[graft.functions.HyperplaneBits]]); bands are 4-bit nibbles of the
@@ -1348,6 +1416,35 @@ object Similarity {
          |FROM r WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
+    // Hamming is computed WITHOUT the bit packing (count of differing
+    // sign indicators) — a Spark-side packing bug changes Hamming and
+    // hash-fails here
+    "q_ann_binary_quant" ->
+      s"""WITH $normCte,
+         |ham AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+         |        CAST(list_aggregate(list_transform(range(1, 65),
+         |          i -> CASE WHEN (q.v[i] > 0) != (c.v[i] > 0)
+         |               THEN 1 ELSE 0 END), 'sum') AS INT) AS hamming
+         |      FROM n q JOIN n c
+         |        ON ${queryPred("q")} AND q.vec_id != c.vec_id),
+         |cand AS (SELECT query_id, neighbor_id, hamming,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY hamming, neighbor_id) AS hr
+         |      FROM ham),
+         |p AS (SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+         |        $dotSql / (q.norm*c.norm) AS cos
+         |      FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |                JOIN n c ON cand.neighbor_id = c.vec_id
+         |      WHERE cand.hr <= $BqCandidates),
+         |r AS (SELECT query_id, neighbor_id, hamming, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  hamming, CAST(round(cos*10000) AS BIGINT) AS cos_x10000
+         |FROM r WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q_ann_ivf" ->
       s"""WITH $normCte,
          |piv AS (SELECT vec_id AS pivot_id, v AS pv, norm AS pnorm
@@ -1488,6 +1585,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_binary_quant" -> (qAnnBinaryQuant _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),

@@ -159,4 +159,79 @@ class Round10OpsSpec extends SparkSpec {
       }
     }
   }
+
+  private val sfAnn = "/root/testdata/sf0.001"
+
+  test("binary quantization: packed-code XOR popcount equals the " +
+    "semantic count of differing sign bits, for every query-corpus pair") {
+    val vecs = graft.Tables.embeddings(spark, sfAnn).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val codes = vecs.withColumn("code",
+      expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc | IF(element_at(v, i + 1) > 0.0D, shiftleft(1L, i), 0L))"))
+    val q = codes.filter(col("vec_id") % 50 === 0 && col("vec_id") < 400)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("code").as("qcode"))
+    val mismatches = q.crossJoin(
+        codes.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("code").as("ccode")))
+      .withColumn("packed", expr("bit_count(qcode ^ ccode)"))
+      .withColumn("semantic",
+        aggregate(zip_with(col("qv"), col("cv"),
+          (a, b) => when((a > 0d) =!= (b > 0d), 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .filter(col("packed") =!= col("semantic"))
+    assert(mismatches.count() == 0)
+  }
+
+  test("binary-quant ANN: every returned neighbor is inside the " +
+    "Hamming candidate pool, ranks are dense per query, and the exact " +
+    "cosine matches brute force for shared pairs") {
+    val got = Similarity.qAnnBinaryQuant(spark, sfAnn)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // dense ranks 1..TopK per query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq ==
+        (1 to Similarity.TopK).toSeq, s"query $qid ranks not dense")
+    }
+    // hamming sane
+    assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) <= 64))
+    // candidate-pool containment: recompute the top-C hamming cut
+    // independently (semantic sign diff, no packing) and check every
+    // returned neighbor is in it
+    val vecs = graft.Tables.embeddings(spark, sfAnn).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = vecs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 400)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("h"), col("cid"))
+    val pool = q.crossJoin(vecs.select(col("vec_id").as("cid"),
+        col("v").as("cv")))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("h", aggregate(zip_with(col("qv"), col("cv"),
+        (a, b) => when((a > 0d) =!= (b > 0d), 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x))
+      .withColumn("hr", row_number().over(w))
+      .filter(col("hr") <= Similarity.BqCandidates)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(pool.contains((r.getLong(0), r.getLong(1))),
+        s"returned pair outside the Hamming pool: ${r.getLong(0)} -> " +
+          s"${r.getLong(1)}")
+    }
+    // exact re-rank: cos_x10000 must equal brute force's for any pair
+    // both return (same dot expression, same rounding)
+    val bf = Similarity.qAnnBruteforce(spark, sfAnn).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(c == r.getLong(4), "cosine disagrees with brute force")
+      }
+    }
+  }
 }
