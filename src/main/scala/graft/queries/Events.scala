@@ -798,7 +798,171 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Straggler selector for [[qStreamLateDeadletter]]: every 20th
+    * event id from the first tertile arrives two batches late.
+    */
+  val StragglerMod = 20
+
+  /** Allowed lateness for [[qStreamLateDeadletter]] (1 hour in ms). */
+  val LateDelayMs: Long = 3600000L
+
+  /** LATE-DATA DEAD-LETTER accounting — the streaming semantic Spark's
+    * built-in stateful operators cannot express: a watermarked aggregate
+    * DROPS late rows silently, but a pipeline that must account for
+    * every input (billing, audit, exactly-once reconciliation) routes
+    * them to a dead-letter side output instead. The composable form is
+    * an EXPLICIT watermark: a `foreachBatch` drive holds the running
+    * max event time as versioned state ([[graft.cdc.VersionedState]],
+    * idempotent by batch id — the streaming-IVM publish discipline),
+    * computes `watermark = maxSoFar − allowed lateness` at each batch,
+    * and classifies every arriving row on-time/late BEFORE folding —
+    * nothing is dropped, the late rows carry their full payload to the
+    * dead-letter partition for replay.
+    *
+    * Drive: event-time tertile slices (one micro-batch each), except
+    * every [[StragglerMod]]th event of tertile 0 ARRIVES in batch 2 —
+    * by then the explicit watermark (advanced by tertile 1) has passed
+    * their event times, so they classify late; batch 0 classifies
+    * nothing late (no prior state), and regular tertile rows are always
+    * ahead of the watermark by slice monotonicity. A checkpoint restart
+    * before the straggler batch proves the watermark state survives
+    * process death (a re-bootstrap would classify nothing late — and
+    * hash-fail). The sink is partitioned by batch id and written with
+    * overwrite, so a replayed batch is idempotent.
+    *
+    * The watermark sequence is a pure function of the batch slicing, so
+    * the DuckDB oracle reproduces the ENTIRE classification closed-form
+    * (slice rule, straggler rule, per-batch max, lateness compare) —
+    * there is no Spark-internal watermark in the loop to trust.
+    *
+    * Scale shape: per batch one narrow classification pass + one tiny
+    * max aggregate; state is ONE row however large the stream; the
+    * dead-letter write is sized to the late volume, not the stream.
+    */
+  def qStreamLateDeadletter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = Cdc.gateTmpDir("graft_late_dlq", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, store, sink, ck) =
+      (s"$base/in", s"$base/store", s"$base/sink", s"$base/ck")
+    val staged = Cdc.stageOnce(s, "graft_late_dlq_staged", d) { st =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val (lo, step) = timeTertiles(ev)
+      val arr = ev
+        .withColumn("slice",
+          ((unix_millis(col("ts")) - lo) / step).cast("int"))
+        .withColumn("arrival",
+          when(col("slice") === 0 &&
+            col("event_id") % StragglerMod === 0, 2)
+            .otherwise(col("slice")))
+      for (i <- 0 until 3)
+        arr.filter(col("arrival") === i)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .coalesce(1).write.parquet(s"$st/s$i")
+    }
+    val state = new graft.cdc.VersionedState(s, store, "wm")
+    def run(): Unit =
+      s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val bt = batch.cache()
+          val prevMax: Option[Long] = state.readLatest("wm")
+            .map(_.head().getLong(0))
+          val classified = prevMax match {
+            case Some(mx) => bt.withColumn("is_late",
+              unix_millis(col("ts")) < lit(mx - LateDelayMs))
+            case None => bt.withColumn("is_late", lit(false))
+          }
+          // overwrite-by-batch-path: a post-restart replay is idempotent
+          classified.select(col("event_id"), col("user_id"), col("value"),
+              col("is_late"))
+            .write.mode("overwrite").parquet(s"$sink/batch=$id")
+          val batchMax: Option[Long] = {
+            val r = bt.agg(max(unix_millis(col("ts")))).head()
+            if (r.isNullAt(0)) None else Some(r.getLong(0))
+          }
+          val newMax = (prevMax ++ batchMax).foldLeft(Long.MinValue)(_ max _)
+          if (newMax != Long.MinValue)
+            state.publish("wm", id,
+              s.range(1).select(lit(newMax).as("max_ms")))
+          bt.unpersist(): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      Cdc.copyStaged(s, s"$staged/s0", inDir, "s0")
+      Cdc.copyStaged(s, s"$staged/s1", inDir, "s1")
+      run() // batches 0–1 build the explicit watermark
+      // the stragglers land while the stream is DOWN; the restarted run
+      // must classify them against the CHECKPOINTED watermark state
+      Cdc.copyStaged(s, s"$staged/s2", inDir, "s2")
+      run()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val out = s.read.parquet(sink)
+    // accounting contract: nothing silently dropped, dead-letter is real
+    val (total, late) =
+      (out.count(), out.filter(col("is_late")).count())
+    require(total == events(s, d).count(),
+      s"q_stream_late_deadletter: sink holds $total of ${events(s, d).count()} rows")
+    require(late > 0,
+      "q_stream_late_deadletter: no rows were classified late — the " +
+        "straggler slice never exercised the dead-letter path")
+    out.groupBy(col("user_id"))
+      .agg(
+        count(when(!col("is_late"), 1)).as("n_ontime"),
+        sum(when(!col("is_late"), col("value").cast(Tables.Money))
+          .otherwise(lit(0).cast(Tables.Money))).as("ontime_val_sum"),
+        count(when(col("is_late"), 1)).as("n_late"),
+        sum(when(col("is_late"), col("event_id")).otherwise(0L))
+          .as("late_id_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Closed-form twin of the dead-letter classification: slice rule,
+    * straggler arrival, per-batch running max, lateness compare — the
+    * watermark sequence is a pure function of the slicing, so the
+    * oracle replays it without any streaming machinery. `floor` (not a
+    * bare CAST) mirrors Spark's truncating int cast — DuckDB's CAST
+    * rounds to nearest.
+    */
+  private val lateDeadletterOracle: String =
+    s"""WITH ev AS (SELECT event_id, epoch_ms(ts) AS ms, user_id, value
+       |            FROM events),
+       |b AS (SELECT min(ms) AS lo,
+       |        (max(ms) - min(ms)) // 3 + 1 AS step FROM ev),
+       |sl AS (SELECT event_id, ms, user_id, value,
+       |        CAST(floor((ms - lo) / CAST(step AS DOUBLE)) AS INT)
+       |          AS slice
+       |      FROM ev, b),
+       |ar AS (SELECT *, CASE WHEN slice = 0 AND
+       |          event_id % $StragglerMod = 0 THEN 2
+       |        ELSE slice END AS arrival FROM sl),
+       |m AS (SELECT max(CASE WHEN arrival = 0 THEN ms END) AS m0,
+       |        max(CASE WHEN arrival <= 1 THEN ms END) AS m01 FROM ar),
+       |cls AS (SELECT ar.*, CASE
+       |          WHEN arrival = 1 THEN ms < m0 - $LateDelayMs
+       |          WHEN arrival = 2 THEN ms < m01 - $LateDelayMs
+       |          ELSE FALSE END AS is_late
+       |        FROM ar, m)
+       |SELECT user_id,
+       |  count(*) FILTER (WHERE NOT is_late) AS n_ontime,
+       |  sum(CASE WHEN NOT is_late THEN CAST(value AS DECIMAL(12,2))
+       |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS ontime_val_sum,
+       |  count(*) FILTER (WHERE is_late) AS n_late,
+       |  CAST(sum(CASE WHEN is_late THEN event_id ELSE 0 END) AS BIGINT)
+       |    AS late_id_sum
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_stream_late_deadletter" -> lateDeadletterOracle,
     "q_stream_session" ->
       """WITH o AS (SELECT user_id, ts, event_id, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -1102,6 +1266,7 @@ object Events {
     "q_dwell_times" -> (qDwellTimes _),
     "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_stream_outer_join" -> (qStreamStreamOuterJoin _),
-    "q_stream_session" -> (qStreamSession _)
+    "q_stream_session" -> (qStreamSession _),
+    "q_stream_late_deadletter" -> (qStreamLateDeadletter _)
   )
 }

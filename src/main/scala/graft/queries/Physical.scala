@@ -283,12 +283,87 @@ object Physical {
     q
   }
 
+  /** Target on-disk row-group size for the sorted-layout gate — small so
+    * every local sf yields MANY groups (production uses the 128 MB
+    * default; the witness pins the mechanism, not the number). 16 KB
+    * gives 8 groups even at sf0.001's 6k rows.
+    */
+  val RowGroupBytes: Int = 16 * 1024
+
+  /** ROW-GROUP statistics skipping — the third and finest rung of the
+    * scan-elision ladder (partition directory → bucket file → row group):
+    * the fact table is written GLOBALLY SORTED on the filter column with
+    * small row groups, so each group's parquet min/max footer statistics
+    * span a narrow time slice, and a pushed range predicate lets the
+    * reader skip every non-intersecting group WITHOUT reading its pages —
+    * the zone-map / clustering contract behind Delta/Iceberg `OPTIMIZE
+    * ... ZORDER`-style maintenance (the 1-D case; the Z-order curve key
+    * for multi-column clustering is `q_zorder_curve`).
+    *
+    * Witness is MEASURED, not structural: after execution the scan's
+    * `numOutputRows` metric must be ≤ 1/4 of the table — rows the reader
+    * actually surfaced after group skipping (a structural PushedFilters
+    * check cannot distinguish skipping from reading everything and
+    * filtering; the metric can, because surviving whole groups bound it
+    * at groups-touched × rows-per-group). The 30-day cutoff covers ~1.2%
+    * of the 2500-day span; with 64 KB groups the sorted layout touches
+    * 1–2 of them. The unsorted control (every group spans the full
+    * range — zero skippable) lives in `AdaptiveSpec`.
+    *
+    * At 100 TB this is the difference between reading a day and reading
+    * seven years when the query is time-ranged and the layout is
+    * ingest-time-clustered — the most common warehouse win there is.
+    * Oracle: the same predicate row-filtered over the unsorted base, so
+    * the sorted rewrite must also be value-complete.
+    */
+  def qRowgroupSkip(s: SparkSession, d: String): DataFrame = {
+    // the cluster column is epoch-µs INT64, not the TIMESTAMP_NTZ
+    // itself: Spark pushes the NTZ predicate to the source (PushedFilters
+    // lists it) but parquet-mr never converts it to a row-group filter —
+    // measured: 3 statistics-bearing sorted groups, zero skipped. The
+    // monotone epoch twin is the layout column a production table would
+    // carry anyway, and INT64 stats prune (measured: 8 groups, 1 read).
+    val shipUs = unix_micros(col("l_shipdate").cast("timestamp"))
+    val staged = Cdc.stageOnce(s, "graft_rg_sorted_us", d) { st =>
+      Tables.lineitem(s, d)
+        .select(shipUs.as("ship_us"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartition(1).sortWithinPartitions(col("ship_us"))
+        .write.option("parquet.block.size", RowGroupBytes.toString)
+        .option("parquet.page.size", (RowGroupBytes / 2).toString)
+        .parquet(s"$st/lineitem")
+    }
+    val cutoffUs = Tables.lineitem(s, d).agg(min(shipUs)).head()
+      .getLong(0) + 30L * 86400 * 1000000L
+    val sorted = s.read.parquet(s"$staged/lineitem")
+    val q = sorted.filter(col("ship_us") <= cutoffUs)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"),
+        sum(col("l_extendedprice").cast(Tables.Money)).as("price_sum"))
+      .orderBy(col("l_returnflag"))
+    val out = graft.Materialize.barrier(q) // metrics exist only post-run
+    val total = Tables.lineitem(s, d).count()
+    val scanned = allNodes(prepared(q)).collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft_rg_sorted")) =>
+        f.metrics("numOutputRows").value
+    }
+    require(scanned.nonEmpty,
+      s"q_rowgroup_skip: staged sorted scan not found:\n${prepared(q)}")
+    require(scanned.sum * 4 <= total,
+      s"q_rowgroup_skip: scan surfaced ${scanned.sum} of $total rows — " +
+        "row-group statistics did not skip (layout or pushdown regression)")
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_colocated_join" -> (qBucketedColocatedJoin _),
     "q_bucket_pruned_scan" -> (qBucketPrunedScan _),
     "q_partition_pruned_scan" -> (qPartitionPrunedScan _),
     "q_dpp_join" -> (qDppJoin _),
-    "q_bucketed_agg_elision" -> (qBucketedAggElision _)
+    "q_bucketed_agg_elision" -> (qBucketedAggElision _),
+    "q_rowgroup_skip" -> (qRowgroupSkip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,6 +399,15 @@ object Physical {
         |FROM (SELECT l_orderkey, count(*) AS n_lines,
         |        sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum
         |      FROM lineitem GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rowgroup_skip" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum
+        |FROM lineitem
+        |WHERE l_shipdate <= (SELECT min(l_shipdate) + INTERVAL 30 DAY
+        |                     FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

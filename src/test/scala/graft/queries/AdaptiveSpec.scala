@@ -115,6 +115,47 @@ class AdaptiveSpec extends SparkSpec {
         exchanges.map(_.outputPartitioning).mkString(", "))
   }
 
+  test("row-group skipping: sorted-layout scan equals the row-filtered " +
+    "base; the UNSORTED control cannot skip") {
+    val got = Physical.qRowgroupSkip(spark, sf)
+    val shipUs = unix_micros(col("l_shipdate").cast("timestamp"))
+    val cutoffUs = Tables.lineitem(spark, sf).agg(min(shipUs)).head()
+      .getLong(0) + 30L * 86400 * 1000000L
+    val want = Tables.lineitem(spark, sf)
+      .filter(shipUs <= cutoffUs)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"),
+        sum(col("l_extendedprice").cast(Tables.Money)).as("price_sum"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // control: the same small-row-group layout WITHOUT the sort — every
+    // group spans ~the full date range, so statistics skip nothing and
+    // the scan surfaces ~all rows. Proves the gate's metric witness
+    // measures the LAYOUT, not the predicate.
+    val dir = Cdc.gateTmpDir("graft_rg_unsorted_ctl", sf)
+    Tables.lineitem(spark, sf)
+      .select(shipUs.as("ship_us"), col("l_returnflag"), col("l_quantity"))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", Physical.RowGroupBytes.toString)
+      .option("parquet.page.size", (Physical.RowGroupBytes / 2).toString)
+      .parquet(s"$dir/li")
+    val ctl = spark.read.parquet(s"$dir/li")
+      .filter(col("ship_us") <= cutoffUs)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    ctl.collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val scanned = Physical.allNodes(finalPlan(ctl)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_rg_unsorted_ctl")) =>
+        f.metrics("numOutputRows").value
+    }.sum
+    assert(scanned * 2 > total,
+      s"control: unsorted layout surfaced only $scanned of $total rows — " +
+        "the skip witness would be vacuous")
+  }
+
   test("conf windows restore: gate runs leave no adaptive/bloom " +
     "thresholds behind") {
     val keys = Seq(

@@ -143,6 +143,48 @@ class PhysicalSpec extends SparkSpec {
     assert(canon(got) == canon(want) && got.count() > 0)
   }
 
+  test("late-data dead-letter: streamed classification equals the " +
+    "closed-form watermark replay, every late row is a straggler, and " +
+    "the accounting reconciles") {
+    val got = Events.qStreamLateDeadletter(spark, sf)
+    // closed-form twin: replay the slice rule, per-batch max, lateness
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("user_id"), col("value"))
+    val b = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi")).head()
+    val (lo, step) = (b.getLong(0), (b.getLong(1) - b.getLong(0)) / 3 + 1)
+    val ar = ev
+      .withColumn("slice", ((col("ms") - lo) / step).cast("int"))
+      .withColumn("arrival",
+        when(col("slice") === 0 &&
+          col("event_id") % Events.StragglerMod === 0, 2)
+          .otherwise(col("slice")))
+    val m = ar.agg(
+      max(when(col("arrival") === 0, col("ms"))).as("m0"),
+      max(when(col("arrival") <= 1, col("ms"))).as("m01")).head()
+    val (m0, m01) = (m.getLong(0), m.getLong(1))
+    val cls = ar.withColumn("is_late",
+      when(col("arrival") === 1, col("ms") < m0 - Events.LateDelayMs)
+        .when(col("arrival") === 2, col("ms") < m01 - Events.LateDelayMs)
+        .otherwise(lit(false)))
+    val want = cls.groupBy(col("user_id"))
+      .agg(count(when(!col("is_late"), 1)).as("n_ontime"),
+        sum(when(!col("is_late"), col("value").cast(Tables.Money))
+          .otherwise(lit(0).cast(Tables.Money))).as("ontime_val_sum"),
+        count(when(col("is_late"), 1)).as("n_late"),
+        sum(when(col("is_late"), col("event_id")).otherwise(0L))
+          .as("late_id_sum"))
+    assert(canon(got) == canon(want))
+    // invariants: late rows exist, and each is a tertile-0 straggler
+    val lateTwin = cls.filter(col("is_late"))
+    assert(lateTwin.count() > 0)
+    assert(lateTwin.filter(col("slice") =!= 0 ||
+      col("event_id") % Events.StragglerMod =!= 0).count() == 0)
+    // accounting: on-time + late = corpus
+    val sums = got.agg(sum(col("n_ontime")) + sum(col("n_late"))).head()
+    assert(sums.getLong(0) == Tables.events(spark, sf).count())
+  }
+
   test("stream-stream join: three-batch-per-side streamed attribution " +
     "equals the batch join rollup") {
     val got = Events.qStreamStreamJoin(spark, sf)
