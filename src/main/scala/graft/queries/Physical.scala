@@ -357,13 +357,94 @@ object Physical {
     out
   }
 
+  /** Row-group size for the Z-order gate — smaller than
+    * [[RowGroupBytes]] so even sf0.001's 6k rows yield ~15 groups (the
+    * 2-D witness needs enough groups for a 1/16-of-space box to touch
+    * only a few).
+    */
+  val ZSkipGroupBytes: Int = 8 * 1024
+
+  /** Day index of `l_shipdate` (µs are exact multiples of a day here, so
+    * the double division is exact and the truncating cast is a floor).
+    */
+  private def dayIdx: org.apache.spark.sql.Column =
+    (unix_micros(col("l_shipdate").cast("timestamp")) /
+      lit(86400000000L)).cast("long")
+
+  /** Z-ORDER row-group skipping — the MULTI-dimensional composition of
+    * [[qRowgroupSkip]] (1-D sort) and the Morton key `q_zorder_curve`
+    * computes: the table is written sorted by the interleaved curve of
+    * (quantity, ship-day) — both normalized to 8 bits so neither
+    * dimension dominates the interleave — and a 2-D box predicate
+    * anchored at the curve's origin (qty ≤ 12 of 1–50, first quarter of
+    * the date span ⇒ both normalized coords < 64) occupies ONE
+    * contiguous Morton range of ~1/16 of the space. Every row group
+    * outside it has min-stats above one of the two cuts, so parquet
+    * skips it on qty OR day statistics — pruning on BOTH columns from
+    * ONE sort order, which is the whole point of Z-order and what a
+    * single-column sort cannot do (the 1-D control in `AdaptiveSpec`
+    * scans ~4× more under the same predicates).
+    *
+    * The curve normalization lives ONLY in the write path; the query
+    * and the oracle filter on the RAW stored columns, so no Morton
+    * arithmetic ever crosses engines. Witness: measured scan
+    * `numOutputRows` ≤ 1/4 of the table (expected ~1/16 + one boundary
+    * group). At 100 TB this is the `OPTIMIZE ZORDER BY` maintenance
+    * contract: time-ranged AND attribute-ranged queries both prune
+    * against one layout.
+    */
+  def qZorderSkip(s: SparkSession, d: String): DataFrame = {
+    val staged = Cdc.stageOnce(s, "graft_zorder_skip", d) { st =>
+      val b = Tables.lineitem(s, d)
+        .agg(min(dayIdx).as("lo"), max(dayIdx).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val spanP1 = (hi - lo + 1).toDouble
+      val xb = floor(col("l_quantity") * 256.0 / 51.0).cast("long")
+      val yb = floor((col("day_idx") - lo).cast("double") * 256.0 / spanP1)
+        .cast("long")
+      Tables.lineitem(s, d)
+        .select(col("l_quantity"), dayIdx.as("day_idx"),
+          col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("zval", Layout.zvalue(xb, yb))
+        .repartition(1).sortWithinPartitions(col("zval"))
+        .drop("zval")
+        .write.option("parquet.block.size", ZSkipGroupBytes.toString)
+        .option("parquet.page.size", (ZSkipGroupBytes / 2).toString)
+        .parquet(s"$st/lineitem")
+    }
+    val b = Tables.lineitem(s, d)
+      .agg(min(dayIdx).as("lo"), max(dayIdx).as("hi")).head()
+    val dayCut = b.getLong(0) + (b.getLong(1) - b.getLong(0) + 1) / 4 - 1
+    val q = s.read.parquet(s"$staged/lineitem")
+      .filter(col("l_quantity") <= 12.0 && col("day_idx") <= dayCut)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"),
+        sum(col("l_extendedprice").cast(Tables.Money)).as("price_sum"))
+      .orderBy(col("l_returnflag"))
+    val out = graft.Materialize.barrier(q)
+    val total = Tables.lineitem(s, d).count()
+    val scanned = allNodes(prepared(q)).collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft_zorder_skip")) =>
+        f.metrics("numOutputRows").value
+    }
+    require(scanned.nonEmpty,
+      s"q_zorder_skip: staged z-ordered scan not found:\n${prepared(q)}")
+    require(scanned.sum * 4 <= total,
+      s"q_zorder_skip: scan surfaced ${scanned.sum} of $total rows — the " +
+        "Morton layout did not prune on both dimensions")
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_colocated_join" -> (qBucketedColocatedJoin _),
     "q_bucket_pruned_scan" -> (qBucketPrunedScan _),
     "q_partition_pruned_scan" -> (qPartitionPrunedScan _),
     "q_dpp_join" -> (qDppJoin _),
     "q_bucketed_agg_elision" -> (qBucketedAggElision _),
-    "q_rowgroup_skip" -> (qRowgroupSkip _)
+    "q_rowgroup_skip" -> (qRowgroupSkip _),
+    "q_zorder_skip" -> (qZorderSkip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -408,6 +489,21 @@ object Physical {
         |FROM lineitem
         |WHERE l_shipdate <= (SELECT min(l_shipdate) + INTERVAL 30 DAY
         |                     FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // filters on the RAW columns only — the Morton normalization never
+    // crosses engines
+    "q_zorder_skip" ->
+      """WITH b AS (SELECT min(epoch_us(l_shipdate) // 86400000000) AS lo,
+        |             max(epoch_us(l_shipdate) // 86400000000) AS hi
+        |           FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum
+        |FROM lineitem, b
+        |WHERE l_quantity <= 12.0
+        |  AND epoch_us(l_shipdate) // 86400000000 <=
+        |      lo + (hi - lo + 1) // 4 - 1
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -156,6 +156,61 @@ class AdaptiveSpec extends SparkSpec {
         "the skip witness would be vacuous")
   }
 
+  test("z-order skipping: Morton-layout scan equals the raw 2-D filter; " +
+    "the 1-D day-sorted control scans more under the same predicates") {
+    val got = Physical.qZorderSkip(spark, sf)
+    val dayIdx = (unix_micros(col("l_shipdate").cast("timestamp")) /
+      lit(86400000000L)).cast("long")
+    val b = Tables.lineitem(spark, sf)
+      .agg(min(dayIdx).as("lo"), max(dayIdx).as("hi")).head()
+    val dayCut = b.getLong(0) + (b.getLong(1) - b.getLong(0) + 1) / 4 - 1
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") <= 12.0 && dayIdx <= dayCut)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"),
+        sum(col("l_extendedprice").cast(Tables.Money)).as("price_sum"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // z-layout scanned rows (from a fresh run of the gate's plan shape)
+    def scannedOf(df: org.apache.spark.sql.DataFrame, tag: String): Long = {
+      df.collect()
+      Physical.allNodes(finalPlan(df)).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains(tag)) =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    // control: day-ONLY sorted layout, same groups, same predicates —
+    // the day cut prunes to ~1/4 but the quantity cut prunes nothing
+    // (every group spans the full quantity range), so the 1-D layout
+    // must scan well more than the 2-D one
+    val dir = Cdc.gateTmpDir("graft_zorder_ctl_1d", sf)
+    Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), dayIdx.as("day_idx"), col("l_returnflag"))
+      .repartition(1).sortWithinPartitions(col("day_idx"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", Physical.ZSkipGroupBytes.toString)
+      .option("parquet.page.size", (Physical.ZSkipGroupBytes / 2).toString)
+      .parquet(s"$dir/li")
+    val ctl = spark.read.parquet(s"$dir/li")
+      .filter(col("l_quantity") <= 12.0 && col("day_idx") <= dayCut)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val ctlScanned = scannedOf(ctl, "graft_zorder_ctl_1d")
+    // re-derive the z scan count on a fresh frame over the staged layout
+    val zDir = Cdc.stageOnce(spark, "graft_zorder_skip", sf)(_ => ())
+    val z = spark.read.parquet(s"$zDir/lineitem")
+      .filter(col("l_quantity") <= 12.0 && col("day_idx") <= dayCut)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val zScanned = scannedOf(z, "graft_zorder_skip")
+    // 1.5× at sf0.001's ~15-group granularity (measured 1.85×; the gap
+    // widens with group count — at 100 TB granularity it approaches the
+    // 4× area ratio of quarter-span vs 1/16-box)
+    assert(zScanned > 0 && 2 * ctlScanned >= 3 * zScanned,
+      s"1-D layout scanned $ctlScanned vs z-order $zScanned — the curve " +
+        "bought no multi-dimensional pruning")
+  }
+
   test("conf windows restore: gate runs leave no adaptive/bloom " +
     "thresholds behind") {
     val keys = Seq(
