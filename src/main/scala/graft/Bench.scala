@@ -40,7 +40,7 @@ object Bench {
     // independent.
     val memoTwins = Set("q_dedup_ngram", "q_dedup_minhash",
       "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
-      "q_bpe_train", "q_dedup_clusters_incremental")
+      "q_ann_binary_quant", "q_bpe_train", "q_dedup_clusters_incremental")
     // Per-gate RECEIPTS (round-8 verdict item #1): the driver's r8 run
     // held q_pagerank at 14.8s on both passes vs the committed 4.48s
     // median, and an exact driver-mode rerun on the build host measured

@@ -156,16 +156,21 @@ object Similarity {
       .join(hits(twin("q_ann_lsh", qAnnLsh(s, d)), "lsh_hits"), Seq("query_id"), "left")
       .join(hits(twin("q_ann_ivf", qAnnIvf(s, d)), "ivf_hits"), Seq("query_id"), "left")
       .join(hits(twin("q_ann_pq", qAnnPq(s, d)), "pq_hits"), Seq("query_id"), "left")
-      .na.fill(0, Seq("lsh_hits", "ivf_hits", "pq_hits"))
+      .join(hits(twin("q_ann_binary_quant", qAnnBinaryQuant(s, d)), "bq_hits"),
+        Seq("query_id"), "left")
+      .na.fill(0, Seq("lsh_hits", "ivf_hits", "pq_hits", "bq_hits"))
       .withColumn("lsh_recall_x10000",
         graft.text.TextOps.idiv(col("lsh_hits") * 10000L, lit(TopK)))
       .withColumn("ivf_recall_x10000",
         graft.text.TextOps.idiv(col("ivf_hits") * 10000L, lit(TopK)))
       .withColumn("pq_recall_x10000",
         graft.text.TextOps.idiv(col("pq_hits") * 10000L, lit(TopK)))
+      .withColumn("bq_recall_x10000",
+        graft.text.TextOps.idiv(col("bq_hits") * 10000L, lit(TopK)))
       .select(col("query_id"), col("lsh_hits"), col("lsh_recall_x10000"),
         col("ivf_hits"), col("ivf_recall_x10000"),
-        col("pq_hits"), col("pq_recall_x10000"))
+        col("pq_hits"), col("pq_recall_x10000"),
+        col("bq_hits"), col("bq_recall_x10000"))
       .orderBy(col("query_id"))
   }
 
@@ -1562,12 +1567,16 @@ object Similarity {
        |       FROM (${oracleBase("q_ann_ivf")})),
        |pq AS (SELECT query_id, neighbor_id
        |       FROM (${oracleBase("q_ann_pq")})),
+       |bq AS (SELECT query_id, neighbor_id
+       |       FROM (${oracleBase("q_ann_binary_quant")})),
        |lh AS (SELECT query_id, count(*) AS lsh_hits
        |       FROM bf JOIN l USING (query_id, neighbor_id) GROUP BY 1),
        |ih AS (SELECT query_id, count(*) AS ivf_hits
        |       FROM bf JOIN iv USING (query_id, neighbor_id) GROUP BY 1),
        |ph AS (SELECT query_id, count(*) AS pq_hits
        |       FROM bf JOIN pq USING (query_id, neighbor_id) GROUP BY 1),
+       |bh AS (SELECT query_id, count(*) AS bq_hits
+       |       FROM bf JOIN bq USING (query_id, neighbor_id) GROUP BY 1),
        |q AS (SELECT DISTINCT query_id FROM bf)
        |SELECT q.query_id,
        |  CAST(coalesce(lsh_hits, 0) AS BIGINT) AS lsh_hits,
@@ -1578,9 +1587,12 @@ object Similarity {
        |    AS ivf_recall_x10000,
        |  CAST(coalesce(pq_hits, 0) AS BIGINT) AS pq_hits,
        |  CAST(coalesce(pq_hits, 0) * 10000 // $TopK AS BIGINT)
-       |    AS pq_recall_x10000
+       |    AS pq_recall_x10000,
+       |  CAST(coalesce(bq_hits, 0) AS BIGINT) AS bq_hits,
+       |  CAST(coalesce(bq_hits, 0) * 10000 // $TopK AS BIGINT)
+       |    AS bq_recall_x10000
        |FROM q LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
-       |  LEFT JOIN ph USING (query_id)
+       |  LEFT JOIN ph USING (query_id) LEFT JOIN bh USING (query_id)
        |ORDER BY query_id""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
