@@ -44,10 +44,13 @@ FAMILIES = [
      r"entity_resolution$|bm25_topk$|hybrid_search$|kmeans_update$)"),
     ("Layout / ordering",
      r"^q_(zorder_curve$|equidepth_bins$|shuffle_shard$)"),
-    ("Physical layout (bucketing / pruning / DPP)",
-     r"^q_(bucketed_|bucket_pruned_|partition_pruned_|dpp_)"),
-    ("Streaming state (stream-stream joins, sessions)",
-     r"^q_(stream_stream_|stream_session$)"),
+    ("Physical layout (bucketing / pruning / DPP / rowgroup skip)",
+     r"^q_(bucketed_|bucket_pruned_|partition_pruned_|dpp_|"
+     r"rowgroup_skip$|zorder_skip$)"),
+    ("Runtime-adaptive (AQE skew, injected bloom)",
+     r"^q_(aqe_|runtime_bloom_)"),
+    ("Streaming state (stream-stream joins, sessions, dead-letter)",
+     r"^q_(stream_stream_|stream_session$|stream_late_deadletter$)"),
     ("Recursive closure (UnionLoop)", r"^q_recursive_"),
     ("Media (multimodal)", r"^q_media_"),
 ]
