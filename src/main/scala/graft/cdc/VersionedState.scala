@@ -38,11 +38,25 @@ final class VersionedState(spark: SparkSession, store: String,
   /** Highest published version, by listing the anchor kind's directory
     * through the Hadoop API. None until the first publish.
     */
-  def latestVersion: Option[Long] = {
+  def latestVersion: Option[Long] = latestVersionBefore(Long.MaxValue)
+
+  /** Highest published version STRICTLY below `bound`. The in-stream
+    * read: a foreachBatch handler must fold batch `id` into the state
+    * of versions < id, never `readLatest` — after a crash (or duplicate
+    * delivery) between a completed publish of batch id and the
+    * streaming checkpoint's commit of it, the batch is re-delivered and
+    * an unbounded read would return the batch's OWN published state, so
+    * a non-idempotent step (an aggregate delta) would double-apply.
+    * The bounded read makes the replayed step byte-identical to the
+    * first attempt. (The anchor-kind-last discipline covers the
+    * complementary failure: a crash BETWEEN kinds of one publish.)
+    */
+  def latestVersionBefore(bound: Long): Option[Long] = {
     val dir = new Path(s"$store/$anchor")
     if (!fs.exists(dir)) None
     else Some(fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong))
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(_ < bound))
       .filter(_.nonEmpty).map(_.max)
   }
 
@@ -51,6 +65,13 @@ final class VersionedState(spark: SparkSession, store: String,
     */
   def readLatest(kind: String): Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(s"$store/$kind/v$v"))
+
+  /** The given kind at [[latestVersionBefore]]`(bound)` — the only safe
+    * read INSIDE a foreachBatch handler (pass the batch id as bound).
+    */
+  def readLatestBefore(kind: String, bound: Long): Option[DataFrame] =
+    latestVersionBefore(bound)
+      .map(v => spark.read.parquet(s"$store/$kind/v$v"))
 
   /** Idempotent publish: mode=overwrite on a batch-id-keyed path, so
     * checkpoint-replayed batches rewrite identical bytes.

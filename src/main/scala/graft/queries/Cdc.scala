@@ -860,8 +860,12 @@ object Cdc {
           val bDelta = b.filter(col("side") === "b")
             .select(col("id"), col("op"), col("lsn"),
               col("bal").as("balance"))
+          // bounded read (< id): a replayed batch must fold into the
+          // state BEFORE its own publish, or the delta double-applies
           val next =
-            (readLatest("aState"), readLatest("bState"), readLatest("agg"))
+            (state.readLatestBefore("aState", id),
+              state.readLatestBefore("bState", id),
+              state.readLatestBefore("agg", id))
               match {
               case (Some(aS), Some(bS), Some(agg)) =>
                 IncrementalAggView.step(agg.drop("via"), aS, bS,
@@ -1266,9 +1270,12 @@ object Cdc {
               col("fk").as("cust_id"), col("amount"))
           val dDelta = b.filter(col("side") === "d")
             .select(col("id").as("d_id"), col("op"), col("lsn"), col("g"))
+          // bounded read (< id): a replayed batch must fold into the
+          // state BEFORE its own publish, or the delta double-applies
           val next =
-            (state.readLatest("fState"), state.readLatest("dState"),
-              state.readLatest("agg")) match {
+            (state.readLatestBefore("fState", id),
+              state.readLatestBefore("dState", id),
+              state.readLatestBefore("agg", id)) match {
               case (Some(fS), Some(dS), Some(agg)) =>
                 IncrementalFkAggView.step(agg.drop("via"), fS, dS,
                   fDelta, dDelta, "order_id", "cust_id", "d_id", "g",

@@ -521,7 +521,10 @@ object Dedup {
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val bt = batch.cache()
-          val next = state.readLatest("labels") match {
+          // bounded read (< id): a replayed batch folds into the state
+          // BEFORE its own publish (CC re-application happens to be
+          // idempotent, but the discipline is uniform across gates)
+          val next = state.readLatestBefore("labels", id) match {
             case Some(lbl) => graft.operators.IncrementalComponents
               .step(lbl.select(col("node"), col("label")), bt,
                 "node", "label", "a", "b", "via")
@@ -622,8 +625,12 @@ object Dedup {
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val bt = batch.cache()
+          // bounded read (< id): a replayed tombstone batch against its
+          // own published edge state would see its deletions already
+          // applied and its insertions already live — not idempotent
           val (labels, edges) =
-            (state.readLatest("labels"), state.readLatest("edges")) match {
+            (state.readLatestBefore("labels", id),
+              state.readLatestBefore("edges", id)) match {
               case (Some(lbl), Some(live)) =>
                 val (l3, e3) = graft.operators.IncrementalComponents
                   .stepWithTombstones(lbl.select(col("node"), col("label")),

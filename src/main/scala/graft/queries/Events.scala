@@ -871,7 +871,11 @@ object Events {
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val bt = batch.cache()
-          val prevMax: Option[Long] = state.readLatest("wm")
+          // bounded read (< id): a checkpoint-replayed batch must
+          // classify against the watermark BEFORE its own publish —
+          // an unbounded read would see the batch's own max and
+          // re-classify differently than the first attempt
+          val prevMax: Option[Long] = state.readLatestBefore("wm", id)
             .map(_.head().getLong(0))
           val classified = prevMax match {
             case Some(mx) => bt.withColumn("is_late",
@@ -907,11 +911,14 @@ object Events {
       run()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val out = s.read.parquet(sink)
-    // accounting contract: nothing silently dropped, dead-letter is real
-    val (total, late) =
-      (out.count(), out.filter(col("is_late")).count())
-    require(total == events(s, d).count(),
-      s"q_stream_late_deadletter: sink holds $total of ${events(s, d).count()} rows")
+    // accounting contract: nothing silently dropped, dead-letter is
+    // real — one aggregate over the sink, one count of the base
+    val acct = out.agg(count(lit(1)).as("total"),
+      count(when(col("is_late"), 1)).as("late")).head()
+    val (total, late) = (acct.getLong(0), acct.getLong(1))
+    val corpus = events(s, d).count()
+    require(total == corpus,
+      s"q_stream_late_deadletter: sink holds $total of $corpus rows")
     require(late > 0,
       "q_stream_late_deadletter: no rows were classified late — the " +
         "straggler slice never exercised the dead-letter path")

@@ -79,6 +79,20 @@ object Physical {
   private def scansOf(df: DataFrame): Seq[FileSourceScanExec] =
     prepared(df).collect { case f: FileSourceScanExec => f }
 
+  /** Rows the scans over `tag`-rooted files actually SURFACED, from the
+    * post-execution `numOutputRows` metric (descending into completed
+    * stages). None if no such scan exists in the plan — callers must
+    * treat that as a witness failure, not zero.
+    */
+  private[queries] def scannedRows(df: DataFrame, tag: String): Option[Long] = {
+    val ns = allNodes(prepared(df)).collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains(tag)) =>
+        f.metrics("numOutputRows").value
+    }
+    if (ns.isEmpty) None else Some(ns.sum)
+  }
+
   /** Stage lineitem + orders as bucketed, bucket-sorted catalog tables
     * once per (JVM, sf). `repartition(N, key)` before the write aligns
     * writer tasks with bucket ids (both are pmod(murmur3, N)), so each
@@ -259,10 +273,15 @@ object Physical {
     * fact-table rollup, was paid once at write time. The second,
     * metadata-sized aggregate (a histogram over the per-order rows) and
     * the presentation sort do shuffle — but their input is aggregate
-    * output, ~|orders| rows, not base data. Witness: every exchange in
-    * the plan has an aggregate BENEATH it — i.e. no shuffle ever touches
-    * un-aggregated base rows; a regression (bucket/agg key mismatch, a
-    * cast on the key) inserts a pre-aggregate exchange and fails loudly.
+    * output, ~|orders| rows, not base data. Witness: NO exchange in the
+    * plan partitions on the bucket key — a layout regression (bucket/agg
+    * key mismatch, a cast on the key, lost bucketing metadata) makes
+    * EnsureRequirements insert `Exchange hashpartitioning(l_orderkey)`
+    * between the partial and final per-order aggregates, which this
+    * catches by its output partitioning. (An earlier draft required "an
+    * aggregate beneath every exchange", which is vacuous for this shape:
+    * the regression's exchange sits ABOVE the partial aggregate, so it
+    * always had one beneath — round-10 review finding.)
     */
   def qBucketedAggElision(s: SparkSession, d: String): DataFrame = {
     val (liName, _) = bucketedTables(s, d)
@@ -273,12 +292,13 @@ object Physical {
     val q = perOrder.groupBy(col("n_lines"))
       .agg(count(lit(1)).as("n_orders"), sum(col("qty_sum")).as("qty_total"))
       .orderBy(col("n_lines"))
-    val shuffles = prepared(q).collect { case e: ShuffleExchangeLike => e }
-    val preAgg = shuffles.filter(
-      _.collectFirst { case a: BaseAggregateExec => a }.isEmpty)
-    require(preAgg.isEmpty,
-      s"q_bucketed_agg_elision: ${preAgg.size} exchange(s) below the first " +
-        s"aggregate — the bucket layout did not elide the rollup shuffle:\n" +
+    val aggs = prepared(q).collect { case a: BaseAggregateExec => a }
+    require(aggs.nonEmpty, s"q_bucketed_agg_elision: no aggregate in plan")
+    val keyed = prepared(q).collect { case e: ShuffleExchangeLike => e }
+      .filter(_.outputPartitioning.toString.contains("l_orderkey"))
+    require(keyed.isEmpty,
+      s"q_bucketed_agg_elision: ${keyed.size} exchange(s) partition on the " +
+        s"bucket key — the layout did not elide the rollup shuffle:\n" +
         s"${prepared(q)}")
     q
   }
@@ -344,15 +364,11 @@ object Physical {
       .orderBy(col("l_returnflag"))
     val out = graft.Materialize.barrier(q) // metrics exist only post-run
     val total = Tables.lineitem(s, d).count()
-    val scanned = allNodes(prepared(q)).collect {
-      case f: FileSourceScanExec if f.relation.location.rootPaths
-        .exists(_.toString.contains("graft_rg_sorted")) =>
-        f.metrics("numOutputRows").value
-    }
-    require(scanned.nonEmpty,
-      s"q_rowgroup_skip: staged sorted scan not found:\n${prepared(q)}")
-    require(scanned.sum * 4 <= total,
-      s"q_rowgroup_skip: scan surfaced ${scanned.sum} of $total rows — " +
+    val scanned = scannedRows(q, "graft_rg_sorted").getOrElse(
+      throw new IllegalArgumentException(
+        s"q_rowgroup_skip: staged sorted scan not found:\n${prepared(q)}"))
+    require(scanned * 4 <= total,
+      s"q_rowgroup_skip: scan surfaced $scanned of $total rows — " +
         "row-group statistics did not skip (layout or pushdown regression)")
     out
   }
@@ -424,15 +440,11 @@ object Physical {
       .orderBy(col("l_returnflag"))
     val out = graft.Materialize.barrier(q)
     val total = Tables.lineitem(s, d).count()
-    val scanned = allNodes(prepared(q)).collect {
-      case f: FileSourceScanExec if f.relation.location.rootPaths
-        .exists(_.toString.contains("graft_zorder_skip")) =>
-        f.metrics("numOutputRows").value
-    }
-    require(scanned.nonEmpty,
-      s"q_zorder_skip: staged z-ordered scan not found:\n${prepared(q)}")
-    require(scanned.sum * 4 <= total,
-      s"q_zorder_skip: scan surfaced ${scanned.sum} of $total rows — the " +
+    val scanned = scannedRows(q, "graft_zorder_skip").getOrElse(
+      throw new IllegalArgumentException(
+        s"q_zorder_skip: staged z-ordered scan not found:\n${prepared(q)}"))
+    require(scanned * 4 <= total,
+      s"q_zorder_skip: scan surfaced $scanned of $total rows — the " +
         "Morton layout did not prune on both dimensions")
     out
   }

@@ -69,4 +69,27 @@ class VersionedStateSpec extends SparkSpec {
     assert(vs.latestVersion.contains(3L))
     assert(vs.readLatest("agg").get.count() == 2)
   }
+
+  test("bounded read excludes the batch's own publish: a replayed " +
+    "foreachBatch folds into the PRE-batch state, never its own") {
+    val vs = new VersionedState(spark, store, "agg")
+    // the crash window this guards: batch 3's publish completed but the
+    // streaming checkpoint never committed it; on restart batch 3 is
+    // re-delivered. An unbounded read returns v3 (the batch's own
+    // result) — a non-idempotent step would double-apply its delta.
+    assert(vs.latestVersionBefore(0L).isEmpty) // batch 0's replay: fresh
+    assert(vs.readLatestBefore("agg", 0L).isEmpty)
+    // store holds agg v0 (1 row) and v3 (2 rows) from the tests above:
+    // batch 3's own replay must see v0, not its own v3
+    assert(vs.latestVersionBefore(3L).contains(0L))
+    assert(vs.readLatestBefore("agg", 3L).get.count() == 1)
+    vs.publish("agg", 5L, df(Seq(("c", 1L))))
+    // batch 5's own replay sees v3; anything later sees v5
+    assert(vs.latestVersionBefore(5L).contains(3L))
+    assert(vs.readLatestBefore("agg", 5L).get.count() == 2)
+    assert(vs.latestVersionBefore(6L).contains(5L))
+    assert(vs.readLatestBefore("agg", 6L).get.count() == 1)
+    // unbounded stays the overall latest
+    assert(vs.latestVersion.contains(5L))
+  }
 }

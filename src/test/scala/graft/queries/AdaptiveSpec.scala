@@ -21,11 +21,8 @@ class AdaptiveSpec extends SparkSpec {
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq.sorted
 
-  private def finalPlan(df: DataFrame) =
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
+  // one AQE-unwrap implementation for gates and specs alike
+  private def finalPlan(df: DataFrame) = Physical.prepared(df)
 
   test("AQE skew join: split-partition join equals the plain rollup; " +
     "production thresholds leave the same plan unsplit") {
@@ -145,12 +142,7 @@ class AdaptiveSpec extends SparkSpec {
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     ctl.collect()
     val total = Tables.lineitem(spark, sf).count()
-    val scanned = Physical.allNodes(finalPlan(ctl)).collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.rootPaths
-          .exists(_.toString.contains("graft_rg_unsorted_ctl")) =>
-        f.metrics("numOutputRows").value
-    }.sum
+    val scanned = Physical.scannedRows(ctl, "graft_rg_unsorted_ctl").get
     assert(scanned * 2 > total,
       s"control: unsorted layout surfaced only $scanned of $total rows — " +
         "the skip witness would be vacuous")
@@ -174,12 +166,7 @@ class AdaptiveSpec extends SparkSpec {
     // z-layout scanned rows (from a fresh run of the gate's plan shape)
     def scannedOf(df: org.apache.spark.sql.DataFrame, tag: String): Long = {
       df.collect()
-      Physical.allNodes(finalPlan(df)).collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths
-            .exists(_.toString.contains(tag)) =>
-          f.metrics("numOutputRows").value
-      }.sum
+      Physical.scannedRows(df, tag).get
     }
     // control: day-ONLY sorted layout, same groups, same predicates —
     // the day cut prunes to ~1/4 but the quantity cut prunes nothing
@@ -213,10 +200,17 @@ class AdaptiveSpec extends SparkSpec {
 
   test("conf windows restore: gate runs leave no adaptive/bloom " +
     "thresholds behind") {
+    // every conf either gate sets, not a subset — a withConfs restore
+    // regression on ANY of them leaks into later gates' plans
     val keys = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     val before = keys.map(k => spark.conf.getOption(k))
     Adaptive.qAqeSkewJoin(spark, sf).count()

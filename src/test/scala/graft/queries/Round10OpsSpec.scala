@@ -170,7 +170,8 @@ class Round10OpsSpec extends SparkSpec {
     val codes = vecs.withColumn("code",
       expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
         "acc | IF(element_at(v, i + 1) > 0.0D, shiftleft(1L, i), 0L))"))
-    val q = codes.filter(col("vec_id") % 50 === 0 && col("vec_id") < 400)
+    val q = codes.filter(col("vec_id") % Similarity.QueryMod === 0 &&
+      col("vec_id") < Similarity.QueryCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("code").as("qcode"))
     val mismatches = q.crossJoin(
@@ -205,7 +206,8 @@ class Round10OpsSpec extends SparkSpec {
     val vecs = graft.Tables.embeddings(spark, sfAnn).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val q = vecs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 400)
+    val q = vecs.filter(col("vec_id") % Similarity.QueryMod === 0 &&
+      col("vec_id") < Similarity.QueryCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("h"), col("cid"))
