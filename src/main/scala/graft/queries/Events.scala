@@ -798,6 +798,94 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** ARBITRARY-STATE v2 streaming (`transformWithState`, Spark 4.x) —
+    * the successor API to `flatMapGroupsWithState`, driven end-to-end:
+    * a typed [[graft.streaming.RunningTopK]] processor keeps per-user
+    * (count, exact cents sum, top-3 purchases) in a NAMED `ValueState`
+    * in the RocksDB state store (the provider this API requires —
+    * pinned inside the gate's conf window), emits the running totals on
+    * every batch the user appears in, and must resume that state across
+    * a CHECKPOINT RESTART placed mid-fixture: the final per-user
+    * emission (max `n_events` — strictly increasing) equals the
+    * closed-form per-user aggregate over the whole corpus only if
+    * generation 3 folded into restored, not re-bootstrapped, state.
+    *
+    * Three event-time tertile slices, one micro-batch each, restart
+    * before the third; `foreachBatch` lands emissions by batch path
+    * (overwrite = replay-idempotent); the rollup picks each user's
+    * newest emission. The top-3 string is deterministic under arbitrary
+    * intra-batch order (see the processor's order-independence
+    * argument); ties break by event id in both engines.
+    *
+    * Scale shape: O(1) state per user, O(batch) per micro-batch, state
+    * partitioned by key across the store — the standing-aggregation
+    * posture a 100 TB/day personalization pipeline runs with.
+    */
+  def qStreamTwsTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.{Encoders, Dataset}
+    val base = Cdc.gateTmpDir("graft_tws_topk", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, sink, ck) = (s"$base/in", s"$base/sink", s"$base/ck")
+    val staged = Cdc.stageOnce(s, "graft_tws_topk_staged", d) { st =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val (lo, step) = timeTertiles(ev)
+      for (i <- 0 until 3)
+        ev.filter(((unix_millis(col("ts")) - lo) / step).cast("int") === i)
+          .coalesce(1).write.parquet(s"$st/s$i")
+    }
+    def run(): Unit = {
+      val src = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .parquet(inDir)
+        .select(col("user_id"), col("event_id"),
+          (col("value").cast(Tables.Money) * 100).cast("long").as("cents"))
+        .as(Encoders.product[graft.streaming.TwsEvent])
+      implicit val outEnc: org.apache.spark.sql.Encoder[graft.streaming.TwsOut] =
+        Encoders.product[graft.streaming.TwsOut]
+      val out: Dataset[graft.streaming.TwsOut] = src
+        .groupByKey(_.user_id)(Encoders.scalaLong)
+        .transformWithState(new graft.streaming.RunningTopK(3),
+          TimeMode.None(), OutputMode.Update())
+      out.toDF()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/batch=$id"): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provider)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set(provider, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      Cdc.copyStaged(s, s"$staged/s0", inDir, "s0")
+      Cdc.copyStaged(s, s"$staged/s1", inDir, "s1")
+      run() // tertiles 1–2 build per-user state
+      // tertile 3 lands while the stream is DOWN: the restarted run must
+      // fold into RESTORED RocksDB state (a re-bootstrap resets n_events
+      // for every returning user and hash-fails)
+      Cdc.copyStaged(s, s"$staged/s2", inDir, "s2")
+      run()
+    } finally {
+      prevProv.fold(s.conf.unset(provider))(s.conf.set(provider, _))
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    s.read.parquet(sink)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"), col("cents_sum"), col("top3"))
+      .orderBy(col("user_id"))
+  }
+
   /** Straggler selector for [[qStreamLateDeadletter]]: every 20th
     * event id from the first tertile arrives two batches late.
     */
@@ -970,6 +1058,27 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "q_stream_late_deadletter" -> lateDeadletterOracle,
+
+    // the newest emission per user = the whole-corpus aggregate; top3
+    // ties break by event id in both engines
+    "q_stream_tws_topk" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |      FROM events),
+        |r AS (SELECT user_id, event_id, cents,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY cents DESC, event_id) AS rk
+        |      FROM ev),
+        |t AS (SELECT user_id,
+        |        string_agg(cents || ':' || event_id, ','
+        |          ORDER BY cents DESC, event_id) AS top3
+        |      FROM r WHERE rk <= 3 GROUP BY 1),
+        |a AS (SELECT user_id, count(*) AS n_events,
+        |        CAST(sum(cents) AS BIGINT) AS cents_sum
+        |      FROM ev GROUP BY 1)
+        |SELECT a.user_id, a.n_events, a.cents_sum, t.top3
+        |FROM a JOIN t USING (user_id)
+        |ORDER BY a.user_id""".stripMargin,
     "q_stream_session" ->
       """WITH o AS (SELECT user_id, ts, event_id, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -1274,6 +1383,7 @@ object Events {
     "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_stream_outer_join" -> (qStreamStreamOuterJoin _),
     "q_stream_session" -> (qStreamSession _),
-    "q_stream_late_deadletter" -> (qStreamLateDeadletter _)
+    "q_stream_late_deadletter" -> (qStreamLateDeadletter _),
+    "q_stream_tws_topk" -> (qStreamTwsTopk _)
   )
 }

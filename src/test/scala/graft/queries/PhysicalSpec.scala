@@ -185,6 +185,35 @@ class PhysicalSpec extends SparkSpec {
     assert(sums.getLong(0) == Tables.events(spark, sf).count())
   }
 
+  test("transformWithState running top-k: the final per-user emission " +
+    "equals the whole-corpus aggregate, across a checkpoint restart") {
+    val got = Events.qStreamTwsTopk(spark, sf)
+    val cents = (col("value").cast(Tables.Money) * 100).cast("long")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), cents.as("cents"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("cents").desc, col("event_id"))
+    // collect_list order is shuffle-dependent: sort the collected
+    // structs by (cents desc, id asc) explicitly before joining
+    val top3 = ev.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(sort_array(collect_list(
+        struct((col("cents") * -1).as("nc"), col("event_id").as("id"),
+          concat(col("cents"), lit(":"), col("event_id")).as("s")))),
+        x => x.getField("s")), ",").as("top3"))
+    val want = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum"))
+      .join(top3, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("cents_sum"), col("top3"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // restart witness: n_events must total the corpus — a re-bootstrap
+    // on the restarted run would reset returning users' counts
+    assert(got.agg(sum(col("n_events"))).head.getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
   test("stream-stream join: three-batch-per-side streamed attribution " +
     "equals the batch join rollup") {
     val got = Events.qStreamStreamJoin(spark, sf)
