@@ -886,6 +886,101 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** EVENT-TIME TIMERS on the arbitrary-state v2 API — sessionization
+    * re-expressed through [[graft.streaming.SessionProcessor]]:
+    * `q_stream_session` runs the BUILT-IN `session_window`; this gate
+    * proves `transformWithState` can express the same operator from
+    * parts — one `ValueState` per open session, gap-exceeding events
+    * closing inline, and a registered event-time timer emitting the
+    * final session when the WATERMARK passes `last + gap` (the
+    * `handleExpiredTimer` path, which [[qStreamTwsTopk]] never
+    * exercises; `AvailableNow` runs the trailing no-data batch that
+    * fires the last timers after the far-future sentinel advances the
+    * watermark). Same fixture discipline as the built-in twin
+    * (event-time tertiles + sentinel), PLUS a checkpoint restart
+    * mid-fixture: open sessions AND their registered timers must
+    * survive in the RocksDB store — a re-bootstrap splits every
+    * straddling session and hash-fails. The oracle is the identical
+    * lag/islands SQL the built-in twin hash-matches, so the two
+    * formulations are pinned equal through the same ground truth.
+    *
+    * Scale shape: O(1) state + one pending timer per user; the
+    * in-handler sort is O(batch log batch); emissions are one row per
+    * closed session, the information minimum.
+    */
+  def qStreamTwsSession(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val base = Cdc.gateTmpDir("graft_tws_session", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, sink, ck) = (s"$base/in", s"$base/sink", s"$base/ck")
+    val staged = Cdc.stageOnce(s, "graft_tws_session_staged", d) { st =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (lo, step) = timeTertiles(ev)
+      for (i <- 0 until 3)
+        ev.filter(((unix_millis(col("ts")) - lo) / step).cast("int") === i)
+          .coalesce(1).write.parquet(s"$st/s$i")
+      sentinelRow(s, lo + 3 * step, -1L, "click")
+        .coalesce(1).write.parquet(s"$st/s3")
+    }
+    def run(): Unit = {
+      val src = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .parquet(inDir)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          (col("value").cast(Tables.Money) * 100).cast("long").as("cents"))
+        .as(Encoders.product[graft.streaming.SessEvent])
+      implicit val outEnc: org.apache.spark.sql.Encoder[graft.streaming.SessOut] =
+        Encoders.product[graft.streaming.SessOut]
+      val out: Dataset[graft.streaming.SessOut] = src
+        .groupByKey(_.user_id)(Encoders.scalaLong)
+        .transformWithState(
+          new graft.streaming.SessionProcessor(30L * 60 * 1000),
+          TimeMode.EventTime(), OutputMode.Update())
+      out.toDF()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/batch=$id"): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provider)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set(provider, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      Cdc.copyStaged(s, s"$staged/s0", inDir, "s0")
+      Cdc.copyStaged(s, s"$staged/s1", inDir, "s1")
+      run() // tertiles 1–2: open sessions + timers land in the store
+      // tertile 3 + sentinel arrive after a restart: straddling sessions
+      // and their timers must come back from the checkpoint
+      Cdc.copyStaged(s, s"$staged/s2", inDir, "s2")
+      Cdc.copyStaged(s, s"$staged/s3", inDir, "s3")
+      run()
+    } finally {
+      prevProv.fold(s.conf.unset(provider))(s.conf.set(provider, _))
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    s.read.parquet(sink)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"), (col("cents") / 100.0).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Straggler selector for [[qStreamLateDeadletter]]: every 20th
     * event id from the first tertile arrives two batches late.
     */
@@ -1079,6 +1174,25 @@ object Events {
         |SELECT a.user_id, a.n_events, a.cents_sum, t.top3
         |FROM a JOIN t USING (user_id)
         |ORDER BY a.user_id""".stripMargin,
+    // identical islands SQL for the built-in session_window drive AND
+    // the transformWithState re-expression — both formulations pin to
+    // the same ground truth
+    "q_stream_tws_session" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_stream_session" ->
       """WITH o AS (SELECT user_id, ts, event_id, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -1384,6 +1498,7 @@ object Events {
     "q_stream_stream_outer_join" -> (qStreamStreamOuterJoin _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_late_deadletter" -> (qStreamLateDeadletter _),
-    "q_stream_tws_topk" -> (qStreamTwsTopk _)
+    "q_stream_tws_topk" -> (qStreamTwsTopk _),
+    "q_stream_tws_session" -> (qStreamTwsSession _)
   )
 }

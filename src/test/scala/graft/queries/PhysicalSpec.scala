@@ -214,6 +214,22 @@ class PhysicalSpec extends SparkSpec {
       Tables.events(spark, sf).count())
   }
 
+  test("transformWithState sessionization: the timer-driven processor " +
+    "equals the built-in session_window, across a checkpoint restart") {
+    val got = Events.qStreamTwsSession(spark, sf)
+    // the strongest twin available: the BUILT-IN operator's batch form
+    // (same gap, same output shape) — two independent formulations of
+    // the same semantics must agree row-for-row (the twin's decimal sum
+    // cast to double, the driver presentation both gates go through)
+    val want = Events.qEventsSession(spark, sf)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // timers must have emitted the final (never-followed) session of
+    // every user: total events across sessions = corpus
+    assert(got.agg(sum(col("n_events"))).head.getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
   test("stream-stream join: three-batch-per-side streamed attribution " +
     "equals the batch join rollup") {
     val got = Events.qStreamStreamJoin(spark, sf)
