@@ -128,9 +128,12 @@ object IncrementalComponents {
     // second copy across batches — harmless for connectivity, but it
     // grows the state and skews any count over it). One anti-join of
     // the corpus-sized live set against the delta-bounded (dels ∪ ins)
-    // probe — broadcastable — then the batch's distinct insertions.
+    // probe, HINTED broadcast (round-10: the unhinted join planned as a
+    // sort-merge at sf0.1, shuffling the whole live set per batch — the
+    // q_dedup_clusters_tombstone median regression), then the batch's
+    // distinct insertions.
     val survivors = liveEdges
-      .join(delta.select(col(srcCol), col(dstCol)).distinct(),
+      .join(broadcast(delta.select(col(srcCol), col(dstCol)).distinct()),
         Seq(srcCol, dstCol), "left_anti")
       .unionByName(ins.distinct())
     if (dels.isEmpty)
@@ -168,4 +171,31 @@ object IncrementalComponents {
       (carried.unionByName(recomputed), survivors)
     }
   }
+
+  /** Fold a tombstone-capable step's markers with the PREVIOUS
+    * generation's — the combine both tombstone gates (batch and
+    * streaming delivery) share, in ONE place so they cannot drift
+    * (round-10 advisory; a drift would be caught only by their common
+    * oracle): the recompute path OUTRANKS ('recomputed' stays), and a
+    * row the step carried keeps its previous witness
+    * ('merged'/'carried'/'bootstrap' from the earlier generation). Rows
+    * the previous labeling never held (fresh nodes) keep the step's own
+    * marker — on the tombstone path a fresh node is always in the
+    * recompute scope, so the fallback only fires for append-path calls.
+    *
+    * `stepped` is the step's (nodeCol, labelCol, stepVia) output; `prev`
+    * carries (nodeCol, prevVia). Returns (nodeCol, labelCol, outVia).
+    * Markers are uniform per final cluster on both axes (the affected
+    * subgraph is closed; an untouched cluster is a whole previous
+    * cluster), so a per-cluster `max` over `outVia` reduces exactly.
+    */
+  def combineTombstoneMarkers(stepped: DataFrame, prev: DataFrame,
+      nodeCol: String, labelCol: String, stepVia: String, prevVia: String,
+      outVia: String): DataFrame =
+    stepped.select(col(nodeCol), col(labelCol), col(stepVia).as("__sv"))
+      .join(prev.select(col(nodeCol), col(prevVia).as("__pv")),
+        Seq(nodeCol), "left")
+      .select(col(nodeCol), col(labelCol),
+        when(col("__sv") === "recomputed", lit("recomputed"))
+          .otherwise(coalesce(col("__pv"), col("__sv"))).as(outVia))
 }

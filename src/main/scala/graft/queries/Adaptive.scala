@@ -155,7 +155,12 @@ object Adaptive {
       require(Physical.prepared(q).toString.contains("might_contain"),
         s"q_runtime_bloom_join: no might_contain probe was injected on " +
           s"the fact side:\n${Physical.prepared(q)}")
-      q
+      // materialize INSIDE the conf window (round-10 advisory): the gate
+      // returns lazily, and the caller's terminal write would build a
+      // fresh QueryExecution after the thresholds are restored — the
+      // witnessed bloom-probe plan and the executed plan must be the
+      // same one, as qAqeSkewJoin already guarantees
+      graft.Materialize.barrier(q)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

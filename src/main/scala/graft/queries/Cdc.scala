@@ -204,6 +204,20 @@ object Cdc {
       s"${prefix}_v$StagedFixtureVersion" + "_" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
+  /** READ-ONLY lookup of an already-staged fixture tree: the staged path
+    * iff its `_STAGED` marker exists, None otherwise. For consumers
+    * (specs) that re-open a tree some GATE staged — calling [[stageOnce]]
+    * with a no-op builder instead would stamp `_STAGED` on an empty
+    * directory if it ever ran before the gate (round-10 advisory).
+    */
+  private[queries] def stagedDirIfReady(s: SparkSession, prefix: String,
+      d: String): Option[String] = {
+    val base = stagedDir(prefix, d)
+    val done = new org.apache.hadoop.fs.Path(base, "_STAGED")
+    val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(done)) Some(base) else None
+  }
+
   /** Build the staged fixture exactly once per (prefix, version, sf),
     * concurrency- and crash-safe, and sweep stale sibling versions:
     *  - other-version trees (`<prefix>_v*` with a different version) and

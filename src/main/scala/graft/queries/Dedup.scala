@@ -454,18 +454,18 @@ object Dedup {
       .stepWithTombstones(labels2.select(col("node"), col("label")),
         e1.unionByName(delta2), delta3, "op", "node", "label", "a", "b",
         "via3")
-    // final marker: the recompute path outranks; carried-through-gen-3
-    // clusters keep their gen-2 witness ('merged'/'carried'). Markers
-    // are uniform per final cluster on both axes; max() just reduces.
-    labels3.join(labels2.select(col("node"), col("via2")), Seq("node"))
+    // final marker: the shared combine ([[graft.operators
+    // .IncrementalComponents.combineTombstoneMarkers]] — one fold for
+    // this gate and its streaming twin); markers are uniform per final
+    // cluster, so max() just reduces.
+    graft.operators.IncrementalComponents
+      .combineTombstoneMarkers(labels3, labels2, "node", "label",
+        "via3", "via2", "via")
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         concat_ws(",", sort_array(collect_list(col("node"))))
           .as("members"),
-        max(col("via3")).as("v3"), max(col("via2")).as("v2"))
-      .select(col("cluster_id"), col("cluster_size"), col("members"),
-        when(col("v3") === "recomputed", lit("recomputed"))
-          .otherwise(col("v2")).as("maintained_via"))
+        max(col("via")).as("maintained_via"))
       .orderBy(col("cluster_id"))
   }
 
@@ -635,18 +635,14 @@ object Dedup {
                 val (l3, e3) = graft.operators.IncrementalComponents
                   .stepWithTombstones(lbl.select(col("node"), col("label")),
                     live, bt, "op", "node", "label", "a", "b", "via")
-                // marker combine, exactly the batch gate's: a tombstone
-                // batch's 'recomputed' outranks, its 'carried' keeps the
-                // previous witness; append-only batches emit the step's
-                // own merged/carried markers
+                // marker combine through the SHARED fold (one function
+                // for this gate and its batch twin — round-10 advisory);
+                // append-only batches emit the step's own markers
                 val out =
                   if (bt.filter(col("op") === "d").isEmpty) l3
-                  else l3
-                    .join(lbl.select(col("node"), col("via").as("pv")),
-                      Seq("node"), "left")
-                    .select(col("node"), col("label"),
-                      when(col("via") === "recomputed", lit("recomputed"))
-                        .otherwise(col("pv")).as("via"))
+                  else graft.operators.IncrementalComponents
+                    .combineTombstoneMarkers(l3, lbl, "node", "label",
+                      "via", "via", "via")
                 (out, e3)
               case _ =>
                 val ins = bt.filter(col("op") =!= "d")

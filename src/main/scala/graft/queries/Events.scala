@@ -838,8 +838,12 @@ object Events {
           .coalesce(1).write.parquet(s"$st/s$i")
     }
     def run(): Unit = {
+      // one file per micro-batch, like every streaming gate: the two
+      // staged slices of run 1 must fold as separate batches or the
+      // intra-run incremental path is never exercised (round-10 advisory)
       val src = s.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
         .select(col("user_id"), col("event_id"),
           (col("value").cast(Tables.Money) * 100).cast("long").as("cents"))
@@ -928,9 +932,13 @@ object Events {
         .coalesce(1).write.parquet(s"$st/s3")
     }
     def run(): Unit = {
+      // one file per micro-batch (round-10 advisory): run 1's two slices
+      // and run 2's slice+sentinel each fold as their own batch, so the
+      // intra-run watermark advance is exercised, not just the restart
       val src = s.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
           "event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
         .withWatermark("ts", "1 hour")
         .select(col("user_id"), col("ts"),
@@ -1050,6 +1058,11 @@ object Events {
     def run(): Unit =
       s.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+        // one file per micro-batch (round-10 advisory): tertiles 0 and 1
+        // must publish watermark state as SEPARATE batches, matching the
+        // oracle's per-batch m0/m01 sequence by construction, not by the
+        // coincidence that merged batches classify identically
+        .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>

@@ -41,13 +41,20 @@ final case class SessOut(user_id: Long, start_us: Long, end_us: Long,
   * same-batch input row is ahead of the watermark, so such a row starts
   * a NEW session under either processing order.
   *
-  * STALENESS GUARD: extensions re-register rather than delete, so a
-  * superseded timer may still fire; it is ignored unless its expiry
-  * equals the CURRENT session's `last + gap` (recomputed with the same
-  * µs→ms floor used at registration).
+  * TIMER HYGIENE: when a batch moves a user's expiry (extension or a
+  * new session), the superseded timer is DELETED before the new one is
+  * registered — otherwise pending timers accumulate one per extension
+  * until the watermark passes each, inflating the timer store and
+  * firing dead timers at scale (round-10 advisory). The STALENESS GUARD
+  * stays as defense in depth: a fired timer is ignored unless its
+  * expiry equals the CURRENT session's `last + gap` (recomputed with
+  * the same µs→ms floor used at registration), so even a timer that
+  * escaped deletion (e.g. restored from a checkpoint taken before the
+  * hygiene fix) cannot close a live session early.
   *
-  * Scale shape: O(1) state + one pending timer per user; per-batch work
-  * is O(batch log batch) for the in-handler sort.
+  * Scale shape: O(1) state + ONE pending timer per user (deletion keeps
+  * the invariant exact); per-batch work is O(batch log batch) for the
+  * in-handler sort.
   */
 final class SessionProcessor(gapMs: Long)
     extends StatefulProcessor[Long, SessEvent, SessOut] {
@@ -67,6 +74,7 @@ final class SessionProcessor(gapMs: Long)
       timerValues: TimerValues): Iterator[SessOut] = {
     val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
     var cur = if (st.exists()) Option(st.get()) else None
+    val prevExpiry = cur.map(expiryOf)
     val out = Seq.newBuilder[SessOut]
     sorted.foreach { e =>
       cur match {
@@ -82,7 +90,13 @@ final class SessionProcessor(gapMs: Long)
     }
     cur.foreach { s =>
       st.update(s)
-      getHandle.registerTimer(expiryOf(s))
+      val expiry = expiryOf(s)
+      if (!prevExpiry.contains(expiry)) {
+        // the batch moved this user's expiry: drop the superseded timer
+        // so exactly one stays pending (see TIMER HYGIENE above)
+        prevExpiry.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(expiry)
+      }
     }
     out.result().iterator
   }

@@ -185,7 +185,10 @@ class AdaptiveSpec extends SparkSpec {
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     val ctlScanned = scannedOf(ctl, "graft_zorder_ctl_1d")
     // re-derive the z scan count on a fresh frame over the staged layout
-    val zDir = Cdc.stageOnce(spark, "graft_zorder_skip", sf)(_ => ())
+    // (read-only lookup: the gate run above staged it; a no-op stageOnce
+    // here could stamp _STAGED on an empty tree under test reordering)
+    val zDir = Cdc.stagedDirIfReady(spark, "graft_zorder_skip", sf)
+      .getOrElse(fail("z-order fixture not staged — did the gate run?"))
     val z = spark.read.parquet(s"$zDir/lineitem")
       .filter(col("l_quantity") <= 12.0 && col("day_idx") <= dayCut)
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
