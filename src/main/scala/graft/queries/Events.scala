@@ -541,15 +541,12 @@ object Events {
     * advance (at 100 TB/day the delay is set to the real lateness SLA,
     * not the corpus span — the eviction contract the specs pin).
     */
-  def qStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val base = Cdc.gateTmpDir("graft_ss_join", d)
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val (cDir, pDir, outDir, ck) =
-      (s"$base/clicks", s"$base/purch", s"$base/out", s"$base/ck")
-    val staged = Cdc.stageOnce(s, "graft_ss_join_staged", d) { st =>
+  /** The click/purchase mod-3 slice fixture BOTH stream-stream inner
+    * join gates stage (one recipe — the gates and their common oracle
+    * can never drift).
+    */
+  private def ssJoinStage(s: SparkSession, d: String): String =
+    Cdc.stageOnce(s, "graft_ss_join_staged", d) { st =>
       val ev = events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -562,10 +559,15 @@ object Events {
           .coalesce(1).write.parquet(s"$st/purch/s$i")
       }
     }
-    for (i <- 0 until 3) {
-      Cdc.copyStaged(s, s"$staged/clicks/s$i", cDir, s"s$i")
-      Cdc.copyStaged(s, s"$staged/purch/s$i", pDir, s"s$i")
-    }
+
+  /** One `AvailableNow` drive of the watermarked click⋈purchase
+    * stream-stream inner join over whatever slices currently sit in
+    * `cDir`/`pDir`, resuming from `ck` if it exists. Shared by the
+    * single-run gate and its restart twin.
+    */
+  private def ssJoinRun(s: SparkSession, cDir: String, pDir: String,
+      outDir: String, ck: String): Unit = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val schema =
       "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
     def src(dir: String): DataFrame =
@@ -578,14 +580,7 @@ object Events {
       .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
         col("user_id").as("p_user"), col("value"))
       .withWatermark("p_ts", "365 days")
-    // state partitions sized to state volume (the qCdcTxnStream pattern):
-    // a stream-stream join keeps FOUR state stores per partition per
-    // batch, so 32 shuffle partitions × 4 micro-batches is pure fixed
-    // overhead at any local SF — on a cluster this is sized to state
-    // volume, not defaulted
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try clicks.join(purch,
+    clicks.join(purch,
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
@@ -593,7 +588,12 @@ object Events {
       .option("path", outDir).option("checkpointLocation", ck)
       .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
       .start().awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** The order-canonical per-user rollup over the joined-pair sink —
+    * identical for both inner-join gates (their oracle is shared).
+    */
+  private def ssJoinRollup(s: SparkSession, outDir: String): DataFrame =
     s.read.parquet(outDir)
       .groupBy(col("c_user"))
       .agg(count(lit(1)).as("n_attr"),
@@ -604,6 +604,78 @@ object Events {
       .select(col("c_user").as("user_id"), col("n_attr"), col("pid_sum"),
         col("latency_us_sum"), col("value_sum"))
       .orderBy(col("user_id"))
+
+  def qStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Cdc.gateTmpDir("graft_ss_join", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (cDir, pDir, outDir, ck) =
+      (s"$base/clicks", s"$base/purch", s"$base/out", s"$base/ck")
+    val staged = ssJoinStage(s, d)
+    for (i <- 0 until 3) {
+      Cdc.copyStaged(s, s"$staged/clicks/s$i", cDir, s"s$i")
+      Cdc.copyStaged(s, s"$staged/purch/s$i", pDir, s"s$i")
+    }
+    // state partitions sized to state volume (the qCdcTxnStream pattern):
+    // a stream-stream join keeps FOUR state stores per partition per
+    // batch, so 32 shuffle partitions × 4 micro-batches is pure fixed
+    // overhead at any local SF — on a cluster this is sized to state
+    // volume, not defaulted
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try ssJoinRun(s, cDir, pDir, outDir, ck)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    ssJoinRollup(s, outDir)
+  }
+
+  /** Stream-stream join under a MID-DRIVE CHECKPOINT RESTART — the
+    * untested half of [[qStreamStreamJoin]]'s contract (round-10
+    * verdict item #4): that gate runs one uninterrupted drive, so the
+    * recovery of the join's FOUR keyed state stores (left/right input ×
+    * left/right match tracking) from the checkpoint never executes.
+    * Here the stream processes slice 0 of each side, STOPS, slices 1–2
+    * land while it is down, and the restarted run must RESUME: a
+    * batch-0 click can only meet its batch-2 purchase through join
+    * state that came back from the checkpoint — a re-bootstrap loses
+    * every cross-restart pair (most of the output, since the mod-3
+    * slicing scatters each user's clicks and purchases across slices)
+    * and hash-fails. A duplicated or torn sink commit likewise shifts
+    * the rollup (the parquet sink's manifest must stay exactly-once
+    * across the restart).
+    *
+    * The oracle is IDENTICAL to [[qStreamStreamJoin]]'s closed form:
+    * attribution must not depend on delivery — one drive, or a crash
+    * and recovery in the middle.
+    *
+    * Scale shape: identical to the single-run gate; restart recovery
+    * loads each partition's four stores once, O(live state), the
+    * standard failover cost a 100 TB/day pipeline pays on any executor
+    * or driver loss.
+    */
+  def qStreamStreamJoinRestart(s: SparkSession, d: String): DataFrame = {
+    val base = Cdc.gateTmpDir("graft_ss_join_restart", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (cDir, pDir, outDir, ck) =
+      (s"$base/clicks", s"$base/purch", s"$base/out", s"$base/ck")
+    val staged = ssJoinStage(s, d)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      Cdc.copyStaged(s, s"$staged/clicks/s0", cDir, "s0")
+      Cdc.copyStaged(s, s"$staged/purch/s0", pDir, "s0")
+      ssJoinRun(s, cDir, pDir, outDir, ck) // slice 0 buffers join state
+      // slices 1–2 land while the stream is DOWN; the restarted run must
+      // recover the four join stores and match across the boundary
+      for (i <- 1 until 3) {
+        Cdc.copyStaged(s, s"$staged/clicks/s$i", cDir, s"s$i")
+        Cdc.copyStaged(s, s"$staged/purch/s$i", pDir, s"s$i")
+      }
+      ssJoinRun(s, cDir, pDir, outDir, ck)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    ssJoinRollup(s, outDir)
   }
 
   /** Stream-stream LEFT OUTER join — the watermark-EVICTION semantics in
@@ -989,6 +1061,113 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** UNBOUNDED-COLLECTION state variables + TTL on the arbitrary-state
+    * v2 API — the [[graft.streaming.ActivityLog]] drive, completing the
+    * `transformWithState` surface (round-10 verdict item #3): per-user
+    * `MapState[event_type → count]` (point read/write per event — the
+    * structure that keeps state traffic O(Δ) where a ValueState blob
+    * would be O(state)) and `ListState` purchase logs (append-one-
+    * element writes), both under a real [[org.apache.spark.sql
+    * .streaming.TTLConfig]] — the API's state-GC contract, legal only
+    * in `TimeMode.ProcessingTime`. The gate's TTL (6 h) is far wider
+    * than its run, so the fold is deterministic while the TTL machinery
+    * (metadata columns, cleanup passes) runs for real; the eviction
+    * semantic itself is pinned by `StreamingTtlSpec` (short TTL +
+    * restart: expired entries gone, survivors intact).
+    *
+    * Drive shape: same event-time tertile fixture as [[qStreamTwsTopk]],
+    * but each slice runs as its OWN `Trigger.Once` drive — one
+    * micro-batch per run, a CHECKPOINT RESTART before every slice after
+    * the first (two restarts where the ValueState twin has one). This
+    * is forced, not stylistic: in `TimeMode.ProcessingTime` the
+    * operator's `shouldRunAnotherBatch` is unconditionally true (a
+    * processing-time timer could always be due), so an `AvailableNow`
+    * drive never terminates — it loops no-data batches for as long as
+    * the process lives (measured: 3 000+ empty commits before the
+    * diagnosis). `Trigger.Once` runs exactly one batch and stops, which
+    * both terminates and makes batch ids deterministic. Map entries and
+    * list elements must come back from the RocksDB store on every
+    * resume — a re-bootstrap resets every returning user's histogram
+    * and hash-fails.
+    *
+    * Scale shape: O(1) state ops per event, state per user bounded by
+    * (distinct types) + (purchases within TTL) — the posture that lets
+    * a 100 TB/day personalization pipeline hold per-user collections
+    * without rewriting a blob per event.
+    */
+  def qStreamTwsActivity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, Trigger}
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val base = Cdc.gateTmpDir("graft_tws_activity", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, sink, ck) = (s"$base/in", s"$base/sink", s"$base/ck")
+    val staged = Cdc.stageOnce(s, "graft_tws_activity_staged", d) { st =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (lo, step) = timeTertiles(ev)
+      for (i <- 0 until 3)
+        ev.filter(((unix_millis(col("ts")) - lo) / step).cast("int") === i)
+          .coalesce(1).write.parquet(s"$st/s$i")
+    }
+    def run(): Unit = {
+      val src = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .parquet(inDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("value").cast(Tables.Money) * 100).cast("long").as("cents"))
+        .as(Encoders.product[graft.streaming.ActEvent])
+      implicit val outEnc: org.apache.spark.sql.Encoder[graft.streaming.ActOut] =
+        Encoders.product[graft.streaming.ActOut]
+      val out: Dataset[graft.streaming.ActOut] = src
+        .groupByKey(_.user_id)(Encoders.scalaLong)
+        .transformWithState(
+          new graft.streaming.ActivityLog(
+            TTLConfig(java.time.Duration.ofHours(6))),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+      // Trigger.Once, NOT AvailableNow: see the drive-shape scaladoc —
+      // ProcessingTime mode makes AvailableNow run no-data batches
+      // forever. One batch per run is exactly this gate's contract.
+      out.toDF()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/batch=$id"): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.Once())
+        .start().awaitTermination()
+    }
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provider)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set(provider, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      // each slice is one Trigger.Once batch; every run after the first
+      // is a checkpoint restart that must fold into RESTORED collection
+      // state (a re-bootstrap resets every returning user's histogram
+      // and purchase log and hash-fails)
+      for (i <- 0 until 3) {
+        Cdc.copyStaged(s, s"$staged/s$i", inDir, s"s$i")
+        run()
+      }
+    } finally {
+      prevProv.fold(s.conf.unset(provider))(s.conf.set(provider, _))
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_total").desc)
+    s.read.parquet(sink)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("n_total"), col("type_summary"),
+        col("n_purchases"), col("purchase_id_sum"), col("purchase_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Straggler selector for [[qStreamLateDeadletter]]: every 20th
     * event id from the first tertile arrives two batches late.
     */
@@ -1246,6 +1425,48 @@ object Events {
         | AND p.user_id = c.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // IDENTICAL closed form: the restart twin delivers the same slices
+    // with a checkpoint stop/resume mid-drive, and must land on the same
+    // attribution — a re-bootstrapped join state loses every
+    // cross-restart pair and hash-fails
+    "q_stream_stream_join_restart" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_attr,
+        |  CAST(sum(p.event_id) AS BIGINT) AS pid_sum,
+        |  CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+        |    AS latency_us_sum,
+        |  sum(CAST(p.value AS DECIMAL(12,2))) AS value_sum
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // closed form of the activity-log fold: per-type histogram rolled
+    // into the sorted type:count summary, total count, and the purchase
+    // log's order-independent aggregates — the map entries and list
+    // elements restored across the gate's restart must reproduce these
+    // exactly (cents through the same DECIMAL(12,2)×100 exact path)
+    "q_stream_tws_activity" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |      FROM events),
+        |t AS (SELECT user_id, event_type, count(*) AS n
+        |      FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_total,
+        |        string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+        |          ORDER BY event_type) AS type_summary
+        |      FROM t GROUP BY 1),
+        |p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |        CAST(sum(event_id) AS BIGINT) AS purchase_id_sum,
+        |        CAST(sum(cents) AS BIGINT) AS purchase_cents
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT s.user_id, s.n_total, s.type_summary,
+        |  COALESCE(p.n_purchases, 0) AS n_purchases,
+        |  COALESCE(p.purchase_id_sum, 0) AS purchase_id_sum,
+        |  COALESCE(p.purchase_cents, 0) AS purchase_cents
+        |FROM s LEFT JOIN p USING (user_id)
+        |ORDER BY s.user_id""".stripMargin,
 
     "q_dwell_times" ->
       """WITH p AS (SELECT user_id, event_id, event_type,
@@ -1512,6 +1733,8 @@ object Events {
     "q_stream_session" -> (qStreamSession _),
     "q_stream_late_deadletter" -> (qStreamLateDeadletter _),
     "q_stream_tws_topk" -> (qStreamTwsTopk _),
-    "q_stream_tws_session" -> (qStreamTwsSession _)
+    "q_stream_tws_session" -> (qStreamTwsSession _),
+    "q_stream_tws_activity" -> (qStreamTwsActivity _),
+    "q_stream_stream_join_restart" -> (qStreamStreamJoinRestart _)
   )
 }
