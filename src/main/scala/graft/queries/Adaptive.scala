@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
 
@@ -163,9 +164,61 @@ object Adaptive {
       graft.Materialize.barrier(q)
     }
 
+  /** AQE shuffle-partition COALESCING, witnessed on the executed plan —
+    * the third runtime mechanism next to the skew split and the bloom
+    * injection, and the one every misconfigured job hits first: a
+    * shuffle whose static partition count is sized for the biggest
+    * stage (or just defaulted) fans a small aggregate across hundreds
+    * of near-empty reducers, paying task-launch and output-commit
+    * overhead per partition. AQE reads the map-output sizes at the
+    * stage boundary and MERGES adjacent sub-partitions up to the
+    * advisory size, value-transparently (hash partitioning already
+    * routed each key to exactly one sub-partition; merging changes
+    * placement, never membership — the oracle is the plain SQL
+    * aggregate).
+    *
+    * The window forces the mis-sizing locally: 200 shuffle partitions
+    * (Spark's historical default — the engine's sessions size this to
+    * the cluster, so the gate must mis-size explicitly) against a
+    * corpus whose whole shuffle fits in a couple of advisory-sized
+    * chunks; `parallelismFirst=false` makes AQE honor the advisory
+    * size instead of protecting local parallelism, which is the
+    * CLUSTER posture (the local default trades merge quality for core
+    * utilization). The witness reads `partitionSpecs` off the executed
+    * plan's `AQEShuffleReadExec`: the aggregate's exchange must come
+    * back in ≤ an eighth of the configured 200 — a regression to the
+    * static fan-out fails correctness, not just performance.
+    */
+  def qAqeCoalesce(s: SparkSession, d: String): DataFrame =
+    withConfs(s, Seq(
+      "spark.sql.shuffle.partitions" -> "200",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8388608")) {
+      val q = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"),
+          sum(col("l_extendedprice").cast(Tables.Money)).as("price_sum"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+      // execute FIRST: coalescing exists only in the runtime-adaptive
+      // plan, and completed stages hide their bodies — descend
+      val out = graft.Materialize.barrier(q)
+      val reads = Physical.allNodes(Physical.prepared(q)).collect {
+        case r: AQEShuffleReadExec => r.partitionSpecs.size
+      }
+      require(reads.nonEmpty && reads.min <= 25,
+        s"q_aqe_coalesce: no AQE shuffle read came back below 25 of the " +
+          s"configured 200 partitions (got $reads):\n${Physical.prepared(q)}")
+      out
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_aqe_skew_join" -> (qAqeSkewJoin _),
-    "q_runtime_bloom_join" -> (qRuntimeBloomJoin _)
+    "q_runtime_bloom_join" -> (qRuntimeBloomJoin _),
+    "q_aqe_coalesce" -> (qAqeCoalesce _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -189,6 +242,15 @@ object Adaptive {
         |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#23'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // plain aggregate — coalescing merges reducer partitions, never rows,
+    // so the adaptive plan must be value-identical to the static one
+    "q_aqe_coalesce" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -131,6 +131,65 @@ object Recursive {
       "q_recursive_bom")
   }
 
+  /** CYCLE-GUARDED traversal — the non-termination defense a real
+    * hierarchy query needs (round-10 verdict stretch item): the three
+    * closure gates all walk an acyclic tree, where `UnionLoop`'s
+    * fixpoint terminates because the frontier exhausts; one cyclic edge
+    * and the same query recurses until the engine's recursion limit
+    * kills it. The standard defense is a PATH ACCUMULATOR: each row
+    * carries the array of visited nodes and the step filters
+    * `NOT array_contains(path, next)`, so a walk never re-enters a node
+    * and the frontier provably exhausts (paths are simple; their count
+    * is finite).
+    *
+    * The fixture makes both halves of the contract observable: nodes
+    * 1–63 under the binary-tree child edges, PLUS a back edge 60→1 that
+    * closes a cycle through the root (without the guard the walk
+    * 1→…→60→1→… never terminates — the guard provably blocks exactly
+    * it, since node 1 is on every path), and a cross edge 45→6 into a
+    * DIFFERENT subtree that the guard must NOT block (6 is not on 45's
+    * path), giving every node under 6 a second, longer path — so the
+    * per-node path counts and depth sums prove the guard blocks cycles
+    * and only cycles. DuckDB runs the identical guarded recursion
+    * (list_append/list_contains), pinning the full path-set semantics.
+    *
+    * Scale shape: rows are (node, path) pairs — bounded by the SIMPLE
+    * paths from the root, the quantity a reachability report over a
+    * near-tree hierarchy (BOM with alternates, org chart with dotted
+    * lines) actually enumerates; each iteration is a frontier-sized
+    * equi-join, and the path array is depth-bounded. `spark.sql
+    * .cteRecursionLevelLimit` (100) stays as the backstop, but the
+    * guard — not the limit — is what ends this walk (depth ≤ 11 here;
+    * hitting the limit raises, it does not silently truncate).
+    */
+  def qRecursiveCyclic(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.customer(s, d)
+      .select(col("c_custkey").cast("int").as("id"))
+      .filter(col("id").between(1, 63))
+    nodes.filter(col("id") >= 2)
+      .select(expr("id div 2").cast("int").as("parent"),
+        col("id").as("child"))
+      .unionByName(s.range(1).select(lit(60).as("parent"),
+        lit(1).as("child"))) // back edge: closes a cycle through root 1
+      .unionByName(s.range(1).select(lit(45).as("parent"),
+        lit(6).as("child"))) // cross edge: a legal second path, no cycle
+      .createOrReplaceTempView("graft_rec_edges_cyc")
+    requireUnionLoop(s.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT 1 AS node, array(1) AS path, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.child AS node, array_append(w.path, e.child),
+        |    w.depth + 1
+        |  FROM walk w JOIN graft_rec_edges_cyc e ON e.parent = w.node
+        |  WHERE NOT array_contains(w.path, e.child)
+        |)
+        |SELECT node, count(*) AS n_paths,
+        |  max(depth) AS max_depth,
+        |  CAST(sum(depth) AS BIGINT) AS depth_sum
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin),
+      "q_recursive_cyclic")
+  }
+
   val oracle: Map[String, String] = Map(
     // the oracle runs the SAME recursion in DuckDB's WITH RECURSIVE —
     // closure depth/weights are exact integers, so the hash pins the
@@ -172,12 +231,36 @@ object Recursive {
         |  SELECT n.id, b.lvl + 1, b.ext_qty * n.qty
         |  FROM bom b JOIN nodes n ON n.id > 1 AND n.id // 2 = b.id
         |)
-        |SELECT id, lvl, ext_qty FROM bom ORDER BY id""".stripMargin
+        |SELECT id, lvl, ext_qty FROM bom ORDER BY id""".stripMargin,
+    // the identical guarded recursion — DuckDB's list_append /
+    // list_contains are Spark's array_append / array_contains, so the
+    // hash pins the full simple-path set: a missed cycle block loops
+    // (the oracle would too — both engines enumerate the same paths or
+    // neither terminates), a over-eager guard drops the 45→6 paths
+    "q_recursive_cyclic" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(c_custkey AS INT) AS id FROM customer
+        |  WHERE c_custkey BETWEEN 1 AND 63),
+        |edges AS (
+        |  SELECT id // 2 AS parent, id AS child FROM nodes WHERE id >= 2
+        |  UNION ALL SELECT 60, 1
+        |  UNION ALL SELECT 45, 6),
+        |walk AS (
+        |  SELECT 1 AS node, [1] AS path, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.child, list_append(w.path, e.child), w.depth + 1
+        |  FROM walk w JOIN edges e ON e.parent = w.node
+        |  WHERE NOT list_contains(w.path, e.child))
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_paths,
+        |  max(depth) AS max_depth,
+        |  CAST(sum(depth) AS BIGINT) AS depth_sum
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recursive_path" -> (qRecursivePath _),
     "q_recursive_subtree" -> (qRecursiveSubtree _),
-    "q_recursive_bom" -> (qRecursiveBom _)
+    "q_recursive_bom" -> (qRecursiveBom _),
+    "q_recursive_cyclic" -> (qRecursiveCyclic _)
   )
 }

@@ -201,9 +201,20 @@ class AdaptiveSpec extends SparkSpec {
         "bought no multi-dimensional pruning")
   }
 
+  test("AQE coalesce: merged-partition rollup equals the plain " +
+    "aggregate — placement changed, membership didn't") {
+    val got = Adaptive.qAqeCoalesce(spark, sf)
+    val want = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Tables.Money)).as("qty_sum"),
+        sum(col("l_extendedprice").cast(Tables.Money)).as("price_sum"))
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+
   test("conf windows restore: gate runs leave no adaptive/bloom " +
     "thresholds behind") {
-    // every conf either gate sets, not a subset — a withConfs restore
+    // every conf any gate sets, not a subset — a withConfs restore
     // regression on ANY of them leaks into later gates' plans
     val keys = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
@@ -214,10 +225,14 @@ class AdaptiveSpec extends SparkSpec {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.forceOptimizeSkewedJoin",
       "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst")
     val before = keys.map(k => spark.conf.getOption(k))
     Adaptive.qAqeSkewJoin(spark, sf).count()
     Adaptive.qRuntimeBloomJoin(spark, sf).count()
+    Adaptive.qAqeCoalesce(spark, sf).count()
     val after = keys.map(k => spark.conf.getOption(k))
     assert(before == after, s"conf leak: $before -> $after")
   }

@@ -68,6 +68,37 @@ class RecursiveSpec extends SparkSpec {
     }
   }
 
+  test("q_recursive_cyclic matches brute-force simple-path enumeration: " +
+    "the guard blocks the 60→1 cycle and only it") {
+    val present = nodes.keySet.filter(id => id >= 1 && id <= 63)
+    val edges: Map[Int, List[Int]] =
+      (present.filter(_ >= 2).toList.map(id => (id / 2, id)) ++
+        List((60, 1), (45, 6)))
+        .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2) }
+    // brute-force DFS over simple paths from 1
+    val paths = scala.collection.mutable.Map.empty[Int, List[Int]]
+    def dfs(node: Int, path: List[Int], depth: Int): Unit = {
+      paths(node) = depth :: paths.getOrElse(node, Nil)
+      edges.getOrElse(node, Nil).foreach { c =>
+        if (!path.contains(c)) dfs(c, c :: path, depth + 1)
+      }
+    }
+    dfs(1, List(1), 0)
+    val out = Recursive.qRecursiveCyclic(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == paths.keySet)
+    out.foreach { case (id, (n, mx, sm)) =>
+      val ds = paths(id)
+      assert(n == ds.size.toLong, s"n_paths of $id")
+      assert(mx == ds.max, s"max_depth of $id")
+      assert(sm == ds.map(_.toLong).sum, s"depth_sum of $id")
+    }
+    // the cross edge must have produced genuine second paths (else the
+    // "only cycles blocked" half of the claim is vacuous at this sf)
+    assert(out.exists(_._2._1 > 1L), "no multi-path node — cross edge dead")
+  }
+
   test("the optimized plan runs through UnionLoop, and the witness is loud") {
     // positive witness is exercised by the gates above (require inside);
     // prove the guard actually fires on a non-recursive lookalike
