@@ -49,8 +49,9 @@ FAMILIES = [
      r"rowgroup_skip$|zorder_skip$)"),
     ("Runtime-adaptive (AQE skew, injected bloom)",
      r"^q_(aqe_|runtime_bloom_)"),
-    ("Streaming state (stream-stream joins, sessions, dead-letter)",
-     r"^q_(stream_stream_|stream_session$|stream_late_deadletter$)"),
+    ("Streaming state (stream-stream joins, sessions, dead-letter, tws)",
+     r"^q_(stream_stream_|stream_session$|stream_late_deadletter$|"
+     r"stream_tws_)"),
     ("Recursive closure (UnionLoop)", r"^q_recursive_"),
     ("Media (multimodal)", r"^q_media_"),
 ]
