@@ -77,7 +77,11 @@ import org.apache.spark.sql.types.DoubleType
   * registered aggregate produces over the CURRENT base — keeping that
   * true under change streams is what the incremental maintenance
   * operators are for. The gates (`q_cdc_mv_rewrite`, `q_cdc_mv_rollup`,
-  * `q_cdc_mv_stats`, `q_cdc_mv_ivm`, `q_cdc_mv_fk_ivm`) hash-check
+  * `q_cdc_mv_having` — a post-aggregation filter rebinding through the
+  * preserved exprIds, `q_cdc_mv_multi` — a multi-registration catalog,
+  * `q_cdc_mv_stats`, `q_cdc_mv_ivm`, `q_cdc_mv_fk_ivm`,
+  * `q_cdc_mv_stream_ivm` — routing onto a STREAMING-maintained
+  * materialization) hash-check
   * rewritten queries against DuckDB oracles computing from the BASE
   * table(s), and `require` loudly that the rewrite fired (a silent
   * fall-through to the base scan must not masquerade as a pass).
@@ -137,7 +141,17 @@ object MvRewrite {
       layout: Seq[Either[String, (String, Option[String])]],
       filter: Option[Expression])
 
-  final class RewriteRule(reg: Registration) extends Rule[LogicalPlan] {
+  /** One optimizer rule holding ONE OR MORE registrations — the
+    * multi-MV catalog a real warehouse runs (round-11): each Aggregate
+    * is tried against every registration in order and the FIRST match
+    * routes (callers list preferred — e.g. exact-grain — views first;
+    * a conservative miss falls through to the next registration, then
+    * to the base plan). One rule for all registrations keeps the
+    * install/uninstall lifecycle atomic: a gate's `finally` removes its
+    * whole catalog, and the stale-rule pruning in [[install]] cannot
+    * strand half a catalog.
+    */
+  final class RewriteRule(regs: Seq[Registration]) extends Rule[LogicalPlan] {
 
     /** Per-RULE disable switch for MV (re)build windows: the build
       * query matches the registered shape, and rewriting it would read
@@ -147,12 +161,22 @@ object MvRewrite {
       */
     @volatile var enabled: Boolean = true
 
+    private val matchers = regs.map(new Matcher(_))
+
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (!enabled) plan
       else plan.transformUp {
         case agg: Aggregate =>
-          analyze(agg).map(rewrite(agg, _)).getOrElse(agg)
+          matchers.view
+            .flatMap(m => m.analyze(agg).map(m.rewrite(agg, _)))
+            .headOption.getOrElse(agg)
       }
+  }
+
+  /** The per-registration matcher/rewriter (the original single-MV rule
+    * body, unchanged semantics — [[RewriteRule]] now composes several).
+    */
+  private final class Matcher(reg: Registration) {
 
     /** Whether `cond` is a conjunction of IsNotNull guards on the
       * registered JOIN KEYS only. The optimizer infers exactly these
@@ -298,7 +322,7 @@ object MvRewrite {
         case other => reg.aggSpecs.contains(other)
       }
 
-    private def analyze(agg: Aggregate): Option[Match] = {
+    def analyze(agg: Aggregate): Option[Match] = {
       val filterOpt = baseChain(agg.child).getOrElse(return None)
       val gnames = agg.groupingExpressions.map {
         case a: AttributeReference => a.name
@@ -356,7 +380,7 @@ object MvRewrite {
       (reg.groupCols.zip(out).toMap, out.drop(reg.groupCols.length))
     }
 
-    private def rewrite(agg: Aggregate, m: Match): LogicalPlan = {
+    def rewrite(agg: Aggregate, m: Match): LogicalPlan = {
       val mvPlan = reg.mv().queryExecution.analyzed
       val (groupAttr, aggAttrs) = mvAttrs(mvPlan)
       def mvAggAttr(spec: (String, Option[String])): Attribute =
@@ -427,8 +451,14 @@ object MvRewrite {
     * foreign user rules in the slot.
     */
   def install(spark: org.apache.spark.sql.SparkSession,
-      reg: Registration): RewriteRule = {
-    val rule = new RewriteRule(reg)
+      reg: Registration): RewriteRule = install(spark, Seq(reg))
+
+  /** Install a CATALOG of registrations as one rule (first match
+    * routes; list preferred views first). Returns the uninstall handle.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession,
+      regs: Seq[Registration]): RewriteRule = {
+    val rule = new RewriteRule(regs)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations
         .filterNot(_.isInstanceOf[RewriteRule]) :+ rule

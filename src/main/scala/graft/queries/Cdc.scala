@@ -1519,6 +1519,119 @@ object Cdc {
     finally MvRewrite.uninstall(s, rule)
   }
 
+  /** MULTI-MV CATALOG routing — a warehouse holds MANY materializations
+    * at once, and routing must pick the right one per query: a single
+    * [[graft.plans.MvRewrite.RewriteRule]] now carries a catalog of
+    * registrations (round-11 widening; install/uninstall stays one
+    * atomic handle), and this gate registers TWO views over DIFFERENT
+    * base tables — the finer (segment, nation) customer rollup and an
+    * order-priority rollup over orders — then routes one query onto
+    * EACH under the one live rule. Each routed plan must read ITS MV
+    * and not its base (per-query `require`); the union of both answers
+    * hash-checks against the two base closed forms, so a catalog that
+    * cross-matched (customer query onto the orders MV — the false-match
+    * class the per-registration baseTag/shape guards exist for) fails
+    * loudly on both the witness and the hash.
+    *
+    * Scale shape: catalog matching is O(registrations) driver-side plan
+    * work per aggregate node — nothing distributed — and each routed
+    * read stays O(that view's groups).
+    */
+  def qCdcMvMulti(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val (custBase, ordBase) = (s"$d/customer.parquet", s"$d/orders.parquet")
+    val dir = gateTmpDir("graft_mv_multi", d)
+    val (custMv, ordMv) = (s"$dir/custmv", s"$dir/ordmv")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def buildOnce(path: String)(df: => DataFrame): Unit =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
+        df.write.mode("overwrite").parquet(path)
+    buildOnce(custMv)(s.read.parquet(custBase)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv")))
+    buildOnce(ordMv)(s.read.parquet(ordBase)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sv")))
+    val rule = MvRewrite.install(s, Seq(
+      MvRewrite.Registration(
+        baseTag = "customer.parquet",
+        groupCols = Seq("c_mktsegment", "c_nationkey"),
+        aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
+        mv = () => s.read.parquet(custMv)),
+      MvRewrite.Registration(
+        baseTag = "orders.parquet",
+        groupCols = Seq("o_orderpriority"),
+        aggSpecs = Seq(("count", None), ("sum", Some("o_custkey"))),
+        mv = () => s.read.parquet(ordMv))))
+    try {
+      val seg = routedToMv(s, s.read.parquet(custBase)
+          .filter(col("c_nationkey") < 13)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("c_custkey")).as("key_sum")),
+        "custmv", "customer.parquet")
+      val pri = routedToMv(s, s.read.parquet(ordBase)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("o_custkey")).as("key_sum")),
+        "ordmv", "orders.parquet")
+      seg.select(lit("customer").as("src"), col("c_mktsegment").as("k"),
+          col("n_members"), col("key_sum"))
+        .unionByName(pri.select(lit("orders").as("src"),
+          col("o_orderpriority").as("k"),
+          col("n_members"), col("key_sum")))
+        .orderBy(col("src"), col("k"))
+    } finally MvRewrite.uninstall(s, rule)
+  }
+
+  /** HAVING over a ROUTED aggregate — the post-aggregation filter shape
+    * every dashboard rollup carries ("segments with more than N
+    * members"), proving [[graft.plans.MvRewrite]]'s rebinding contract
+    * end to end: the rewrite replaces the Aggregate NODE while aliasing
+    * every output back to the original name AND exprId, so a parent
+    * Filter referencing the aggregate's outputs (which Catalyst cannot
+    * push below the aggregate — the predicate reads agg results) binds
+    * onto the routed plan unchanged. Composes all three subsumption
+    * moves in one query: group-filter pushdown (`c_nationkey < 13` onto
+    * the finer MV), rollup re-fold (segment×nation → segment), and the
+    * HAVING above. The oracle computes from the BASE with a real SQL
+    * HAVING; the `require` proves the plan read the MV — so a rewrite
+    * that dropped, duplicated, or rebound-to-nothing the parent filter
+    * hash-fails loudly.
+    *
+    * Scale shape: identical to [[qCdcMvRollup]] (O(groups) MV read +
+    * re-fold) plus a metadata-sized post-filter. At 100 TB the HAVING
+    * is exactly why consumers want routing — filtering a six-row answer
+    * should never cost a fact-table scan.
+    */
+  def qCdcMvHaving(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val basePath = s"$d/customer.parquet"
+    val mvPath = gateTmpDir("graft_mv_having", d) + "/mv"
+    val fs = new org.apache.hadoop.fs.Path(mvPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def mvBuild: DataFrame = s.read.parquet(basePath)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
+      mvBuild.write.mode("overwrite").parquet(mvPath)
+    val rule = MvRewrite.install(s, MvRewrite.Registration(
+      baseTag = "customer.parquet",
+      groupCols = Seq("c_mktsegment", "c_nationkey"),
+      aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
+      mv = () => s.read.parquet(mvPath)))
+    try routedToMv(s, s.read.parquet(basePath)
+        .filter(col("c_nationkey") < 13)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("c_custkey")).as("key_sum"))
+        .filter(col("n_members") > 150) // HAVING: reads the agg output
+        .orderBy(col("c_mktsegment")),
+      "graft_mv_having", "customer.parquet")
+    finally MvRewrite.uninstall(s, rule)
+  }
+
   /** MV SUBSUMPTION across the WIDENED aggregate algebra (round-9
     * verdict item #5): the registered view is finer — (segment,
     * nation) — carrying count/sum/min/max columns; the query filters
@@ -2569,6 +2682,35 @@ object Cdc {
         |FROM customer WHERE c_nationkey < 13
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    // both catalogs' closed forms from their BASE tables — each routed
+    // query read its own MV (per-query require), so equality proves the
+    // catalog picked the right registration per base and neither answer
+    // leaked into the other
+    "q_cdc_mv_multi" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS src, c_mktsegment AS k,
+        |    CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |  FROM customer WHERE c_nationkey < 13
+        |  GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT 'orders', o_orderpriority,
+        |    CAST(count(*) AS BIGINT), CAST(sum(o_custkey) AS BIGINT)
+        |  FROM orders GROUP BY o_orderpriority)
+        |ORDER BY src, k""".stripMargin,
+
+    // the rollup's closed form with a real HAVING — the gate's plan
+    // reads the MV and the post-aggregation filter rebinds onto the
+    // routed outputs, so equality proves the rewrite's exprId-preserving
+    // alias contract under a parent operator that reads agg results
+    "q_cdc_mv_having" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_nationkey < 13
+        |GROUP BY 1 HAVING count(*) > 150
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // closed-form fold of both FK-view lifecycles: surviving facts
     // (orderkey%11≠0) with their post-gen-2 fk/amount join surviving
     // dims (custkey%13≠0) with post-gen-2 segments; maintained_via =
@@ -2913,6 +3055,8 @@ object Cdc {
     "q_cdc_fk_stream_ivm" -> (qCdcFkStreamIvm _),
     "q_cdc_mv_rewrite" -> (qCdcMvRewrite _),
     "q_cdc_mv_rollup" -> (qCdcMvRollup _),
+    "q_cdc_mv_having" -> (qCdcMvHaving _),
+    "q_cdc_mv_multi" -> (qCdcMvMulti _),
     "q_cdc_mv_stats" -> (qCdcMvStats _),
     "q_cdc_mv_ivm" -> (qCdcMvIvm _),
     "q_cdc_mv_minmax_ivm" -> (qCdcMvMinmaxIvm _),

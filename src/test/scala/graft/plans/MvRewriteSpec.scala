@@ -102,6 +102,27 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("HAVING composes with group-filter pushdown and the rollup " +
+    "re-fold in one routed query (the q_cdc_mv_having shape)") {
+    installed { _ =>
+      // σ(group) → global rollup → HAVING on the agg output: the filter
+      // pushes onto the MV, the re-fold aggregates the refinement, and
+      // the parent filter rebinds through the preserved exprIds
+      def q: DataFrame = spark.read.parquet(basePath)
+        .filter(col("seg") =!= "c")
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val kept = q.filter(col("n") >= 4)
+      assert(scanPaths(kept).exists(_.contains("mv.parquet")) &&
+        !scanPaths(kept).exists(_.contains("base.parquet")),
+        s"rewrite did not fire under HAVING: ${scanPaths(kept)}")
+      assert(kept.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((4L, 42L)))
+      // a HAVING that filters the only row yields empty, not a crash
+      assert(q.filter(col("n") >= 5).collect().isEmpty)
+    }
+  }
+
   test("nearby-but-different shapes are untouched (false match would " +
     "corrupt results)") {
     installed { _ =>
@@ -374,6 +395,51 @@ class MvRewriteSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
         Seq(("a", 2L, 12L)))
     }
+  }
+
+  test("a multi-registration catalog routes each query to ITS view and " +
+    "never cross-matches (the q_cdc_mv_multi shape)") {
+    basePath; mvPath
+    // second base + view over a DIFFERENT table shape
+    val base2 = tmpDir("graft-mv-base2") + "/base2.parquet"
+    val s = spark; import s.implicits._
+    Seq((10L, "x", 3L), (11L, "y", 4L), (12L, "x", 5L))
+      .toDF("oid", "pri", "w").write.parquet(base2)
+    val mv2 = tmpDir("graft-mv-view2") + "/mv2.parquet"
+    spark.read.parquet(base2).groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      .write.parquet(mv2)
+    val rule = MvRewrite.install(spark, Seq(
+      MvRewrite.Registration("base.parquet", Seq("seg"),
+        Seq(("count", None), ("sum", Some("v"))),
+        () => spark.read.parquet(mvPath)),
+      MvRewrite.Registration("base2.parquet", Seq("pri"),
+        Seq(("count", None), ("sum", Some("w"))),
+        () => spark.read.parquet(mv2))))
+    try {
+      val q1 = agg.orderBy(col("seg"))
+      val q2 = spark.read.parquet(base2).groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+        .orderBy(col("pri"))
+      assert(scanPaths(q1).exists(_.contains("mv.parquet")) &&
+        !scanPaths(q1).exists(p =>
+          p.contains("base.parquet") || p.contains("mv2.parquet")),
+        s"q1 routed wrong: ${scanPaths(q1)}")
+      assert(scanPaths(q2).exists(_.contains("mv2.parquet")) &&
+        !scanPaths(q2).exists(p =>
+          p.contains("base2.parquet") || p.contains("/mv.parquet")),
+        s"q2 routed wrong: ${scanPaths(q2)}")
+      assert(q1.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 30L), ("b", 2L, 12L), ("c", 1L, 1L)))
+      assert(q2.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("x", 2L, 8L), ("y", 1L, 4L)))
+      // a shape NEITHER registration answers still falls through
+      val miss = spark.read.parquet(base2).groupBy(col("oid"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(miss).exists(_.contains("base2.parquet")))
+    } finally MvRewrite.uninstall(spark, rule)
   }
 
   test("lifetime is scoped: uninstall removes exactly the handle and a " +
