@@ -805,6 +805,44 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** VIEW CHANGE FEED — the OUTPUT half of IVM
+    * ([[graft.operators.ViewDelta]]): the maintenance gates prove the
+    * view's CONTENT stays right; this gate proves the engine can emit
+    * the view's OWN deltas between two maintained generations — what a
+    * downstream consumer (cache, index, next IVM stage) actually
+    * subscribes to, the lakehouse Change-Data-Feed shape. Runs the
+    * [[qCdcAggView]] fixture's bootstrap and one maintenance step, then
+    * diffs generation 1 → generation 2 on the group key: 'c' for groups
+    * the delta created (the move-target `moved-*` groups), 'u' for
+    * groups whose count/sum changed, with before/after images; groups
+    * the generation never touched (everything beyond the fixture
+    * horizon) must be ABSENT — the feed is delta-sized, which the hash
+    * enforces because the oracle's full-outer-join diff suppresses
+    * unchanged groups too ('d' needs a group emptied by the delta,
+    * which this fixture's ~46%-survivor density never produces at any
+    * sf; the op is pinned by `ViewDeltaSpec` on a synthetic frame).
+    *
+    * Scale shape: one group-keyed full-outer join of two view-sized
+    * frames + a narrow filter — O(|view|), never O(base); the emitted
+    * feed is O(touched groups).
+    */
+  def qCdcViewChangefeed(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    val (a1, a2, b1, b2) = aggViewFixture(s, d)
+    val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val agg1 = IncrementalAggView
+      .bootstrap(aState1, bState1, "id", "g", "balance")
+      .stage() // both the step input and the diff's before image
+    val (agg2, _, _) = IncrementalAggView.step(agg1, aState1, bState1,
+      a2, b2, "id", "g", "balance", "via")
+    graft.operators.ViewDelta.diff(
+      agg1.select(col("g"), col("n_members"), col("total")),
+      agg2.select(col("g"), col("n_members"), col("total")),
+      Seq("g"), Seq("n_members", "total"))
+      .orderBy(col("g"))
+  }
+
   /** The STREAMING drive of incremental aggregate-view maintenance
     * inside the hash gate (round-7 verdict item #2 — previously only a
     * spec): the same two-generation fixture as [[qCdcAggView]], but
@@ -1414,6 +1452,41 @@ object Cdc {
       .select(col("g"), col("n_members"), col("total_amount"),
         col("maintained_via"))
       .orderBy(col("g"))
+  }
+
+  /** TIME TRAVEL over maintained state — the reproducibility read every
+    * training-data pipeline eventually needs ("rebuild the dataset the
+    * model actually saw"): [[graft.cdc.VersionedState]] keeps one
+    * complete generation per applied micro-batch, so an AS-OF read is a
+    * version lookup, not a replay. The gate runs the [[fkStreamDrive]]
+    * loop (foreachBatch, checkpoint restart between generations) and
+    * then reads the SAME state kind at TWO versions — `as of` the
+    * bootstrap batch (`readLatestBefore("agg", 1)`, the pre-delta
+    * rollup) and latest — emitting both under a version tag. The
+    * oracle computes generation 1's rollup from the RAW gen-1 closed
+    * form (all orders ⋈ all customers, pre-delta amounts/groups) and
+    * generation 2's from the FK gate's post-delta closed form, so the
+    * hash proves the v0 snapshot is bit-faithfully the bootstrap — a
+    * maintenance step that mutated v0 in place, or a publish that
+    * clobbered the history, fails here even while every latest-read
+    * gate still passes.
+    *
+    * Scale shape: an as-of read costs one O(groups) version read — no
+    * log replay; retention is a directory-prune policy (documented on
+    * [[graft.cdc.VersionedState]]), exactly the lakehouse time-travel
+    * contract.
+    */
+  def qCdcStateAsof(s: SparkSession, d: String): DataFrame = {
+    val state = fkStreamDrive(s, d, gateTmpDir("graft_state_asof", d))
+    // batch ids are deterministic: gen 1 = batch 0, gen 2 = batch 1
+    val v0 = state.readLatestBefore("agg", 1L).getOrElse(
+      sys.error("q_cdc_state_asof: no version below batch 1 published"))
+    val v1 = state.readLatest("agg").get
+    v0.select(lit(0L).as("version"), col("g"), col("n_members"),
+        col("total").as("total_amount"))
+      .unionByName(v1.select(lit(1L).as("version"), col("g"),
+        col("n_members"), col("total").as("total_amount")))
+      .orderBy(col("version"), col("g"))
   }
 
   /** MV-AWARE QUERY REWRITE ([[graft.plans.MvRewrite]]) — the optimizer
@@ -2747,6 +2820,81 @@ object Cdc {
     // incremental merge rewrites
     "q_cdc_agg_view" -> aggViewOracle,
 
+    // the diff of the fixture's two view generations, computed from
+    // both closed forms via the same full-outer-join/suppress-unchanged
+    // algebra — a feed row for an untouched group, a missed touched
+    // group, or a wrong before/after image all hash-mismatch
+    "q_cdc_view_changefeed" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |v1 AS (SELECT seg || '-' || CAST(id // 100 AS VARCHAR) AS g,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(id * 7 % 1000) AS BIGINT) AS t
+         |  FROM c GROUP BY 1),
+         |f AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000
+         |      + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+         |  FROM c
+         |  WHERE NOT (id < $AggViewHorizon
+         |             AND (id % 7 = 0 OR id % 5 = 0))),
+         |v2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal) AS BIGINT) AS t FROM f GROUP BY 1)
+         |SELECT COALESCE(v1.g, v2.g) AS g,
+         |  CASE WHEN v1.g IS NULL THEN 'c'
+         |       WHEN v2.g IS NULL THEN 'd' ELSE 'u' END AS op,
+         |  v1.n AS old_n_members, v1.t AS old_total,
+         |  v2.n AS new_n_members, v2.t AS new_total
+         |FROM v1 FULL OUTER JOIN v2 ON v1.g = v2.g
+         |WHERE v1.g IS NULL OR v2.g IS NULL
+         |   OR v1.n <> v2.n OR v1.t <> v2.t
+         |ORDER BY g""".stripMargin,
+
+    // both versions from their own closed forms: v0 = the pre-delta
+    // bootstrap rollup (all orders ⋈ all customers, raw amounts and
+    // groups), v1 = the FK gate's post-delta form — a maintenance step
+    // that mutated v0 in place would flip the version-0 half only
+    "q_cdc_state_asof" ->
+      s"""WITH v0 AS (
+         |  SELECT lower(c_mktsegment) || '-'
+         |      || CAST(c_custkey // 100 AS VARCHAR) AS g,
+         |    CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(o_orderkey * 3 % 1000) AS BIGINT) AS total_amount
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT o_orderkey AS oid,
+         |    CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
+         |         THEN CAST(o_orderkey % 100 + 1 AS INT)
+         |         ELSE CAST(o_custkey AS INT) END AS fk_new,
+         |    CAST(o_orderkey * 3 % 1000
+         |      + CASE WHEN o_orderkey % 9 = 0 AND o_custkey < $FkAggHorizon
+         |             THEN 5000 ELSE 0 END AS BIGINT) AS amount
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 11 = 0 AND o_custkey < $FkAggHorizon)),
+         |d AS (
+         |  SELECT CAST(c_custkey AS INT) AS d_id,
+         |    CASE WHEN c_custkey % 10 = 0 AND c_custkey < $FkAggHorizon
+         |         THEN 'vip-' || CAST(c_custkey // 100 AS VARCHAR)
+         |         ELSE lower(c_mktsegment) || '-'
+         |           || CAST(c_custkey // 100 AS VARCHAR) END AS g_post,
+         |    NOT (c_custkey % 13 = 0 AND c_custkey < $FkAggHorizon)
+         |      AS alive
+         |  FROM customer),
+         |v1 AS (SELECT d.g_post AS g,
+         |    CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(f.amount) AS BIGINT) AS total_amount
+         |  FROM f JOIN d ON f.fk_new = d.d_id AND d.alive GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS version, g, n_members,
+         |    total_amount FROM v0
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), g, n_members, total_amount FROM v1)
+         |ORDER BY version, g""".stripMargin,
+
     // IDENTICAL closed form: the streaming drive delivers the same two
     // generations through foreachBatch micro-batches with a checkpoint
     // restart between them, and must land on the same maintained view
@@ -3047,6 +3195,8 @@ object Cdc {
     "q_cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "q_cdc_join_view" -> (qCdcJoinView _),
     "q_cdc_agg_view" -> (qCdcAggView _),
+    "q_cdc_view_changefeed" -> (qCdcViewChangefeed _),
+    "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
     "q_cdc_txn_ivm" -> (qCdcTxnIvm _),
     "q_cdc_bitemporal" -> (qCdcBitemporal _),
