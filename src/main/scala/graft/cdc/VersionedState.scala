@@ -78,4 +78,54 @@ final class VersionedState(spark: SparkSession, store: String,
     */
   def publish(kind: String, id: Long, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(s"$store/$kind/v$id")
+
+  /** RETENTION: delete all but the newest `keepLast` versions of every
+    * kind under the store (time-travel reads — `readLatestBefore` /
+    * [[versions]] — reach only retained generations afterwards; this is
+    * the lakehouse VACUUM contract, and without it a long-lived
+    * maintained view accretes one full state copy per applied batch).
+    * The retained set is decided by the ANCHOR kind's versions, and
+    * non-anchor kinds are pruned FIRST, the anchor LAST — the mirror of
+    * the publish discipline, so a crash mid-prune can only leave
+    * orphaned non-anchor directories behind (re-pruned next call),
+    * never an anchor version whose side kinds are already gone.
+    * `keepLast` must be ≥ 1: the current version is never prunable.
+    *
+    * Single-writer contract (the same one publish already has): call
+    * between batches or at the end of a handler, never concurrently
+    * with another publish. A handler that prunes after its own publish
+    * must keep ≥ 2 versions — a crash between that publish and the
+    * streaming checkpoint's commit re-delivers the batch, whose replay
+    * reads strictly-earlier state ([[readLatestBefore]]); keepLast = 1
+    * would have swept exactly the version the replay folds into.
+    */
+  def prune(keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val anchorDir = new Path(s"$store/$anchor")
+    if (!fs.exists(anchorDir)) return
+    def versionsOf(kind: String): Seq[Long] = {
+      val dir = new Path(s"$store/$kind")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).map(_.getPath.getName).toSeq
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    }
+    val keep = versionsOf(anchor).sorted.takeRight(keepLast).toSet
+    val kinds = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .toSeq.filter(_ != anchor) :+ anchor // anchor pruned last
+    kinds.foreach { kind =>
+      versionsOf(kind).filterNot(keep).foreach { v =>
+        fs.delete(new Path(s"$store/$kind/v$v"), true): Unit
+      }
+    }
+  }
+
+  /** The retained version ids of the anchor kind, ascending — the
+    * time-travel surface a reader can ask for.
+    */
+  def versions: Seq[Long] = {
+    val dir = new Path(s"$store/$anchor")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+  }
 }

@@ -92,4 +92,28 @@ class VersionedStateSpec extends SparkSpec {
     // unbounded stays the overall latest
     assert(vs.latestVersion.contains(5L))
   }
+
+  test("prune retains the newest K anchor versions, sweeps every kind " +
+    "by the same retained set, and keeps time-travel reads consistent") {
+    val vs = new VersionedState(spark, store, "agg")
+    // store state accumulated above: agg v0/v3/v5, plus the torn
+    // side-state publish aState v7 (never anchored)
+    assert(vs.versions == Seq(0L, 3L, 5L))
+    vs.prune(keepLast = 2)
+    assert(vs.versions == Seq(3L, 5L))
+    // pruned version unreachable; retained ones intact
+    assert(vs.readLatestBefore("agg", 3L).isEmpty)
+    assert(vs.readLatestBefore("agg", 5L).get.count() == 2)
+    assert(vs.readLatest("agg").get.count() == 1)
+    // the torn non-anchor version is swept by the SAME retained set
+    // (orphan cleanup — it can never be read through the anchor)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/aState/v7")))
+    // down to one: latest survives, history is gone
+    vs.prune(keepLast = 1)
+    assert(vs.versions == Seq(5L))
+    assert(vs.readLatest("agg").get.count() == 1)
+    intercept[IllegalArgumentException](vs.prune(0))
+  }
 }
