@@ -40,6 +40,18 @@ final class VersionedState(spark: SparkSession, store: String,
     */
   def latestVersion: Option[Long] = latestVersionBefore(Long.MaxValue)
 
+  /** Version ids published under `kind`, unsorted — the ONE place the
+    * v-directory naming is parsed (listing through the Hadoop API;
+    * `latestVersionBefore`, [[versions]], and [[prune]] all read
+    * through here, so retention and visibility can never diverge).
+    */
+  private def versionsOf(kind: String): Seq[Long] = {
+    val dir = new Path(s"$store/$kind")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+  }
+
   /** Highest published version STRICTLY below `bound`. The in-stream
     * read: a foreachBatch handler must fold batch `id` into the state
     * of versions < id, never `readLatest` — after a crash (or duplicate
@@ -51,14 +63,9 @@ final class VersionedState(spark: SparkSession, store: String,
     * first attempt. (The anchor-kind-last discipline covers the
     * complementary failure: a crash BETWEEN kinds of one publish.)
     */
-  def latestVersionBefore(bound: Long): Option[Long] = {
-    val dir = new Path(s"$store/$anchor")
-    if (!fs.exists(dir)) None
-    else Some(fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
-        .filter(_ < bound))
+  def latestVersionBefore(bound: Long): Option[Long] =
+    Some(versionsOf(anchor).filter(_ < bound))
       .filter(_.nonEmpty).map(_.max)
-  }
 
   /** The given kind at [[latestVersion]] (all kinds publish under the
     * same batch id, anchor last).
@@ -101,14 +108,7 @@ final class VersionedState(spark: SparkSession, store: String,
     */
   def prune(keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val anchorDir = new Path(s"$store/$anchor")
-    if (!fs.exists(anchorDir)) return
-    def versionsOf(kind: String): Seq[Long] = {
-      val dir = new Path(s"$store/$kind")
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).map(_.getPath.getName).toSeq
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
-    }
+    if (!fs.exists(new Path(s"$store/$anchor"))) return
     val keep = versionsOf(anchor).sorted.takeRight(keepLast).toSet
     val kinds = fs.listStatus(new Path(store)).map(_.getPath.getName)
       .toSeq.filter(_ != anchor) :+ anchor // anchor pruned last
@@ -122,10 +122,5 @@ final class VersionedState(spark: SparkSession, store: String,
   /** The retained version ids of the anchor kind, ascending — the
     * time-travel surface a reader can ask for.
     */
-  def versions: Seq[Long] = {
-    val dir = new Path(s"$store/$anchor")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath.getName).toSeq
-      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
-  }
+  def versions: Seq[Long] = versionsOf(anchor).sorted
 }

@@ -33,28 +33,39 @@ import org.apache.spark.sql.functions._
 object ViewDelta {
 
   /** Diff `before` → `after` on `keyCols`, comparing `valueCols`.
-    * Both frames must be key-unique (views are). See class doc for the
-    * op semantics and output layout.
+    * Both frames must be key-unique (views are). The key match is
+    * NULL-SAFE (`<=>`): a groupBy over a nullable column legitimately
+    * produces a null-keyed group, and a plain equi-join would never
+    * match it with itself — every diff would emit a spurious 'd'+'c'
+    * pair for an unchanged null group. With `valueCols` empty the feed
+    * degrades to pure membership (c/d only — no value to make a 'u').
+    * See class doc for the op semantics and output layout.
     */
   def diff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
       valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "ViewDelta.diff needs at least one key")
     val b = before.select(
-      keyCols.map(col) ++ valueCols.map(v => col(v).as(s"old_$v")): _*)
+      keyCols.map(k => col(k).as(s"__bk_$k")) ++
+        valueCols.map(v => col(v).as(s"old_$v")): _*)
       .withColumn("__in_before", lit(true))
     val a = after.select(
-      keyCols.map(col) ++ valueCols.map(v => col(v).as(s"new_$v")): _*)
+      keyCols.map(k => col(k).as(s"__ak_$k")) ++
+        valueCols.map(v => col(v).as(s"new_$v")): _*)
       .withColumn("__in_after", lit(true))
-    val joined = b.join(a, keyCols, "full_outer")
+    val keyMatch = keyCols
+      .map(k => col(s"__bk_$k") <=> col(s"__ak_$k")).reduce(_ && _)
     val changed = valueCols
       .map(v => !(col(s"old_$v") <=> col(s"new_$v")))
-      .reduce(_ || _)
-    joined
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, keyMatch, "full_outer")
       .withColumn("op",
         when(col("__in_before").isNull, lit("c"))
           .when(col("__in_after").isNull, lit("d"))
           .otherwise(lit("u")))
       .filter(col("op") =!= "u" || changed)
-      .select(keyCols.map(col) ++ Seq(col("op")) ++
+      .select(keyCols.map(k =>
+          coalesce(col(s"__bk_$k"), col(s"__ak_$k")).as(k)) ++
+        Seq(col("op")) ++
         valueCols.map(v => col(s"old_$v")) ++
         valueCols.map(v => col(s"new_$v")): _*)
   }

@@ -1566,29 +1566,41 @@ object Cdc {
     * loud witnesses as [[qCdcMvRewrite]]: oracle computed from BASE,
     * `require` that the optimized plan reads the MV.
     */
-  def qCdcMvRollup(s: SparkSession, d: String): DataFrame = {
-    import graft.plans.MvRewrite
-    val basePath = s"$d/customer.parquet"
-    val mvPath = gateTmpDir("graft_mv_rollup", d) + "/mv"
+  /** The (segment, nation) count/sum materialization THREE routing
+    * gates share ([[qCdcMvRollup]], [[qCdcMvHaving]], [[qCdcMvMulti]])
+    * — one logical view, so it is built ONCE per (JVM, sf) into one
+    * staged path and registered from one spec (round-11 review: the
+    * per-gate copies tripled the build I/O and had to be kept in sync
+    * by hand). Returns (mvPath, registration).
+    */
+  private def segNationMv(s: SparkSession, d: String)
+      : (String, graft.plans.MvRewrite.Registration) = {
+    val mvPath = gateTmpDir("graft_mv_segnation", d) + "/mv"
     val fs = new org.apache.hadoop.fs.Path(mvPath)
       .getFileSystem(s.sessionState.newHadoopConf())
-    def mvBuild: DataFrame = s.read.parquet(basePath)
-      .groupBy(col("c_mktsegment"), col("c_nationkey"))
-      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"))
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
-      mvBuild.write.mode("overwrite").parquet(mvPath)
-    val rule = MvRewrite.install(s, MvRewrite.Registration(
+      s.read.parquet(s"$d/customer.parquet")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"))
+        .write.mode("overwrite").parquet(mvPath)
+    (mvPath, graft.plans.MvRewrite.Registration(
       baseTag = "customer.parquet",
       groupCols = Seq("c_mktsegment", "c_nationkey"),
       aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
       mv = () => s.read.parquet(mvPath)))
-    try routedToMv(s, s.read.parquet(basePath)
+  }
+
+  def qCdcMvRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val (_, reg) = segNationMv(s, d)
+    val rule = MvRewrite.install(s, reg)
+    try routedToMv(s, s.read.parquet(s"$d/customer.parquet")
         .filter(col("c_nationkey") < 13)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("c_custkey")).as("key_sum"))
         .orderBy(col("c_mktsegment")),
-      "graft_mv_rollup", "customer.parquet")
+      "graft_mv_segnation", "customer.parquet")
     finally MvRewrite.uninstall(s, rule)
   }
 
@@ -1613,25 +1625,17 @@ object Cdc {
   def qCdcMvMulti(s: SparkSession, d: String): DataFrame = {
     import graft.plans.MvRewrite
     val (custBase, ordBase) = (s"$d/customer.parquet", s"$d/orders.parquet")
-    val dir = gateTmpDir("graft_mv_multi", d)
-    val (custMv, ordMv) = (s"$dir/custmv", s"$dir/ordmv")
-    val fs = new org.apache.hadoop.fs.Path(dir)
+    val ordMv = gateTmpDir("graft_mv_multi", d) + "/ordmv"
+    val fs = new org.apache.hadoop.fs.Path(ordMv)
       .getFileSystem(s.sessionState.newHadoopConf())
-    def buildOnce(path: String)(df: => DataFrame): Unit =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
-        df.write.mode("overwrite").parquet(path)
-    buildOnce(custMv)(s.read.parquet(custBase)
-      .groupBy(col("c_mktsegment"), col("c_nationkey"))
-      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv")))
-    buildOnce(ordMv)(s.read.parquet(ordBase)
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sv")))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$ordMv/_SUCCESS")))
+      s.read.parquet(ordBase)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sv"))
+        .write.mode("overwrite").parquet(ordMv)
+    val (_, custReg) = segNationMv(s, d) // the shared customer view
     val rule = MvRewrite.install(s, Seq(
-      MvRewrite.Registration(
-        baseTag = "customer.parquet",
-        groupCols = Seq("c_mktsegment", "c_nationkey"),
-        aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
-        mv = () => s.read.parquet(custMv)),
+      custReg,
       MvRewrite.Registration(
         baseTag = "orders.parquet",
         groupCols = Seq("o_orderpriority"),
@@ -1643,7 +1647,7 @@ object Cdc {
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_members"),
             sum(col("c_custkey")).as("key_sum")),
-        "custmv", "customer.parquet")
+        "graft_mv_segnation", "customer.parquet")
       val pri = routedToMv(s, s.read.parquet(ordBase)
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_members"),
@@ -1680,28 +1684,16 @@ object Cdc {
     */
   def qCdcMvHaving(s: SparkSession, d: String): DataFrame = {
     import graft.plans.MvRewrite
-    val basePath = s"$d/customer.parquet"
-    val mvPath = gateTmpDir("graft_mv_having", d) + "/mv"
-    val fs = new org.apache.hadoop.fs.Path(mvPath)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    def mvBuild: DataFrame = s.read.parquet(basePath)
-      .groupBy(col("c_mktsegment"), col("c_nationkey"))
-      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
-      mvBuild.write.mode("overwrite").parquet(mvPath)
-    val rule = MvRewrite.install(s, MvRewrite.Registration(
-      baseTag = "customer.parquet",
-      groupCols = Seq("c_mktsegment", "c_nationkey"),
-      aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
-      mv = () => s.read.parquet(mvPath)))
-    try routedToMv(s, s.read.parquet(basePath)
+    val (_, reg) = segNationMv(s, d)
+    val rule = MvRewrite.install(s, reg)
+    try routedToMv(s, s.read.parquet(s"$d/customer.parquet")
         .filter(col("c_nationkey") < 13)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("c_custkey")).as("key_sum"))
         .filter(col("n_members") > 150) // HAVING: reads the agg output
         .orderBy(col("c_mktsegment")),
-      "graft_mv_having", "customer.parquet")
+      "graft_mv_segnation", "customer.parquet")
     finally MvRewrite.uninstall(s, rule)
   }
 

@@ -43,6 +43,30 @@ class ViewDeltaSpec extends SparkSpec {
     assert(got == Seq(("a", "u"), ("c", "u")))
   }
 
+  test("null KEYS are matched null-safely: an unchanged null-keyed " +
+    "group is suppressed, a changed one is one 'u' row (round-11 " +
+    "review: the equi-join emitted a spurious d+c pair every diff)") {
+    val before = v(Seq((null, 2L, 30L), ("a", 1L, 5L)))
+    val unchanged = ViewDelta.diff(before,
+      v(Seq((null, 2L, 30L), ("a", 1L, 5L))), Seq("g"), Seq("n", "t"))
+    assert(unchanged.collect().isEmpty)
+    val updated = ViewDelta.diff(before,
+      v(Seq((null, 3L, 31L), ("a", 1L, 5L))), Seq("g"), Seq("n", "t"))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1))).toSeq
+    assert(updated == Seq((None, "u")))
+  }
+
+  test("empty valueCols degrades to a membership (c/d) feed instead " +
+    "of crashing") {
+    val got = ViewDelta.diff(
+      v(Seq(("a", 1L, 1L), ("b", 1L, 1L))).select("g"),
+      v(Seq(("b", 1L, 1L), ("c", 1L, 1L))).select("g"),
+      Seq("g"), Seq.empty)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a", "d"), ("c", "c")))
+  }
+
   test("multi-column keys diff independently") {
     val s = spark; import s.implicits._
     val before = Seq(("x", 1, 10L), ("x", 2, 20L)).toDF("g", "k", "t")
