@@ -65,6 +65,24 @@ object IncrementalAggView {
       aDelta: DataFrame, bDelta: DataFrame, key: String,
       groupCol: String, metricCol: String, touchedCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    val (a, aS, bS, _) = stepWithTouched(agg, aState, bState, aDelta,
+      bDelta, key, groupCol, metricCol, touchedCol)
+    (a, aS, bS)
+  }
+
+  /** [[step]] that ALSO returns the step's touched-GROUP set — distinct
+    * `g` over the retraction ∪ insertion contribution frontier, i.e.
+    * every group the merge could possibly have rewritten, INCLUDING
+    * groups the step emptied out of the view (a marker-based read of
+    * the merged view would miss exactly those — they are the feed's
+    * 'd' rows). This is the probe [[graft.operators.ViewDelta
+    * .diffTouched]] wants: the per-batch change feed then costs
+    * O(touched), never O(view).
+    */
+  def stepWithTouched(agg: DataFrame, aState: DataFrame, bState: DataFrame,
+      aDelta: DataFrame, bDelta: DataFrame, key: String,
+      groupCol: String, metricCol: String, touchedCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.Materialize.Ops
     val touched = IncrementalJoinView.touchedKeys(aDelta, bDelta, key)
       .stage() // semi-probes (×2), both refreshes, and both carries
@@ -82,9 +100,11 @@ object IncrementalAggView {
     val bT = IncrementalJoinView.refreshTouched(bTouched, bDelta, touched, key)
       .stage() // newC + state carry
     val newC = contribs(aT, bT, key, groupCol, metricCol)
-    (mergeDelta(agg, newC, oldC, touchedCol),
+    val delta = deltaFold(newC, oldC).stage() // merge + touched probe
+    (mergeFold(agg, delta, touchedCol),
       IncrementalJoinView.carryState(aState, touched, aT, key),
-      IncrementalJoinView.carryState(bState, touched, bT, key))
+      IncrementalJoinView.carryState(bState, touched, bT, key),
+      delta.select(col("g")))
   }
 
   /** Fold insertion(+1)/retraction(−1) contribution sets `(key, g, m)`
@@ -96,12 +116,26 @@ object IncrementalAggView {
     * maintenance structure), all others `carried`.
     */
   private[cdc] def mergeDelta(agg: DataFrame, newC: DataFrame,
-      oldC: DataFrame, touchedCol: String): DataFrame = {
-    // per-group algebraic delta; sign folds map-side before any shuffle
-    val delta = newC.withColumn("sign", lit(1L))
+      oldC: DataFrame, touchedCol: String): DataFrame =
+    mergeFold(agg, deltaFold(newC, oldC), touchedCol)
+
+  /** The per-group algebraic delta `(g, dn, dm)` of an
+    * insertion(+1)/retraction(−1) contribution pair; the sign folds
+    * map-side before any shuffle. Its key set IS the step's touched
+    * groups ([[stepWithTouched]] stages and reuses it for both the
+    * merge and the change-feed probe).
+    */
+  private[cdc] def deltaFold(newC: DataFrame, oldC: DataFrame): DataFrame =
+    newC.withColumn("sign", lit(1L))
       .unionByName(oldC.withColumn("sign", lit(-1L)))
       .groupBy(col("g"))
       .agg(sum(col("sign")).as("dn"), sum(col("m") * col("sign")).as("dm"))
+
+  /** Merge a pre-folded [[deltaFold]] frame into the maintained view by
+    * one group-keyed outer join (see [[mergeDelta]] for the contract).
+    */
+  private[cdc] def mergeFold(agg: DataFrame, delta: DataFrame,
+      touchedCol: String): DataFrame =
     agg
       .join(delta.select(col("g").as("dg"), col("dn"), col("dm")),
         col("g") === col("dg"), "full_outer")
@@ -113,5 +147,4 @@ object IncrementalAggView {
         when(col("dg").isNotNull, lit("delta_applied"))
           .otherwise(lit("carried")).as(touchedCol))
       .filter(col("n_members") > 0)
-  }
 }

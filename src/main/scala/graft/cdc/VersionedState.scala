@@ -44,12 +44,16 @@ final class VersionedState(spark: SparkSession, store: String,
     * v-directory naming is parsed (listing through the Hadoop API;
     * `latestVersionBefore`, [[versions]], and [[prune]] all read
     * through here, so retention and visibility can never diverge).
+    * Non-numeric `v*` entries (a temp directory a killed writer left
+    * behind) are SKIPPED, not thrown on: a single stray name must not
+    * brick every read of an otherwise-healthy store.
     */
   private def versionsOf(kind: String): Seq[Long] = {
     val dir = new Path(s"$store/$kind")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
-      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
   }
 
   /** Highest published version STRICTLY below `bound`. The in-stream

@@ -22,15 +22,35 @@ import org.apache.spark.sql.functions._
   * column ('c' rows carry null olds, 'd' rows null news — the
   * before/after images a CDC consumer expects).
   *
-  * Scale shape: one key-partitioned full-outer join of two
+  * Scale shape: [[diff]] is one key-partitioned full-outer join of two
   * group-cardinality frames (both are VIEWS — metadata-sized next to
-  * their base tables), then a narrow filter. At 100 TB the feed stage
-  * costs O(|view|), never O(base); pair it with a maintained view
-  * whose step already knows its touched groups and the join side can
-  * be pre-pruned to them (the gates feed full versions so the diff's
-  * own unchanged-suppression is what the hash pins).
+  * their base tables), then a narrow filter — O(|view|), never
+  * O(base). Paired with a maintained view whose step already knows its
+  * touched groups, [[diffTouched]] semi-joins BOTH sides down to that
+  * set first, so the per-batch feed costs O(touched), the shape a
+  * streaming handler wants (`q_cdc_stream_changefeed` emits it live).
   */
 object ViewDelta {
+
+  /** Generated-name collision guard: the diff output carries `op`,
+    * `old_<v>` / `new_<v>`, and internally `__bk_<k>` / `__ak_<k>` /
+    * `__in_before` / `__in_after` — a view whose own columns land on
+    * those names would silently produce duplicate/ambiguous output
+    * columns (round-11 advisory), so reject them loudly at entry.
+    */
+  private def requireNoReservedNames(keyCols: Seq[String],
+      valueCols: Seq[String]): Unit = {
+    val all = keyCols ++ valueCols
+    require(!all.contains("op"),
+      "ViewDelta: a key/value column named 'op' collides with the feed's op column")
+    require(keyCols.intersect(valueCols).isEmpty,
+      s"ViewDelta: columns ${keyCols.intersect(valueCols)} appear as both key and value")
+    require(all.forall(c => !c.startsWith("__")),
+      "ViewDelta: '__'-prefixed columns collide with internal join aliases")
+    require(keyCols.forall(k =>
+        !valueCols.exists(v => k == s"old_$v" || k == s"new_$v")),
+      "ViewDelta: a key column collides with a value column's old_/new_ image alias")
+  }
 
   /** Diff `before` → `after` on `keyCols`, comparing `valueCols`.
     * Both frames must be key-unique (views are). The key match is
@@ -44,6 +64,7 @@ object ViewDelta {
   def diff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
       valueCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "ViewDelta.diff needs at least one key")
+    requireNoReservedNames(keyCols, valueCols)
     val b = before.select(
       keyCols.map(k => col(k).as(s"__bk_$k")) ++
         valueCols.map(v => col(v).as(s"old_$v")): _*)
@@ -68,5 +89,35 @@ object ViewDelta {
         Seq(col("op")) ++
         valueCols.map(v => col(s"old_$v")) ++
         valueCols.map(v => col(s"new_$v")): _*)
+  }
+
+  /** TOUCHED-KEY-PRUNED diff: [[diff]] restricted to `touchedKeys` (a
+    * frame carrying exactly `keyCols`, key-unique or not — it is only
+    * a semi-join probe). An IVM step already computes the set of
+    * groups its delta could have moved (retraction ∪ insertion
+    * frontier), and every feed row is by definition inside that set —
+    * a key outside it has identical images on both sides and would be
+    * suppressed anyway — so semi-joining BOTH versions down to the
+    * touched set first is value-identical to the full diff while
+    * cutting the join from O(|view|) to O(|touched|) per batch: the
+    * 100 TB shape for a per-micro-batch feed, where the view has
+    * millions of groups and a batch touches hundreds.
+    *
+    * The semi-join uses the same null-safe key match as the diff
+    * itself, so a touched NULL group prunes correctly.
+    */
+  def diffTouched(before: DataFrame, after: DataFrame,
+      touchedKeys: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "ViewDelta.diffTouched needs at least one key")
+    requireNoReservedNames(keyCols, valueCols)
+    def pruned(side: DataFrame): DataFrame = {
+      val probe = touchedKeys
+        .select(keyCols.map(k => col(k).as(s"__tk_$k")): _*)
+      val cond = keyCols.map(k => side(k) <=> probe(s"__tk_$k"))
+        .reduce(_ && _)
+      side.join(probe, cond, "left_semi")
+    }
+    diff(pruned(before), pruned(after), keyCols, valueCols)
   }
 }

@@ -185,9 +185,11 @@ object Adaptive {
     * size instead of protecting local parallelism, which is the
     * CLUSTER posture (the local default trades merge quality for core
     * utilization). The witness reads `partitionSpecs` off the executed
-    * plan's `AQEShuffleReadExec`: the aggregate's exchange must come
-    * back in ≤ an eighth of the configured 200 — a regression to the
-    * static fan-out fails correctness, not just performance.
+    * plan's `AQEShuffleReadExec`: EVERY exchange — the aggregate's hash
+    * shuffle included, not just the orderBy's trivially-small range
+    * read — must come back in ≤ an eighth of the configured 200; a
+    * regression to the static fan-out fails correctness, not just
+    * performance.
     */
   def qAqeCoalesce(s: SparkSession, d: String): DataFrame =
     withConfs(s, Seq(
@@ -206,11 +208,17 @@ object Adaptive {
       // execute FIRST: coalescing exists only in the runtime-adaptive
       // plan, and completed stages hide their bodies — descend
       val out = graft.Materialize.barrier(q)
+      // EVERY AQE shuffle read must come back coalesced (round-11
+      // advisory: reads.min would let the aggregate's exchange keep its
+      // 200-way fan-out as long as the orderBy's trivially-small range
+      // read coalesced) — the aggregate's hash exchange is the one the
+      // contract is about, and the sort's range exchange over a
+      // group-count output coalesces a fortiori
       val reads = Physical.allNodes(Physical.prepared(q)).collect {
         case r: AQEShuffleReadExec => r.partitionSpecs.size
       }
-      require(reads.nonEmpty && reads.min <= 25,
-        s"q_aqe_coalesce: no AQE shuffle read came back below 25 of the " +
+      require(reads.nonEmpty && reads.max <= 25,
+        s"q_aqe_coalesce: an AQE shuffle read kept more than 25 of the " +
           s"configured 200 partitions (got $reads):\n${Physical.prepared(q)}")
       out
     }

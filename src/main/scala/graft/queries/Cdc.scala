@@ -1444,7 +1444,7 @@ object Cdc {
           .groupBy(col("g"))
           .agg(count(lit(1)).as("n_members"),
             sum(col("amount")).as("total_amount")),
-        "smv", "sfact")
+        "smv", "sfact", "sdim")
       finally MvRewrite.uninstall(s, rule)
     routed
       .join(agg.select(col("g"), col("via").as("maintained_via")),
@@ -1515,7 +1515,7 @@ object Cdc {
     * could silently reroute any future bare aggregate over the base).
     */
   private def routedToMv(s: SparkSession, q: DataFrame, mvTag: String,
-      baseTag: String): DataFrame = {
+      baseTags: String*): DataFrame = {
     val opt = q.queryExecution.optimizedPlan
     val leaves = opt.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -1525,8 +1525,10 @@ object Cdc {
           case _ => Seq.empty[String]
         }
     }.flatten
+    // join-bearing callers pass BOTH base tags (round-11 advisory: a
+    // fact-only check would let a plan that re-read the dim slip by)
     require(leaves.exists(_.contains(mvTag)) &&
-      !leaves.exists(_.contains(baseTag)),
+      baseTags.forall(t => !leaves.exists(_.contains(t))),
       s"MV rewrite did not fire: plan reads $leaves")
     org.apache.spark.sql.GraftSqlBridge.ofRows(s, opt)
   }
@@ -1801,7 +1803,7 @@ object Cdc {
           .groupBy(col("g"))
           .agg(count(lit(1)).as("n_members"),
             sum(col("amount")).as("total_amount")),
-        "fkmv", "fkfact")
+        "fkmv", "fkfact", "fkdim")
       finally MvRewrite.uninstall(s, rule)
     routed.join(agg2.select(col("g"), col("maintained_via")), Seq("g"))
       .select(col("g"), col("n_members"), col("total_amount"),

@@ -95,9 +95,17 @@ class VersionedStateSpec extends SparkSpec {
 
   test("prune retains the newest K anchor versions, sweeps every kind " +
     "by the same retained set, and keeps time-travel reads consistent") {
-    val vs = new VersionedState(spark, store, "agg")
-    // store state accumulated above: agg v0/v3/v5, plus the torn
-    // side-state publish aState v7 (never anchored)
+    // self-contained store layout (round-11 advisory: the old version
+    // of this test depended on the earlier tests' accumulated state, so
+    // isolation or reordering broke it): agg v0 (1 row) / v3 (2 rows) /
+    // v5 (1 row), plus a torn side-state publish aState v7 whose anchor
+    // never landed
+    val pruneStore = s"$store-prune"
+    val vs = new VersionedState(spark, pruneStore, "agg")
+    vs.publish("agg", 0L, df(Seq(("a", 1L))))
+    vs.publish("agg", 3L, df(Seq(("a", 2L), ("b", 5L))))
+    vs.publish("agg", 5L, df(Seq(("c", 1L))))
+    vs.publish("aState", 7L, df(Seq(("x", 9L))))
     assert(vs.versions == Seq(0L, 3L, 5L))
     vs.prune(keepLast = 2)
     assert(vs.versions == Seq(3L, 5L))
@@ -107,13 +115,34 @@ class VersionedStateSpec extends SparkSpec {
     assert(vs.readLatest("agg").get.count() == 1)
     // the torn non-anchor version is swept by the SAME retained set
     // (orphan cleanup — it can never be read through the anchor)
-    val fs = new org.apache.hadoop.fs.Path(store)
+    val fs = new org.apache.hadoop.fs.Path(pruneStore)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/aState/v7")))
+    assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$pruneStore/aState/v7")))
     // down to one: latest survives, history is gone
     vs.prune(keepLast = 1)
     assert(vs.versions == Seq(5L))
     assert(vs.readLatest("agg").get.count() == 1)
     intercept[IllegalArgumentException](vs.prune(0))
+  }
+
+  test("a stray non-numeric v* directory is skipped, not thrown on") {
+    // a killed writer can leave a temp directory whose name starts with
+    // 'v' but isn't a version (e.g. a copy tool's v5.parquet_tmp); reads
+    // of the store must keep working rather than die in Long parsing
+    val junkStore = s"$store-junk"
+    val vs = new VersionedState(spark, junkStore, "agg")
+    vs.publish("agg", 2L, df(Seq(("a", 1L))))
+    val fs = new org.apache.hadoop.fs.Path(junkStore)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$junkStore/agg/v5_tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$junkStore/agg/vgarbage"))
+    assert(vs.versions == Seq(2L))
+    assert(vs.latestVersion.contains(2L))
+    assert(vs.readLatest("agg").get.count() == 1)
+    // prune must also tolerate (and not misparse) the stray entries
+    vs.publish("agg", 4L, df(Seq(("b", 2L))))
+    vs.prune(keepLast = 1)
+    assert(vs.versions == Seq(4L))
   }
 }

@@ -77,4 +77,59 @@ class ViewDeltaSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
     assert(got == Seq(("x", 1, "u"), ("y", 1, "c")))
   }
+
+  test("reserved/colliding column names are rejected loudly (round-11 " +
+    "advisory: they used to yield silent duplicate output columns)") {
+    val before = v(Seq(("a", 1L, 1L)))
+    intercept[IllegalArgumentException]( // a key literally named 'op'
+      ViewDelta.diff(before.withColumnRenamed("g", "op"),
+        before.withColumnRenamed("g", "op"), Seq("op"), Seq("n")))
+    intercept[IllegalArgumentException]( // key/value overlap
+      ViewDelta.diff(before, before, Seq("g"), Seq("g", "n")))
+    intercept[IllegalArgumentException]( // internal-prefix collision
+      ViewDelta.diff(before.withColumnRenamed("n", "__in_before"),
+        before.withColumnRenamed("n", "__in_before"),
+        Seq("g"), Seq("__in_before")))
+    intercept[IllegalArgumentException]( // key shaped like a value image
+      ViewDelta.diff(before.withColumnRenamed("g", "old_n"),
+        before.withColumnRenamed("g", "old_n"), Seq("old_n"), Seq("n")))
+  }
+
+  test("diffTouched equals the full diff when the probe covers the " +
+    "change set, prunes both sides to it, and its plan carries the " +
+    "semi-join witness") {
+    val s = spark; import s.implicits._
+    val before = v(Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 4L, 9L),
+      (null, 7L, 7L)))
+    val after = v(Seq(("a", 3L, 42L), ("c", 4L, 9L), ("d", 1L, 7L),
+      (null, 8L, 7L)))
+    // the IVM step's honest touched set: every group either side's
+    // contributions moved — a/b/d and the null group, but NOT c
+    val touched = Seq(Option("a"), Option("b"), Option("d"), Option.empty[String])
+      .toDF("g")
+    val prunedFeed = ViewDelta.diffTouched(before, after, touched,
+      Seq("g"), Seq("n", "t"))
+    // value-identical to the unpruned diff (c is suppressed there too)
+    val full = ViewDelta.diff(before, after, Seq("g"), Seq("n", "t"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(prunedFeed.orderBy("g").collect().map(_.toSeq).toSeq == full)
+    // the null-keyed touched group diffs through the null-safe probe
+    assert(prunedFeed
+      .filter(org.apache.spark.sql.functions.col("g").isNull)
+      .count() == 1)
+    // witness: both sides are semi-joined before the outer diff
+    val semis = prunedFeed.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size == 2,
+      s"expected 2 semi-join prunes, got ${semis.size}")
+    // a probe that EXCLUDES a changed key prunes it from the feed (the
+    // caller's contract is probe ⊇ changed set; this pins the pruning
+    // is real, not a no-op)
+    val partial = ViewDelta.diffTouched(before, after,
+      Seq("a").toDF("g"), Seq("g"), Seq("n", "t"))
+      .collect().map(r => r.getString(0)).toSeq
+    assert(partial == Seq("a"))
+  }
 }
