@@ -84,6 +84,16 @@ final class VersionedState(spark: SparkSession, store: String,
     latestVersionBefore(bound)
       .map(v => spark.read.parquet(s"$store/$kind/v$v"))
 
+  /** The given kind at an EXACT retained version — the time-travel
+    * point read ([[versions]] lists what is retained). The caller asks
+    * for a version it got from [[versions]]/[[latestVersionBefore]];
+    * asking for a pruned or never-published one fails loudly in the
+    * parquet read, which is the right failure for a reproducibility
+    * surface (never silently substitute a neighbor generation).
+    */
+  def readAt(kind: String, version: Long): DataFrame =
+    spark.read.parquet(s"$store/$kind/v$version")
+
   /** Idempotent publish: mode=overwrite on a batch-id-keyed path, so
     * checkpoint-replayed batches rewrite identical bytes.
     */

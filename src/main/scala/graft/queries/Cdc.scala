@@ -957,6 +957,182 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** Handle the stream-changefeed drive returns: the maintained
+    * [[graft.cdc.VersionedState]], plus the checkpoint path and a
+    * single-run closure so `StreamChangefeedSpec` can surgically
+    * un-commit the last batch and force a REAL re-delivery (the
+    * replay-idempotence proof the gate's hash can't express).
+    */
+  private[queries] final case class ChangefeedDrive(
+      state: graft.cdc.VersionedState, ck: String, runOnce: () => Unit)
+
+  /** The IN-LOOP change-feed drive (round-11 verdict item #1): the
+    * [[qCdcStreamIvm]] maintenance loop, now ALSO publishing the
+    * view's own per-micro-batch delta feed FROM the foreachBatch
+    * handler — the reference's consumer chain
+    * (`/root/reference/docs/architecture.md:54-63`) with the VIEW'S
+    * deltas on the wire (the lakehouse Change-Data-Feed shape, live),
+    * not a post-hoc diff of two finished generations.
+    *
+    * Three generations, one micro-batch each, with a full checkpoint
+    * restart between every pair: gen 1 bootstraps (its feed is the
+    * all-'c' CDF bootstrap snapshot), gen 2 carries the A-side group
+    * moves/deletes, gen 3 the B-side balance updates/deletes. Each
+    * delta batch runs [[graft.cdc.IncrementalAggView.stepWithTouched]]
+    * and publishes `ViewDelta.diffTouched(prev, next, touched)` as its
+    * own `feed` kind — NON-anchor, so the agg-last publish discipline
+    * covers a crash between the feed and its anchoring agg version,
+    * and the bounded `readLatestBefore` fold makes a checkpoint-
+    * replayed batch's feed byte-identical (proven by re-delivery in
+    * `StreamChangefeedSpec`). An in-handler `require` witnesses the
+    * PRUNED plan: both diff sides must be semi-joined to the step's
+    * touched-group frontier before the full-outer diff — O(touched)
+    * per batch, never O(view).
+    *
+    * RETENTION runs LIVE in the loop (round-11 verdict item #5): the
+    * handler prunes to the newest 2 generations after its own publish —
+    * the documented ≥ 2 floor of [[graft.cdc.VersionedState.prune]],
+    * because a crash between publish and checkpoint-commit re-delivers
+    * the batch and its replay folds into the PREVIOUS version, which
+    * keepLast = 1 would have swept. After batch 2 the bootstrap
+    * generation is genuinely deleted, so the gate's output (and the
+    * spec's replay) exercise the post-prune store, not a store that
+    * happens to retain everything.
+    */
+  private[queries] def streamChangefeedDrive(s: SparkSession, d: String,
+      base: String): ChangefeedDrive = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    import graft.operators.ViewDelta
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, store, ck) = (s"$base/in", s"$base/store", s"$base/ck")
+    val staged = stageOnce(s, "graft_stream_changefeed_staged", d) { st =>
+      val (a1, a2, b1, b2) = aggViewFixture(s, d)
+      def tag(df: DataFrame, side: String, hasG: Boolean): DataFrame =
+        df.select(lit(side).as("side"), col("id"), col("op"), col("lsn"),
+          (if (hasG) col("g") else lit(null).cast("string")).as("g"),
+          (if (hasG) lit(null).cast("long") else col("balance")).as("bal"))
+      // one file per generation → one micro-batch each, so every feed
+      // version has a closed-form twin the oracle can compute
+      tag(a1, "a", hasG = true).unionByName(tag(b1, "b", hasG = false))
+        .coalesce(1).write.parquet(s"$st/gen1")
+      tag(a2, "a", hasG = true).coalesce(1).write.parquet(s"$st/gen2")
+      tag(b2, "b", hasG = false).coalesce(1).write.parquet(s"$st/gen3")
+    }
+    val state = new graft.cdc.VersionedState(s, store, "agg")
+    val feedCols = Seq("n_members", "total_balance")
+    def view(agg: DataFrame): DataFrame =
+      agg.select(col("g"), col("n_members"),
+        col("total").as("total_balance"))
+    def run(): Unit =
+      s.readStream
+        .schema("side STRING, id INT, op STRING, lsn LONG, g STRING, bal LONG")
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.cache()
+          val aDelta = b.filter(col("side") === "a")
+            .select(col("id"), col("op"), col("lsn"), col("g"))
+          val bDelta = b.filter(col("side") === "b")
+            .select(col("id"), col("op"), col("lsn"),
+              col("bal").as("balance"))
+          // bounded reads (< id): a replayed batch folds into the state
+          // BEFORE its own publish — which also makes its FEED replay
+          // byte-identical (same before, same after, same diff)
+          val (agg2, aS2, bS2, feed) =
+            (state.readLatestBefore("aState", id),
+              state.readLatestBefore("bState", id),
+              state.readLatestBefore("agg", id)) match {
+              case (Some(aS), Some(bS), Some(agg)) =>
+                val (a2, s1, s2, touched) = IncrementalAggView
+                  .stepWithTouched(agg.drop("via"), aS, bS,
+                    aDelta, bDelta, "id", "g", "balance", "via")
+                val f = ViewDelta.diffTouched(view(agg), view(a2),
+                  touched, Seq("g"), feedCols)
+                // loud witness of the O(touched) shape: BOTH versions
+                // must be semi-join-pruned before the full-outer diff
+                val semis = f.queryExecution.optimizedPlan.collect {
+                  case j: org.apache.spark.sql.catalyst.plans.logical.Join
+                      if j.joinType ==
+                        org.apache.spark.sql.catalyst.plans.LeftSemi => j
+                }
+                require(semis.size >= 2,
+                  s"stream changefeed: expected both diff sides " +
+                    s"semi-pruned to the touched set, got ${semis.size}")
+                (a2, s1, s2, f)
+              case _ =>
+                val aS = IncrementalJoinView.sideState(aDelta, "id")
+                val bS = IncrementalJoinView.sideState(bDelta, "id")
+                val boot = IncrementalAggView
+                  .bootstrap(aS, bS, "id", "g", "balance")
+                  .withColumn("via", lit("bootstrap"))
+                // the CDF bootstrap snapshot: everything is a create
+                (boot, aS, bS, ViewDelta.diff(
+                  view(boot).filter(lit(false)), view(boot),
+                  Seq("g"), feedCols))
+            }
+          // non-anchor kinds first (feed included), the version-
+          // anchoring agg LAST: a crash between publishes leaves the
+          // previous version current, feed and all
+          state.publish("feed", id, feed)
+          state.publish("aState", id, aS2)
+          state.publish("bState", id, bS2)
+          state.publish("agg", id, agg2)
+          // LIVE retention: ≥ 2 kept so this batch's own replay (crash
+          // before the checkpoint commit) still finds its fold version
+          state.prune(keepLast = 2)
+          b.unpersist(): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    // state/store partitions sized to state volume (see qCdcTxnStream)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      copyStaged(s, s"$staged/gen1", inDir, "g1")
+      run() // batch 0 bootstraps (and emits the all-'c' snapshot feed)
+      copyStaged(s, s"$staged/gen2", inDir, "g2")
+      run() // batch 1: A-side moves/deletes, restart-resumed
+      copyStaged(s, s"$staged/gen3", inDir, "g3")
+      run() // batch 2: B-side updates/deletes; prune now drops gen 0
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    ChangefeedDrive(state, ck, () => {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try run()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    })
+  }
+
+  /** The gate over [[streamChangefeedDrive]]: emit the RETAINED feed
+    * generations (the bootstrap snapshot feed is pruned by the in-loop
+    * retention — exactly as a real CDF consumer tails only recent
+    * deltas), version-tagged. The oracle computes all three view
+    * generations' closed forms and diffs consecutive pairs with the
+    * same full-outer/suppress-unchanged algebra, so a feed row for an
+    * untouched group, a missed touched group, a wrong before/after
+    * image, a re-bootstrap on either restart, or a non-idempotent feed
+    * publish each hash-mismatch.
+    *
+    * Scale shape: per batch the feed costs O(touched) (witnessed
+    * in-handler), the maintenance step O(|Δ| + touched), the retention
+    * a directory prune — nothing in the loop is O(base), and the
+    * published feed is exactly what a downstream index/cache replays.
+    */
+  def qCdcStreamChangefeed(s: SparkSession, d: String): DataFrame = {
+    val drive = streamChangefeedDrive(s, d,
+      gateTmpDir("graft_stream_changefeed", d))
+    drive.state.versions.map { v =>
+      drive.state.readAt("feed", v).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select(col("version"), col("g"), col("op"),
+        col("old_n_members"), col("old_total_balance"),
+        col("new_n_members"), col("new_total_balance"))
+      .orderBy(col("version"), col("g"))
+  }
+
   /** Transaction span for [[qCdcTxnIvm]]: gen-2 delta events commit in
     * transactions of `tx = id div 24 + 1` — each transaction straddles
     * BOTH side tables (the same entity's customer row and balance row
@@ -2896,6 +3072,55 @@ object Cdc {
     // publish or parquet round-trip loss would shift a group)
     "q_cdc_stream_ivm" -> aggViewOracle,
 
+    // the retained per-micro-batch feeds of the in-loop change-feed
+    // drive: all three view generations from their closed forms (v0 =
+    // bootstrap; v1 = A-side moves/deletes applied; v2 = + B-side
+    // updates/deletes), consecutive pairs diffed with the same
+    // full-outer/suppress-unchanged algebra; version 0's all-'c'
+    // bootstrap feed is pruned by the live keepLast=2 retention, so
+    // the output is feeds 1 and 2 — a feed row for an untouched group,
+    // a wrong image, a re-bootstrap on a restart, or a prune that
+    // swept the wrong generations each hash-mismatch
+    "q_cdc_stream_changefeed" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |m1 AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000 AS BIGINT) AS bal
+         |  FROM c WHERE NOT (id < $AggViewHorizon AND id % 7 = 0)),
+         |v0 AS (SELECT seg || '-' || CAST(id // 100 AS VARCHAR) AS g,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(id * 7 % 1000) AS BIGINT) AS t
+         |  FROM c GROUP BY 1),
+         |v1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal) AS BIGINT) AS t FROM m1 GROUP BY 1),
+         |v2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |                        THEN 500 ELSE 0 END) AS BIGINT) AS t
+         |  FROM m1 WHERE NOT (id < $AggViewHorizon AND id % 5 = 0)
+         |  GROUP BY 1),
+         |f1 AS (SELECT COALESCE(a.g, b.g) AS g,
+         |    CASE WHEN a.g IS NULL THEN 'c'
+         |         WHEN b.g IS NULL THEN 'd' ELSE 'u' END AS op,
+         |    a.n AS old_n_members, a.t AS old_total_balance,
+         |    b.n AS new_n_members, b.t AS new_total_balance
+         |  FROM v0 a FULL OUTER JOIN v1 b ON a.g = b.g
+         |  WHERE a.g IS NULL OR b.g IS NULL OR a.n <> b.n OR a.t <> b.t),
+         |f2 AS (SELECT COALESCE(a.g, b.g) AS g,
+         |    CASE WHEN a.g IS NULL THEN 'c'
+         |         WHEN b.g IS NULL THEN 'd' ELSE 'u' END AS op,
+         |    a.n AS old_n_members, a.t AS old_total_balance,
+         |    b.n AS new_n_members, b.t AS new_total_balance
+         |  FROM v1 a FULL OUTER JOIN v2 b ON a.g = b.g
+         |  WHERE a.g IS NULL OR b.g IS NULL OR a.n <> b.n OR a.t <> b.t)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, * FROM f1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), * FROM f2)
+         |ORDER BY version, g""".stripMargin,
+
     // pure mod-rule closed form: belief BEFORE corrections landed is the
     // original; the same valid instant AFTER is the corrected text for
     // %4 keys; update-era full knowledge prefers the %3 update (valid
@@ -3192,6 +3417,7 @@ object Cdc {
     "q_cdc_view_changefeed" -> (qCdcViewChangefeed _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
+    "q_cdc_stream_changefeed" -> (qCdcStreamChangefeed _),
     "q_cdc_txn_ivm" -> (qCdcTxnIvm _),
     "q_cdc_bitemporal" -> (qCdcBitemporal _),
     "q_cdc_fk_view" -> (qCdcFkView _),
