@@ -1840,6 +1840,145 @@ object Cdc {
     } finally MvRewrite.uninstall(s, rule)
   }
 
+  /** The inverse plan witness: the optimized plan must read the BASE
+    * and must NOT read any `mvTag` path — the stale-registration
+    * fall-through's loud proof (a fall-through that silently kept
+    * routing is exactly the staleness bug [[qCdcMvFresh]] exists to
+    * kill).
+    */
+  private def fellBackToBase(s: SparkSession, q: DataFrame,
+      baseTag: String, mvTag: String): DataFrame = {
+    val opt = q.queryExecution.optimizedPlan
+    val leaves = opt.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(leaves.exists(_.contains(baseTag)) &&
+      !leaves.exists(_.contains(mvTag)),
+      s"stale registration did not fall back to the base: plan reads $leaves")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, opt)
+  }
+
+  /** MV FRESHNESS GUARD ([[graft.plans.MvRewrite.Freshness]], round-11
+    * verdict item #3): a registration certified against one generation
+    * of a maintained [[graft.cdc.VersionedState]] must STOP routing the
+    * moment maintenance publishes a newer one — the alternative is an
+    * installed-but-stale registration silently serving old answers,
+    * the one failure mode the MV gates' uninstall-in-`finally`
+    * discipline couldn't exercise.
+    *
+    * The gate runs the full lifecycle: certify a registration at
+    * anchor version 0 (its `mv` thunk reads exactly v0, its token pins
+    * frontier = 0); apply a maintenance delta — the base parquet moves
+    * to generation 2 AND the store publishes v1 — while the v0
+    * registration stays installed; query the base. The STALE phase
+    * must fall through (plan witness: base read, NO mv path) yet still
+    * answer correctly from the base. Re-certify at v1 and the FRESH
+    * phase must route (witness: mv read, no base) to the same answer.
+    * Both phases hash against ONE post-delta closed form — a guard
+    * that failed open would serve v0's pre-delta rollup in the stale
+    * phase and mismatch.
+    *
+    * Scale shape: the freshness check is one driver-side directory
+    * listing per match attempt; the stale phase costs the base scan
+    * (the honest price of an outdated registration), the fresh phase
+    * the O(groups) MV read.
+    */
+  def qCdcMvFresh(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val base = gateTmpDir("graft_mv_fresh", d)
+    val (basePath, store) = (s"$base/mv_fresh_base", s"$base/store")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val state = new graft.cdc.VersionedState(s, store, "mv")
+    def members(withDelta: Boolean): DataFrame =
+      s.read.parquet(s"$d/customer.parquet").select(
+        lower(col("c_mktsegment")).as("g"),
+        (col("c_custkey").cast("long") * 7L % 1000L +
+          (if (withDelta)
+            when(col("c_custkey") % 3 === 0, 500L).otherwise(0L)
+          else lit(0L))).as("m"))
+    def rollup(m: DataFrame): DataFrame = m.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_members"), sum(col("m")).as("total"))
+    def regAt(v: Long) = MvRewrite.Registration(
+      baseTag = "mv_fresh_base", groupCols = Seq("g"),
+      aggSpecs = Seq(("count", None), ("sum", Some("m"))),
+      mv = () => state.readAt("mv", v),
+      freshness = Some(MvRewrite.Freshness(() => state.latestVersion, v)))
+    // generation 1: certify at v0 (the pre-delta base and rollup)
+    state.publish("mv", 0L, rollup(members(withDelta = false)))
+    // maintenance applies a delta: the base moves to generation 2 and
+    // the store publishes v1 — but the v0 registration stays installed
+    members(withDelta = true).write.mode("overwrite").parquet(basePath)
+    state.publish("mv", 1L, rollup(members(withDelta = true)))
+    def aggOverBase: DataFrame = s.read.parquet(basePath)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_members"), sum(col("m")).as("total"))
+    // STALE phase: token 0 vs live frontier 1 → must fall through to
+    // the base (and therefore answer with post-delta values)
+    val staleRule = MvRewrite.install(s, regAt(0L))
+    val stale =
+      try fellBackToBase(s, aggOverBase, "mv_fresh_base", "store/mv")
+      finally MvRewrite.uninstall(s, staleRule)
+    // FRESH phase: re-certified at v1 → must route onto the MV
+    val freshRule = MvRewrite.install(s, regAt(1L))
+    val fresh =
+      try routedToMv(s, aggOverBase, "store/mv", "mv_fresh_base")
+      finally MvRewrite.uninstall(s, freshRule)
+    stale.withColumn("phase", lit("stale_fallback"))
+      .unionByName(fresh.withColumn("phase", lit("fresh_routed")))
+      .select(col("phase"), col("g"), col("n_members"), col("total"))
+      .orderBy(col("phase"), col("g"))
+  }
+
+  /** COST-BASED MV CHOICE ([[graft.plans.MvRewrite.RewriteRule]]'s
+    * round-12 selection, verdict stretch item #8): when TWO
+    * registrations subsume the same query — here the shared FINER
+    * (segment, nation) rollup and an EXACT segment-grain view — the
+    * rule must pick the cheaper one (exact grain: the MV row IS the
+    * answer, no re-fold) regardless of registration order. The finer
+    * view is registered FIRST, so the old first-match rule would have
+    * routed onto it and re-aggregated; the witness requires the plan
+    * to read the exact view and NEITHER the base NOR the finer MV, and
+    * the hash (computed from the base) proves the choice preserved
+    * semantics.
+    *
+    * Scale shape: choice is driver-side scoring over O(registrations)
+    * matches; the routed read drops from O(segment × nation groups)
+    * re-folded to O(segment groups) read directly — the gap widens
+    * with every extra grain a warehouse materializes.
+    */
+  def qCdcMvChoice(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val (_, fineReg) = segNationMv(s, d) // (segment, nation) grain
+    val segMv = gateTmpDir("graft_mv_choice", d) + "/segmv"
+    val fs = new org.apache.hadoop.fs.Path(segMv)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$segMv/_SUCCESS")))
+      s.read.parquet(s"$d/customer.parquet")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"))
+        .write.mode("overwrite").parquet(segMv)
+    val segReg = MvRewrite.Registration(
+      baseTag = "customer.parquet", groupCols = Seq("c_mktsegment"),
+      aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
+      mv = () => s.read.parquet(segMv))
+    // the finer view FIRST: registration order must NOT decide
+    val rule = MvRewrite.install(s, Seq(fineReg, segReg))
+    try routedToMv(s, s.read.parquet(s"$d/customer.parquet")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("c_custkey")).as("key_sum"))
+        .orderBy(col("c_mktsegment")),
+      "graft_mv_choice", "customer.parquet", "graft_mv_segnation")
+    finally MvRewrite.uninstall(s, rule)
+  }
+
   /** HAVING over a ROUTED aggregate — the post-aggregation filter shape
     * every dashboard rollup carries ("segments with more than N
     * members"), proving [[graft.plans.MvRewrite]]'s rebinding contract
@@ -2815,6 +2954,35 @@ object Cdc {
         |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    // ONE post-delta closed form for BOTH phases: the stale phase fell
+    // back to the (post-delta) base — had the guard failed open it
+    // would have served v0's pre-delta rollup and mismatched — and the
+    // fresh phase routed onto the v1 MV; the plan witnesses pin which
+    // path each phase actually read
+    "q_cdc_mv_fresh" ->
+      """WITH m AS (SELECT lower(c_mktsegment) AS g,
+        |    CAST(c_custkey * 7 % 1000
+        |      + CASE WHEN c_custkey % 3 = 0 THEN 500 ELSE 0 END
+        |      AS BIGINT) AS m
+        |  FROM customer),
+        |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(m) AS BIGINT) AS total FROM m GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'fresh_routed' AS phase, g, n_members, total FROM v
+        |  UNION ALL
+        |  SELECT 'stale_fallback', g, n_members, total FROM v)
+        |ORDER BY phase, g""".stripMargin,
+
+    // computed from the BASE; the plan witness requires the EXACT
+    // segment-grain view was read and neither the base nor the finer
+    // (segment, nation) registration that was installed FIRST — the
+    // hash then proves the cost-based choice preserved semantics
+    "q_cdc_mv_choice" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     // computed from the BASE table — the gate's plan filters and
     // re-folds the finer MV through the widened algebra, so equality
     // proves the min/max semilattice folds and the avg sum/count
@@ -3427,6 +3595,8 @@ object Cdc {
     "q_cdc_mv_rollup" -> (qCdcMvRollup _),
     "q_cdc_mv_having" -> (qCdcMvHaving _),
     "q_cdc_mv_multi" -> (qCdcMvMulti _),
+    "q_cdc_mv_fresh" -> (qCdcMvFresh _),
+    "q_cdc_mv_choice" -> (qCdcMvChoice _),
     "q_cdc_mv_stats" -> (qCdcMvStats _),
     "q_cdc_mv_ivm" -> (qCdcMvIvm _),
     "q_cdc_mv_minmax_ivm" -> (qCdcMvMinmaxIvm _),

@@ -469,6 +469,71 @@ class MvRewriteSpec extends SparkSpec {
     spark.experimental.extraOptimizations = Nil
   }
 
+  test("a freshness token gates routing on the live frontier: routes " +
+    "while frontier == expected, falls back the moment it advances, " +
+    "and resumes under a re-certified registration") {
+    basePath; mvPath
+    // the live frontier a maintenance loop would advance — the rule
+    // must consult it on EVERY match attempt, not capture it once
+    var frontier: Option[Long] = Some(0L)
+    def reg(expected: Long) = MvRewrite.Registration(
+      baseTag = "base.parquet", groupCols = Seq("seg"),
+      aggSpecs = Seq(("count", None), ("sum", Some("v"))),
+      mv = () => spark.read.parquet(mvPath),
+      freshness = Some(MvRewrite.Freshness(() => frontier, expected)))
+    val rule = MvRewrite.install(spark, reg(0L))
+    try {
+      assert(scanPaths(agg).exists(_.contains("mv.parquet")),
+        "certified registration must route while the frontier matches")
+      frontier = Some(1L) // maintenance published a newer generation
+      assert(scanPaths(agg).exists(_.contains("base.parquet")) &&
+        !scanPaths(agg).exists(_.contains("mv.parquet")),
+        "stale registration must fall through to the base")
+      frontier = None // store wiped entirely: also stale
+      assert(!scanPaths(agg).exists(_.contains("mv.parquet")))
+    } finally MvRewrite.uninstall(spark, rule)
+    frontier = Some(1L)
+    val recert = MvRewrite.install(spark, reg(1L))
+    try assert(scanPaths(agg).exists(_.contains("mv.parquet")),
+      "re-certified registration must resume routing")
+    finally MvRewrite.uninstall(spark, recert)
+  }
+
+  test("cost-based choice: the exact-grain view beats a finer rollup " +
+    "registered FIRST; a query only the finer view answers still " +
+    "routes onto it") {
+    basePath; mvPath
+    // finer view: (seg, id) grain — answers the seg query only by
+    // re-folding its refinement; the exact seg view needs no re-fold
+    val finePath = tmpDir("graft-mv-fine") + "/finemv.parquet"
+    spark.read.parquet(basePath).groupBy(col("seg"), col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .write.parquet(finePath)
+    val fineReg = MvRewrite.Registration("base.parquet",
+      Seq("seg", "id"), Seq(("count", None), ("sum", Some("v"))),
+      () => spark.read.parquet(finePath))
+    val exactReg = MvRewrite.Registration("base.parquet", Seq("seg"),
+      Seq(("count", None), ("sum", Some("v"))),
+      () => spark.read.parquet(mvPath))
+    val rule = MvRewrite.install(spark, Seq(fineReg, exactReg))
+    try {
+      // both subsume the seg query; the EXACT one must win despite
+      // the finer being first in registration order
+      assert(scanPaths(agg).exists(_.contains("mv.parquet")) &&
+        !scanPaths(agg).exists(_.contains("finemv.parquet")),
+        s"exact-grain view must win: ${scanPaths(agg)}")
+      assert(agg.orderBy(col("seg")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 30L), ("b", 2L, 12L), ("c", 1L, 1L)))
+      // only the finer view answers the (seg, id) grain
+      val fineQ = spark.read.parquet(basePath)
+        .groupBy(col("seg"), col("id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(fineQ).exists(_.contains("finemv.parquet")),
+        s"finer-only query must still route: ${scanPaths(fineQ)}")
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+
   test("the per-rule enabled switch suppresses the rewrite (the MV " +
     "build window) without touching other registrations") {
     installed { rule =>
