@@ -65,8 +65,8 @@ object IncrementalAggView {
       aDelta: DataFrame, bDelta: DataFrame, key: String,
       groupCol: String, metricCol: String, touchedCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (a, aS, bS, _) = stepWithTouched(agg, aState, bState, aDelta,
-      bDelta, key, groupCol, metricCol, touchedCol)
+    val (a, aS, bS, _) = stepCore(agg, aState, bState, aDelta,
+      bDelta, key, groupCol, metricCol, touchedCol, wantTouched = false)
     (a, aS, bS)
   }
 
@@ -77,11 +77,23 @@ object IncrementalAggView {
     * the merged view would miss exactly those — they are the feed's
     * 'd' rows). This is the probe [[graft.operators.ViewDelta
     * .diffTouched]] wants: the per-batch change feed then costs
-    * O(touched), never O(view).
+    * O(touched), never O(view). Only THIS variant stages the delta
+    * fold (it is consumed twice — merge and probe); the plain [[step]]
+    * keeps it lazy inside the merge plan, where staging would add a
+    * whole extra materialization pass per step (measured +1.9 s on the
+    * two-step `q_cdc_mv_ivm` when round 12 briefly staged both paths).
     */
   def stepWithTouched(agg: DataFrame, aState: DataFrame, bState: DataFrame,
       aDelta: DataFrame, bDelta: DataFrame, key: String,
       groupCol: String, metricCol: String, touchedCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    stepCore(agg, aState, bState, aDelta, bDelta, key, groupCol,
+      metricCol, touchedCol, wantTouched = true)
+
+  private def stepCore(agg: DataFrame, aState: DataFrame,
+      bState: DataFrame, aDelta: DataFrame, bDelta: DataFrame,
+      key: String, groupCol: String, metricCol: String,
+      touchedCol: String, wantTouched: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.Materialize.Ops
     val touched = IncrementalJoinView.touchedKeys(aDelta, bDelta, key)
@@ -100,11 +112,14 @@ object IncrementalAggView {
     val bT = IncrementalJoinView.refreshTouched(bTouched, bDelta, touched, key)
       .stage() // newC + state carry
     val newC = contribs(aT, bT, key, groupCol, metricCol)
-    val delta = deltaFold(newC, oldC).stage() // merge + touched probe
-    (mergeFold(agg, delta, touchedCol),
-      IncrementalJoinView.carryState(aState, touched, aT, key),
-      IncrementalJoinView.carryState(bState, touched, bT, key),
-      delta.select(col("g")))
+    val aCarry = IncrementalJoinView.carryState(aState, touched, aT, key)
+    val bCarry = IncrementalJoinView.carryState(bState, touched, bT, key)
+    if (wantTouched) {
+      val delta = deltaFold(newC, oldC).stage() // merge + touched probe
+      (mergeFold(agg, delta, touchedCol), aCarry, bCarry,
+        delta.select(col("g")))
+    } else
+      (mergeDelta(agg, newC, oldC, touchedCol), aCarry, bCarry, null)
   }
 
   /** Fold insertion(+1)/retraction(−1) contribution sets `(key, g, m)`

@@ -91,6 +91,37 @@ object ViewDelta {
         valueCols.map(v => col(s"new_$v")): _*)
   }
 
+  /** APPLY a change feed to a view snapshot — the CONSUMER half of the
+    * CDF pair (a downstream cache/index holds version N, receives the
+    * N→N+1 feed, and must land on version N+1 without ever seeing the
+    * producer's base tables): every key the feed mentions is replaced —
+    * 'd' keys dropped, 'c'/'u' keys take their `new_*` images — and
+    * every unmentioned key carries unchanged. `diff` then `applyDelta`
+    * round-trips by construction: the feed mentions exactly the keys
+    * whose images differ, so replacing them reproduces `after`
+    * (spec-pinned in `ViewDeltaSpec`, hash-gated by
+    * `q_cdc_feed_apply`).
+    *
+    * Scale shape: one null-safe keyed anti-join of the view against
+    * the feed's keys (O(|view| + |feed|)) plus an O(|feed|) projection
+    * union — never O(base), and the feed side is delta-sized by the
+    * producer's suppression contract.
+    */
+  def applyDelta(base: DataFrame, feed: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "ViewDelta.applyDelta needs at least one key")
+    requireNoReservedNames(keyCols, valueCols)
+    val probe = feed.select(keyCols.map(k => col(k).as(s"__fk_$k")): _*)
+    val cond = keyCols.map(k => base(k) <=> probe(s"__fk_$k"))
+      .reduce(_ && _)
+    val carried = base.join(probe, cond, "left_anti")
+      .select((keyCols ++ valueCols).map(col): _*)
+    val upserts = feed.filter(col("op") =!= "d")
+      .select(keyCols.map(col) ++
+        valueCols.map(v => col(s"new_$v").as(v)): _*)
+    carried.unionByName(upserts)
+  }
+
   /** TOUCHED-KEY-PRUNED diff: [[diff]] restricted to `touchedKeys` (a
     * frame carrying exactly `keyCols`, key-unique or not — it is only
     * a semi-join probe). An IVM step already computes the set of

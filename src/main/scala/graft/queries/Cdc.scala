@@ -843,6 +843,45 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** FEED APPLY — the CONSUMER half of the change-feed pair
+    * ([[graft.operators.ViewDelta.applyDelta]]): a downstream
+    * cache/index holds generation 1 of the view, receives the 1→2
+    * feed, and must reconstruct generation 2 WITHOUT reading the
+    * producer's base tables — the contract that makes a change feed
+    * worth emitting at all. The gate runs the [[qCdcAggView]]
+    * bootstrap + one maintenance step, diffs the generations
+    * ([[qCdcViewChangefeed]]'s producer side), then applies the feed
+    * back onto generation 1 and emits the RECONSTRUCTION; the oracle
+    * computes generation 2's rollup directly from the fixture's
+    * closed form, so a dropped 'd', a stale image, or a carried key
+    * the feed should have replaced all hash-mismatch.
+    *
+    * Scale shape: the apply is one view-keyed anti-join + an
+    * O(|feed|) union — the consumer never touches the base; at 100 TB
+    * this is the difference between shipping deltas to N indexes and
+    * N full re-materializations.
+    */
+  def qCdcFeedApply(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    import graft.Materialize.Ops
+    val (a1, a2, b1, b2) = aggViewFixture(s, d)
+    val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val agg1 = IncrementalAggView
+      .bootstrap(aState1, bState1, "id", "g", "balance")
+      .stage() // step input, diff before-image, AND the apply base
+    val (agg2, _, _) = IncrementalAggView.step(agg1, aState1, bState1,
+      a2, b2, "id", "g", "balance", "via")
+    val cols = Seq("n_members", "total_balance")
+    def view(agg: DataFrame): DataFrame =
+      agg.select(col("g"), col("n_members"),
+        col("total").as("total_balance"))
+    val feed = graft.operators.ViewDelta.diff(view(agg1), view(agg2),
+      Seq("g"), cols)
+    graft.operators.ViewDelta.applyDelta(view(agg1), feed, Seq("g"), cols)
+      .orderBy(col("g"))
+  }
+
   /** The STREAMING drive of incremental aggregate-view maintenance
     * inside the hash gate (round-7 verdict item #2 — previously only a
     * spec): the same two-generation fixture as [[qCdcAggView]], but
@@ -3240,6 +3279,27 @@ object Cdc {
     // publish or parquet round-trip loss would shift a group)
     "q_cdc_stream_ivm" -> aggViewOracle,
 
+    // the CONSUMER-side reconstruction: generation 2's rollup computed
+    // directly from the fixture's closed form — the gate reaches it by
+    // applying the 1→2 feed onto generation 1 only, so a dropped 'd',
+    // a stale new_* image, or an unreplaced touched key hash-mismatch
+    "q_cdc_feed_apply" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |f AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000
+         |      + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+         |  FROM c
+         |  WHERE NOT (id < $AggViewHorizon
+         |             AND (id % 7 = 0 OR id % 5 = 0)))
+         |SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(bal) AS BIGINT) AS total_balance
+         |FROM f GROUP BY 1 ORDER BY g""".stripMargin,
+
     // the retained per-micro-batch feeds of the in-loop change-feed
     // drive: all three view generations from their closed forms (v0 =
     // bootstrap; v1 = A-side moves/deletes applied; v2 = + B-side
@@ -3583,6 +3643,7 @@ object Cdc {
     "q_cdc_join_view" -> (qCdcJoinView _),
     "q_cdc_agg_view" -> (qCdcAggView _),
     "q_cdc_view_changefeed" -> (qCdcViewChangefeed _),
+    "q_cdc_feed_apply" -> (qCdcFeedApply _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
     "q_cdc_stream_changefeed" -> (qCdcStreamChangefeed _),

@@ -78,6 +78,28 @@ class ViewDeltaSpec extends SparkSpec {
     assert(got == Seq(("x", 1, "u"), ("y", 1, "c")))
   }
 
+  test("applyDelta round-trips the diff: applying the feed to the " +
+    "before image reproduces the after image — c/d/u, null keys and " +
+    "null values included") {
+    val before = v(Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 4L, 9L),
+      (null, 7L, null)))
+    val after = v(Seq(("a", 3L, 42L), ("c", 4L, 9L), ("d", 1L, 7L),
+      (null, 8L, null)))
+    val feed = ViewDelta.diff(before, after, Seq("g"), Seq("n", "t"))
+    val got = ViewDelta
+      .applyDelta(before, feed, Seq("g"), Seq("n", "t"))
+      .orderBy("g", "n").collect().map(_.toSeq).toSeq
+    val want = after.orderBy("g", "n").collect().map(_.toSeq).toSeq
+    assert(got == want, s"$got != $want")
+    // an EMPTY feed applies as identity (nothing changed)
+    val idGot = ViewDelta
+      .applyDelta(before, feed.filter(org.apache.spark.sql.functions
+        .lit(false)), Seq("g"), Seq("n", "t"))
+      .orderBy("g", "n").collect().map(_.toSeq).toSeq
+    assert(idGot == before.orderBy("g", "n").collect()
+      .map(_.toSeq).toSeq)
+  }
+
   test("reserved/colliding column names are rejected loudly (round-11 " +
     "advisory: they used to yield silent duplicate output columns)") {
     val before = v(Seq(("a", 1L, 1L)))
