@@ -122,6 +122,49 @@ object ViewDelta {
     carried.unionByName(upserts)
   }
 
+  /** CASCADE a change feed into a DOWNSTREAM aggregate — the "next IVM
+    * stage" consumer: `down` materializes
+    * `SELECT groupOf(key) AS groupName, count(*) AS n_rows,
+    * sum(v) AS sum_<v>… FROM upstreamView GROUP BY 1`, and one feed of
+    * the upstream view moves it algebraically — every feed row is a
+    * retraction of its `old_*` image ('d'/'u') and/or an insertion of
+    * its `new_*` image ('c'/'u'), so the per-group delta is one
+    * O(|feed|) signed fold, merged by one group-keyed outer join.
+    * Downstream groups reaching zero rows leave the view. The upstream
+    * view itself is NEVER read — aggregate views compose down a feed
+    * chain the way the DBSP/Materialize dataflow model promises, each
+    * stage O(its own feed).
+    *
+    * `groupOf` is an expression over the feed's KEY columns (the same
+    * key on both images — a feed row never moves between downstream
+    * groups, which is what makes the signed fold exact). Sum columns
+    * follow SQL sum semantics: null images contribute nothing.
+    */
+  def cascadeAgg(down: DataFrame, feed: DataFrame,
+      groupOf: org.apache.spark.sql.Column, groupName: String,
+      valueCols: Seq[String]): DataFrame = {
+    val minus = feed.filter(col("op") =!= "c").select(
+      groupOf.as(groupName) +: lit(-1L).as("__dn") +:
+        valueCols.map(v => (-col(s"old_$v")).as(s"__d_$v")): _*)
+    val plus = feed.filter(col("op") =!= "d").select(
+      groupOf.as(groupName) +: lit(1L).as("__dn") +:
+        valueCols.map(v => col(s"new_$v").as(s"__d_$v")): _*)
+    // the signed fold partially aggregates map-side before any shuffle
+    val delta = plus.unionByName(minus).groupBy(col(groupName))
+      .agg(sum(col("__dn")).as("__dn"),
+        valueCols.map(v => sum(col(s"__d_$v")).as(s"__d_$v")): _*)
+      .withColumnRenamed(groupName, "__dg")
+    down.join(delta, col(groupName) <=> col("__dg"), "full_outer")
+      .select(
+        coalesce(col(groupName), col("__dg")).as(groupName) +:
+          (coalesce(col("n_rows"), lit(0L)) +
+            coalesce(col("__dn"), lit(0L))).as("n_rows") +:
+          valueCols.map(v =>
+            (coalesce(col(s"sum_$v"), lit(0L)) +
+              coalesce(col(s"__d_$v"), lit(0L))).as(s"sum_$v")): _*)
+      .filter(col("n_rows") > 0)
+  }
+
   /** TOUCHED-KEY-PRUNED diff: [[diff]] restricted to `touchedKeys` (a
     * frame carrying exactly `keyCols`, key-unique or not — it is only
     * a semi-join probe). An IVM step already computes the set of

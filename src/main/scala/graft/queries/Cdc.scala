@@ -882,6 +882,56 @@ object Cdc {
       .orderBy(col("g"))
   }
 
+  /** FEED CASCADE — the remaining consumer shape
+    * ([[graft.operators.ViewDelta.cascadeAgg]]): a SECOND aggregate
+    * stage maintained purely from the FIRST view's change feed, the
+    * composability that makes feeds a dataflow primitive rather than a
+    * notification (the DBSP/Materialize cascade). The gate bootstraps
+    * the [[qCdcAggView]] view (v0), derives its coarser
+    * segment-rollup w0 = groups/members/balance per `seg` (the part of
+    * `g` before the bucket suffix), runs one maintenance step to v1,
+    * diffs v0→v1, and moves w0→w1 FROM THE FEED ALONE — one O(|feed|)
+    * signed fold + one group-keyed merge; neither v1 nor any base
+    * table is read by the cascade. The oracle computes w1 directly
+    * from the post-delta closed form, so a missed retraction, a
+    * double-counted upsert, or a downstream group that failed to
+    * appear ('moved') or empty out all hash-mismatch.
+    *
+    * Scale shape: each downstream stage costs O(its own feed) per
+    * batch — at 100 TB a chain of N rollups updates for the price of
+    * the deltas flowing through it, never N × O(view) recomputes.
+    */
+  def qCdcFeedCascade(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    import graft.Materialize.Ops
+    val (a1, a2, b1, b2) = aggViewFixture(s, d)
+    val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val agg1 = IncrementalAggView
+      .bootstrap(aState1, bState1, "id", "g", "balance")
+      .stage() // step input, diff before-image, AND the w0 build
+    val (agg2, _, _) = IncrementalAggView.step(agg1, aState1, bState1,
+      a2, b2, "id", "g", "balance", "via")
+    val cols = Seq("n_members", "total_balance")
+    def view(agg: DataFrame): DataFrame =
+      agg.select(col("g"), col("n_members"),
+        col("total").as("total_balance"))
+    val segOf = substring_index(col("g"), "-", 1)
+    // w0: the downstream rollup of the BOOTSTRAP view
+    val w0 = view(agg1).groupBy(segOf.as("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_members")).as("sum_n_members"),
+        sum(col("total_balance")).as("sum_total_balance"))
+    // w1: maintained from the v0→v1 feed alone
+    val feed = graft.operators.ViewDelta.diff(view(agg1), view(agg2),
+      Seq("g"), cols)
+    graft.operators.ViewDelta.cascadeAgg(w0, feed, segOf, "seg", cols)
+      .select(col("seg"), col("n_rows").as("n_groups"),
+        col("sum_n_members").as("members"),
+        col("sum_total_balance").as("balance"))
+      .orderBy(col("seg"))
+  }
+
   /** The STREAMING drive of incremental aggregate-view maintenance
     * inside the hash gate (round-7 verdict item #2 — previously only a
     * spec): the same two-generation fixture as [[qCdcAggView]], but
@@ -1646,12 +1696,20 @@ object Cdc {
     state.readLatest("dState").get
       .select(col("d_id"), col("g"))
       .write.mode("overwrite").parquet(dimPath)
+    // the registration carries the freshness token (round-12): it is
+    // certified against the drive's CURRENT anchor frontier, so if a
+    // later maintenance batch published behind this gate's back the
+    // rule would fall through to the base instead of serving the
+    // now-stale mvPath copy — the q_cdc_mv_fresh rail on the flagship
     val rule = MvRewrite.install(s, MvRewrite.Registration(
       baseTag = "sfact", groupCols = Seq("g"),
       aggSpecs = Seq(("count", None), ("sum", Some("amount"))),
       mv = () => s.read.parquet(mvPath),
       join = Some(MvRewrite.JoinSpec("sfact", "sdim",
-        "cust_id", "d_id"))))
+        "cust_id", "d_id")),
+      freshness = Some(MvRewrite.Freshness(() => state.latestVersion,
+        state.latestVersion.getOrElse(sys.error(
+          "q_cdc_mv_stream_ivm: drive published no version"))))))
     val routed =
       try routedToMv(s,
         s.read.parquet(factPath)
@@ -3279,6 +3337,33 @@ object Cdc {
     // publish or parquet round-trip loss would shift a group)
     "q_cdc_stream_ivm" -> aggViewOracle,
 
+    // the CASCADE stage: the downstream segment rollup of the
+    // post-delta view, computed directly from the closed form — the
+    // gate reaches it by folding the v0→v1 feed into the BOOTSTRAP
+    // rollup only (neither v1 nor any base read), so a missed
+    // retraction, a double-counted upsert, or a phantom/missing
+    // downstream group all hash-mismatch
+    "q_cdc_feed_cascade" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |f AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000
+         |      + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+         |  FROM c
+         |  WHERE NOT (id < $AggViewHorizon
+         |             AND (id % 7 = 0 OR id % 5 = 0))),
+         |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal) AS BIGINT) AS t FROM f GROUP BY 1)
+         |SELECT split_part(g, '-', 1) AS seg,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(n) AS BIGINT) AS members,
+         |  CAST(sum(t) AS BIGINT) AS balance
+         |FROM v GROUP BY 1 ORDER BY seg""".stripMargin,
+
     // the CONSUMER-side reconstruction: generation 2's rollup computed
     // directly from the fixture's closed form — the gate reaches it by
     // applying the 1→2 feed onto generation 1 only, so a dropped 'd',
@@ -3644,6 +3729,7 @@ object Cdc {
     "q_cdc_agg_view" -> (qCdcAggView _),
     "q_cdc_view_changefeed" -> (qCdcViewChangefeed _),
     "q_cdc_feed_apply" -> (qCdcFeedApply _),
+    "q_cdc_feed_cascade" -> (qCdcFeedCascade _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
     "q_cdc_stream_changefeed" -> (qCdcStreamChangefeed _),

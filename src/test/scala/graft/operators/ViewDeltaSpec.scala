@@ -100,6 +100,29 @@ class ViewDeltaSpec extends SparkSpec {
       .map(_.toSeq).toSeq)
   }
 
+  test("cascadeAgg moves a downstream rollup from the feed alone — " +
+    "group emptied out, group created, and update deltas all exact") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum,
+      substring_index}
+    // upstream view keyed by g; downstream groups by the part before
+    // the dash. 'x-2' is the ONLY x member and gets deleted (downstream
+    // group must vanish); 'z-1' is created (downstream group appears);
+    // 'y-1' updates in place.
+    val before = v(Seq(("x-2", 1L, 10L), ("y-1", 2L, 5L), ("y-2", 3L, 6L)))
+    val after = v(Seq(("y-1", 4L, 9L), ("y-2", 3L, 6L), ("z-1", 1L, 2L)))
+    def down(view: org.apache.spark.sql.DataFrame) =
+      view.groupBy(substring_index(col("g"), "-", 1).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"),
+          sum(col("t")).as("sum_t"))
+    val feed = ViewDelta.diff(before, after, Seq("g"), Seq("n", "t"))
+    val got = ViewDelta.cascadeAgg(down(before), feed,
+        substring_index(col("g"), "-", 1), "h", Seq("n", "t"))
+      .orderBy("h").collect().map(_.toSeq).toSeq
+    val want = down(after).orderBy("h").collect().map(_.toSeq).toSeq
+    assert(got == want, s"$got != $want")
+    assert(got.map(_.head) == Seq("y", "z"), "x emptied, z appeared")
+  }
+
   test("reserved/colliding column names are rejected loudly (round-11 " +
     "advisory: they used to yield silent duplicate output columns)") {
     val before = v(Seq(("a", 1L, 1L)))
