@@ -1078,6 +1078,15 @@ object Cdc {
     * touched-group frontier before the full-outer diff — O(touched)
     * per batch, never O(view).
     *
+    * The handler ALSO maintains the DOWNSTREAM cascade stage `down`
+    * ([[graft.operators.ViewDelta.cascadeAgg]]) from each batch's feed
+    * alone — the full dataflow chain live (stream → view → feed →
+    * downstream rollup), every stage under the same bounded-read /
+    * non-anchor-first / replay-idempotent discipline; the bootstrap
+    * batch cascades the all-'c' snapshot feed into an empty frame, so
+    * one rule (`w += feed`) maintains every batch. Gated by
+    * [[qCdcStreamCascade]].
+    *
     * RETENTION runs LIVE in the loop (round-11 verdict item #5): the
     * handler prunes to the newest 2 generations after its own publish —
     * the documented ≥ 2 floor of [[graft.cdc.VersionedState.prune]],
@@ -1115,6 +1124,15 @@ object Cdc {
     def view(agg: DataFrame): DataFrame =
       agg.select(col("g"), col("n_members"),
         col("total").as("total_balance"))
+    // the DOWNSTREAM stage's group: the segment prefix of the view key
+    val segOf = substring_index(col("g"), "-", 1)
+    // an empty downstream frame with the cascade's exact schema — the
+    // bootstrap batch cascades the all-'c' snapshot feed into it, so
+    // EVERY batch maintains w by the same one rule: w += feed
+    def emptyW(feed: DataFrame): DataFrame =
+      feed.select(segOf.as("seg"), lit(0L).as("n_rows"),
+        lit(0L).as("sum_n_members"), lit(0L).as("sum_total_balance"))
+        .filter(lit(false))
     def run(): Unit =
       s.readStream
         .schema("side STRING, id INT, op STRING, lsn LONG, g STRING, bal LONG")
@@ -1162,10 +1180,21 @@ object Cdc {
                   view(boot).filter(lit(false)), view(boot),
                   Seq("g"), feedCols))
             }
-          // non-anchor kinds first (feed included), the version-
-          // anchoring agg LAST: a crash between publishes leaves the
-          // previous version current, feed and all
+          // the CASCADE stage, maintained IN the loop purely from this
+          // batch's feed (graft.operators.ViewDelta.cascadeAgg): the
+          // downstream rollup never reads the view or any base — the
+          // bounded read keeps its replay byte-identical exactly like
+          // the feed's, and the bootstrap batch cascades the all-'c'
+          // snapshot feed into the empty frame, so one rule maintains
+          // every batch: w += feed
+          val w = graft.operators.ViewDelta.cascadeAgg(
+            state.readLatestBefore("down", id).getOrElse(emptyW(feed)),
+            feed, segOf, "seg", feedCols)
+          // non-anchor kinds first (feed and cascade included), the
+          // version-anchoring agg LAST: a crash between publishes
+          // leaves the previous version current, feed and all
           state.publish("feed", id, feed)
+          state.publish("down", id, w)
           state.publish("aState", id, aS2)
           state.publish("bState", id, bS2)
           state.publish("agg", id, agg2)
@@ -1220,6 +1249,34 @@ object Cdc {
         col("old_n_members"), col("old_total_balance"),
         col("new_n_members"), col("new_total_balance"))
       .orderBy(col("version"), col("g"))
+  }
+
+  /** The IN-LOOP CASCADE gate over [[streamChangefeedDrive]]: the
+    * `down` kind is the SECOND aggregate stage, maintained inside the
+    * foreachBatch handler purely from each micro-batch's own feed
+    * ([[graft.operators.ViewDelta.cascadeAgg]] — the upstream view and
+    * the base are never read by the stage), across three micro-batches,
+    * two checkpoint restarts, and the live keepLast=2 retention. The
+    * oracle computes the downstream segment rollup directly from the
+    * final view's closed form, so a missed retraction anywhere in the
+    * chain (base delta → view step → feed → cascade), a re-bootstrap
+    * on either restart, or a double-applied replay all hash-mismatch —
+    * this is the reference's consumer chain
+    * (`/root/reference/docs/architecture.md:54-63`) with TWO maintained
+    * stages on the wire.
+    *
+    * Scale shape: the cascade adds O(|feed|) per batch on top of the
+    * drive — a chain of N downstream rollups updates for the price of
+    * the deltas flowing through it, the dataflow-engine contract.
+    */
+  def qCdcStreamCascade(s: SparkSession, d: String): DataFrame = {
+    val drive = streamChangefeedDrive(s, d,
+      gateTmpDir("graft_stream_cascade", d))
+    drive.state.readLatest("down").get
+      .select(col("seg"), col("n_rows").as("n_groups"),
+        col("sum_n_members").as("members"),
+        col("sum_total_balance").as("balance"))
+      .orderBy(col("seg"))
   }
 
   /** Transaction span for [[qCdcTxnIvm]]: gen-2 delta events commit in
@@ -3337,6 +3394,33 @@ object Cdc {
     // publish or parquet round-trip loss would shift a group)
     "q_cdc_stream_ivm" -> aggViewOracle,
 
+    // the IN-LOOP cascade: the downstream segment rollup of the
+    // changefeed drive's FINAL view (three micro-batches, two
+    // restarts, live retention), computed directly from the closed
+    // form — the gate's `down` state was maintained per batch from
+    // the feed alone, so a missed retraction anywhere in the chain,
+    // a re-bootstrap on a restart, or a double-applied replay all
+    // hash-mismatch
+    "q_cdc_stream_cascade" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |m1 AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000 AS BIGINT) AS bal
+         |  FROM c WHERE NOT (id < $AggViewHorizon AND id % 7 = 0)),
+         |v2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |                        THEN 500 ELSE 0 END) AS BIGINT) AS t
+         |  FROM m1 WHERE NOT (id < $AggViewHorizon AND id % 5 = 0)
+         |  GROUP BY 1)
+         |SELECT split_part(g, '-', 1) AS seg,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(n) AS BIGINT) AS members,
+         |  CAST(sum(t) AS BIGINT) AS balance
+         |FROM v2 GROUP BY 1 ORDER BY seg""".stripMargin,
+
     // the CASCADE stage: the downstream segment rollup of the
     // post-delta view, computed directly from the closed form — the
     // gate reaches it by folding the v0→v1 feed into the BOOTSTRAP
@@ -3730,6 +3814,7 @@ object Cdc {
     "q_cdc_view_changefeed" -> (qCdcViewChangefeed _),
     "q_cdc_feed_apply" -> (qCdcFeedApply _),
     "q_cdc_feed_cascade" -> (qCdcFeedCascade _),
+    "q_cdc_stream_cascade" -> (qCdcStreamCascade _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
     "q_cdc_stream_changefeed" -> (qCdcStreamChangefeed _),

@@ -41,6 +41,11 @@ class StreamChangefeedSpec extends SparkSpec {
     val feed2 = feedAt(2L)
     val agg2 = aggAt(2L)
     assert(feed1.nonEmpty && feed2.nonEmpty)
+    def downAt(v: Long): Seq[Seq[Any]] =
+      state.readAt("down", v).orderBy("seg").collect()
+        .map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val down2 = downAt(2L)
+    assert(down2.nonEmpty)
 
     // checkpoint surgery: un-commit batch 2 so the restarted stream
     // RE-DELIVERS it (offsets intact → same files, same batch id)
@@ -56,5 +61,9 @@ class StreamChangefeedSpec extends SparkSpec {
     assert(feedAt(2L) == feed2, "replayed feed must be byte-identical")
     assert(aggAt(2L) == agg2, "replayed view must be byte-identical")
     assert(feedAt(1L) == feed1, "earlier generations must be untouched")
+    // the cascade stage obeys the same discipline: its replay folded
+    // the re-delivered feed into the RETAINED v1 downstream state
+    assert(downAt(2L) == down2,
+      "replayed cascade stage must be byte-identical")
   }
 }
