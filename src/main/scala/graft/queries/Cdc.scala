@@ -1078,14 +1078,19 @@ object Cdc {
     * touched-group frontier before the full-outer diff — O(touched)
     * per batch, never O(view).
     *
-    * The handler ALSO maintains the DOWNSTREAM cascade stage `down`
+    * With `cascade = true` the handler ALSO maintains the DOWNSTREAM
+    * cascade stage `down`
     * ([[graft.operators.ViewDelta.cascadeAgg]]) from each batch's feed
     * alone — the full dataflow chain live (stream → view → feed →
     * downstream rollup), every stage under the same bounded-read /
     * non-anchor-first / replay-idempotent discipline; the bootstrap
     * batch cascades the all-'c' snapshot feed into an empty frame, so
-    * one rule (`w += feed`) maintains every batch. Gated by
-    * [[qCdcStreamCascade]].
+    * one rule (`w += feed`) maintains every batch. The stage reads the
+    * feed back from its OWN just-published parquet (the wire a real
+    * consumer tails) rather than re-executing the diff lineage. Gated
+    * by [[qCdcStreamCascade]]; the flag keeps each gate priced for its
+    * own contract ([[qCdcStreamChangefeed]] doesn't pay the extra
+    * per-batch publish).
     *
     * RETENTION runs LIVE in the loop (round-11 verdict item #5): the
     * handler prunes to the newest 2 generations after its own publish —
@@ -1098,7 +1103,7 @@ object Cdc {
     * happens to retain everything.
     */
   private[queries] def streamChangefeedDrive(s: SparkSession, d: String,
-      base: String): ChangefeedDrive = {
+      base: String, cascade: Boolean = false): ChangefeedDrive = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.cdc.{IncrementalAggView, IncrementalJoinView}
     import graft.operators.ViewDelta
@@ -1180,21 +1185,28 @@ object Cdc {
                   view(boot).filter(lit(false)), view(boot),
                   Seq("g"), feedCols))
             }
-          // the CASCADE stage, maintained IN the loop purely from this
-          // batch's feed (graft.operators.ViewDelta.cascadeAgg): the
-          // downstream rollup never reads the view or any base — the
-          // bounded read keeps its replay byte-identical exactly like
-          // the feed's, and the bootstrap batch cascades the all-'c'
-          // snapshot feed into the empty frame, so one rule maintains
-          // every batch: w += feed
-          val w = graft.operators.ViewDelta.cascadeAgg(
-            state.readLatestBefore("down", id).getOrElse(emptyW(feed)),
-            feed, segOf, "seg", feedCols)
           // non-anchor kinds first (feed and cascade included), the
           // version-anchoring agg LAST: a crash between publishes
           // leaves the previous version current, feed and all
           state.publish("feed", id, feed)
-          state.publish("down", id, w)
+          // the CASCADE stage (when the caller gates it), maintained IN
+          // the loop purely from this batch's feed
+          // (graft.operators.ViewDelta.cascadeAgg) — read back from the
+          // feed's OWN just-published parquet, exactly the wire a
+          // downstream consumer tails (and one materialized pass
+          // instead of re-executing the diff lineage per publish). The
+          // bounded read keeps its replay byte-identical exactly like
+          // the feed's, and the bootstrap batch cascades the all-'c'
+          // snapshot feed into the empty frame, so one rule maintains
+          // every batch: w += feed
+          if (cascade) {
+            val published = state.readAt("feed", id)
+            val w = graft.operators.ViewDelta.cascadeAgg(
+              state.readLatestBefore("down", id)
+                .getOrElse(emptyW(published)),
+              published, segOf, "seg", feedCols)
+            state.publish("down", id, w)
+          }
           state.publish("aState", id, aS2)
           state.publish("bState", id, bS2)
           state.publish("agg", id, agg2)
@@ -1271,7 +1283,7 @@ object Cdc {
     */
   def qCdcStreamCascade(s: SparkSession, d: String): DataFrame = {
     val drive = streamChangefeedDrive(s, d,
-      gateTmpDir("graft_stream_cascade", d))
+      gateTmpDir("graft_stream_cascade", d), cascade = true)
     drive.state.readLatest("down").get
       .select(col("seg"), col("n_rows").as("n_groups"),
         col("sum_n_members").as("members"),

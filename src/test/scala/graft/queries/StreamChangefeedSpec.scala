@@ -25,7 +25,8 @@ class StreamChangefeedSpec extends SparkSpec {
   test("a re-delivered micro-batch reproduces a byte-identical feed " +
     "post-prune, and retention swept the bootstrap generation live") {
     val s = spark
-    val drive = Cdc.streamChangefeedDrive(s, sf, tmpDir("graft-cf-spec"))
+    val drive = Cdc.streamChangefeedDrive(s, sf, tmpDir("graft-cf-spec"),
+      cascade = true)
     val state = drive.state
 
     // live retention already ran inside the handler: only the newest 2
