@@ -40,7 +40,7 @@ object Bench {
     // single-pass posture).
     locally {
       val wdir =
-        java.nio.file.Files.createTempDirectory("graft_bench_warm").toString
+        java.nio.file.Files.createTempDirectory("graft_bench_warm")
       spark.range(4).write.mode("overwrite").parquet(s"$wdir/in")
       spark.readStream.schema("id LONG").parquet(s"$wdir/in")
         .writeStream
@@ -49,6 +49,9 @@ object Bench {
         .option("checkpointLocation", s"$wdir/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
+      // the warmup scratch dir has served its purpose (round-12 advisory:
+      // it used to leak one temp tree per bench run)
+      org.apache.commons.io.FileUtils.deleteQuietly(wdir.toFile): Unit
     }
     // Queries whose (small: pair-list / top-k / cluster-table) results
     // the eval composites q_dedup_recall / q_dedup_clusters /
@@ -87,6 +90,15 @@ object Bench {
       used / (1024 * 1024)
     }
     var receipts: Map[String, String] = Map.empty
+    // HOST-LOAD SENTINEL (round-12 verdict item #3): a contended run
+    // must self-identify in its artifact instead of masquerading as a
+    // regression. Three fields: system load average at start and end
+    // (co-located load shows here even when it isn't this JVM), and the
+    // run's MEDIAN per-gate cpu/wall ratio (contention collapses it —
+    // the round-12 drift's signature was exactly falling cpu/wall with
+    // rising wall).
+    val loadStart = osBean.getSystemLoadAverage
+    var cpuWallRatios: List[Double] = Nil
     def once(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
@@ -127,6 +139,7 @@ object Bench {
       // latter is default-locale and a comma-decimal locale would
       // corrupt the artifact's JSON
       val ratio2 = math.round(ratio * 100) / 100.0
+      cpuWallRatios ::= ratio2
       receipts += name ->
         s"""{"cpu_per_wall":$ratio2,"gc_ms":$dGc,"stor_mb":$sm}"""
       System.err.println(
@@ -141,6 +154,14 @@ object Bench {
     // inside the full suite); unset = the driver's full contract
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail FAST on names matching no registered gate (round-12 advisory:
+    // a typo used to yield a silently partial suite, quietly invalidating
+    // the attribution run it was meant to serve)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown gates: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (!memoTwins(name), name) }
@@ -259,6 +280,19 @@ object Bench {
     val receiptJson = receipts.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(""","receipts":{""", ",", "}")
+    // the sentinel block (see loadStart above). ncpu is the allocation
+    // the cpu/wall median should sit near on a clean heavy run; load
+    // averages are -1.0 where the platform doesn't report them.
+    val hostJson = {
+      val sortedR = cpuWallRatios.sorted
+      val medR =
+        if (sortedR.isEmpty) 0.0 else sortedR((sortedR.size - 1) / 2)
+      val ls = math.round(loadStart * 100) / 100.0
+      val le = math.round(osBean.getSystemLoadAverage * 100) / 100.0
+      s""","host":{"load_avg_start":$ls,"load_avg_end":$le,""" +
+        s""""ncpu":${Runtime.getRuntime.availableProcessors},""" +
+        s""""cpu_wall_median":$medR}"""
+    }
     def line(qs: String, extra: String = "") =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir","n_queries":${results.size}}"""
     // Full per-query detail goes to the file; stdout gets a COMPACT line
@@ -269,7 +303,7 @@ object Bench {
     // last thing printed.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      line(qJson(results), spreadJson + receiptJson))
+      line(qJson(results), spreadJson + receiptJson + hostJson))
     spark.stop()
     println(line(qJson(results.sortBy(-_._2).take(12))))
   }

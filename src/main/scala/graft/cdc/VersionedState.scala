@@ -119,17 +119,36 @@ final class VersionedState(spark: SparkSession, store: String,
     * streaming checkpoint's commit re-delivers the batch, whose replay
     * reads strictly-earlier state ([[readLatestBefore]]); keepLast = 1
     * would have swept exactly the version the replay folds into.
+    *
+    * STRAY sweep (round-12 advisory): `versionsOf` SKIPS unparseable
+    * `v*` entries so a killed writer's leftover temp directory cannot
+    * brick reads — but skipping alone means such strays accumulate
+    * forever. Prune therefore also deletes v-prefixed entries that
+    * fail to parse AND are older than `strayTtlMs` (default 10 min —
+    * far beyond any single publish, so an in-flight writer's live
+    * `_temporary` staging is never swept from under it).
     */
-  def prune(keepLast: Int): Unit = {
+  def prune(keepLast: Int, strayTtlMs: Long = 10 * 60 * 1000L): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     if (!fs.exists(new Path(s"$store/$anchor"))) return
     val keep = versionsOf(anchor).sorted.takeRight(keepLast).toSet
     val kinds = fs.listStatus(new Path(store)).map(_.getPath.getName)
       .toSeq.filter(_ != anchor) :+ anchor // anchor pruned last
+    val strayCutoff = System.currentTimeMillis() - strayTtlMs
     kinds.foreach { kind =>
       versionsOf(kind).filterNot(keep).foreach { v =>
         fs.delete(new Path(s"$store/$kind/v$v"), true): Unit
       }
+      // orphaned unparseable strays, aged past the safety window
+      val dir = new Path(s"$store/$kind")
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("v") &&
+            scala.util.Try(n.drop(1).toLong).isFailure &&
+            st.getModificationTime < strayCutoff
+        }
+        .foreach(st => fs.delete(st.getPath, true): Unit)
     }
   }
 

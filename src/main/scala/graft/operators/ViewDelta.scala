@@ -137,12 +137,31 @@ object ViewDelta {
     *
     * `groupOf` is an expression over the feed's KEY columns (the same
     * key on both images — a feed row never moves between downstream
-    * groups, which is what makes the signed fold exact). Sum columns
-    * follow SQL sum semantics: null images contribute nothing.
+    * groups, which is what makes the signed fold exact). Null images
+    * contribute nothing to the sums.
+    *
+    * NULL-SUM DIVERGENCE (documented, round-12 advisory): the signed
+    * fold carries sums as plain longs, so a downstream group ALL of
+    * whose upstream values are NULL reads `sum_* = 0` where a direct
+    * SQL recompute would read NULL (SQL's sum over zero non-null
+    * inputs). Distinguishing them would need a per-group non-null
+    * count in the downstream schema; the maintained gates' fixtures
+    * never produce an all-null group, and a consumer that needs the
+    * distinction should materialize `count(v)` as its own summed
+    * column (a 0/1 indicator sum — exactly representable here).
+    *
+    * `down` must carry EXACTLY `groupName, n_rows, sum_<v>…` —
+    * anything else would be silently dropped by the merge projection,
+    * so it is rejected loudly instead.
     */
   def cascadeAgg(down: DataFrame, feed: DataFrame,
       groupOf: org.apache.spark.sql.Column, groupName: String,
       valueCols: Seq[String]): DataFrame = {
+    val expect = groupName +: "n_rows" +: valueCols.map(v => s"sum_$v")
+    require(down.columns.toSeq == expect,
+      s"ViewDelta.cascadeAgg: downstream schema ${down.columns.toSeq} " +
+        s"must be exactly $expect (extra columns would be dropped " +
+        "silently by the merge)")
     val minus = feed.filter(col("op") =!= "c").select(
       groupOf.as(groupName) +: lit(-1L).as("__dn") +:
         valueCols.map(v => (-col(s"old_$v")).as(s"__d_$v")): _*)

@@ -1230,9 +1230,13 @@ object Cdc {
       run() // batch 2: B-side updates/deletes; prune now drops gen 0
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     ChangefeedDrive(state, ck, () => {
+      // capture the CURRENT value, not the drive-construction snapshot:
+      // a caller that changed the setting between the drive and this
+      // replay must get its own value back (round-12 advisory)
+      val cur = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try run()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally s.conf.set("spark.sql.shuffle.partitions", cur)
     })
   }
 

@@ -145,4 +145,25 @@ class VersionedStateSpec extends SparkSpec {
     vs.prune(keepLast = 1)
     assert(vs.versions == Seq(4L))
   }
+
+  test("prune reclaims AGED unparseable strays but never fresh ones " +
+    "(round-12 advisory: skipped strays used to accumulate forever)") {
+    val strayStore = s"$store-stray"
+    val vs = new VersionedState(spark, strayStore, "agg")
+    vs.publish("agg", 1L, df(Seq(("a", 1L))))
+    val fs = new org.apache.hadoop.fs.Path(strayStore)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val aged = new org.apache.hadoop.fs.Path(s"$strayStore/agg/v3_tmp")
+    val fresh = new org.apache.hadoop.fs.Path(s"$strayStore/agg/v4_tmp")
+    fs.mkdirs(aged)
+    fs.mkdirs(fresh)
+    // age one stray past the safety window; leave the other current —
+    // the sweep must take exactly the aged one (a live writer's staging
+    // directory must never be deleted from under it)
+    fs.setTimes(aged, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    vs.prune(keepLast = 1, strayTtlMs = 10 * 60 * 1000L)
+    assert(!fs.exists(aged), "aged stray should have been reclaimed")
+    assert(fs.exists(fresh), "fresh stray must survive the sweep")
+    assert(vs.versions == Seq(1L))
+  }
 }

@@ -100,6 +100,39 @@ class ViewDeltaSpec extends SparkSpec {
       .map(_.toSeq).toSeq)
   }
 
+  test("applyDelta is idempotent under at-least-once delivery: " +
+    "re-applying the same feed (d rows included) is a no-op — the " +
+    "reference's delivery guarantee means a consumer may see one " +
+    "generation twice") {
+    val before = v(Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 4L, 9L),
+      (null, 7L, null)))
+    val after = v(Seq(("a", 3L, 42L), ("c", 4L, 9L), ("d", 1L, 7L),
+      (null, 8L, null)))
+    val feed = ViewDelta.diff(before, after, Seq("g"), Seq("n", "t"))
+    assert(feed.filter(org.apache.spark.sql.functions.col("op") === "d")
+      .count() == 1, "fixture must exercise a 'd'-bearing feed")
+    val applied = ViewDelta.applyDelta(before, feed, Seq("g"), Seq("n", "t"))
+    val twice = ViewDelta.applyDelta(applied, feed, Seq("g"), Seq("n", "t"))
+      .orderBy("g", "n").collect().map(_.toSeq).toSeq
+    assert(twice == applied.orderBy("g", "n").collect().map(_.toSeq).toSeq,
+      "double-applied feed diverged from single application")
+  }
+
+  test("cascadeAgg rejects a downstream frame whose schema is not " +
+    "exactly groupName/n_rows/sum_* (an extra column would be dropped " +
+    "silently by the merge)") {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    val before = v(Seq(("x-1", 1L, 10L)))
+    val feed = ViewDelta.diff(before, v(Seq(("x-1", 2L, 10L))),
+      Seq("g"), Seq("n", "t"))
+    val down = before.select(substring_index(col("g"), "-", 1).as("h"),
+      lit(1L).as("n_rows"), lit(1L).as("sum_n"), lit(10L).as("sum_t"),
+      lit("extra").as("note"))
+    intercept[IllegalArgumentException](
+      ViewDelta.cascadeAgg(down, feed,
+        substring_index(col("g"), "-", 1), "h", Seq("n", "t")))
+  }
+
   test("cascadeAgg moves a downstream rollup from the feed alone — " +
     "group emptied out, group created, and update deltas all exact") {
     import org.apache.spark.sql.functions.{col, count, lit, sum,
