@@ -149,11 +149,17 @@ object MvRewrite {
     * optimizer pushes them below the join before this rule runs);
     * the matcher recognizes them there and re-applies them as σ over
     * the MV, exactly the single-relation filter case's theorem.
+    *
+    * `rowsHint` is the MV's row count, captured at registration time
+    * (parquet footers are driver-side metadata — [[parquetRowCount]])
+    * and used ONLY for cost-based choice among multiple matching
+    * registrations; it never affects whether a rewrite is valid.
     */
   final case class Registration(baseTag: String, groupCols: Seq[String],
       aggSpecs: Seq[(String, Option[String])], mv: () => DataFrame,
       join: Option[JoinSpec] = None,
-      freshness: Option[Freshness] = None)
+      freshness: Option[Freshness] = None,
+      rowsHint: Option[Long] = None)
 
   /** A matched aggregate, decomposed positionally: one layout entry per
     * output column — Left(groupColName) for grouping passthroughs,
@@ -169,12 +175,13 @@ object MvRewrite {
   /** One optimizer rule holding ONE OR MORE registrations — the
     * multi-MV catalog a real warehouse runs (round-11): each Aggregate
     * is tried against EVERY registration and the CHEAPEST match routes
-    * (round-12): an exact-grain match (the MV row IS the answer — no
-    * re-aggregation) beats any rollup re-fold, and among re-folds the
-    * COARSER registration wins (fewer registered group columns →
-    * fewer MV rows to re-fold — the only cost signal available without
-    * running a job, and monotone with it because a finer grouping's
-    * partition refinement can only have more groups). Ties keep
+    * (round-12, statistics-based since round-13): an exact-grain match
+    * (the MV row IS the answer — no re-aggregation) beats any rollup
+    * re-fold, and among re-folds the SMALLER registration wins by its
+    * `rowsHint` cardinality (captured from parquet footer metadata at
+    * registration — see [[parquetRowCount]]), falling back to the
+    * fewer-group-columns proxy only between unhinted registrations
+    * (that proxy is monotone only for NESTED groupings). Ties keep
     * registration order, so single-candidate behavior is unchanged. A
     * conservative miss falls through to the next registration, then to
     * the base plan. One rule for all registrations keeps the
@@ -211,13 +218,20 @@ object MvRewrite {
   private final class Matcher(reg: Registration) {
 
     /** Routing cost of a match, lexicographic: exact grain (0) beats
-      * rollup re-fold (1); among re-folds, fewer registered group
-      * columns = coarser MV = fewer rows to re-fold. See
-      * [[RewriteRule]]'s doc for why this is the right driver-side
-      * proxy.
+      * rollup re-fold (1); among re-folds, the SMALLER MV (by its
+      * registered `rowsHint` cardinality) re-folds fewer rows. The
+      * round-12 column-count proxy survives only as the last tiebreak
+      * for unhinted registrations — its monotonicity argument holds
+      * just for nested groupings, and the round-12 review exhibited
+      * the counterexample (a 2-column × 1M-group view outscoring a
+      * 3-column × 8-group one). A hinted registration beats an
+      * unhinted one among re-folds (a known cost beats an unknown);
+      * exact-grain matching is SET-based, so a column-order-permuted
+      * exact match is scored (and rewritten) as the direct read it is.
       */
-    def score(m: Match): (Int, Int) =
-      (if (m.groupNames == reg.groupCols) 0 else 1, reg.groupCols.length)
+    def score(m: Match): (Int, Long, Int) =
+      (if (m.groupNames.toSet == reg.groupCols.toSet) 0 else 1,
+        reg.rowsHint.getOrElse(Long.MaxValue), reg.groupCols.length)
 
     /** Whether `cond` is a conjunction of IsNotNull guards on the
       * registered JOIN KEYS only. The optimizer infers exactly these
@@ -472,7 +486,11 @@ object MvRewrite {
         }
       }
       val out = agg.output
-      val exact = m.groupNames == reg.groupCols
+      // set-based: a column-order permutation of the registered grain
+      // is still one-MV-row-per-answer-group — direct read, no re-fold
+      // (duplicates are impossible: analyze() rejects them, and the
+      // registration contract implies distinct group columns)
+      val exact = m.groupNames.toSet == reg.groupCols.toSet
       val replacement: Seq[(Attribute, Expression)] =
         out.zip(m.layout).map {
           case (o, Left(g)) => (o, groupAttr(g))
@@ -489,6 +507,31 @@ object MvRewrite {
       if (exact) Project(aliased, filtered)
       else Aggregate(m.groupNames.map(groupAttr), aliased, filtered)
     }
+  }
+
+  /** Exact row count of a parquet directory from its FOOTER metadata —
+    * no Spark job, no data pages read: each footer's block metadata
+    * already carries per-row-group counts, so this is one driver-side
+    * metadata read per file (the same information `count(*)` would
+    * launch a cluster job to rediscover). The intended `rowsHint`
+    * source: an MV registration captures its cardinality at certify
+    * time for the cost-based choice, at the price of a directory
+    * listing — valid exactly as long as the freshness token that
+    * certifies the MV content itself.
+    */
+  def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rdr.getRecordCount finally rdr.close()
+      }.sum
   }
 
   /** Install a registration and return its rule as the uninstall

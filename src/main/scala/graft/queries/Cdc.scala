@@ -1923,19 +1923,26 @@ object Cdc {
     */
   private def segNationMv(s: SparkSession, d: String)
       : (String, graft.plans.MvRewrite.Registration) = {
-    val mvPath = gateTmpDir("graft_mv_segnation", d) + "/mv"
-    val fs = new org.apache.hadoop.fs.Path(mvPath)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
-      s.read.parquet(s"$d/customer.parquet")
+    import graft.plans.MvRewrite
+    // versioned store + freshness token (round-12 verdict item #5: the
+    // catalog's registrations were tokenless): the static testdata base
+    // never moves, so the certified v0 stays the frontier — but the
+    // rail is now structural, and a hypothetical maintenance publish
+    // would un-route every holder of this registration at once. The
+    // rowsHint (footer metadata) feeds the statistics-based choice.
+    val store = gateTmpDir("graft_mv_segnation", d) + "/store"
+    val state = new graft.cdc.VersionedState(s, store, "mv")
+    if (state.latestVersion.isEmpty)
+      state.publish("mv", 0L, s.read.parquet(s"$d/customer.parquet")
         .groupBy(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv"))
-        .write.mode("overwrite").parquet(mvPath)
-    (mvPath, graft.plans.MvRewrite.Registration(
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sv")))
+    (store, MvRewrite.Registration(
       baseTag = "customer.parquet",
       groupCols = Seq("c_mktsegment", "c_nationkey"),
       aggSpecs = Seq(("count", None), ("sum", Some("c_custkey"))),
-      mv = () => s.read.parquet(mvPath)))
+      mv = () => state.readAt("mv", 0L),
+      freshness = Some(MvRewrite.Freshness(() => state.latestVersion, 0L)),
+      rowsHint = Some(MvRewrite.parquetRowCount(s, s"$store/mv/v0"))))
   }
 
   def qCdcMvRollup(s: SparkSession, d: String): DataFrame = {
@@ -1973,14 +1980,14 @@ object Cdc {
   def qCdcMvMulti(s: SparkSession, d: String): DataFrame = {
     import graft.plans.MvRewrite
     val (custBase, ordBase) = (s"$d/customer.parquet", s"$d/orders.parquet")
-    val ordMv = gateTmpDir("graft_mv_multi", d) + "/ordmv"
-    val fs = new org.apache.hadoop.fs.Path(ordMv)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$ordMv/_SUCCESS")))
-      s.read.parquet(ordBase)
+    // versioned + freshness-pinned like every catalog member (round-12
+    // verdict item #5)
+    val ordStore = gateTmpDir("graft_mv_multi", d) + "/ordmvstore"
+    val ordState = new graft.cdc.VersionedState(s, ordStore, "mv")
+    if (ordState.latestVersion.isEmpty)
+      ordState.publish("mv", 0L, s.read.parquet(ordBase)
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sv"))
-        .write.mode("overwrite").parquet(ordMv)
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sv")))
     val (_, custReg) = segNationMv(s, d) // the shared customer view
     val rule = MvRewrite.install(s, Seq(
       custReg,
@@ -1988,7 +1995,11 @@ object Cdc {
         baseTag = "orders.parquet",
         groupCols = Seq("o_orderpriority"),
         aggSpecs = Seq(("count", None), ("sum", Some("o_custkey"))),
-        mv = () => s.read.parquet(ordMv))))
+        mv = () => ordState.readAt("mv", 0L),
+        freshness = Some(
+          MvRewrite.Freshness(() => ordState.latestVersion, 0L)),
+        rowsHint = Some(
+          MvRewrite.parquetRowCount(s, s"$ordStore/mv/v0")))))
     try {
       val seg = routedToMv(s, s.read.parquet(custBase)
           .filter(col("c_nationkey") < 13)
@@ -2104,6 +2115,81 @@ object Cdc {
       .unionByName(fresh.withColumn("phase", lit("fresh_routed")))
       .select(col("phase"), col("g"), col("n_members"), col("total"))
       .orderBy(col("phase"), col("g"))
+  }
+
+  /** FRESHNESS × CATALOG, composed (round-12 verdict item #5's gate): a
+    * TWO-registration catalog where the STALE member must fall through
+    * while the FRESH one routes — the mixed-staleness state a real
+    * warehouse catalog lives in between maintenance cycles, and the
+    * composition [[qCdcMvFresh]] (one registration) and
+    * [[qCdcMvChoice]] (two fresh ones) each exercise only half of.
+    *
+    * The trap is armed: the stale member is the EXACT-grain segment
+    * view — certified at v0, after which maintenance published v1
+    * behind its back — and it is registered FIRST; if the per-match
+    * freshness gate failed, the cost-based choice would score it 0
+    * (exact beats any re-fold) and serve its PRE-delta v0 content. The
+    * fresh member is the FINER (g, sub) view holding post-delta
+    * content, answerable only by re-fold. The plan witness requires
+    * the finer store read and NEITHER the base NOR the stale store;
+    * the hash (post-delta closed form) kills a guard that failed open
+    * twice over — wrong path AND wrong values.
+    *
+    * Scale shape: two directory listings per match attempt (one per
+    * candidate's frontier) — driver-side metadata, noise next to the
+    * O(base) scan the route saves; the routed read is the finer view's
+    * O(groups × sub) re-fold.
+    */
+  def qCdcMvFreshMulti(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val base = gateTmpDir("graft_mv_fresh_multi", d)
+    val (basePath, exactStore, fineStore) =
+      (s"$base/fm_base", s"$base/fm_exact", s"$base/fm_fine")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    def members(withDelta: Boolean): DataFrame =
+      s.read.parquet(s"$d/customer.parquet").select(
+        lower(col("c_mktsegment")).as("g"),
+        (col("c_custkey") % 4).cast("long").as("sub"),
+        (col("c_custkey").cast("long") * 7L % 1000L +
+          (if (withDelta)
+            when(col("c_custkey") % 3 === 0, 500L).otherwise(0L)
+          else lit(0L))).as("m"))
+    // the post-delta base the query aggregates
+    members(withDelta = true).write.mode("overwrite").parquet(basePath)
+    // STALE exact-grain member: certified at v0 (pre-delta content),
+    // then maintenance publishes v1 while the v0 registration stays
+    val exact = new graft.cdc.VersionedState(s, exactStore, "mv")
+    exact.publish("mv", 0L, members(withDelta = false).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sv")))
+    exact.publish("mv", 1L, members(withDelta = true).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sv")))
+    // FRESH finer member: post-delta (g, sub) rollup, frontier = v0
+    val fine = new graft.cdc.VersionedState(s, fineStore, "mv")
+    fine.publish("mv", 0L,
+      members(withDelta = true).groupBy(col("g"), col("sub"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("sv")))
+    val staleExactReg = MvRewrite.Registration(
+      baseTag = "fm_base", groupCols = Seq("g"),
+      aggSpecs = Seq(("count", None), ("sum", Some("m"))),
+      mv = () => exact.readAt("mv", 0L),
+      freshness = Some(MvRewrite.Freshness(() => exact.latestVersion, 0L)))
+    val freshFineReg = MvRewrite.Registration(
+      baseTag = "fm_base", groupCols = Seq("g", "sub"),
+      aggSpecs = Seq(("count", None), ("sum", Some("m"))),
+      mv = () => fine.readAt("mv", 0L),
+      freshness = Some(MvRewrite.Freshness(() => fine.latestVersion, 0L)),
+      rowsHint = Some(MvRewrite.parquetRowCount(s, s"$fineStore/mv/v0")))
+    // stale member FIRST — it would also win the cost choice (exact
+    // grain) if the freshness gate ever failed open
+    val rule = MvRewrite.install(s, Seq(staleExactReg, freshFineReg))
+    try routedToMv(s, s.read.parquet(basePath)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_members"), sum(col("m")).as("total"))
+        .orderBy(col("g")),
+      "fm_fine", "fm_base", "fm_exact")
+    finally MvRewrite.uninstall(s, rule)
   }
 
   /** COST-BASED MV CHOICE ([[graft.plans.MvRewrite.RewriteRule]]'s
@@ -2256,8 +2342,8 @@ object Cdc {
     import graft.plans.MvRewrite
     import graft.Materialize.Ops
     val base = gateTmpDir("graft_mv_fk_ivm", d)
-    val (mvPath, factPath, dimPath) =
-      (s"$base/fkmv", s"$base/fkfact", s"$base/fkdim")
+    val (mvStore, factPath, dimPath) =
+      (s"$base/fkmvstore", s"$base/fkfact", s"$base/fkdim")
     val (f1, f2, d1, d2) = fkAggFixture(s, d)
     val fS1 = IncrementalJoinView.sideState(f1, "order_id").stage()
     val dS1 = IncrementalJoinView.sideState(d1, "d_id").stage()
@@ -2268,9 +2354,12 @@ object Cdc {
       f2, d2, "order_id", "cust_id", "d_id", "g", "amount",
       "maintained_via")
     val agg2 = agg2raw.stage() // MV write + the marker join
-    // publish the MAINTAINED rollup and the post-delta base tables
-    agg2.select(col("g"), col("n_members"), col("total"))
-      .write.mode("overwrite").parquet(mvPath)
+    // publish the MAINTAINED rollup — versioned + freshness-pinned
+    // (round-12 verdict item #5) — and the post-delta base tables.
+    // Version 1 = one maintenance generation past the bootstrap.
+    val mvState = new graft.cdc.VersionedState(s, mvStore, "mv")
+    mvState.publish("mv", 1L,
+      agg2.select(col("g"), col("n_members"), col("total")))
     fS2.select(col("order_id"), col("cust_id"), col("amount"))
       .write.mode("overwrite").parquet(factPath)
     dS2.select(col("d_id"), col("g"))
@@ -2278,9 +2367,10 @@ object Cdc {
     val rule = MvRewrite.install(s, MvRewrite.Registration(
       baseTag = "fkfact", groupCols = Seq("g"),
       aggSpecs = Seq(("count", None), ("sum", Some("amount"))),
-      mv = () => s.read.parquet(mvPath),
+      mv = () => mvState.readAt("mv", 1L),
       join = Some(MvRewrite.JoinSpec("fkfact", "fkdim",
-        "cust_id", "d_id"))))
+        "cust_id", "d_id")),
+      freshness = Some(MvRewrite.Freshness(() => mvState.latestVersion, 1L))))
     val routed =
       try routedToMv(s,
         s.read.parquet(factPath)
@@ -2288,7 +2378,7 @@ object Cdc {
           .groupBy(col("g"))
           .agg(count(lit(1)).as("n_members"),
             sum(col("amount")).as("total_amount")),
-        "fkmv", "fkfact", "fkdim")
+        "fkmvstore", "fkfact", "fkdim")
       finally MvRewrite.uninstall(s, rule)
     routed.join(agg2.select(col("g"), col("maintained_via")), Seq("g"))
       .select(col("g"), col("n_members"), col("total_amount"),
@@ -2364,7 +2454,7 @@ object Cdc {
     import graft.plans.MvRewrite
     import graft.Materialize.Ops
     val base = gateTmpDir("graft_mv_ivm", d)
-    val (mvPath, basePath) = (s"$base/ivm_mv", s"$base/ivm_base")
+    val (mvStore, basePath) = (s"$base/ivm_mvstore", s"$base/ivm_base")
     val cust = Tables.customer(s, d).select(
       col("c_custkey").cast("int").as("id"),
       lower(col("c_mktsegment")).as("seg"))
@@ -2392,10 +2482,15 @@ object Cdc {
       agg2.select(col("g"), col("n_members"), col("total")),
       aS2, bS2, a3, b3, "id", "g", "balance", "via3")
     val agg3 = agg3raw.stage() // MV write + the marker join
-    // publish the MAINTAINED materialization and the post-delta base
-    // (the live joined state a consumer's base table would hold)
-    agg3.select(col("g"), col("n_members"), col("total"))
-      .write.mode("overwrite").parquet(mvPath)
+    // publish the MAINTAINED materialization — VERSIONED, so the
+    // registration can carry a freshness token (round-12 verdict item
+    // #5: the routed IVM gates installed tokenless registrations whose
+    // staleness was only conventionally prevented) — and the post-delta
+    // base (the live joined state a consumer's base table would hold).
+    // Version 2 = two maintenance generations past the bootstrap.
+    val mvState = new graft.cdc.VersionedState(s, mvStore, "mv")
+    mvState.publish("mv", 2L,
+      agg3.select(col("g"), col("n_members"), col("total")))
     IncrementalAggView.contribs(aS3, bS3, "id", "g", "balance")
       .write.mode("overwrite").parquet(basePath)
     val markers = agg3.select(col("g"), col("via3"))
@@ -2409,13 +2504,14 @@ object Cdc {
     val rule = MvRewrite.install(s, MvRewrite.Registration(
       baseTag = "ivm_base", groupCols = Seq("g"),
       aggSpecs = Seq(("count", None), ("sum", Some("m"))),
-      mv = () => s.read.parquet(mvPath)))
+      mv = () => mvState.readAt("mv", 2L),
+      freshness = Some(MvRewrite.Freshness(() => mvState.latestVersion, 2L))))
     val routed =
       try routedToMv(s,
         s.read.parquet(basePath).groupBy(col("g"))
           .agg(count(lit(1)).as("n_members"),
             sum(col("m")).as("total_balance")),
-        "ivm_mv", "ivm_base")
+        "ivm_mvstore", "ivm_base")
       finally MvRewrite.uninstall(s, rule)
     routed.join(markers, Seq("g"))
       .select(col("g"), col("n_members"), col("total_balance"),
@@ -2462,7 +2558,8 @@ object Cdc {
     import graft.plans.MvRewrite
     import graft.Materialize.Ops
     val base = gateTmpDir("graft_mv_minmax_ivm", d)
-    val (mvPath, basePath) = (s"$base/minmax_mv", s"$base/minmax_base")
+    val (mvStore, basePath) =
+      (s"$base/minmax_mvstore", s"$base/minmax_base")
     val cust = Tables.customer(s, d).select(
       col("c_custkey").cast("int").as("id"),
       lower(col("c_mktsegment")).as("seg"))
@@ -2489,16 +2586,20 @@ object Cdc {
     val (agg2raw, st2) = IncrementalStatsView.step(agg1, st1, delta,
       "id", "g", "balance", "via")
     val agg2 = agg2raw.stage() // MV write + the marker join
-    agg2.select(col("g"), col("n_members"), col("total"),
-        col("mn"), col("mx"))
-      .write.mode("overwrite").parquet(mvPath)
+    // versioned + freshness-pinned (round-12 verdict item #5); version
+    // 1 = one maintenance generation past the bootstrap
+    val mvState = new graft.cdc.VersionedState(s, mvStore, "mv")
+    mvState.publish("mv", 1L,
+      agg2.select(col("g"), col("n_members"), col("total"),
+        col("mn"), col("mx")))
     st2.select(col("g"), col("balance").as("m"))
       .write.mode("overwrite").parquet(basePath)
     val rule = MvRewrite.install(s, MvRewrite.Registration(
       baseTag = "minmax_base", groupCols = Seq("g"),
       aggSpecs = Seq(("count", None), ("sum", Some("m")),
         ("min", Some("m")), ("max", Some("m"))),
-      mv = () => s.read.parquet(mvPath)))
+      mv = () => mvState.readAt("mv", 1L),
+      freshness = Some(MvRewrite.Freshness(() => mvState.latestVersion, 1L))))
     val routed =
       try routedToMv(s,
         s.read.parquet(basePath).groupBy(col("g"))
@@ -2506,7 +2607,7 @@ object Cdc {
             sum(col("m")).as("total_balance"),
             min(col("m")).as("min_balance"),
             max(col("m")).as("max_balance")),
-        "minmax_mv", "minmax_base")
+        "minmax_mvstore", "minmax_base")
       finally MvRewrite.uninstall(s, rule)
     routed.join(agg2.select(col("g"), col("via").as("maintained_via")),
         Seq("g"))
@@ -3142,6 +3243,22 @@ object Cdc {
         |  UNION ALL
         |  SELECT 'stale_fallback', g, n_members, total FROM v)
         |ORDER BY phase, g""".stripMargin,
+
+    // the post-delta closed form: the catalog's STALE exact-grain
+    // member held the PRE-delta rollup and was registered first (it
+    // would also win the cost choice), so a freshness gate that failed
+    // open serves stale values and mismatches; the plan witness pins
+    // that the FRESH finer view was read and neither the base nor the
+    // stale store
+    "q_cdc_mv_fresh_multi" ->
+      """WITH m AS (SELECT lower(c_mktsegment) AS g,
+        |    CAST(c_custkey * 7 % 1000
+        |      + CASE WHEN c_custkey % 3 = 0 THEN 500 ELSE 0 END
+        |      AS BIGINT) AS m
+        |  FROM customer)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(m) AS BIGINT) AS total
+        |FROM m GROUP BY 1 ORDER BY g""".stripMargin,
 
     // computed from the BASE; the plan witness requires the EXACT
     // segment-grain view was read and neither the base nor the finer
@@ -3844,6 +3961,7 @@ object Cdc {
     "q_cdc_mv_having" -> (qCdcMvHaving _),
     "q_cdc_mv_multi" -> (qCdcMvMulti _),
     "q_cdc_mv_fresh" -> (qCdcMvFresh _),
+    "q_cdc_mv_fresh_multi" -> (qCdcMvFreshMulti _),
     "q_cdc_mv_choice" -> (qCdcMvChoice _),
     "q_cdc_mv_stats" -> (qCdcMvStats _),
     "q_cdc_mv_ivm" -> (qCdcMvIvm _),

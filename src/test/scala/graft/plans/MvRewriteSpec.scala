@@ -534,6 +534,85 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.uninstall(spark, rule)
   }
 
+  test("statistics-based choice: with row-count hints, the " +
+    "fewer-column/HIGHER-cardinality registration LOSES (the round-12 " +
+    "column-count proxy's counterexample), and parquetRowCount reads " +
+    "exact counts from footer metadata alone") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("graft-mv-cost")
+    val wideBase = s"$dir/wide.parquet"
+    (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", i % 2L, i % 3L, i * 3L))
+      .toDF("id", "seg", "l1", "l2", "v").write.parquet(wideBase)
+    // FEW columns, HIGH cardinality: (seg, id) → 100 MV rows
+    val fewPath = s"$dir/fewmv.parquet"
+    spark.read.parquet(wideBase).groupBy(col("seg"), col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .write.parquet(fewPath)
+    // MORE columns, LOW cardinality: (seg, l1, l2) → ≤ 6 MV rows
+    val morePath = s"$dir/moremv.parquet"
+    spark.read.parquet(wideBase).groupBy(col("seg"), col("l1"), col("l2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .write.parquet(morePath)
+    // footer-metadata row counts are exact
+    assert(MvRewrite.parquetRowCount(spark, wideBase) == 100L)
+    val fewRows = MvRewrite.parquetRowCount(spark, fewPath)
+    val moreRows = MvRewrite.parquetRowCount(spark, morePath)
+    assert(fewRows == 100L, s"few-grain MV rows: $fewRows")
+    assert(moreRows == 6L, s"more-grain MV rows: $moreRows")
+    def reg(cols: Seq[String], path: String, rows: Long) =
+      MvRewrite.Registration("wide.parquet", cols,
+        Seq(("count", None), ("sum", Some("v"))),
+        () => spark.read.parquet(path), rowsHint = Some(rows))
+    val rule = MvRewrite.install(spark, Seq(
+      reg(Seq("seg", "id"), fewPath, fewRows),
+      reg(Seq("seg", "l1", "l2"), morePath, moreRows)))
+    try {
+      def q: DataFrame = spark.read.parquet(wideBase).groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      // the 2-column registration would have won on the column-count
+      // proxy; with statistics the 6-row 3-column view must route
+      assert(scanPaths(q).exists(_.contains("moremv.parquet")) &&
+        !scanPaths(q).exists(_.contains("fewmv.parquet")),
+        s"row-count hint must out-rank column count: ${scanPaths(q)}")
+      assert(q.orderBy(col("seg")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 50L, 7350L), ("b", 50L, 7500L)))
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+
+  test("exact-grain matching is SET-based: a column-order-permuted " +
+    "grouping reads the MV directly (no re-fold) with correct values") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("graft-mv-perm")
+    val permBase = s"$dir/permbase.parquet"
+    Seq((1L, "a", 0L, 10L), (2L, "a", 1L, 20L), (3L, "b", 0L, 5L))
+      .toDF("id", "seg", "l1", "v").write.parquet(permBase)
+    val permMv = s"$dir/permmv.parquet"
+    spark.read.parquet(permBase).groupBy(col("seg"), col("l1"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .write.parquet(permMv)
+    val rule = MvRewrite.install(spark, MvRewrite.Registration(
+      "permbase.parquet", Seq("seg", "l1"),
+      Seq(("count", None), ("sum", Some("v"))),
+      () => spark.read.parquet(permMv)))
+    try {
+      // grouping order permuted vs the registration: (l1, seg)
+      val q = spark.read.parquet(permBase).groupBy(col("l1"), col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(q).exists(_.contains("permmv.parquet")),
+        s"permuted exact grain must still route: ${scanPaths(q)}")
+      // direct read, NOT a re-fold: no Aggregate survives optimization
+      assert(!q.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "permuted exact match must not re-aggregate the MV")
+      assert(q.orderBy(col("l1"), col("seg")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq ==
+        Seq((0L, "a", 1L, 10L), (0L, "b", 1L, 5L), (1L, "a", 1L, 20L)))
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+
   test("the per-rule enabled switch suppresses the rewrite (the MV " +
     "build window) without touching other registrations") {
     installed { rule =>
