@@ -932,6 +932,69 @@ object Cdc {
       .orderBy(col("seg"))
   }
 
+  /** FEED CASCADE with MIN/MAX — the downstream stage's
+    * non-self-maintainable half ([[graft.operators.ViewDelta
+    * .cascadeAggStats]], round-12 verdict item #6): the segment rollup
+    * now also tracks each segment's smallest and largest group balance,
+    * and a signed fold cannot retract an extremum — so feed rows whose
+    * `old_total_balance` image sits at or beyond their segment's
+    * maintained (mn, mx) boundary trigger a re-aggregation of exactly
+    * that segment from the POST-batch upstream view (which the consumer
+    * holds — it is `applyDelta`'s output), while count/sum stay on the
+    * O(|feed|) algebraic path and unthreatened segments fold
+    * least/greatest. The fixture's B-side updates (+500 on %4 ids)
+    * push past group maxima and its deletes (%5, %7) retract boundary
+    * rows across hundreds of upstream groups, so both the threat and
+    * the algebraic paths run at any sf. The oracle computes the full
+    * rollup — min/max included — directly from the post-delta closed
+    * form, so a threat test that fired too narrowly (stale extremum
+    * survives) or too widely with a wrong recompute scope
+    * hash-mismatches.
+    *
+    * Scale shape: O(|feed|) fold + one semi-join-scoped recompute of
+    * threatened segments' upstream rows — never O(view); the classic
+    * k-reserve refinement (keep each group's k smallest/largest so
+    * most boundary retractions re-fold from the reserve) slots behind
+    * the same threat test, documented on [[graft.cdc
+    * .IncrementalStatsView]].
+    */
+  def qCdcFeedCascadeMinmax(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{IncrementalAggView, IncrementalJoinView}
+    import graft.Materialize.Ops
+    val (a1, a2, b1, b2) = aggViewFixture(s, d)
+    val aState1 = IncrementalJoinView.sideState(a1, "id").stage()
+    val bState1 = IncrementalJoinView.sideState(b1, "id").stage()
+    val agg1 = IncrementalAggView
+      .bootstrap(aState1, bState1, "id", "g", "balance")
+      .stage() // step input, diff before-image, AND the w0 build
+    val (agg2raw, _, _) = IncrementalAggView.step(agg1, aState1, bState1,
+      a2, b2, "id", "g", "balance", "via")
+    val agg2 = agg2raw.stage() // the diff after-image AND the recompute
+    val cols = Seq("n_members", "total_balance")
+    def view(agg: DataFrame): DataFrame =
+      agg.select(col("g"), col("n_members"),
+        col("total").as("total_balance"))
+    val segOf = substring_index(col("g"), "-", 1)
+    // w0: the downstream rollup of the BOOTSTRAP view, extrema included
+    val w0 = view(agg1).groupBy(segOf.as("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_members")).as("sum_n_members"),
+        sum(col("total_balance")).as("sum_total_balance"),
+        min(col("total_balance")).as("mn"),
+        max(col("total_balance")).as("mx"))
+    // w1: maintained from the v0→v1 feed + the post-batch upstream view
+    // (recompute source for threatened segments only)
+    val feed = graft.operators.ViewDelta.diff(view(agg1), view(agg2),
+      Seq("g"), cols)
+    graft.operators.ViewDelta.cascadeAggStats(w0, feed, view(agg2),
+        segOf, "seg", cols, "total_balance")
+      .select(col("seg"), col("n_rows").as("n_groups"),
+        col("sum_n_members").as("members"),
+        col("sum_total_balance").as("balance"),
+        col("mn").as("min_balance"), col("mx").as("max_balance"))
+      .orderBy(col("seg"))
+  }
+
   /** The STREAMING drive of incremental aggregate-view maintenance
     * inside the hash gate (round-7 verdict item #2 — previously only a
     * spec): the same two-generation fixture as [[qCdcAggView]], but
@@ -3581,6 +3644,36 @@ object Cdc {
          |  CAST(sum(t) AS BIGINT) AS balance
          |FROM v GROUP BY 1 ORDER BY seg""".stripMargin,
 
+    // the min/max-bearing cascade: the same post-delta closed form as
+    // q_cdc_feed_cascade, widened with each segment's extrema — the
+    // gate maintains them from the feed via the threat/recompute
+    // dichotomy (retraction at a boundary → scoped re-aggregation from
+    // the upstream view; everything else folds least/greatest), so a
+    // stale extremum left by an under-firing threat test, or a wrong
+    // recompute scope, hash-mismatches
+    "q_cdc_feed_cascade_minmax" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |f AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000
+         |      + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |             THEN 500 ELSE 0 END AS BIGINT) AS bal
+         |  FROM c
+         |  WHERE NOT (id < $AggViewHorizon
+         |             AND (id % 7 = 0 OR id % 5 = 0))),
+         |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal) AS BIGINT) AS t FROM f GROUP BY 1)
+         |SELECT split_part(g, '-', 1) AS seg,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(n) AS BIGINT) AS members,
+         |  CAST(sum(t) AS BIGINT) AS balance,
+         |  CAST(min(t) AS BIGINT) AS min_balance,
+         |  CAST(max(t) AS BIGINT) AS max_balance
+         |FROM v GROUP BY 1 ORDER BY seg""".stripMargin,
+
     // the CONSUMER-side reconstruction: generation 2's rollup computed
     // directly from the fixture's closed form — the gate reaches it by
     // applying the 1→2 feed onto generation 1 only, so a dropped 'd',
@@ -3947,6 +4040,7 @@ object Cdc {
     "q_cdc_view_changefeed" -> (qCdcViewChangefeed _),
     "q_cdc_feed_apply" -> (qCdcFeedApply _),
     "q_cdc_feed_cascade" -> (qCdcFeedCascade _),
+    "q_cdc_feed_cascade_minmax" -> (qCdcFeedCascadeMinmax _),
     "q_cdc_stream_cascade" -> (qCdcStreamCascade _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),

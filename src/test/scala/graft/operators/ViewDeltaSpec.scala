@@ -156,6 +156,47 @@ class ViewDeltaSpec extends SparkSpec {
     assert(got.map(_.head) == Seq("y", "z"), "x emptied, z appeared")
   }
 
+  test("cascadeAggStats retracts an extremum via the scoped recompute " +
+    "(boundary retraction → re-aggregate from upstream), folds " +
+    "unthreatened groups algebraically, and handles group birth/death") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min,
+      sum, substring_index}
+    // downstream groups by the prefix before the dash; 't' is the
+    // extremum metric. Moves:
+    //  x: 'x-1' holds the group MAX (t=50) and is DELETED — the signed
+    //     fold cannot know the runner-up (t=10); only a recompute can.
+    //  y: 'y-3' updates t 40→60, strictly interior to y's (1, 100) —
+    //     must stay on the algebraic least/greatest path, no recompute.
+    //  z: created outright (downstream group must appear with its fold)
+    val before = v(Seq(("x-1", 1L, 50L), ("x-2", 1L, 10L),
+      ("y-1", 2L, 100L), ("y-2", 3L, 1L), ("y-3", 1L, 40L)))
+    val after = v(Seq(("x-2", 1L, 10L),
+      ("y-1", 2L, 100L), ("y-2", 3L, 1L), ("y-3", 1L, 60L),
+      ("z-1", 1L, 2L)))
+    def down(view: org.apache.spark.sql.DataFrame) =
+      view.groupBy(substring_index(col("g"), "-", 1).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"),
+          sum(col("t")).as("sum_t"),
+          min(col("t")).as("mn"), max(col("t")).as("mx"))
+    val feed = ViewDelta.diff(before, after, Seq("g"), Seq("n", "t"))
+    val got = ViewDelta.cascadeAggStats(down(before), feed, after,
+        substring_index(col("g"), "-", 1), "h", Seq("n", "t"), "t")
+      .orderBy("h").collect().map(_.toSeq).toSeq
+    val want = down(after).orderBy("h").collect().map(_.toSeq).toSeq
+    assert(got == want, s"$got != $want")
+    // the x row proves the recompute: max fell 50 → 10, which only the
+    // upstream re-aggregation can produce (greatest(50, …) can't fall);
+    // y's interior update keeps its (1, 100) extrema on the algebraic
+    // path; z proves group birth
+    assert(want.find(_.head == "x").get.last == 10L,
+      "fixture must retract the x group's maximum")
+    assert(want.find(_.head == "y").get.last == 100L)
+    // schema guard: extremum column must be a value column
+    intercept[IllegalArgumentException](
+      ViewDelta.cascadeAggStats(down(before), feed, after,
+        substring_index(col("g"), "-", 1), "h", Seq("n", "t"), "nope"))
+  }
+
   test("reserved/colliding column names are rejected loudly (round-11 " +
     "advisory: they used to yield silent duplicate output columns)") {
     val before = v(Seq(("a", 1L, 1L)))
