@@ -1166,7 +1166,8 @@ object Cdc {
     * happens to retain everything.
     */
   private[queries] def streamChangefeedDrive(s: SparkSession, d: String,
-      base: String, cascade: Boolean = false): ChangefeedDrive = {
+      base: String, cascade: Boolean = false,
+      afterRun: Long => Unit = _ => ()): ChangefeedDrive = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.cdc.{IncrementalAggView, IncrementalJoinView}
     import graft.operators.ViewDelta
@@ -1250,8 +1251,13 @@ object Cdc {
             }
           // non-anchor kinds first (feed and cascade included), the
           // version-anchoring agg LAST: a crash between publishes
-          // leaves the previous version current, feed and all
-          state.publish("feed", id, feed)
+          // leaves the previous version current, feed and all. The
+          // feed rides its generation id as a COLUMN, not just a path
+          // segment: a decoupled consumer tailing the published files
+          // ([[graft.cdc.FeedConsumer]]) needs it in-band to dedup
+          // at-least-once re-deliveries and detect retention gaps
+          state.publish("feed", id,
+            feed.withColumn("feed_version", lit(id)))
           // the CASCADE stage (when the caller gates it), maintained IN
           // the loop purely from this batch's feed
           // (graft.operators.ViewDelta.cascadeAgg) — read back from the
@@ -1285,12 +1291,18 @@ object Cdc {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
+      // afterRun fires between producer generations — the decoupled
+      // consumer gate ([[qCdcFeedConsumer]]) drives ITS OWN streaming
+      // query there, tailing what the producer published so far
       copyStaged(s, s"$staged/gen1", inDir, "g1")
       run() // batch 0 bootstraps (and emits the all-'c' snapshot feed)
+      afterRun(0L)
       copyStaged(s, s"$staged/gen2", inDir, "g2")
       run() // batch 1: A-side moves/deletes, restart-resumed
+      afterRun(1L)
       copyStaged(s, s"$staged/gen3", inDir, "g3")
       run() // batch 2: B-side updates/deletes; prune now drops gen 0
+      afterRun(2L)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     ChangefeedDrive(state, ck, () => {
       // capture the CURRENT value, not the drive-construction snapshot:
@@ -1352,6 +1364,74 @@ object Cdc {
     val drive = streamChangefeedDrive(s, d,
       gateTmpDir("graft_stream_cascade", d), cascade = true)
     drive.state.readLatest("down").get
+      .select(col("seg"), col("n_rows").as("n_groups"),
+        col("sum_n_members").as("members"),
+        col("sum_total_balance").as("balance"))
+      .orderBy(col("seg"))
+  }
+
+  /** The published-feed schema [[qCdcFeedConsumer]] (and its spec) tail
+    * — what [[streamChangefeedDrive]]'s handler writes per generation.
+    */
+  private[queries] val ChangefeedSchema: String =
+    "g STRING, op STRING, old_n_members BIGINT, old_total_balance " +
+      "BIGINT, new_n_members BIGINT, new_total_balance BIGINT, " +
+      "feed_version BIGINT"
+
+  /** Build the [[graft.cdc.FeedConsumer]] that tails a
+    * [[streamChangefeedDrive]] store's published feed and maintains the
+    * segment rollup — shared by the gate and `FeedConsumerSpec`.
+    */
+  private[queries] def changefeedConsumer(s: SparkSession, base: String,
+      name: String): graft.cdc.FeedConsumer =
+    new graft.cdc.FeedConsumer(s,
+      feedGlob = s"$base/store/feed/v*",
+      feedSchema = ChangefeedSchema,
+      store = s"$base/$name/store",
+      checkpoint = s"$base/$name/ck",
+      groupOf = substring_index(col("g"), "-", 1),
+      groupName = "seg",
+      valueCols = Seq("n_members", "total_balance"))
+
+  /** The DECOUPLED CONSUMER gate (round-12 verdict item #1 — the
+    * largest remaining seam): [[qCdcStreamCascade]] proved the cascade
+    * ALGEBRA live, but its downstream stage ran inside the producer's
+    * own foreachBatch handler; the reference's topology is a producer
+    * topic tailed by an INDEPENDENT subscriber
+    * (`/root/reference/docs/architecture.md:54-63`,
+    * `scripts/verify.sh:404-412` verifies with a separate consumer
+    * process). This gate runs that split: the
+    * [[streamChangefeedDrive]] producer publishes its per-micro-batch
+    * feed (now version-stamped in-band), and a SECOND streaming query —
+    * [[graft.cdc.FeedConsumer]], with its OWN checkpoint and its own
+    * [[graft.cdc.VersionedState]] — tails the published feed parquet
+    * through a file source and maintains the downstream segment rollup
+    * via [[graft.operators.ViewDelta.cascadeAgg]]. The consumer runs
+    * once after each producer generation, each run a full
+    * stop-and-restart resuming from the CONSUMER's checkpoint, against
+    * a store the producer is live-pruning to keepLast = 2: everything
+    * the consumer knows arrived through the published files.
+    *
+    * The oracle is [[qCdcStreamCascade]]'s closed form verbatim — the
+    * decoupled topology must land on exactly the in-loop cascade's
+    * answer — so a missed generation, a double-applied producer replay,
+    * a consumer re-bootstrap on restart, or a cascade fold reading
+    * anything but the feed all hash-mismatch. The consumer's
+    * independence rails (mid-drive kill + re-delivery, falling behind
+    * retention fails LOUDLY, multi-generation catch-up in one trigger)
+    * are pinned in `FeedConsumerSpec`.
+    *
+    * Scale shape: producer unchanged (O(|Δ| + touched) per batch);
+    * consumer adds one O(|feed|) signed fold + group-keyed merge per
+    * generation against its own group-sized state — the topic/
+    * subscriber split costs nothing but the files already published.
+    */
+  def qCdcFeedConsumer(s: SparkSession, d: String): DataFrame = {
+    val base = gateTmpDir("graft_feed_consumer", d)
+    val consumer = changefeedConsumer(s, base, "consumer")
+    streamChangefeedDrive(s, d, base,
+      afterRun = _ => consumer.runOnce())
+    consumer.state.readLatest("down").get
       .select(col("seg"), col("n_rows").as("n_groups"),
         col("sum_n_members").as("members"),
         col("sum_total_balance").as("balance"))
@@ -3617,6 +3697,33 @@ object Cdc {
          |  CAST(sum(t) AS BIGINT) AS balance
          |FROM v2 GROUP BY 1 ORDER BY seg""".stripMargin,
 
+    // the DECOUPLED consumer: q_cdc_stream_cascade's closed form
+    // VERBATIM — a second, separately-checkpointed streaming query
+    // tailing the producer's published feed parquet must land on
+    // exactly the in-loop cascade's answer; a missed generation, a
+    // double-applied producer replay, a consumer re-bootstrap on any
+    // of its restarts, or a fold that read anything but the feed all
+    // hash-mismatch
+    "q_cdc_feed_consumer" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |m1 AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000 AS BIGINT) AS bal
+         |  FROM c WHERE NOT (id < $AggViewHorizon AND id % 7 = 0)),
+         |v2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |                        THEN 500 ELSE 0 END) AS BIGINT) AS t
+         |  FROM m1 WHERE NOT (id < $AggViewHorizon AND id % 5 = 0)
+         |  GROUP BY 1)
+         |SELECT split_part(g, '-', 1) AS seg,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(n) AS BIGINT) AS members,
+         |  CAST(sum(t) AS BIGINT) AS balance
+         |FROM v2 GROUP BY 1 ORDER BY seg""".stripMargin,
+
     // the CASCADE stage: the downstream segment rollup of the
     // post-delta view, computed directly from the closed form — the
     // gate reaches it by folding the v0→v1 feed into the BOOTSTRAP
@@ -4041,6 +4148,7 @@ object Cdc {
     "q_cdc_feed_apply" -> (qCdcFeedApply _),
     "q_cdc_feed_cascade" -> (qCdcFeedCascade _),
     "q_cdc_feed_cascade_minmax" -> (qCdcFeedCascadeMinmax _),
+    "q_cdc_feed_consumer" -> (qCdcFeedConsumer _),
     "q_cdc_stream_cascade" -> (qCdcStreamCascade _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),
