@@ -1167,7 +1167,8 @@ object Cdc {
     */
   private[queries] def streamChangefeedDrive(s: SparkSession, d: String,
       base: String, cascade: Boolean = false,
-      afterRun: Long => Unit = _ => ()): ChangefeedDrive = {
+      afterRun: Long => Unit = _ => (),
+      extraGen: Boolean = false): ChangefeedDrive = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.cdc.{IncrementalAggView, IncrementalJoinView}
     import graft.operators.ViewDelta
@@ -1188,6 +1189,29 @@ object Cdc {
       tag(a2, "a", hasG = true).coalesce(1).write.parquet(s"$st/gen2")
       tag(b2, "b", hasG = false).coalesce(1).write.parquet(s"$st/gen3")
     }
+    // the OPTIONAL fourth generation (`extraGen`, the reseed gate's
+    // post-recovery increment): a second wave of A-side group moves —
+    // every 9th key still alive on the A side relocates to a brand-new
+    // 'late-<bucket>' segment (lsn above every gen-2/3 stamp). Staged
+    // under its own prefix so the three-generation gates' shared
+    // fixture tree is byte-identical with or without it. Keys whose
+    // B-side row died in gen 3 are deliberately kept: moving a
+    // non-joined A row must touch no view group, which the diff's
+    // suppression has to get right.
+    val staged4 =
+      if (!extraGen) None
+      else Some(stageOnce(s, "graft_changefeed_gen4_staged", d) { st =>
+        val cust = Tables.customer(s, d).select(
+          col("c_custkey").cast("int").as("id"))
+        val bucket = expr("id div 100").cast("string")
+        cust.filter(col("id") < AggViewHorizon &&
+            col("id") % 9 === 0 && col("id") % 7 =!= 0)
+          .select(lit("a").as("side"), col("id"), lit("u").as("op"),
+            (col("id").cast("long") + 30000000L).as("lsn"),
+            concat(lit("late-"), bucket).as("g"),
+            lit(null).cast("long").as("bal"))
+          .coalesce(1).write.parquet(s"$st/gen4")
+      })
     val state = new graft.cdc.VersionedState(s, store, "agg")
     val feedCols = Seq("n_members", "total_balance")
     def view(agg: DataFrame): DataFrame =
@@ -1303,6 +1327,11 @@ object Cdc {
       copyStaged(s, s"$staged/gen3", inDir, "g3")
       run() // batch 2: B-side updates/deletes; prune now drops gen 0
       afterRun(2L)
+      staged4.foreach { s4 =>
+        copyStaged(s, s"$s4/gen4", inDir, "g4")
+        run() // batch 3: the 'late' relocations; prune drops gen 1
+        afterRun(3L)
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     ChangefeedDrive(state, ck, () => {
       // capture the CURRENT value, not the drive-construction snapshot:
@@ -1383,7 +1412,8 @@ object Cdc {
     * segment rollup — shared by the gate and `FeedConsumerSpec`.
     */
   private[queries] def changefeedConsumer(s: SparkSession, base: String,
-      name: String): graft.cdc.FeedConsumer =
+      name: String, withReseed: Boolean = false,
+      publishFeed: Boolean = false): graft.cdc.FeedConsumer =
     new graft.cdc.FeedConsumer(s,
       feedGlob = s"$base/store/feed/v*",
       feedSchema = ChangefeedSchema,
@@ -1391,7 +1421,59 @@ object Cdc {
       checkpoint = s"$base/$name/ck",
       groupOf = substring_index(col("g"), "-", 1),
       groupName = "seg",
-      valueCols = Seq("n_members", "total_balance"))
+      valueCols = Seq("n_members", "total_balance"),
+      reseed = if (!withReseed) None else Some(() => {
+        // the producer's latest retained VIEW generation, read from its
+        // published store — the snapshot topic a fallen-behind consumer
+        // re-bases on (never the producer's base tables)
+        val ps = new graft.cdc.VersionedState(s, s"$base/store", "agg")
+        val v = ps.versions.max
+        (v, ps.readAt("agg", v).select(col("g"), col("n_members"),
+          col("total").as("total_balance")))
+      }),
+      publishFeed = publishFeed)
+
+  /** The relay feed schema a SECOND-stage consumer tails — what
+    * [[changefeedConsumer]]`(publishFeed = true)` publishes per batch:
+    * `ViewDelta.diffTouched` images of the segment rollup, plus the
+    * in-band watermark row and the consumer-batch version stamp.
+    */
+  private[queries] val ChainFeedSchema: String =
+    "seg STRING, op STRING, old_n_rows BIGINT, old_sum_n_members " +
+      "BIGINT, old_sum_total_balance BIGINT, new_n_rows BIGINT, " +
+      "new_sum_n_members BIGINT, new_sum_total_balance BIGINT, " +
+      "feed_version BIGINT"
+
+  /** The chain's SECOND consumer: tails stage 1's relayed feed (its
+    * `feed` kind) and maintains the letter-level rollup — nothing it
+    * reads was written by the producer.
+    */
+  private[queries] def chainStage2Consumer(s: SparkSession, base: String,
+      stage1: String, name: String): graft.cdc.FeedConsumer =
+    new graft.cdc.FeedConsumer(s,
+      feedGlob = s"$base/$stage1/store/feed/v*",
+      feedSchema = ChainFeedSchema,
+      store = s"$base/$name/store",
+      checkpoint = s"$base/$name/ck",
+      groupOf = substring(col("seg"), 1, 1),
+      groupName = "letter",
+      valueCols = Seq("n_rows", "sum_n_members", "sum_total_balance"))
+
+  /** The decoupled MIN/MAX consumer over the same producer feed — see
+    * [[graft.cdc.FeedStatsConsumer]]; shared by the gate and spec.
+    */
+  private[queries] def changefeedStatsConsumer(s: SparkSession,
+      base: String, name: String): graft.cdc.FeedStatsConsumer =
+    new graft.cdc.FeedStatsConsumer(s,
+      feedGlob = s"$base/store/feed/v*",
+      feedSchema = ChangefeedSchema,
+      store = s"$base/$name/store",
+      checkpoint = s"$base/$name/ck",
+      upstreamKeys = Seq("g"),
+      groupOf = substring_index(col("g"), "-", 1),
+      groupName = "seg",
+      valueCols = Seq("n_members", "total_balance"),
+      extremumCol = "total_balance")
 
   /** The DECOUPLED CONSUMER gate (round-12 verdict item #1 — the
     * largest remaining seam): [[qCdcStreamCascade]] proved the cascade
@@ -1435,6 +1517,127 @@ object Cdc {
       .select(col("seg"), col("n_rows").as("n_groups"),
         col("sum_n_members").as("members"),
         col("sum_total_balance").as("balance"))
+      .orderBy(col("seg"))
+  }
+
+  /** The RETENTION-RECOVERY gate: a consumer that STARTS after the
+    * producer's live keepLast=2 prune has already swept the bootstrap
+    * feed — the scenario [[qCdcFeedConsumer]]'s rails only FAIL loudly
+    * on (`FeedConsumerSpec` rail 4) — now RECOVERS by re-seeding: it
+    * re-derives its rollup from the producer's latest published VIEW
+    * snapshot, advances its frontier to the snapshot's version, and
+    * resumes tailing. That is the reference stack's own recovery shape
+    * lifted one stage: when the WAL a Debezium consumer needs is gone
+    * it re-snapshots (`op='r'`, SURVEY §2 S2 / DBLog) and streams from
+    * the snapshot's position — snapshot-then-tail at the feed layer.
+    *
+    * The drive runs FOUR producer generations (`extraGen` — the fourth
+    * relocates every 9th surviving key to a brand-new 'late' segment).
+    * The consumer first runs after generation 2, hitting the gap
+    * (feed v0 swept) and re-seeding from view\@2; after generation 3 it
+    * applies feed v3 INCREMENTALLY on top of the re-based rollup —
+    * creating the 'late' downstream segment and retracting the moved
+    * groups from their old segments purely from the feed. The oracle is
+    * the FOUR-generation closed form, so a reseed that read a stale
+    * snapshot, a frontier that skipped or double-applied v3, or an
+    * incremental path broken by the re-base all hash-mismatch; the
+    * provenance markers ('reseed' then 'feed') and replay determinism
+    * are pinned in `FeedConsumerSpec`.
+    *
+    * Scale shape: the reseed is ONE O(|view|) rollup — paid only when
+    * retention has already outrun the incremental path (the same price
+    * a fresh consumer's bootstrap pays) — and every batch after it is
+    * back to the O(|feed|) fold; nothing ever reads a base table.
+    */
+  def qCdcFeedReseed(s: SparkSession, d: String): DataFrame = {
+    val base = gateTmpDir("graft_feed_reseed", d)
+    val consumer = changefeedConsumer(s, base, "consumer",
+      withReseed = true)
+    streamChangefeedDrive(s, d, base, extraGen = true,
+      afterRun = gen => if (gen >= 2) consumer.runOnce())
+    consumer.state.readLatest("down").get
+      .select(col("seg"), col("n_rows").as("n_groups"),
+        col("sum_n_members").as("members"),
+        col("sum_total_balance").as("balance"))
+      .orderBy(col("seg"))
+  }
+
+  /** The FEED-CHAIN gate — aggregates composing down a DECOUPLED
+    * dataflow DAG: the producer maintains the group view and publishes
+    * its change feed; consumer 1 ([[changefeedConsumer]] with
+    * `publishFeed`) tails it, maintains the segment rollup, and RELAYS
+    * its own per-batch `ViewDelta.diffTouched` feed (watermark-stamped,
+    * version-stamped by ITS batch ids); consumer 2
+    * ([[chainStage2Consumer]]) tails THAT and maintains the letter-level
+    * rollup. Three streaming queries, three checkpoints, three stores —
+    * stage 2 never reads anything the producer wrote. This is the
+    * reference's topic topology (`docs/architecture.md:54-63`) extended
+    * transitively: enriched topic → subscriber → its OWN topic →
+    * further subscriber, the shape a real pipeline fans out in
+    * (and the DBSP/Materialize cascade claim, now with every stage on
+    * its own wire instead of inside one handler).
+    *
+    * The oracle computes the letter rollup of the segment rollup of the
+    * final view's closed form, so a missed retraction at EITHER relay
+    * hop, a double-applied replay at either consumer, or a relay feed
+    * row with wrong images all hash-mismatch. The relay rails —
+    * watermark rows registering empty generations, stage-2 kill +
+    * byte-identical re-delivery, stage-1's own keepLast=2 retention
+    * tripping stage 2's gap check when it lags — are pinned in
+    * `FeedConsumerSpec`.
+    *
+    * Scale shape: each hop pays O(its own feed) per batch (the relay
+    * diff is touched-pruned), so a DAG of N rollups updates for the
+    * price of the deltas flowing through it — never N recomputes, and
+    * never N reads of anything upstream of its direct feed.
+    */
+  def qCdcFeedChain(s: SparkSession, d: String): DataFrame = {
+    val base = gateTmpDir("graft_feed_chain", d)
+    val c1 = changefeedConsumer(s, base, "stage1", publishFeed = true)
+    val c2 = chainStage2Consumer(s, base, "stage1", "stage2")
+    streamChangefeedDrive(s, d, base,
+      afterRun = _ => { c1.runOnce(); c2.runOnce() })
+    c2.state.readLatest("down").get
+      .select(col("letter"), col("n_rows").as("n_segs"),
+        col("sum_n_rows").as("n_groups"),
+        col("sum_sum_n_members").as("members"),
+        col("sum_sum_total_balance").as("balance"))
+      .orderBy(col("letter"))
+  }
+
+  /** The decoupled MIN/MAX consumer gate — the non-self-maintainable
+    * aggregate on the consumer side of the wire:
+    * [[qCdcFeedCascadeMinmax]] proved the threat/recompute dichotomy as
+    * a batch algebra whose recompute read the producer's own view; this
+    * gate runs it DECOUPLED ([[graft.cdc.FeedStatsConsumer]]): a
+    * separately-checkpointed tail of the published feed maintains an
+    * upstream REPLICA via `ViewDelta.applyDelta` (published first, read
+    * back as the threat path's recompute source) and the extrema-bearing
+    * segment rollup via `ViewDelta.cascadeAggStats` — across the
+    * producer's three generations, the consumer's own restarts, and
+    * live keepLast=2 retention on both stores. The fixture drives both
+    * extremum paths on the wire: gen 2's group moves retract boundary
+    * groups wholesale, gen 3's +500 balance updates push group totals
+    * past their segment maxima. The oracle computes the full rollup —
+    * min/max included — from the final closed form, so a stale extremum
+    * (threat fired too narrowly), a wrong recompute scope, or a replica
+    * that drifted from the view all hash-mismatch.
+    *
+    * Scale shape: O(|feed|) fold + O(|view|+|feed|) replica upsert +
+    * recompute scoped to threatened groups' replica rows per batch; the
+    * replica is group-cardinality — the same price any downstream
+    * index/cache pays, never a base-table read.
+    */
+  def qCdcFeedConsumerStats(s: SparkSession, d: String): DataFrame = {
+    val base = gateTmpDir("graft_feed_consumer_stats", d)
+    val consumer = changefeedStatsConsumer(s, base, "stats")
+    streamChangefeedDrive(s, d, base,
+      afterRun = _ => consumer.runOnce())
+    consumer.state.readLatest("down").get
+      .select(col("seg"), col("n_rows").as("n_groups"),
+        col("sum_n_members").as("members"),
+        col("sum_total_balance").as("balance"),
+        col("mn").as("min_balance"), col("mx").as("max_balance"))
       .orderBy(col("seg"))
   }
 
@@ -3724,6 +3927,96 @@ object Cdc {
          |  CAST(sum(t) AS BIGINT) AS balance
          |FROM v2 GROUP BY 1 ORDER BY seg""".stripMargin,
 
+    // the RETENTION-RECOVERY consumer: the FOUR-generation closed form
+    // (the extra generation relocates every 9th surviving key to the
+    // 'late' segment; %9 ⊂ %3, so those keys moved in gen 2 and move
+    // AGAIN in gen 4 — latest lsn wins). The consumer reaches it by
+    // re-seeding from the producer's view@2 snapshot and then applying
+    // feed v3 incrementally, so a stale snapshot, a skipped or
+    // double-applied v3, a 'late' segment the incremental path failed
+    // to create, or a moved group left unretracted all hash-mismatch
+    "q_cdc_feed_reseed" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |m1 AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 9 = 0
+         |         THEN 'late-' || CAST(id // 100 AS VARCHAR)
+         |         WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000 AS BIGINT) AS bal
+         |  FROM c WHERE NOT (id < $AggViewHorizon AND id % 7 = 0)),
+         |v3 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |                        THEN 500 ELSE 0 END) AS BIGINT) AS t
+         |  FROM m1 WHERE NOT (id < $AggViewHorizon AND id % 5 = 0)
+         |  GROUP BY 1)
+         |SELECT split_part(g, '-', 1) AS seg,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(n) AS BIGINT) AS members,
+         |  CAST(sum(t) AS BIGINT) AS balance
+         |FROM v3 GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    // the FEED CHAIN: the letter rollup of the segment rollup of the
+    // final view's closed form — stage 2's state was maintained purely
+    // from stage 1's relayed feed, which was maintained purely from
+    // the producer's feed, so a missed retraction at either hop, a
+    // double-applied replay at either consumer, or a relay image
+    // drifting from stage 1's own rollup all hash-mismatch
+    "q_cdc_feed_chain" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |m1 AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000 AS BIGINT) AS bal
+         |  FROM c WHERE NOT (id < $AggViewHorizon AND id % 7 = 0)),
+         |v2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |                        THEN 500 ELSE 0 END) AS BIGINT) AS t
+         |  FROM m1 WHERE NOT (id < $AggViewHorizon AND id % 5 = 0)
+         |  GROUP BY 1),
+         |w AS (SELECT split_part(g, '-', 1) AS seg,
+         |    CAST(count(*) AS BIGINT) AS n_groups,
+         |    CAST(sum(n) AS BIGINT) AS members,
+         |    CAST(sum(t) AS BIGINT) AS balance
+         |  FROM v2 GROUP BY 1)
+         |SELECT substr(seg, 1, 1) AS letter,
+         |  CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(n_groups) AS BIGINT) AS n_groups,
+         |  CAST(sum(members) AS BIGINT) AS members,
+         |  CAST(sum(balance) AS BIGINT) AS balance
+         |FROM w GROUP BY 1 ORDER BY letter""".stripMargin,
+
+    // the decoupled MIN/MAX consumer: q_cdc_feed_consumer's closed
+    // form widened with each segment's extrema — maintained on the
+    // consumer side of the wire from the feed + the consumer's OWN
+    // applyDelta replica, so a stale extremum (under-firing threat), a
+    // wrong recompute scope, or a replica drifting from the view all
+    // hash-mismatch
+    "q_cdc_feed_consumer_stats" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS INT) AS id,
+         |    lower(c_mktsegment) AS seg FROM customer),
+         |m1 AS (SELECT id,
+         |    CASE WHEN id < $AggViewHorizon AND id % 3 = 0
+         |         THEN 'moved-' || CAST(id // 100 AS VARCHAR)
+         |         ELSE seg || '-' || CAST(id // 100 AS VARCHAR) END AS g,
+         |    CAST(id * 7 % 1000 AS BIGINT) AS bal
+         |  FROM c WHERE NOT (id < $AggViewHorizon AND id % 7 = 0)),
+         |v2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(bal + CASE WHEN id < $AggViewHorizon AND id % 4 = 0
+         |                        THEN 500 ELSE 0 END) AS BIGINT) AS t
+         |  FROM m1 WHERE NOT (id < $AggViewHorizon AND id % 5 = 0)
+         |  GROUP BY 1)
+         |SELECT split_part(g, '-', 1) AS seg,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(n) AS BIGINT) AS members,
+         |  CAST(sum(t) AS BIGINT) AS balance,
+         |  CAST(min(t) AS BIGINT) AS min_balance,
+         |  CAST(max(t) AS BIGINT) AS max_balance
+         |FROM v2 GROUP BY 1 ORDER BY seg""".stripMargin,
+
     // the CASCADE stage: the downstream segment rollup of the
     // post-delta view, computed directly from the closed form — the
     // gate reaches it by folding the v0→v1 feed into the BOOTSTRAP
@@ -4149,6 +4442,9 @@ object Cdc {
     "q_cdc_feed_cascade" -> (qCdcFeedCascade _),
     "q_cdc_feed_cascade_minmax" -> (qCdcFeedCascadeMinmax _),
     "q_cdc_feed_consumer" -> (qCdcFeedConsumer _),
+    "q_cdc_feed_reseed" -> (qCdcFeedReseed _),
+    "q_cdc_feed_chain" -> (qCdcFeedChain _),
+    "q_cdc_feed_consumer_stats" -> (qCdcFeedConsumerStats _),
     "q_cdc_stream_cascade" -> (qCdcStreamCascade _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_stream_ivm" -> (qCdcStreamIvm _),

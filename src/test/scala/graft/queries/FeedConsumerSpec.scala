@@ -95,5 +95,132 @@ class FeedConsumerSpec extends SparkSpec {
       .toSeq
     assert(messages.exists(_.contains("retention outran")),
       s"expected the retention-gap failure, got: $messages")
+
+    // 5. the SAME gap with a reseed source configured RECOVERS: the
+    // consumer re-bases on the producer's view@2 snapshot, marks the
+    // batch 'reseed', advances its frontier to the snapshot version,
+    // and lands on the reference answer
+    val reseeded = Cdc.changefeedConsumer(s, base, "reseeded",
+      withReseed = true)
+    reseeded.runOnce()
+    assert(downOf(reseeded) == want,
+      "a reseeded consumer must land on the reference answer")
+    assert(appliedOf(reseeded) == 2L,
+      "the reseed must advance the frontier to the snapshot version")
+    val viaRow = reseeded.state.readLatest("applied").get.head()
+    assert(viaRow.getString(1) == "reseed",
+      s"expected the reseed provenance marker, got ${viaRow.getString(1)}")
+
+    // 6. reseed replay determinism: un-commit the reseed batch and
+    // restart — the producer is quiescent, so the re-read snapshot is
+    // identical and the re-delivered batch republishes byte-identically
+    val rCid = reseeded.state.versions.max
+    val rCommit = new org.apache.hadoop.fs.Path(
+      s"$base/reseeded/ck/commits/$rCid")
+    assert(fs.exists(rCommit) && fs.delete(rCommit, false))
+    reseeded.runOnce()
+    assert(downOf(reseeded) == want)
+    assert(appliedOf(reseeded) == 2L)
+  }
+
+  test("feed chain: stage-2 matches a direct recompute of stage 1, " +
+    "relay generations carry watermark rows, an empty relay generation " +
+    "advances the downstream frontier without value change, and " +
+    "stage-1 retention trips stage 2's gap check") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val base = tmpDir("graft-chain-spec")
+    val c1 = Cdc.changefeedConsumer(s, base, "stage1", publishFeed = true)
+    val c2 = Cdc.chainStage2Consumer(s, base, "stage1", "stage2")
+    val stats = Cdc.changefeedStatsConsumer(s, base, "stats")
+    val drive = Cdc.streamChangefeedDrive(s, sf, base, afterRun = _ => {
+      c1.runOnce(); c2.runOnce(); stats.runOnce()
+    })
+
+    def rows(df: org.apache.spark.sql.DataFrame, sort: String) =
+      df.orderBy(sort).collect().map(_.toSeq.toIndexedSeq).toIndexedSeq
+
+    // stage 2 == the letter rollup of stage 1's own final state
+    val d1 = c1.state.readLatest("down").get
+    val want2 = rows(d1.groupBy(substring(col("seg"), 1, 1).as("letter"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_rows")).as("sum_n_rows"),
+        sum(col("sum_n_members")).as("sum_sum_n_members"),
+        sum(col("sum_total_balance")).as("sum_sum_total_balance")),
+      "letter")
+    val got2 = rows(c2.state.readLatest("down").get, "letter")
+    assert(got2 == want2,
+      "stage 2 must equal the letter rollup of stage 1's rollup")
+
+    // every retained relay generation carries exactly one watermark row
+    c1.state.versions.foreach { v =>
+      val f = c1.state.readAt("feed", v)
+      assert(f.filter(col("op") === "w").count() == 1L,
+        s"relay generation $v must carry one watermark row")
+      assert(f.filter(col("op") === "w").head().isNullAt(0),
+        "the watermark row must carry a null key")
+    }
+
+    // the decoupled min/max consumer's replica equals the producer's
+    // view, and its rollup equals a direct recompute (extrema included)
+    val view = drive.state.readLatest("agg").get.select(col("g"),
+      col("n_members"), col("total").as("total_balance"))
+    assert(rows(stats.state.readLatest("up").get, "g") == rows(view, "g"),
+      "the applyDelta replica must equal the producer's view")
+    val wantStats = rows(view
+      .groupBy(substring_index(col("g"), "-", 1).as("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_members")).as("sum_n_members"),
+        sum(col("total_balance")).as("sum_total_balance"),
+        min(col("total_balance")).as("mn"),
+        max(col("total_balance")).as("mx")), "seg")
+    assert(rows(stats.state.readLatest("down").get, "seg") == wantStats,
+      "the decoupled stats rollup must match a direct recompute")
+
+    // stage-2 kill + re-delivery lands byte-identically
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val c2Cid = c2.state.versions.max
+    val c2Commit = new org.apache.hadoop.fs.Path(
+      s"$base/stage2/ck/commits/$c2Cid")
+    assert(fs.exists(c2Commit) && fs.delete(c2Commit, false))
+    c2.runOnce()
+    assert(rows(c2.state.readLatest("down").get, "letter") == want2)
+
+    // a producer replay makes stage 1's next batch a NO-OP: its relay
+    // generation is watermark-only, and stage 2 must still REGISTER it
+    // (frontier advances) without any value change — the soundness the
+    // in-band watermark exists to provide (an unregistered empty
+    // generation would trip the gap check as swept on the next real one)
+    val frontierBefore = c2.state.readLatest("applied").get
+      .head().getLong(0)
+    val pCommit = new org.apache.hadoop.fs.Path(s"${drive.ck}/commits/2")
+    assert(fs.exists(pCommit) && fs.delete(pCommit, false))
+    drive.runOnce()
+    c1.runOnce()
+    val relayCid = c1.state.versions.max
+    val relayed = c1.state.readAt("feed", relayCid)
+    assert(relayed.count() == 1L &&
+      relayed.head().getString(1) == "w",
+      "a no-op stage-1 batch must relay a watermark-only generation")
+    c2.runOnce()
+    assert(c2.state.readLatest("applied").get.head().getLong(0)
+        == relayCid,
+      "stage 2 must advance its frontier through the watermark")
+    assert(relayCid > frontierBefore)
+    assert(rows(c2.state.readLatest("down").get, "letter") == want2,
+      "a watermark-only generation must not move stage 2's values")
+
+    // a LATE stage-2 consumer is now behind stage 1's own keepLast=2
+    // retention — the gap check is hop-local and must fail loudly here
+    // too
+    assert(c1.state.versions.size == 2)
+    val late2 = Cdc.chainStage2Consumer(s, base, "stage1", "late2")
+    val ex = intercept[Exception](late2.runOnce())
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .toSeq
+    assert(messages.exists(_.contains("retention outran")),
+      s"expected the stage-2 retention-gap failure, got: $messages")
   }
 }
