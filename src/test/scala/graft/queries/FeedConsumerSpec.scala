@@ -133,8 +133,15 @@ class FeedConsumerSpec extends SparkSpec {
     val c1 = Cdc.changefeedConsumer(s, base, "stage1", publishFeed = true)
     val c2 = Cdc.chainStage2Consumer(s, base, "stage1", "stage2")
     val stats = Cdc.changefeedStatsConsumer(s, base, "stats")
-    val drive = Cdc.streamChangefeedDrive(s, sf, base, afterRun = _ => {
+    // a LAGGED stats consumer: sees only the bootstrap in-drive, then
+    // catches up generations 1+2 in ONE batch — the multi-generation
+    // path where applyDelta's last-image-per-key collapse matters (a
+    // group moved in gen 1 and re-summed in gen 2 appears in BOTH
+    // feeds; upserting both images would break replica key-uniqueness)
+    val statsLag = Cdc.changefeedStatsConsumer(s, base, "statsLag")
+    val drive = Cdc.streamChangefeedDrive(s, sf, base, afterRun = gen => {
       c1.runOnce(); c2.runOnce(); stats.runOnce()
+      if (gen == 0L) statsLag.runOnce()
     })
 
     def rows(df: org.apache.spark.sql.DataFrame, sort: String) =
@@ -176,6 +183,21 @@ class FeedConsumerSpec extends SparkSpec {
         max(col("total_balance")).as("mx")), "seg")
     assert(rows(stats.state.readLatest("down").get, "seg") == wantStats,
       "the decoupled stats rollup must match a direct recompute")
+
+    // the lagged stats consumer catches up both generations in one
+    // batch: the collapsed replica and the telescoped rollup must both
+    // land exactly on the in-step consumer's state
+    assert(statsLag.state.readLatest("applied").get.head().getLong(0)
+      == 0L)
+    statsLag.runOnce()
+    assert(statsLag.state.readLatest("applied").get.head().getLong(0)
+      == 2L)
+    assert(rows(statsLag.state.readLatest("up").get, "g")
+        == rows(stats.state.readLatest("up").get, "g"),
+      "multi-generation catch-up must collapse to the same replica")
+    assert(rows(statsLag.state.readLatest("down").get, "seg")
+        == wantStats,
+      "multi-generation catch-up must land on the same extrema rollup")
 
     // stage-2 kill + re-delivery lands byte-identically
     val fs = new org.apache.hadoop.fs.Path(base)
