@@ -1,7 +1,6 @@
 package graft.cdc
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of a keyed two-table INNER-JOIN view from CDC
@@ -36,13 +35,29 @@ object IncrementalJoinView {
     * per key the max-`lsn` row wins (ties broken on op descending — a
     * replayed pair is identical anyway) and a winning delete removes the
     * key. Retains `lsn` so the state can re-enter later reductions.
+    *
+    * Implementation (optimization round 13, guide §2.3 "aggregate before
+    * you shuffle"): the per-key argmax is a `max_by` hash aggregate, not
+    * a `row_number` window. The window formulation shuffled EVERY delta
+    * row and sorted each partition before discarding all but one row per
+    * key; `max_by` folds to one candidate row per key on the map side,
+    * so the exchange carries O(distinct keys) rows and no sort runs at
+    * all — at 100 TB the difference between shuffling the change stream
+    * and shuffling its key set. Semantics are identical for the
+    * operator's contract (`lsn` non-null, `op` non-null — every producer
+    * stamps both; ties in (lsn, op) only ever carry identical rows):
+    * max-by-(lsn, op) picks exactly the row `ORDER BY lsn DESC, op DESC`
+    * ranked first, including the empty-op re-tag losing equal-lsn ties
+    * to every real op. Pinned in `OperatorsSpec` ("sideState reduction").
     */
   def sideState(deltas: DataFrame, key: String): DataFrame = {
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("lsn").desc, col("op").desc)
-    deltas.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("op") =!= "d")
-      .drop("__rn", "op")
+    val others = deltas.columns.filter(_ != key).toSeq // op, lsn, payload…
+    val top = max_by(struct(others.map(col): _*),
+      struct(col("lsn"), col("op")))
+    deltas.groupBy(col(key)).agg(top.as("__top"))
+      .filter(col("__top").getField("op") =!= "d")
+      .select(col(key) +: others.filterNot(_ == "op")
+        .map(c => col("__top").getField(c).as(c)): _*)
   }
 
   /** Touched-key set of one change batch (both sides' delta keys) —

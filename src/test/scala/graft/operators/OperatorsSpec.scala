@@ -216,4 +216,35 @@ class OperatorsSpec extends SparkSpec {
     assert(RangeJoin.pointInInterval(pts, nullIv, "k", "t", "st", "en", 10L)
       .count() == 0)
   }
+
+  test("sideState reduction: max-lsn wins, delete wins, empty-op loses " +
+      "equal-lsn ties, null payloads survive — and the plan is a " +
+      "partial-aggregating max_by, not a window sort") {
+    import graft.cdc.IncrementalJoinView
+    import spark.implicits._
+    val deltas = Seq(
+      // k=1: plain supersede — lsn 2 wins, payload may be null
+      (1, "r", 1L, Some("a")), (1, "u", 2L, None),
+      // k=2: delete at the max lsn removes the key
+      (2, "r", 1L, Some("b")), (2, "d", 5L, None),
+      // k=3: the empty-op re-tag (carried state) loses an EQUAL-lsn tie
+      // to a real delta op — the refreshTouched supersede rule
+      (3, "", 7L, Some("stale")), (3, "u", 7L, Some("fresh")),
+      // k=4: delete at a LOWER lsn than a later re-insert — key lives
+      (4, "d", 1L, None), (4, "r", 2L, Some("back")))
+      .toDF("id", "op", "lsn", "payload")
+    val out = IncrementalJoinView.sideState(deltas, "id")
+    assert(out.columns.toSeq == Seq("id", "lsn", "payload"))
+    val rows = out.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(rows == Map(1 -> ((2L, null)), 3 -> ((7L, "fresh")),
+      4 -> ((2L, "back"))))
+    // plan witness: the argmax must be an aggregate (map-side partials —
+    // the shuffle carries keys, not the delta stream), with no window
+    // sort anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("max_by") || plan.contains("MaxBy"), plan)
+  }
 }
