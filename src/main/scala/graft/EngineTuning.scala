@@ -39,9 +39,36 @@ import org.apache.spark.sql.SparkSession
   */
 object EngineTuning {
 
+  /** STATIC-CONF constraint (round-13 advisory):
+    * `spark.sql.codegen.cache.maxEntries` is a static SQL conf — it only
+    * takes effect when set BEFORE the first SparkSession in the JVM, and
+    * builder-supplied values are silently ignored once a session exists.
+    * All four mains call this on their builder before `getOrCreate`; an
+    * embedder that already created a session should call [[verify]] to
+    * fail loudly instead of running with the 100-entry default.
+    */
   def apply(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
       sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
     .config("spark.sql.codegen.cache.maxEntries",
       sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
+
+  /** Assert the active session actually runs with the tuning [[apply]]
+    * requested — catches the static-conf silent-ignore case above.
+    */
+  def verify(spark: SparkSession): Unit = {
+    val expect = Seq(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" ->
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"),
+      "spark.sql.codegen.cache.maxEntries" ->
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
+    expect.foreach { case (k, v) =>
+      val got = spark.conf.get(k)
+      require(got == v,
+        s"EngineTuning: $k is '$got', expected '$v' — a SparkSession " +
+          "existed before EngineTuning ran (static confs cannot be " +
+          "applied retroactively); create the session through " +
+          "EngineTuning(builder) before any other getOrCreate")
+    }
+  }
 }

@@ -19,6 +19,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    EngineTuning.verify(spark)
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val showPlan = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "1") == "1"

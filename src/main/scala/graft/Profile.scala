@@ -29,6 +29,7 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    EngineTuning.verify(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     final case class Job(id: Int, t0: Long, var t1: Long = 0L,
@@ -73,15 +74,19 @@ object Profile {
           .filter { case (id, _) => !graft.queries.QueryMemo.isPinned(id) }
           .values.foreach(_.unpersist(true))
         if (r == runs) {
+          // codegen seconds are an ESTIMATE (mean-of-decaying-reservoir ×
+          // count delta; round-13 advisory) — the compile COUNT delta is
+          // exact, the seconds can drift on long sessions
           println(s"\n===== $name (run $r/$runs) wall=${f"$wall%.2f"} s " +
-            s"codegen: +${cc1 - cc0} compiles ~${f"${(ct1 - ct0) / 1e3}%.2f"} s =====")
+            s"codegen: +${cc1 - cc0} compiles " +
+            s"~${f"${(ct1 - ct0) / 1e3}%.2f"} s (est) =====")
           val snap = jobs.synchronized(jobs.toVector).sortBy(_.t0)
           var prevEnd = t0
-          var (jobSum, gapSum) = (0.0, 0.0)
+          var jobSum = 0.0
           snap.foreach { j =>
             val gap = (j.t0 - prevEnd) / 1e9
             val dur = (math.max(j.t1, j.t0) - j.t0) / 1e9
-            jobSum += dur; gapSum += math.max(gap, 0)
+            jobSum += dur
             if (gap > 0.02)
               println(f"  [gap] $gap%7.3f s (driver)")
             println(f"  [job ${j.id}%4d] $dur%7.3f s tasks=${j.nTasks}%4d ${j.site}")

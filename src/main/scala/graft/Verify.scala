@@ -19,6 +19,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    EngineTuning.verify(spark)
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CHECKPOINT_DIR: run the whole suite on the CLUSTER
     // materialization posture — every Materialize.barrier becomes a

@@ -2,7 +2,6 @@ package graft.cdc
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Materialize.Ops
 
@@ -45,9 +44,12 @@ import graft.Materialize.Ops
   * destroy the only copy of the frontier).
   *
   * Scale shape: one hash shuffle on (schema, table, key) for the frontier
-  * window — the irreducible cost of per-key latest — then a narrow
-  * write. Nothing driver-side, nothing broadcast; skewed hot keys cost
-  * one window partition, not a collect.
+  * argmax — the irreducible cost of per-key latest — and the argmax is a
+  * partial-aggregating `max(struct(rank, line))`, so the exchange carries
+  * one candidate per key per map partition, never every log line, and no
+  * per-partition sort runs; then a narrow write. Nothing driver-side,
+  * nothing broadcast; a skewed hot key costs one aggregate group (already
+  * map-side-combined), not a collect.
   */
 object CdcLogCompaction {
 
@@ -103,24 +105,37 @@ object CdcLogCompaction {
     val nullRank =
       if (nullLsnTsMsFallback) coalesce(col("tsms"), lit(Long.MinValue))
       else lit(Long.MinValue)
-    val w = Window.partitionBy(col("src_schema"), col("src_table"), col("key"))
-      .orderBy(coalesce(col("lsn"), nullRank).desc,
-        col("value").desc)
+    // per-(schema, table, key) frontier as an ARGMAX aggregate
+    // (optimization guide §2.3: aggregate before you shuffle), not a
+    // row_number window: max over struct(rank, value, op) picks the
+    // winner under exactly the old (rank DESC, raw-line DESC) order —
+    // `op` rides behind the total raw-line tiebreak, so it never
+    // decides — while count(*) − 1 tallies the superseded lines the
+    // window used to carry as whole rows. The reduction folds to one
+    // candidate line per key per map partition BEFORE the exchange and
+    // runs no per-partition sort; superseded log lines never shuffle.
+    val winners = compactable
+      .groupBy(col("src_schema"), col("src_table"), col("key"))
+      .agg(
+        max(struct(coalesce(col("lsn"), nullRank).as("r"), col("value"),
+          col("op"))).as("w"),
+        count(lit(1)).as("n"))
     val tombstoned =
-      if (retainTombstones) lit(false) else col("op") === "d"
-    val judged = compactable
-      .withColumn("rn", row_number().over(w))
-      .withColumn("verdict",
-        when(col("rn") > 1, "s") // superseded
-          .when(tombstoned, "t") // winning tombstone, key drops out
-          .otherwise("k")) // kept
-      .select(col("value"), col("verdict"))
-      .unionByName(passthrough)
+      if (retainTombstones) lit(false) else col("w.op") === "d"
+    val judged = winners
+      .select(col("w.value").as("value"),
+        when(tombstoned, "t") // winning tombstone, key drops out
+          .otherwise("k").as("verdict"), // kept
+        (col("n") - 1L).as("superseded"))
+      .unionByName(passthrough.withColumn("superseded", lit(0L)))
       // the stats fold and the survivor write both consume this frame;
-      // without materialization the JSON probes + window run twice
+      // without materialization the JSON probes + aggregation run twice
       .barrier()
-    val counts = judged.groupBy(col("verdict")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tallies = judged.groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n"), sum(col("superseded")).as("sup"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val counts = tallies.view.mapValues(_._1).toMap
     val survivors = judged
       .filter(col("verdict").isin("k", "p")).select(col("value"))
 
@@ -154,7 +169,7 @@ object CdcLogCompaction {
           s"output left under $tmp, nothing published")
     Stats(
       kept = counts.getOrElse("k", 0L),
-      superseded = counts.getOrElse("s", 0L),
+      superseded = tallies.view.values.map(_._2).sum,
       tombstonedKeys = counts.getOrElse("t", 0L),
       passthrough = counts.getOrElse("p", 0L))
   }

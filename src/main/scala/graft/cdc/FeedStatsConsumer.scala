@@ -102,13 +102,20 @@ final class FeedStatsConsumer(
           // first — intermediate images telescope away for a replace-
           // by-key apply. (cascadeAggStats below keeps the FULL rows:
           // its signed fold needs every generation's images and
-          // telescopes on its own.)
-          val perKey = org.apache.spark.sql.expressions.Window
-            .partitionBy(upstreamKeys.map(col): _*)
-            .orderBy(col("feed_version").desc)
+          // telescopes on its own.) The collapse is a max_by ARGMAX on
+          // feed_version (optimization guide §2.3), not a row_number
+          // window: it partial-aggregates map-side and skips the sort.
+          // Deterministic because (key, feed_version) is unique — one
+          // image per key per generation — so ties cannot occur; the
+          // original column order is preserved on the way out.
+          val nonKey = freshRows.columns.filterNot(upstreamKeys.contains)
           val latest = freshRows
-            .withColumn("__rn", row_number().over(perKey))
-            .filter(col("__rn") === 1).drop("__rn")
+            .groupBy(upstreamKeys.map(col): _*)
+            .agg(max_by(struct(nonKey.map(col): _*), col("feed_version"))
+              .as("__top"))
+            .select(freshRows.columns.map(c =>
+              if (upstreamKeys.contains(c)) col(c)
+              else col(s"__top.$c").as(c)).toSeq: _*)
           // replica first: publish, then read the parquet back as the
           // threat path's recompute source (one materialized pass)
           state.publish("up", cid, graft.operators.ViewDelta

@@ -54,10 +54,14 @@ object IncrementalJoinView {
     val others = deltas.columns.filter(_ != key).toSeq // op, lsn, payload…
     val top = max_by(struct(others.map(col): _*),
       struct(col("lsn"), col("op")))
+    // output preserves the INPUT column order minus `op` (round-13
+    // advisory: every current caller passes key-first frames, but the
+    // operator's schema contract must not silently depend on that)
     deltas.groupBy(col(key)).agg(top.as("__top"))
       .filter(col("__top").getField("op") =!= "d")
-      .select(col(key) +: others.filterNot(_ == "op")
-        .map(c => col("__top").getField(c).as(c)): _*)
+      .select(deltas.columns.filterNot(_ == "op").map(c =>
+        if (c == key) col(key)
+        else col("__top").getField(c).as(c)).toSeq: _*)
   }
 
   /** Touched-key set of one change batch (both sides' delta keys) —

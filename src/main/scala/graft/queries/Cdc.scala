@@ -3085,11 +3085,11 @@ object Cdc {
     * Scale shape: the completeness check is one map-side-combined count
     * per txId (txIds are dense and tiny relative to events) + one
     * equi-semi-join of events on txId; state reduction is the same
-    * single key-window as latest-state. Nothing is broadcast that grows
-    * with the corpus; nothing touches the driver.
+    * single key-shuffle argmax as latest-state (map-side combined, no
+    * sort). Nothing is broadcast that grows with the corpus; nothing
+    * touches the driver.
     */
   def qCdcTxnConsistent(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cust = Tables.customer(s, d).select(
       col("c_custkey").cast("int").as("id"),
       col("c_name").as("name"))
@@ -3125,9 +3125,13 @@ object Cdc {
     val state = parsed.filter(col("op") === "r")
       .unionByName(updates.join(applied, Seq("tx"), "left_semi"))
       .select(col("id"), col("name"), col("lsn"))
-    val w = Window.partitionBy(col("id")).orderBy(col("lsn").desc)
-    state.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // per-key latest as a partial-aggregating argmax (guide §2.3): max
+    // over struct(lsn, name) — lsns are distinct per key here (snapshot
+    // id vs update id+10M), so the name field never decides — folds
+    // map-side; the old row_number window shuffled and sorted every row
+    state.groupBy(col("id"))
+      .agg(max(struct(col("lsn"), col("name"))).as("_w"))
+      .select(col("id"), col("_w.name").as("name"), col("_w.lsn").as("lsn"))
       .groupBy((col("id") % 10).cast("int").as("bucket"))
       .agg(
         count(lit(1)).as("n_rows"),

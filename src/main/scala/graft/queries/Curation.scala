@@ -56,15 +56,19 @@ object Curation {
     val corpus = docs.filter(!isBench)
       .select(col("doc_id"), size(col("hs")).as("n_sh"),
         explode(col("hs")).as("sh"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("common").desc, col("bench_id"))
     corpus.join(broadcast(bench), "sh")
       .groupBy(col("doc_id"), col("n_sh"), col("bench_id"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("bench_id"), col("common"),
-        floor(col("common") * 10000L / col("n_sh")).cast("long")
+      // best benchmark match as a min_by ARGMIN over struct(−common,
+      // bench_id) — the old (common DESC, bench_id ASC) rank-1 window's
+      // exact total order (bench_id is unique per doc's match rows),
+      // folded map-side with no sort (guide §2.3)
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(min_by(struct(col("bench_id"), col("common")),
+        struct((-col("common")).as("nc"), col("bench_id"))).as("_w"))
+      .select(col("doc_id"), col("_w.bench_id").as("bench_id"),
+        col("_w.common").as("common"),
+        floor(col("_w.common") * 10000L / col("n_sh")).cast("long")
           .as("contamination_x10000"))
       .orderBy(col("doc_id"))
   }

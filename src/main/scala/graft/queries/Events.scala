@@ -211,15 +211,17 @@ object Events {
     * (`StreamingSpec` covers that path).
     */
   def qEventsDedup(s: SparkSession, d: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("bucket"), col("user_id"), col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
+    // earliest-per-key as a partial-aggregating argmin (guide §2.3):
+    // min over struct(ts, event_id) — event_id makes the order total, so
+    // this is exactly the old (ts, event_id) rank-1 window, minus its
+    // full shuffle-and-sort of every duplicate (duplicates now fold away
+    // map-side and the exchange carries one candidate per key)
     events(s, d)
       .withColumn("bucket", window(col("ts"), "10 minutes").getField("start"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("bucket"), col("ts"))
+      .groupBy(col("bucket"), col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("_w"))
+      .select(col("_w.event_id").as("event_id"), col("user_id"),
+        col("event_type"), col("bucket"), col("_w.ts").as("ts"))
       .orderBy(col("event_id"))
   }
 
@@ -954,11 +956,16 @@ object Events {
       prevProv.fold(s.conf.unset(provider))(s.conf.set(provider, _))
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    // final state per user = the max-n_events batch snapshot (the count
+    // is cumulative, so the last emission carries the max; a re-emitted
+    // tie is byte-identical). Argmax aggregate instead of a rank-1
+    // window (guide §2.3): folds map-side, no sort.
     s.read.parquet(sink)
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("user_id"), col("n_events"), col("cents_sum"), col("top3"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("cents_sum"), col("top3")),
+        col("n_events")).as("_w"))
+      .select(col("user_id"), col("_w.n_events").as("n_events"),
+        col("_w.cents_sum").as("cents_sum"), col("_w.top3").as("top3"))
       .orderBy(col("user_id"))
   }
 
@@ -1159,12 +1166,18 @@ object Events {
       prevProv.fold(s.conf.unset(provider))(s.conf.set(provider, _))
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("n_total").desc)
+    // final state per user = the max-n_total batch snapshot (cumulative
+    // count, same argmax-not-window rationale as qStreamTwsSession)
     s.read.parquet(sink)
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("user_id"), col("n_total"), col("type_summary"),
-        col("n_purchases"), col("purchase_id_sum"), col("purchase_cents"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_total"), col("type_summary"),
+        col("n_purchases"), col("purchase_id_sum"), col("purchase_cents")),
+        col("n_total")).as("_w"))
+      .select(col("user_id"), col("_w.n_total").as("n_total"),
+        col("_w.type_summary").as("type_summary"),
+        col("_w.n_purchases").as("n_purchases"),
+        col("_w.purchase_id_sum").as("purchase_id_sum"),
+        col("_w.purchase_cents").as("purchase_cents"))
       .orderBy(col("user_id"))
   }
 

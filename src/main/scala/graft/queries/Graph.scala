@@ -262,16 +262,18 @@ object Graph {
       .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
 
   /** The round's adoption: per node, the most frequent neighbor label,
-    * smallest label on ties (the determinism pin).
+    * smallest label on ties (the determinism pin). Expressed as a
+    * min_by ARGMIN over struct(−c, label) — identical total order to
+    * the old (c DESC, label ASC) rank-1 window, but it partial-
+    * aggregates map-side and skips the per-partition sort (guide §2.3);
+    * the histogram's (a, label) keys make the order total, so ties
+    * cannot occur. Per round this removes one Sort from the loop.
     */
-  private[queries] def lpaAdopt(freq: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("a"))
-      .orderBy(col("c").desc, col("label"))
-    freq.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  private[queries] def lpaAdopt(freq: DataFrame): DataFrame =
+    freq.groupBy(col("a"))
+      .agg(min_by(col("label"), struct((-col("c")).as("nc"), col("label")))
+        .as("label"))
       .select(col("a").as("node"), col("label"))
-  }
 
   def qCommunityLp(s: SparkSession, d: String): DataFrame = {
     val e0 = coOrderEdges(s, d)

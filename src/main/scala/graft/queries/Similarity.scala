@@ -115,8 +115,6 @@ object Similarity {
       col("label").as("neighbor_label"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    val wVote = Window.partitionBy(col("query_id"))
-      .orderBy(col("votes").desc, col("neighbor_label"))
     broadcast(queries).crossJoin(corpus)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dotQC / (col("qnorm") * col("cnorm")))
@@ -124,11 +122,16 @@ object Similarity {
       .filter(col("rank") <= KnnK)
       .groupBy(col("query_id"), col("true_label"), col("neighbor_label"))
       .agg(count(lit(1)).as("votes"))
-      .withColumn("vr", row_number().over(wVote))
-      .filter(col("vr") === 1)
+      // winning label as a min_by ARGMIN over struct(−votes, label) —
+      // the old (votes DESC, label ASC) rank-1 window's exact total
+      // order (label is unique within a query's vote rows), folded
+      // map-side with no sort (guide §2.3)
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(min_by(struct(col("neighbor_label"), col("votes")),
+        struct((-col("votes")).as("nv"), col("neighbor_label"))).as("_w"))
       .select(col("query_id"), col("true_label"),
-        col("neighbor_label").as("pred_label"), col("votes"),
-        (col("neighbor_label") === col("true_label")).as("correct"))
+        col("_w.neighbor_label").as("pred_label"), col("_w.votes").as("votes"),
+        (col("_w.neighbor_label") === col("true_label")).as("correct"))
       .orderBy(col("query_id"))
   }
 

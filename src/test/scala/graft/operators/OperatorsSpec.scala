@@ -247,4 +247,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("max_by") || plan.contains("MaxBy"), plan)
   }
+
+  test("sideState preserves the input column order even when the key is " +
+      "not the leading column (round-13 advisory: the schema contract " +
+      "must not depend on key-first call sites)") {
+    import graft.cdc.IncrementalJoinView
+    import spark.implicits._
+    val deltas = Seq(("stale", "u", 3L, 1), ("x", "u", 4L, 1),
+      ("y", "u", 1L, 2))
+      .toDF("payload", "op", "lsn", "id") // key LAST on purpose
+    val out = IncrementalJoinView.sideState(deltas, "id")
+    assert(out.columns.toSeq == Seq("payload", "lsn", "id"))
+    assert(out.orderBy(col("id")).collect().map(_.getString(0)).toSeq ==
+      Seq("x", "y"))
+  }
 }
