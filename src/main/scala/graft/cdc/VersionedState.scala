@@ -100,6 +100,35 @@ final class VersionedState(spark: SparkSession, store: String,
   def publish(kind: String, id: Long, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(s"$store/$kind/v$id")
 
+  /** Publish several mutually INDEPENDENT non-anchor kinds of one batch
+    * concurrently (optimization guide §2.6: overlap independent jobs —
+    * actions are only sequential because the caller invokes them
+    * sequentially; each write's driver-side planning and task tail
+    * otherwise idle the other's executors). The crash discipline is
+    * unchanged: these are non-anchor kinds, the caller still publishes
+    * the anchor strictly AFTER this returns, and a crash mid-call
+    * leaves some non-anchor directories written with the previous
+    * anchor version current — exactly the states the sequential form
+    * could leave. Any publish failure propagates after all complete,
+    * failing the batch for re-delivery like the sequential form.
+    */
+  def publishConcurrently(id: Long, kinds: (String, DataFrame)*): Unit = {
+    require(kinds.forall(_._1 != anchor),
+      s"publishConcurrently: the anchor kind '$anchor' must publish " +
+        "last, alone, via publish()")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def run(k: String, df: DataFrame): Unit =
+      try publish(k, id, df)
+      catch { case e: Throwable => errs.add(e): Unit }
+    val threads = kinds.drop(1).map { case (k, df) =>
+      val t = new Thread(() => run(k, df), s"graft-publish-$k-v$id")
+      t.start(); t
+    }
+    kinds.headOption.foreach { case (k, df) => run(k, df) }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** RETENTION: delete all but the newest `keepLast` versions of every
     * kind under the store (time-travel reads — `readLatestBefore` /
     * [[versions]] — reach only retained generations afterwards; this is

@@ -1083,9 +1083,11 @@ object Cdc {
             }
           // side states first, the version-anchoring agg LAST: a crash
           // between publishes leaves the previous version current
-          // instead of exposing a torn one
-          publish("aState", id, next._2)
-          publish("bState", id, next._3)
+          // instead of exposing a torn one. The two side states are
+          // mutually independent, so they publish CONCURRENTLY
+          // (guide §2.6) — the anchor still strictly after both
+          state.publishConcurrently(id,
+            "aState" -> next._2, "bState" -> next._3)
           publish("agg", id, next._1)
           b.unpersist(): Unit
         }
@@ -1300,8 +1302,11 @@ object Cdc {
               published, segOf, "seg", feedCols)
             state.publish("down", id, w)
           }
-          state.publish("aState", id, aS2)
-          state.publish("bState", id, bS2)
+          // the two side states are mutually independent non-anchor
+          // kinds: publish them concurrently (guide §2.6); the
+          // version-anchoring agg still publishes strictly last
+          state.publishConcurrently(id,
+            "aState" -> aS2, "bState" -> bS2)
           state.publish("agg", id, agg2)
           // LIVE retention: ≥ 2 kept so this batch's own replay (crash
           // before the checkpoint commit) still finds its fold version
@@ -2044,9 +2049,10 @@ object Cdc {
                   .withColumn("via", lit("bootstrap")), fS, dS)
             }
           // side states first, the version-anchoring agg LAST: a crash
-          // between publishes leaves the previous version current
-          state.publish("fState", id, next._2)
-          state.publish("dState", id, next._3)
+          // between publishes leaves the previous version current. The
+          // two side states are independent → concurrent (guide §2.6)
+          state.publishConcurrently(id,
+            "fState" -> next._2, "dState" -> next._3)
           state.publish("agg", id, next._1)
           b.unpersist(): Unit
         }

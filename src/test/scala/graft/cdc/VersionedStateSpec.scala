@@ -166,4 +166,28 @@ class VersionedStateSpec extends SparkSpec {
     assert(fs.exists(fresh), "fresh stray must survive the sweep")
     assert(vs.versions == Seq(1L))
   }
+
+  test("publishConcurrently: independent non-anchor kinds land in " +
+      "parallel, the anchor is rejected, and anchor-gated visibility " +
+      "is unchanged") {
+    val s2 = s"$store-conc"
+    val vs = new VersionedState(spark, s2, "agg")
+    // concurrent non-anchor publishes, anchor strictly after — the
+    // drive handlers' exact shape
+    vs.publishConcurrently(1L,
+      "aState" -> df(Seq(("a", 1L))), "bState" -> df(Seq(("b", 2L))))
+    // before the anchor lands, nothing is visible through versioned reads
+    assert(vs.latestVersion.isEmpty)
+    vs.publish("agg", 1L, df(Seq(("g", 3L))))
+    assert(vs.versions == Seq(1L))
+    assert(vs.readLatest("aState").get.collect().map(_.getLong(1)).toSeq
+      == Seq(1L))
+    assert(vs.readLatest("bState").get.collect().map(_.getLong(1)).toSeq
+      == Seq(2L))
+    // the anchor must never ride the concurrent path (publish-last
+    // discipline is the crash rail)
+    intercept[IllegalArgumentException] {
+      vs.publishConcurrently(2L, "agg" -> df(Seq(("x", 9L))))
+    }
+  }
 }
